@@ -1,0 +1,395 @@
+"""Time-series operators (SURVEY.md §2.9) — the reference-domain core.
+
+Design notes (100 TB posture):
+
+- Every operator is keyed by ``(user_id, time-bucket)`` so it partitions on
+  the natural entity key; window functions shuffle once on ``user_id`` and
+  all downstream per-user steps reuse that partitioning within the stage.
+- Gap/session arithmetic is integer microseconds (``unix_micros``) end to
+  end — no float time math, so the DuckDB oracle (``epoch_us``) matches
+  bit-for-bit.
+- Money-like double sums are summed exactly via DECIMAL(18,2) (the corpus is
+  2-decimal, FIXTURES.md) then cast back to double: both engines produce the
+  identical double, immune to summation-order ulp drift (SURVEY.md App. A.4).
+- Sequential-by-nature ops (EWMA, interpolation) use ``applyInPandas`` per
+  user — Arrow-batched, parallel across users, rows-only oracle.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import op
+from ..sources.io import load
+
+#: Session gap threshold: 30 minutes, in integer microseconds.
+GAP_US = 30 * 60 * 1_000_000
+
+def _w_user() -> Window:
+    """Deterministic per-user event ordering (event_id is the unique
+    tiebreak). Built lazily — Window specs need an active session."""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _w_user_cum() -> Window:
+    return _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def _exact_sum(col: str) -> F.Column:
+    """Order-insensitive exact sum of a 2-decimal double column."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# ts_sessionize — FLAGSHIP
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id, value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), tagged AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM gaps
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(avg(value), 6) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY user_id, session_seq
+"""
+
+
+@op("ts_sessionize", oracle=_SESSIONIZE_ORACLE, tier=1, section="2.9")
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions at >30-min gaps.
+
+    lag -> gap flag -> running sum assigns session ids in ONE shuffle on
+    user_id; the session aggregation reuses the same hash partitioning.
+    Skewed hot users are handled by AQE skew-split at scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(_w_user())
+    new_session = F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0)
+    tagged = ev.withColumn(
+        "session_seq", F.sum(new_session).over(_w_user_cum()).cast("long")
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        _exact_sum("value").alias("sum_value"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() query: busiest sessions first (driver smoke-checks rows>0)."""
+    sessions = ts_sessionize(spark, sf_dir)
+    return sessions.orderBy(
+        F.col("n_events").desc(), F.col("user_id"), F.col("session_seq")
+    ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# Resampling / windowed bucketing
+# --------------------------------------------------------------------------
+
+@op("ts_resample_1h", oracle="""
+SELECT user_id,
+       date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+""", tier=1, section="2.9")
+def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample: per user per hour -> count/avg/min/max of value.
+
+    Single hash aggregation with map-side partial aggregation; the
+    (user_id, hour) key spreads hot users across buckets.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@op("ts_tumbling_window", oracle="""
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                      + 3600000000) AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+""", tier=1, section="2.9")
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via Spark's window() struct.
+
+    Identical expression works in Structured Streaming (batch/stream
+    unification, §2.10); oracle reconstructs the bucket by epoch-µs floor.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type", "n_events", "avg_value",
+    )
+
+
+@op("ts_sliding_window_agg", oracle="""
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - g.k) * 900000000)
+           AS window_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events, generate_series(0, 3) g(k)
+GROUP BY 1
+""", tier=2, section="2.9")
+def ts_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1h windows sliding every 15 min (batch form).
+
+    Spark explodes each row into size/slide = 4 windows internally — same
+    cost model as the oracle's generate_series replication.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    ).select(
+        F.col("w.start").alias("window_start"), "n_events", "avg_value"
+    )
+
+
+@op("ts_rate_per_min", oracle="""
+SELECT user_id,
+       date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       CAST(count(*) AS DOUBLE) / 60 AS events_per_min
+FROM events
+GROUP BY 1, 2
+""", tier=2, section="2.9")
+def ts_rate_per_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event arrival rate per user per hour window, in events/minute."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n_events")).withColumn(
+        "events_per_min", F.col("n_events").cast("double") / 60
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-row sequential features
+# --------------------------------------------------------------------------
+
+@op("ts_delta", oracle="""
+SELECT user_id, event_id,
+       value - lag(value) OVER w AS delta_value,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""", tier=1, section="2.9")
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First difference per channel + inter-arrival gap (integer µs).
+
+    Identical double subtraction on identical operands on both engines —
+    no rounding needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("value") - F.lag("value").over(_w_user())).alias("delta_value"),
+        (F.unix_micros(F.col("ts"))
+         - F.lag(F.unix_micros(F.col("ts"))).over(_w_user())).alias("gap_us"),
+    )
+
+
+@op("ts_gap_fill_ffill", oracle="""
+WITH masked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_masked
+    FROM events
+)
+SELECT user_id, event_id, value_masked,
+       last_value(value_masked IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM masked
+""", tier=2, section="2.9")
+def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill sensor dropouts (here: mask 'error' readings to NULL,
+    then carry the last valid value forward per user)."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")),
+    )
+    return masked.select(
+        "user_id", "event_id", "value_masked",
+        F.last("value_masked", ignorenulls=True).over(_w_user_cum())
+         .alias("value_filled"),
+    )
+
+
+@op("ts_dedup_latest", oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""", tier=1, section="2.9")
+def ts_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest record per (user, minute) — classic sensor dedup."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("minute", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return ev.withColumn("rn", F.row_number().over(w)) \
+             .filter(F.col("rn") == 1) \
+             .select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Normalization / anomaly
+# --------------------------------------------------------------------------
+
+@op("ts_anomaly_zscore", oracle="""
+WITH stats AS (
+    SELECT event_type,
+           avg(value) AS mu,
+           stddev_samp(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 6) AS zscore,
+       (abs(e.value - s.mu) > 3 * s.sigma) AS is_anomaly
+FROM events e JOIN stats s USING (event_type)
+""", tier=1, section="2.9")
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value deviates >3 sigma from its type's mean.
+
+    Tiny per-type stats aggregate is broadcast back onto the fact table —
+    no shuffle of the big side at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", "value",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")).alias("is_anomaly"),
+    )
+
+
+@op("ts_minmax_scale", oracle="""
+WITH rng AS (
+    SELECT event_type, min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - r.vmin) / (r.vmax - r.vmin) AS value_scaled
+FROM events e JOIN rng r USING (event_type)
+""", tier=2, section="2.9")
+def ts_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel min-max normalization (model-prep staple).
+
+    min/max are exact doubles, so the scaled arithmetic is bit-identical
+    across engines — no rounding required.
+    """
+    ev = load(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return ev.join(F.broadcast(rng), "event_type").select(
+        "event_id", "event_type", "value",
+        ((F.col("value") - F.col("vmin"))
+         / (F.col("vmax") - F.col("vmin"))).alias("value_scaled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inherently-sequential ops: applyInPandas per user (rows-only oracle)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean().round(6)
+    return pdf[["user_id", "event_id", "ewma"]]
+
+
+@op("ts_ewma", oracle=None, tier=2, section="2.9")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha=0.3).
+
+    The recursion is inherently sequential per key -> grouped-map Pandas UDF
+    (Arrow-batched, parallel across users). Rows-only oracle: no portable
+    SQL twin (the closed form over window frames is O(n^2)).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id") \
+             .applyInPandas(_ewma_pdf, "user_id long, event_id long, ewma double")
+
+
+def _interp_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("ts")
+    s = pdf.set_index("ts")["value"]
+    s = s[~s.index.duplicated(keep="last")]
+    grid = pd.date_range(s.index.min().ceil("h"), s.index.max().floor("h"),
+                         freq="h")
+    if len(grid) == 0:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "grid_ts": pd.Series(dtype="datetime64[us]"),
+                             "value_interp": pd.Series(dtype="float64")})
+    interp = (
+        s.reindex(s.index.union(grid)).interpolate(method="time")
+         .reindex(grid).round(6)
+    )
+    return pd.DataFrame({
+        "user_id": pdf["user_id"].iloc[0],
+        "grid_ts": interp.index,
+        "value_interp": interp.values,
+    })
+
+
+@op("ts_interpolate_linear", oracle=None, tier=3, section="2.9")
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of each user's series onto a
+    regular hourly grid (sensor regridding). Sequential per user ->
+    grouped-map Pandas UDF; rows-only oracle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        _interp_pdf, "user_id long, grid_ts timestamp, value_interp double"
+    )
