@@ -7,4 +7,5 @@ Importing this package registers every operator into ``registry.REGISTRY``;
 from . import registry  # noqa: F401
 
 # Import order == SURVEY.md §2 section order; each import registers ops.
-from .operators import timeseries  # noqa: F401,E402
+from .operators import relational, timeseries, windows  # noqa: F401,E402
+from .functions import scalar  # noqa: F401,E402

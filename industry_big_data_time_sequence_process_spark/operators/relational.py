@@ -1,0 +1,752 @@
+"""Relational core (SURVEY.md §2.2 projection/filter, §2.3 joins,
+§2.4 aggregations, §2.6 sorts/top-k, §2.7 set ops).
+
+Everything here is Catalyst-native: declarative DataFrame plans that get
+predicate pushdown, column pruning, join-strategy selection and AQE for
+free (SURVEY.md §4.1). No RDDs, no collect-side logic anywhere.
+
+The corpus has no NULLs (FIXTURES.md), so null-semantics operators
+synthesize them with ``nullif``-style expressions on both engines.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..exprs import dec2, exact_sum, r6
+from ..registry import op
+from ..sources.io import load
+
+# ==========================================================================
+# §2.2 Projection / filter / predicates
+# ==========================================================================
+
+
+@op("project_select", oracle="""
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+FROM customer
+""", tier=1, section="2.2")
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column subset + rename — column pruning reaches the parquet scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@op("project_expr", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+FROM lineitem
+""", tier=1, section="2.2")
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns. Identical IEEE ops on identical operands are
+    bit-exact across engines — no rounding needed for scalar arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@op("filter_simple", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity < 10
+""", tier=1, section="2.2")
+def filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single comparison predicate — pushed down into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@op("filter_compound", oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice > 200000)
+   OR (o_orderpriority IN ('1-URGENT', '2-HIGH')
+       AND NOT o_orderstatus = 'F'
+       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31')
+""", tier=1, section="2.2")
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND / OR / IN / BETWEEN / NOT predicate tree."""
+    o = load(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-12-31").cast("timestamp")
+    pred = (
+        ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+        | (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+           & ~(F.col("o_orderstatus") == "F")
+           & F.col("o_orderdate").between(lo, hi))
+    )
+    return o.filter(pred).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@op("filter_null_semantics", oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_null,
+       (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_building,
+       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE')
+           AS nullsafe_auto
+FROM customer
+WHERE nullif(c_mktsegment, 'BUILDING') IS NULL
+   OR nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+""", tier=1, section="2.2")
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / null-safe equality (<=>), on synthesized
+    nulls (the corpus itself is null-free)."""
+    c = load(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    out = c.select(
+        "c_custkey",
+        seg_null.alias("seg_null"),
+        seg_null.isNull().alias("is_building"),
+        seg_null.eqNullSafe(F.lit("AUTOMOBILE")).alias("nullsafe_auto"),
+    )
+    return out.filter(F.col("seg_null").isNull() | F.col("seg_null").isNotNull())
+
+
+@op("filter_like_regexp", oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%old%' OR regexp_matches(p_type, '^(ECONOMY|PROMO)')
+""", tier=1, section="2.2")
+def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern + regexp predicate."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%old%") | F.col("p_type").rlike("^(ECONOMY|PROMO)")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@op("distinct_rows", oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""", tier=1, section="2.2")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DISTINCT (hash aggregate with map-side partials)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ==========================================================================
+# §2.3 Joins
+# ==========================================================================
+
+
+@op("join_inner_equi", oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""", tier=1, section="2.3")
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join orders x customer. Catalyst picks broadcast-hash here
+    (customer is tiny); at 100 TB both sides shuffle on the key and AQE
+    may still flip to broadcast at runtime."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@op("join_left_outer", oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+""", tier=1, section="2.3")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with null extension for order-less customers."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@op("join_right_outer", oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_name
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""", tier=2, section="2.3")
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@op("join_full_outer", oracle="""
+SELECT c.c_custkey, c.c_nationkey AS cust_nation,
+       s.s_suppkey, s.s_nationkey AS supp_nation
+FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+FULL JOIN (SELECT * FROM supplier WHERE s_acctbal < 0) s
+  ON c.c_nationkey = s.s_nationkey
+""", tier=2, section="2.3")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on BOTH sides (negative-balance
+    customers x negative-balance suppliers per nation)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", F.col("c_nationkey").alias("cust_nation"),
+        "s_suppkey", F.col("s_nationkey").alias("supp_nation"),
+    )
+
+
+@op("join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", tier=1, section="2.3")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having orders (left-semi: no row multiplication)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op("join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", tier=1, section="2.3")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left-anti)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op("join_broadcast", oracle="""
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""", tier=1, section="2.3")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension tables: the fact side never
+    shuffles — THE join pattern for dims at 100 TB. Plan differs from
+    join_inner_equi (BroadcastHashJoin, no exchange on customer); result
+    is identical, which is exactly what the oracle checks."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@op("join_multikey_chain", oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey  = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""", tier=1, section="2.3")
+def join_multikey_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table star join: local-supplier revenue by nation.
+
+    region/nation are broadcast; customer/orders/lineitem/supplier are
+    shuffle-hash joins on their keys; revenue is summed exactly in decimal
+    then surfaced as double (order-insensitive across engines).
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .join(c, c.c_nationkey == n.n_nationkey)
+         .join(o, o.o_custkey == c.c_custkey)
+         .join(li, li.l_orderkey == o.o_orderkey)
+         .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (s.s_nationkey == c.c_nationkey))
+         .groupBy("n_name")
+         .agg(F.sum(rev).cast("double").alias("revenue"),
+              F.count("*").alias("n_lineitems"))
+    )
+
+
+@op("join_theta_range", oracle="""
+SELECT a.n_name AS n1, b.n_name AS n2
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+""", tier=2, section="2.3")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join -> Catalyst plans BroadcastNestedLoop.
+    Deliberately on a dimension table: BNLJ is O(n*m) and must never be
+    fed two fact tables at scale."""
+    a = load(spark, sf_dir, "nation").alias("a")
+    b = load(spark, sf_dir, "nation").alias("b")
+    return a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey")).select(
+        F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2")
+    )
+
+
+@op("join_interval_events", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+""", tier=2, section="2.3")
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: line items shipped within 30 days of their order.
+    Equi key + range predicate -> hash join with residual filter (NOT a
+    nested loop): the equi key keeps it scalable."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 30 DAYS")),
+    ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@op("join_asof_backward", oracle="""
+WITH od AS (   -- per (customer, date) keep the max-key order: makes the
+               -- as-of pick deterministic on both engines (32 dup pairs)
+    SELECT o_custkey, o_orderdate,
+           max(o_orderkey) AS o_orderkey,
+           max_by(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""", tier=1, section="2.3")
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest order at-or-before each event.
+
+    OSS Spark has no ASOF JOIN. Algorithm (SURVEY.md §4.3): tag both
+    sides, union, and carry order columns onto event rows with
+    last(ignorenulls) over (key ORDER BY t, side) — ONE shuffle on the
+    key, no range explosion, skew-safe at 100 TB. The DuckDB oracle uses
+    its native ASOF JOIN: a genuinely independent implementation.
+    """
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+
+    # Dedupe right side per (key, time): keep max o_orderkey (determinism).
+    wd = Window.partitionBy("o_custkey", "o_orderdate") \
+               .orderBy(F.col("o_orderkey").desc())
+    od = (o.withColumn("rn", F.row_number().over(wd)).filter("rn = 1")
+           .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
+
+    left = ev.select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"), F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey", F.col("o_orderdate"), "o_totalprice",
+    )
+    # Order rows sort BEFORE event rows at equal t (as-of is <=).
+    w = Window.partitionBy("k").orderBy("t", "is_event") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = left.unionByName(right).select(
+        "k", "t", "is_event", "event_id",
+        *[F.last(col, ignorenulls=True).over(w).alias(col)
+          for col in ("o_orderkey", "o_orderdate", "o_totalprice")],
+    )
+    return merged.filter("is_event = 1").select(
+        "event_id", F.col("k").alias("user_id"), F.col("t").alias("ts"),
+        "o_orderkey", "o_orderdate", "o_totalprice",
+    )
+
+
+@op("join_cross_topk", oracle="""
+SELECT c_custkey, s_suppkey, score, rnk FROM (
+    SELECT c.c_custkey, s.s_suppkey,
+           abs(c.c_acctbal - s.s_acctbal) AS score,
+           row_number() OVER (PARTITION BY c.c_custkey
+                              ORDER BY abs(c.c_acctbal - s.s_acctbal),
+                                       s.s_suppkey) AS rnk
+    FROM (SELECT * FROM customer WHERE c_custkey < 20) c
+    CROSS JOIN supplier s
+) WHERE rnk <= 3
+""", tier=2, section="2.3")
+def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join + per-group top-k — the skeleton of brute-force
+    similarity search (§2.11): tiny query side broadcast against a big
+    candidate side, then windowed top-k."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 20)
+    s = load(spark, sf_dir, "supplier")
+    scored = F.broadcast(c).crossJoin(s).select(
+        "c_custkey", "s_suppkey",
+        F.abs(F.col("c_acctbal") - F.col("s_acctbal")).alias("score"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("score", "s_suppkey")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
+
+
+# ==========================================================================
+# §2.4 Aggregations
+# ==========================================================================
+
+
+@op("agg_global", oracle="""
+SELECT count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem
+""", tier=1, section="2.4")
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate over the fact table (partial + final merge)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+    )
+
+
+@op("agg_groupby_multi", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))
+                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""", tier=1, section="2.4")
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2 group cols, 8 aggregates.
+    Money sums are decimal-exact (order-insensitive); averages are rounded
+    (divergence provably < 1e-6 at these magnitudes)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc = dec2(F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax = dec2(F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(price * disc).cast("double").alias("sum_disc_price"),
+        F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
+        r6(F.avg("l_extendedprice")).alias("avg_price"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@op("agg_count_distinct", oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""", tier=1, section="2.4")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expands to a two-phase aggregate)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@op("agg_approx_distinct", oracle=None, tier=2, section="2.4")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct parts per supplier nation. Sketches are
+    engine-specific (SURVEY.md App. A.8) -> rows-only check."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey) \
+             .groupBy("s_nationkey") \
+             .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+@op("agg_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""", tier=2, section="2.4")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal lattice via the SQL entry point (§3.3) — both DataFrame and
+    SQL converge on the same logical plan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM li_gs_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@op("agg_rollup", oracle="""
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""", tier=2, section="2.4")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+@op("agg_cube", oracle="""
+SELECT event_type, user_id % 10 AS user_bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+""", tier=2, section="2.4")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over event_type x user bucket."""
+    ev = load(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value"))
+
+
+@op("agg_percentile_exact", oracle="""
+SELECT event_type,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+FROM events GROUP BY event_type
+""", tier=2, section="2.4")
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == percentile_cont)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.percentile("value", F.lit(0.5))).alias("p50"),
+        r6(F.percentile("value", F.lit(0.9))).alias("p90"),
+    )
+
+
+@op("agg_stats", oracle="""
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd,
+       round(var_samp(value), 6) AS var,
+       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+FROM events GROUP BY event_type
+""", tier=2, section="2.4")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, correlation).
+    skewness deliberately excluded from the oracle: Spark computes the
+    population form, DuckDB the sample-adjusted form."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.stddev_samp("value")).alias("sd"),
+        r6(F.var_samp("value")).alias("var"),
+        r6(F.corr("value", F.col("user_id").cast("double"))).alias("corr_vu"),
+    )
+
+
+@op("agg_conditional", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open_price
+FROM orders GROUP BY o_orderpriority
+""", tier=1, section="2.4")
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicated aggregation (FILTER-style) via count(when())/sum(when())."""
+    o = load(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(is_open, 1)).alias("n_open"),
+        F.sum(F.when(is_open, dec2("o_totalprice"))).cast("double")
+         .alias("sum_open_price"),
+    )
+
+
+@op("agg_collect_sorted", oracle="""
+SELECT user_id,
+       list_sort(list(event_type)) AS types,
+       count(*) AS n
+FROM events GROUP BY user_id
+""", tier=2, section="2.4")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list is order-nondeterministic,
+    so always sort_array it (SURVEY.md App. A.7)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_type")).alias("types"),
+        F.count("*").alias("n"),
+    )
+
+
+# ==========================================================================
+# §2.6 Sorts / limits / top-k
+# ==========================================================================
+
+
+@op("sort_multi_nulls", oracle="""
+SELECT c_custkey, seg_null, c_acctbal,
+       row_number() OVER (ORDER BY seg_null ASC NULLS LAST,
+                          c_acctbal DESC, c_custkey) AS sort_pos
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_null,
+             c_acctbal
+      FROM customer)
+""", tier=1, section="2.6")
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort with explicit null placement. The order itself is
+    materialized as sort_pos (the driver's hash is order-insensitive, so
+    order must be data to be checked). Spark ASC default is NULLS FIRST,
+    DuckDB's is NULLS LAST — always explicit (SURVEY.md App. A.3)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_null"),
+        "c_acctbal",
+    )
+    w = Window.orderBy(
+        F.col("seg_null").asc_nulls_last(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey"),
+    )
+    return c.withColumn("sort_pos", F.row_number().over(w))
+
+
+@op("limit_n", oracle=None, tier=1, section="2.6")
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT without a total order — a nondeterministic subset by contract,
+    so rows-only check (SURVEY.md §2.6)."""
+    return load(spark, sf_dir, "lineitem").limit(100)
+
+
+@op("topk_global", oracle="""
+SELECT event_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 10
+""", tier=1, section="2.6")
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT -> TakeOrderedAndProject (no global sort, each
+    partition keeps k rows, driver merges k*p). event_id tiebreak makes the
+    result set deterministic."""
+    ev = load(spark, sf_dir, "events")
+    return ev.orderBy(F.col("value").desc(), "event_id") \
+             .limit(10).select("event_id", "event_type", "value")
+
+
+@op("topk_per_group", oracle="""
+SELECT user_id, event_id, value, rnk FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rnk
+    FROM events
+) WHERE rnk <= 3
+""", tier=1, section="2.6")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user via ranked window + filter."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select("user_id", "event_id", "value") \
+             .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
+
+
+# ==========================================================================
+# §2.7 Set operations
+# ==========================================================================
+
+
+@op("set_union_all", oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+""", tier=1, section="2.7")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (no dedup shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return urgent.select("o_orderkey", "o_orderpriority").unionByName(
+        high.select("o_orderkey", "o_orderpriority")
+    )
+
+
+@op("set_union_distinct", oracle="""
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT user_id AS key FROM events
+""", tier=1, section="2.7")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (union + distinct aggregate)."""
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("key"))
+         .union(ev.select(F.col("user_id").alias("key")))
+         .distinct()
+    )
+
+
+@op("set_intersect", oracle="""
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+""", tier=2, section="2.7")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0) \
+                                       .select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c)
+
+
+@op("set_except", oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""", tier=2, section="2.7")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()

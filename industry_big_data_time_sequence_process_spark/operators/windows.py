@@ -1,0 +1,193 @@
+"""Window functions (SURVEY.md §2.5) — ranked, offset, and framed
+aggregate windows with explicit frames.
+
+Every window here has a deterministic total ORDER BY within its partition
+(event_id / custkey tiebreaks): ranked functions are only hash-checkable if
+the order is a function of the data (SURVEY.md App. A.3).
+
+Scale: one shuffle on the partition key per window family; consecutive
+windows over the same (partitionBy, orderBy) reuse the sort.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..exprs import dec2, r6
+from ..registry import op
+from ..sources.io import load
+
+
+def _w_user():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@op("win_row_number", oracle="""
+SELECT event_id, event_type, value,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS rn
+FROM events
+""", tier=1, section="2.5")
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rank per partition (unique tiebreak -> deterministic)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return ev.select("event_id", "event_type", "value",
+                     F.row_number().over(w).alias("rn"))
+
+
+@op("win_rank_dense", oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+""", tier=1, section="2.5")
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank: tie semantics are part of the function's contract,
+    so no tiebreak needed — ties get equal ranks on both engines."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select("c_custkey", "c_nationkey", "c_acctbal",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+
+
+@op("win_ntile", oracle="""
+SELECT event_id, event_type, value,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS quartile
+FROM events
+""", tier=2, section="2.5")
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of event values per type."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select("event_id", "event_type", "value",
+                     F.ntile(4).over(w).alias("quartile"))
+
+
+@op("win_lag_lead", oracle="""
+SELECT user_id, event_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       lag(value, 2, -1.0) OVER w AS prev2_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""", tier=1, section="2.5")
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset access to neighboring rows (time-series core), including an
+    explicit default for out-of-partition offsets."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@op("win_running_sum", oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+FROM events
+""", tier=1, section="2.5")
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum; decimal-exact so prefix sums are
+    engine-identical at every row."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@op("win_moving_avg_rows", oracle="""
+SELECT user_id, event_id,
+       round(avg(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10
+FROM events
+""", tier=1, section="2.5")
+def win_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-row moving average — classic sensor smoothing."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(-9, Window.currentRow)
+    return ev.select("user_id", "event_id",
+                     r6(F.avg("value").over(w)).alias("ma10"))
+
+
+@op("win_moving_agg_range_time", oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS sum_1h,
+       count(*) OVER
+           (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_1h
+FROM events
+""", tier=2, section="2.5")
+def win_moving_agg_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based sliding frame: trailing 1h sum/count per user. Spark's
+    rangeBetween needs a numeric order key -> order by unix_micros with a
+    µs-scaled frame; DuckDB uses RANGE INTERVAL natively. Same bounds,
+    both inclusive."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts"))) \
+              .rangeBetween(-3_600_000_000, 0)
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@op("win_first_last", oracle="""
+SELECT user_id, event_id,
+       first_value(value) OVER w AS first_in_day,
+       last_value(masked IGNORE NULLS) OVER w AS last_nonerror_so_far
+FROM (SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+      FROM events)
+WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""", tier=2, section="2.5")
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over a frame, incl. IGNORE NULLS semantics."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "masked",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")),
+    )
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")) \
+              .orderBy("ts", "event_id") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "event_id",
+        F.first("value").over(w).alias("first_in_day"),
+        F.last("masked", ignorenulls=True).over(w).alias("last_nonerror_so_far"),
+    )
+
+
+@op("win_cume_pct", oracle="""
+SELECT event_id, event_type, value,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(percent_rank() OVER w, 6) AS pr
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+""", tier=3, section="2.5")
+def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution + percent rank per event type."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type", "value",
+        r6(F.cume_dist().over(w)).alias("cd"),
+        r6(F.percent_rank().over(w)).alias("pr"),
+    )
