@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Headline benchmark — the driver's per-round feedback loop.
+
+Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line. Protocol mirrors BASELINE.md: one shared warm session, ``collect()``
+latency, one untimed warm-up pass (codegen + parquet footer cache) then one
+timed pass per query.
+
+Baseline mapping (BASELINE.md "Measured baseline — sf0.1"):
+  q1_pricing_summary   <-> Q1-like pricing summary        (7.38 s)
+  q5_star_join         <-> Q5-like 5-table star join      (4.96 s)
+  resample_hourly      <-> events hourly resample agg     (3.08 s)
+  moving_avg_10row     <-> 10-row trailing moving average (2.25 s)
+  top3_per_user        <-> top-3 per user                 (0.39 s)
+  json_extract         <-> JSON $.k extraction            (2.82 s)
+  word_freq            <-> word-frequency over documents  (0.26 s)
+  sessionize / asof_join: this engine's flagship additions (no baseline row).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: bench name -> registry key
+HEADLINE = {
+    "q1_pricing_summary": "agg_groupby_multi",
+    "q5_star_join": "join_multikey_chain",
+    "resample_hourly": "ts_resample_1h",
+    "moving_avg_10row": "win_moving_avg_rows",
+    "top3_per_user": "topk_per_group",
+    "json_extract": "json_get",
+    "word_freq": "text_word_freq",
+    "sessionize": "ts_sessionize",
+    "asof_join": "join_asof_backward",
+    "cosine_topk": "sim_cosine_topk",
+    "dedup_exact": "dedup_exact_text",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    from industry_big_data_time_sequence_process_spark.session import get_session
+    from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE.items():
+        if key not in REGISTRY:
+            continue
+        fn = REGISTRY[key].fn
+        fn(spark, sf_dir).collect()          # warm-up: codegen + IO cache
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()          # timed
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(json.dumps({
+        "metric": "headline_queries_total_warm",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

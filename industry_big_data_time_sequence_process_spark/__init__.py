@@ -7,5 +7,8 @@ Importing this package registers every operator into ``registry.REGISTRY``;
 from . import registry  # noqa: F401
 
 # Import order == SURVEY.md §2 section order; each import registers ops.
-from .operators import relational, timeseries, windows  # noqa: F401,E402
+from .operators import (  # noqa: F401,E402
+    multimodal, relational, similarity, sources_sinks, streaming, text,
+    timeseries, udfs, windows,
+)
 from .functions import scalar  # noqa: F401,E402

@@ -1,0 +1,125 @@
+"""Multimodal-column plumbing (driver-mandated, SURVEY.md §2 preface):
+image/audio/video as opaque ``binary`` columns with typed metadata.
+
+The container has no image/audio codecs (no PIL/cv2/librosa), so the
+DECODE step is stubbed — a clearly-marked deterministic fake behind an
+import-try — while everything Spark-side is real and tested: binary
+columns, schemas, Arrow batch shapes, ``mapInPandas`` signatures,
+partitioning. Swapping the fake for a real codec changes one function.
+
+The ``documents`` table stands in for a media table: ``text`` bytes play
+the role of an encoded blob; ``n_chars`` plays the byte-size metadata.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import op
+from ..sources.io import load
+
+
+@op("mm_binary_meta", oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(hex(encode(text))) AS content_md5,
+       substr(hex(encode(text)), 1, 16) AS magic_hex
+FROM documents
+""", tier=2, section="2.11")
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction: byte length, content hash,
+    magic-bytes prefix — the scan-side triage every media pipeline runs
+    before decode. All JVM-side built-ins over a true BinaryType column.
+
+    (Hash is md5-of-hex: DuckDB 1.0 has no md5 over BLOB, and Spark's
+    base64 MIME-chunks long values with CRLFs — hex is the stable common
+    string form, identical uppercase on both engines.)
+    """
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "utf-8")
+    hx = F.hex(bin_col)
+    return d.select(
+        "doc_id",
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.md5(hx).alias("content_md5"),
+        F.substring(hx, 1, 16).alias("magic_hex"),
+    )
+
+
+@op("mm_frame_sample", oracle="""
+SELECT doc_id,
+       unnest(generate_series(0, CAST(n_chars % 100 AS INT), 10)) AS frame_idx,
+       CAST(n_chars % 100 + 1 AS BIGINT) AS n_frames
+FROM documents
+""", tier=2, section="2.11")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for a 'video' column: emit every 10th frame
+    index per asset (frame count derived from metadata; here a
+    deterministic fake ``n_chars % 100 + 1``). The explode(sequence)
+    shape is exactly the real op — per-asset fan-out rows that a decode
+    UDF then maps over. JVM-side, no UDF needed for the PLAN itself."""
+    d = load(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") % 100 + 1).cast("long")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chars") % 100).cast("int"),
+                       F.lit(10))
+        ).alias("frame_idx"),
+        n_frames.alias("n_frames"),
+    )
+
+
+def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch 'decode': real mapInPandas plumbing, fake codec.
+
+    STUB: the container ships no image codec. With PIL installed this
+    body becomes ``Image.open(io.BytesIO(blob))`` + real width/height;
+    the deterministic fake derives them from the blob bytes instead so
+    tests are stable. The batch signature, schema and iterator shape are
+    the production ones.
+    """
+    try:  # pragma: no cover - codec not present in this container
+        import PIL.Image  # noqa: F401
+        have_codec = True
+    except ImportError:
+        have_codec = False
+
+    for pdf in batches:
+        blobs = pdf["blob"]
+        if have_codec:  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path: PIL present but intentionally unused in "
+                "this container-stubbed build")
+        n = blobs.str.len().fillna(0).astype("int64")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": (n % 640 + 1).astype("int32"),
+            "height": (n % 480 + 1).astype("int32"),
+            "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+            "decode_ok": ~blobs.isna(),
+        })
+
+
+@op("mm_image_decode_stub", oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       3 AS n_channels,
+       true AS decode_ok
+FROM documents
+""", tier=2, section="2.11")
+def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode / feature-extract over binary columns via
+    ``mapInPandas`` — Arrow-batched, partition-parallel, codec stubbed
+    (see ``_decode_meta_batches``). The oracle replicates the
+    deterministic fake, so the full UDF plumbing is value-checked."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    return d.mapInPandas(
+        _decode_meta_batches,
+        "doc_id long, width int, height int, n_channels int, decode_ok boolean",
+    )

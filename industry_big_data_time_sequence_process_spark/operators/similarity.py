@@ -1,0 +1,218 @@
+"""Vector similarity search over the ``embeddings`` table (SURVEY.md
+§2.11): brute-force cosine top-k as the correctness baseline, LSH
+bucketing as the scale path, plus embedding near-dup and k-NN voting.
+
+Cross-engine float discipline: cosine is computed as an explicit
+left-to-right fold over double-cast elements on BOTH engines (Spark
+``aggregate``; DuckDB ``list_reduce``). Identical operand order on
+identical operands -> bit-identical doubles, so even rank-by-score is
+deterministic. DuckDB's native ``list_cosine_similarity`` is NOT used in
+oracles (it computes float32-side and drifts > 1e-6).
+
+Scale posture: the query side is always tiny and broadcast; the candidate
+side streams. All-pairs ops are explicitly marked as the verification
+baseline whose candidate set the LSH op replaces at 100 TB.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..registry import op
+from ..sources.io import load
+
+#: Queries = this many lowest vec_ids (sf-independent).
+_N_QUERIES = 8
+
+# ---- shared cosine expressions -------------------------------------------
+
+#: DuckDB: dot(a, b) with double-cast elements, left-to-right sum.
+_DUCK_DOT = ("list_reduce(list_transform({a}, (x, i) -> "
+             "CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, q) -> p + q)")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"({_DUCK_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DUCK_DOT.format(a=a, b=a)}) * "
+            f"sqrt({_DUCK_DOT.format(a=b, b=b)})))")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# ==========================================================================
+
+
+@op("sim_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_N_QUERIES})
+SELECT q_vec_id, c_vec_id, score, rnk FROM (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+           round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                        c.vec_id) AS rnk
+    FROM q, embeddings c
+    WHERE q.vec_id <> c.vec_id
+) WHERE rnk <= 5
+""", tier=2, section="2.11")
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for each query vector.
+
+    Query side (8 rows) is broadcast; the candidate side streams through
+    once — one pass over the corpus per batch of queries, which is the
+    right brute-force shape at any scale. The LSH op below replaces the
+    full scan with bucket candidates when the corpus is the bottleneck.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+         .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_s").desc(), "c_vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+              .select("q_vec_id", "c_vec_id",
+                      F.round("_s", 6).alias("score"), "rnk")
+    )
+
+
+@op("sim_knn_label_vote", oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+knn AS (
+    SELECT q_vec_id, label FROM (
+        SELECT q.vec_id AS q_vec_id, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM q, embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ) WHERE rnk <= 10
+), votes AS (
+    SELECT q_vec_id, label, count(*) AS n_votes FROM knn GROUP BY 1, 2
+)
+SELECT q_vec_id, label AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY n_votes DESC, label) AS vr
+    FROM votes
+) WHERE vr = 1
+""", tier=3, section="2.11")
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-NN majority-label vote per query vector (ties -> smallest label)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"), "label",
+                 F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(
+        _cos(F.col("q_emb"), F.col("c_emb")).desc(), "c_vec_id")
+    knn = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+         .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 10")
+    )
+    votes = knn.groupBy("q_vec_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("q_vec_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv)).filter("vr = 1")
+             .select("q_vec_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@op("dedup_embedding_cosine", oracle=f"""
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_duck_cos('a.embedding', 'b.embedding')} >= 0.35
+""", tier=2, section="2.11")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.35 over all pairs.
+
+    This is the exact/verification baseline (O(n^2) candidate set) — at
+    100 TB the candidate set comes from ``sim_lsh_bucketed``'s
+    hyperplane buckets instead; the verify step is identical.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("eb"))
+    cos = _cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+         .filter(cos >= 0.35)
+         .select("vec1", "vec2", F.round(cos, 6).alias("cosine"))
+    )
+
+
+_LSH_BITS = 4  # 16 buckets; recall/cost dial — more bits = fewer candidates
+
+
+@op("sim_lsh_bucketed", oracle=f"""
+WITH b AS (   -- 4-bit random-hyperplane signature; hyperplane j component i
+              -- is ±1 from the portable hash parity (deterministic engines)
+    SELECT vec_id, embedding,
+           list_reduce(list_transform(range(0, {_LSH_BITS}), j -> CASE WHEN
+               list_reduce(list_transform(embedding, (x, i) ->
+                   CAST(x AS DOUBLE) * (CASE WHEN
+                       ('0x' || substr(md5(j || ':' || (i - 1)), 1, 8))::BIGINT
+                       & 1 = 1 THEN 1.0 ELSE -1.0 END)),
+                   (p, q) -> p + q) > 0
+               THEN CAST(1 AS BIGINT) << j ELSE 0 END),
+               (p, q) -> p + q) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec1, b2.vec_id AS vec2, a.bucket,
+       round({_duck_cos('a.embedding', 'b2.embedding')}, 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_duck_cos('a.embedding', 'b2.embedding')} >= 0.2
+""", tier=3, section="2.11")
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing.
+
+    Each vector gets a 4-bit signature (sign of dot with 4 pseudo-random
+    ±1 hyperplanes, derived from the portable hash so both engines build
+    identical planes). Only same-bucket pairs are verified — the
+    candidate set shrinks ~16x vs all-pairs (at the cost of recall:
+    P[same bucket] = (1 - theta/pi)^bits). Output: verified same-bucket
+    pairs with cosine >= 0.2.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    # hyperplane sign for (j, i): parity of hash32("j:i")
+    sign = lambda j, i: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, i)), 1, 8), 16, 10)
+         .cast("long").bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = lambda j: F.aggregate(  # noqa: E731
+        F.transform("embedding",
+                    lambda x, i: x.cast("double") * sign(j, i)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bits = [F.when(proj(F.lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_LSH_BITS)]
+    bucket = sum(bits[1:], start=bits[0]).cast("long")
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec1"),
+                 F.col("embedding").alias("ea"), "bucket")
+    b2 = b.select(F.col("vec_id").alias("vec2"),
+                  F.col("embedding").alias("eb"),
+                  F.col("bucket").alias("bucket2"))
+    cos = _cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b2, (F.col("bucket") == F.col("bucket2"))
+               & (F.col("vec1") < F.col("vec2")))
+         .filter(cos >= 0.2)
+         .select("vec1", "vec2", "bucket", F.round(cos, 6).alias("cosine"))
+    )

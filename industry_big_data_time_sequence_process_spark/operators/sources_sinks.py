@@ -1,0 +1,127 @@
+"""Scans, sources and sinks (SURVEY.md §2.1) — batch side.
+
+Round-trip ops (CSV/JSON/partitioned-parquet) write into
+``/root/repo/.scratch/<key>/`` (gitignored) with ``mode=overwrite`` so they
+are idempotent under repeated driver runs. Each round-trip is value-checked:
+the aggregate computed over the re-read data must match the same aggregate
+computed by DuckDB over the ORIGINAL table — a write/read identity proof,
+not just a smoke test.
+
+Streaming sources/sinks live in ``streaming.py``.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..exprs import exact_sum
+from ..registry import op
+from ..sources.io import SCHEMAS, load
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(key: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, key)
+
+
+@op("scan_parquet", oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
+""", tier=1, section="2.1")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan with the explicit declared schema."""
+    return load(spark, sf_dir, "part")
+
+
+@op("scan_events_ns", oracle="""
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""", tier=1, section="2.1")
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ns-timestamp decode path end-to-end: parquet timestamp[ns] ->
+    LongType nanos (legacy.parquet.nanosAsLong) -> exact integer-division
+    truncation to µs TimestampType (sources/io.py). DuckDB reads the same
+    column natively truncated to µs, so `SELECT *` is the oracle."""
+    return load(spark, sf_dir, "events")
+
+
+@op("scan_csv_infer", oracle="""
+SELECT count(*) AS n,
+       count(DISTINCT c_nationkey) AS n_nations,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+""", tier=2, section="2.1")
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with header + schema inference: write customer to
+    CSV, re-read with inferSchema, aggregate. Matching the oracle (same
+    aggregate over the ORIGINAL parquet) proves the round-trip lossless."""
+    path = _scratch("scan_csv_infer")
+    load(spark, sf_dir, "customer").write.mode("overwrite") \
+        .option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        exact_sum("c_acctbal").alias("sum_bal"),
+    )
+
+
+@op("scan_json_lines", oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus
+""", tier=2, section="2.1")
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip: write orders as JSONL, re-read (schema
+    inferred from the JSON), aggregate; checked against the original."""
+    path = _scratch("scan_json_lines")
+    load(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@op("sink_parquet_partitioned", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+""", tier=2, section="2.1")
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back: write orders partitioned by
+    order year (the 100 TB layout: partition pruning on the time bucket),
+    re-read, aggregate per partition; checked against the original.
+
+    NB partition-column round trip: partitionBy materializes order_year as
+    a directory key; the read-back projects it back as a column.
+    """
+    path = _scratch("sink_parquet_partitioned")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count("*").alias("n"),
+        exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@op("scan_schema_evolution", oracle="""
+SELECT n_nationkey, n_name, n_regionkey, NULL AS n_comment FROM nation
+""", tier=3, section="2.1")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: request a superset schema (extra nullable
+    column) over existing files — missing columns surface as NULLs. The
+    production pattern for adding columns without rewriting history."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    evolved = StructType(
+        list(SCHEMAS["nation"].fields)
+        + [StructField("n_comment", StringType(), True)]
+    )
+    return spark.read.schema(evolved).parquet(f"{sf_dir.rstrip('/')}/nation.parquet")

@@ -1,0 +1,255 @@
+"""Structured Streaming operators (SURVEY.md §2.10) + streaming
+sources/sinks (§2.1).
+
+Harness pattern: stage the ``events`` parquet file(s) into a scratch
+directory as a file-stream source, run the SAME window expressions the
+batch twins use (batch/stream unification), drain with
+``trigger(availableNow=True)`` into a memory sink, and return the final
+table. Because ``availableNow`` drains everything and the aggregations
+are complete-mode (or append over fully-closed windows), the final state
+is deterministic — so most of these carry full DuckDB value oracles,
+which is unusual and deliberate: the stream result equals the batch
+answer, and the batch answer is SQL.
+
+State stores: default HDFSBackedStateStore suffices at test scale; at
+100 TB use RocksDB (``spark.sql.streaming.stateStore.providerClass``) —
+noted per-op where state grows with keys.
+
+Every run wipes its own staging + checkpoint dirs first — idempotent
+under repeated driver invocations.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import op
+from ..sources.io import SCHEMAS, configure
+from .sources_sinks import SCRATCH
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, key: str,
+                   copies: int = 1) -> DataFrame:
+    """Stage events.parquet into .scratch/stream/<key>/in and open it as a
+    file-stream source (ns-decode identical to the batch loader)."""
+    configure(spark)
+    base = os.path.join(SCRATCH, "stream", key)
+    indir = os.path.join(base, "in")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    for i in range(copies):
+        dst = os.path.join(indir, f"events_{i}.parquet")
+        shutil.copy(src, dst)
+        # distinct mtimes -> deterministic file->micro-batch assignment
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream.schema(SCHEMAS["events"])
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(spark: SparkSession, key: str, df: DataFrame,
+           mode: str) -> DataFrame:
+    """Run df to completion into a memory sink; return the final table."""
+    name = f"stream_out_{key}"
+    for q in spark.streams.active:  # stale query from a previous invocation
+        if q.name == name:
+            q.stop()
+    ckpt = os.path.join(SCRATCH, "stream", key, "ckpt")
+    q = (df.writeStream.format("memory").queryName(name)
+           .outputMode(mode)
+           .option("checkpointLocation", ckpt)
+           .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+# ==========================================================================
+# §2.1 streaming source/sink
+# ==========================================================================
+
+
+@op("source_stream_file", oracle="""
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""", tier=2, section="2.1")
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source liveness: stream the staged events directory
+    through a complete-mode count — the drained result must equal the
+    batch aggregate (value-checked, not just smoke)."""
+    ev = _events_stream(spark, sf_dir, "source_stream_file")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _drain(spark, "source_stream_file", agg, "complete")
+
+
+@op("sink_stream_foreachbatch", oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""", tier=2, section="2.1")
+def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch sink via ``foreachBatch``: each batch is appended to a
+    parquet staging sink (the exactly-once upsert pattern: batch_id keyed
+    writes); the re-read union of all batches must aggregate to the batch
+    answer. This is THE production escape hatch for sinks Spark lacks."""
+    key = "sink_stream_foreachbatch"
+    out = os.path.join(SCRATCH, "stream", key, "out")
+    ev = _events_stream(spark, sf_dir, key)  # also wipes out/
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch write: one subdir per batch_id, overwritten
+        # on replay — the foreachBatch exactly-once recipe.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    name_ckpt = os.path.join(SCRATCH, "stream", key, "ckpt")
+    q = (ev.select("event_type", "value").writeStream
+           .foreachBatch(write_batch)
+           .option("checkpointLocation", name_ckpt)
+           .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         .alias("sum_value"),
+    )
+
+
+# ==========================================================================
+# §2.10 streaming operators
+# ==========================================================================
+
+
+@op("stream_tumbling_counts", oracle="""
+SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""", tier=2, section="2.10")
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min tumbling window counts by event_type — the same ``window()``
+    expression as the batch twin, run incrementally. State is one row per
+    (window, type): bounded; watermarking would evict it in production."""
+    ev = _events_stream(spark, sf_dir, "stream_tumbling_counts")
+    agg = (ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("value"), 6).alias("avg_value")))
+    out = _drain(spark, "stream_tumbling_counts", agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"),
+                      "event_type", "n", "avg_value")
+
+
+@op("stream_sliding_avg", oracle="""
+SELECT make_timestamp(((epoch_us(ts) // 300000000) - g.k) * 300000000)
+           AS window_start,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events, generate_series(0, 1) g(k)
+GROUP BY 1
+""", tier=2, section="2.10")
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min windows every 5 min over the stream (each event
+    lands in size/slide = 2 windows)."""
+    ev = _events_stream(spark, sf_dir, "stream_sliding_avg")
+    agg = (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("value"), 6).alias("avg_value")))
+    out = _drain(spark, "stream_sliding_avg", agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n", "avg_value")
+
+
+@op("stream_session_window", oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+), tagged AS (
+    SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                            THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM tagged GROUP BY user_id, session_seq
+""", tier=2, section="2.10")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) — Spark's
+    ``session_window`` merges per-key state incrementally; the oracle is
+    the windowed-cumsum sessionization (>= gap semantics, end = last+gap),
+    i.e. the batch ``ts_sessionize`` family: a genuine twin check of the
+    stateful operator. State grows with open sessions per user -> RocksDB
+    + watermark in production."""
+    ev = _events_stream(spark, sf_dir, "stream_session_window")
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+             .agg(F.count("*").alias("n_events")))
+    out = _drain(spark, "stream_session_window", agg, "complete")
+    return out.select("user_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_events")
+
+
+@op("stream_dedup", oracle="""
+SELECT event_id, user_id, event_type FROM events
+""", tier=2, section="2.10")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the SAME events file staged twice (every row a
+    duplicate); ``dropDuplicates('event_id')`` must emit each event
+    exactly once — the drained output equals plain ``SELECT`` over the
+    original. Dedup state is per-key: watermark-bounded in production
+    (``dropDuplicatesWithinWatermark``)."""
+    ev = _events_stream(spark, sf_dir, "stream_dedup", copies=2)
+    dd = ev.select("event_id", "user_id", "event_type") \
+           .dropDuplicates(["event_id"])
+    return _drain(spark, "stream_dedup", dd, "append")
+
+
+@op("stream_static_join", oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""", tier=3, section="2.10")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events against the static customer
+    dimension (broadcast per micro-batch — the streaming enrichment
+    pattern)."""
+    from ..sources.io import load
+
+    ev = _events_stream(spark, sf_dir, "stream_static_join")
+    cust = load(spark, sf_dir, "customer")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment")
+    return _drain(spark, "stream_static_join", j, "append")
+
+
+@op("stream_watermark_late", oracle=None, tier=2, section="2.10")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics: 10-min watermark over append-mode tumbling
+    counts, with the events file staged THREE times (each copy one
+    micro-batch via ``maxFilesPerTrigger=1``).
+
+    Measured Spark 4.1.2 behavior (verified this repo, dbg harness): the
+    watermark advances after batch 0, but takes effect for *late-row
+    filtering* one batch later — so copy 1 still aggregates (windows emit
+    at 2x count when the watermark closes them at the end of batch 1)
+    while copy 2 is dropped wholesale (numRowsDroppedByWatermark > 0).
+    Each closed window is emitted exactly once and never re-emitted.
+
+    Rows-only oracle: emitted multiplicity encodes micro-batch timing;
+    the exact-semantics assertions live in tests/test_twins.py."""
+    ev = _events_stream(spark, sf_dir, "stream_watermark_late", copies=3)
+    agg = (ev.withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "10 minutes").alias("w"))
+             .agg(F.count("*").alias("n")))
+    out = _drain(spark, "stream_watermark_late", agg, "append")
+    return out.select(F.col("w.start").alias("window_start"), "n")

@@ -1,0 +1,469 @@
+"""Text-analysis + deduplication operators (SURVEY.md §2.11) over the
+``documents`` table — the LLM-training-data-pipeline surface.
+
+Design notes (100 TB posture):
+
+- Everything is inverted-index / hash-partition shaped: tokenize -> explode
+  -> aggregate or join on token. No all-pairs comparisons anywhere except
+  *after* LSH/blocking has cut the candidate set.
+- Cross-engine portable hashing: ``hash32(s)`` = first 8 hex digits of
+  md5(s) as an integer. Spark: ``conv(substr(md5(s),1,8),16,10)``; DuckDB:
+  ``('0x'||substr(md5(s),1,8))::BIGINT``. This makes even MinHash/SimHash
+  signatures *value-hash verifiable* across engines — most engines' native
+  hash functions (xxhash64 vs DuckDB hash) never match.
+- Division is always explicit-double on both sides; counts cast to BIGINT.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..registry import op
+from ..sources.io import load
+
+# Portable 32-bit token hash (see module docstring).
+_DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+
+def _h32(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, token) — one row per token occurrence."""
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+# ==========================================================================
+# Text analysis
+# ==========================================================================
+
+
+@op("text_word_freq", oracle="""
+SELECT token, n, rnk FROM (
+    SELECT token, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+) WHERE rnk <= 50
+""", tier=1, section="2.11")
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-50 (tokenize -> count -> top-k).
+    Map-side partial counts make this a tiny shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    counts = _tokens(d).groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return counts.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 50")
+
+
+@op("text_stats_by_lang", oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+""", tier=1, section="2.11")
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs / avg chars / avg tokens per lang x source."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 6)
+         .alias("avg_tokens"),
+    )
+
+
+@op("text_token_count", oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+           ) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+FROM documents
+""", tier=1, section="2.11")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split + a BPE-ish regex lexer
+    (letter runs | digit runs | single other chars)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+         .cast("long").alias("n_bpe_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long")
+         .alias("n_nonspace_chars"),
+    )
+
+
+@op("text_filter_quality", oracle="""
+SELECT doc_id, lang, n_chars, n_tokens, avg_token_len FROM (
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS avg_token_len
+    FROM documents
+)
+WHERE n_tokens BETWEEN 20 AND 1000
+  AND avg_token_len BETWEEN 2.0 AND 12.0
+  AND n_chars >= 50
+""", tier=2, section="2.11")
+def text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter: length bounds + mean-token-length band
+    (the classic Gopher-style rule shape). Pure predicates — pushed down."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    avg_len = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_tokens.cast("double"), 6)
+    out = d.select(
+        "doc_id", "lang", "n_chars",
+        n_tokens.alias("n_tokens"), avg_len.alias("avg_token_len"),
+    )
+    return out.filter(
+        F.col("n_tokens").between(20, 1000)
+        & F.col("avg_token_len").between(2.0, 12.0)
+        & (F.col("n_chars") >= 50)
+    )
+
+
+@op("text_tfidf_topterms", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, score, rnk FROM (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf * ln((n.n_docs + 1.0)
+                                                  / (df.df + 1.0)) DESC,
+                                       tf.token) AS rnk
+    FROM tf JOIN df USING (token) CROSS JOIN n
+) WHERE rnk <= 3
+""", tier=3, section="2.11")
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document, SQL-only math.
+
+    The doc-frequency table is vocabulary-sized (tiny) -> broadcast back
+    onto term frequencies; n_docs is a broadcast scalar. No big-side
+    shuffle beyond the tf aggregation itself.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(), "token")
+    return (
+        tf.join(F.broadcast(df), "token").crossJoin(F.broadcast(n_docs))
+          .withColumn("_s", score)
+          .withColumn("rnk", F.row_number().over(w))
+          .filter("rnk <= 3")
+          .select("doc_id", "token", F.round("_s", 6).alias("score"), "rnk")
+    )
+
+
+@op("text_lang_id", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), lang_top AS (   -- profile: top-10 tokens per language, trained on corpus
+    SELECT lang, token FROM (
+        SELECT d.lang, t.token,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY count(*) DESC, t.token) AS rnk
+        FROM tok t JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.token
+    ) WHERE rnk <= 10
+), scored AS (
+    SELECT t.doc_id, lt.lang AS cand, count(*) AS matches
+    FROM tok t JOIN lang_top lt USING (token)
+    GROUP BY 1, 2
+), pred AS (
+    SELECT doc_id, cand, matches,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY matches DESC, cand) AS rnk
+    FROM scored
+)
+SELECT d.doc_id, d.lang, p.cand AS pred_lang, p.matches AS n_matches
+FROM documents d LEFT JOIN (SELECT * FROM pred WHERE rnk = 1) p
+  ON d.doc_id = p.doc_id
+""", tier=2, section="2.11")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by token-profile voting: train top-10 token profiles per
+    language from the corpus itself, then classify each doc by profile hits.
+
+    The profile table is (n_langs x 10) rows -> broadcast; classification
+    is one aggregation over the exploded tokens. Scales linearly.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    lang_top = (
+        tok.join(d.select("doc_id", "lang"), "doc_id")
+           .groupBy("lang", "token").agg(F.count("*").alias("n"))
+           .withColumn("rnk", F.row_number().over(w_prof))
+           .filter("rnk <= 10").select("lang", "token")
+    )
+    scored = (
+        tok.join(F.broadcast(lang_top.withColumnRenamed("lang", "cand")), "token")
+           .groupBy("doc_id", "cand").agg(F.count("*").alias("matches"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.col("matches").desc(), "cand")
+    pred = scored.withColumn("rnk", F.row_number().over(w_pred)).filter("rnk = 1")
+    return d.select("doc_id", "lang").join(pred, "doc_id", "left").select(
+        "doc_id", "lang",
+        F.col("cand").alias("pred_lang"),
+        F.col("matches").alias("n_matches"),
+    )
+
+
+@op("text_fingerprint", oracle=f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> {_DUCK_H32.format(c='t')})),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+""", tier=2, section="2.11")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream, ``acc = (acc*31 + hash32(token)) mod 1e9+7``.
+
+    Pure higher-order array fold — JVM-side, no UDF. The same fold runs in
+    the oracle via DuckDB list_reduce, so the 64-bit arithmetic must match
+    exactly (it does: both are int64, no overflow at these magnitudes).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + _h32(t)) % 1000000007,
+    )
+    return d.select(
+        "doc_id", fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+# ==========================================================================
+# Deduplication
+# ==========================================================================
+
+
+@op("dedup_exact_text", oracle="""
+SELECT md5(lower(trim(text))) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""", tier=1, section="2.11")
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text hash: keep the min doc_id per hash.
+    One hash aggregation — the canonical first dedup pass at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@op("dedup_ngram_jaccard", oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.85
+""", tier=2, section="2.11")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard >= 0.85 via an inverted-index
+    self-join (join on token, never all-pairs): |A ∩ B| from the token
+    join, |A ∪ B| = |A|+|B|-|A∩B|.
+
+    Scale note: the token join explodes on stop-word-frequency tokens; in
+    production the profile step drops the top-percentile document-frequency
+    tokens first (cheap df filter), bounding the join fan-out.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .groupBy(F.col("a.doc_id").alias("doc1"),
+                  F.col("b.doc_id").alias("doc2"))
+         .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
+              .filter(jac >= 0.85)
+              .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@op("dedup_simhash", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, token, count(*) AS w,
+           {_DUCK_H32.format(c='token')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY 1, 2
+), bits AS (
+    SELECT t.doc_id, g.b,
+           sum(CASE WHEN (t.h >> g.b) & 1 = 1 THEN t.w ELSE -t.w END) AS s
+    FROM tok t, generate_series(0, 31) g(b)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS simhash
+FROM bits GROUP BY doc_id
+""", tier=2, section="2.11")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token-frequency weighted).
+
+    Each token votes ±weight on each bit of its hash32; the signature sets
+    the bits with positive sums. Near-dup docs land at small Hamming
+    distance — banding the signature gives an LSH dedup index. Expressed as
+    explode(bit positions) -> two hash aggregations; linear in corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        _tokens(d).groupBy("doc_id", "token")
+                  .agg(F.count("*").alias("w"))
+                  .withColumn("h", _h32(F.col("token")))
+    )
+    vote = F.when(
+        F.expr("shiftright(h, b) & 1") == 1, F.col("w")
+    ).otherwise(-F.col("w"))
+    bits = (
+        tok.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+           .groupBy("doc_id", "b").agg(F.sum(vote).alias("s"))
+    )
+    sig = F.sum(
+        F.when(F.col("s") > 0,
+               F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+    )
+    return bits.groupBy("doc_id").agg(sig.alias("simhash"))
+
+
+_MINHASH_K = 16       # signature length
+_MINHASH_BANDS = 4    # 4 bands x 4 rows: catches jaccard >~ 0.7
+
+
+@op("dedup_near_minhash", oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), mh AS (      -- minhash_i(doc) = min over tokens of hash32(i || ':' || token)
+    SELECT t.doc_id, g.i,
+           min({_DUCK_H32.format(c="g.i || ':' || t.token")}) AS mh
+    FROM tok t, generate_series(0, {_MINHASH_K - 1}) g(i)
+    GROUP BY 1, 2
+), bands AS (   -- band signature = ordered concat of its 4 minhashes
+    SELECT doc_id, i // {_MINHASH_K // _MINHASH_BANDS} AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+    FROM mh GROUP BY 1, 2
+), cand AS (    -- LSH candidates: pairs sharing any band signature
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+), verified AS (  -- exact jaccard, but only on the candidate pairs
+    SELECT c.doc1, c.doc2, count(*) AS common
+    FROM cand c
+    JOIN tok a ON a.doc_id = c.doc1
+    JOIN tok b ON b.doc_id = c.doc2 AND b.token = a.token
+    GROUP BY 1, 2
+)
+SELECT v.doc1, v.doc2,
+       round(CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common), 6)
+           AS jaccard
+FROM verified v
+JOIN sizes s1 ON s1.doc_id = v.doc1
+JOIN sizes s2 ON s2.doc_id = v.doc2
+WHERE CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common) >= 0.8
+""", tier=2, section="2.11")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the scale path for dedup:
+
+    shingle (unigram token sets) -> 16 minhashes (portable md5-derived
+    hash32 keyed by hash index) -> 4 bands of 4 -> bucket-join on band
+    signature -> exact Jaccard verification on candidates only.
+
+    Never compares all pairs: the band join only collides docs that are
+    already likely near-dups (P[collide] = 1-(1-j^4)^4). The portable hash
+    makes the whole pipeline value-verifiable against DuckDB — signatures
+    and all.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d).distinct()
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    mh = (
+        tok.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))))
+           .groupBy("doc_id", "i")
+           .agg(F.min(_h32(F.concat_ws(":", F.col("i"), F.col("token"))))
+                 .alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"i div {rows_per_band}"))
+          .groupBy("doc_id", "band")
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                  lambda s: s["mh"].cast("string")),
+              ",").alias("sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .select(F.col("a.doc_id").alias("doc1"),
+                 F.col("b.doc_id").alias("doc2"))
+         .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc1"), "token")
+    tb = tok.select(F.col("doc_id").alias("_d2"),
+                    F.col("token").alias("token2"))
+    verified = (
+        cand.join(ta, "doc1")
+            .join(tb, (F.col("doc2") == F.col("_d2"))
+                  & (F.col("token") == F.col("token2")), "inner")
+            .groupBy("doc1", "doc2").agg(F.count("*").alias("common"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = (F.col("common").cast("double")
+           / (F.col("n1") + F.col("n2") - F.col("common")))
+    return (
+        verified.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
+                .filter(jac >= 0.8)
+                .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12).
+
+The engine's position (SURVEY.md §4): UDFs are the slow path — every op
+that CAN be a built-in is one. This module exists to prove the full
+extension surface with the right mechanics for each kind:
+
+- scalar Python UDF: row-at-a-time, pickled — demonstrated, and its SQL
+  twin is the oracle (so the test doubles as a "you didn't need a UDF
+  here" proof);
+- pandas (vectorized) UDF: Arrow batches, ~10-100x the scalar path;
+- grouped-map UDAF via ``applyInPandas``: per-group pandas frame, the
+  escape hatch for sequential/fitted per-entity logic;
+- UDTF (Spark 4): table function over a partitioned input table.
+"""
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..registry import op
+from ..sources.io import load
+
+
+@op("udf_scalar_py", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+       CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod7
+FROM events
+""", tier=2, section="2.12")
+def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Python UDF: a custom props parser (json.loads per row).
+
+    Row-at-a-time pickling — deliberately the thing NOT to do in a hot
+    path; the oracle is the built-in twin that should replace it.
+    """
+
+    @udf("int")
+    def parse_k(props: str):
+        try:
+            return int(json.loads(props).get("k"))
+        except Exception:
+            return None
+
+    ev = load(spark, sf_dir, "events")
+    k = parse_k(F.col("props"))
+    return ev.select(
+        "event_id", k.alias("k_parsed"), (k % 7).alias("k_mod7"),
+    )
+
+
+@op("udf_pandas_vec", oracle="""
+SELECT event_id, value,
+       round(ln(1 + value), 6) AS log1p_value
+FROM events
+""", tier=2, section="2.12")
+def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow-batched): log1p over the value column.
+    numpy's log1p and the JVM's ln(1+x) agree well below 1e-6 here."""
+
+    @pandas_udf("double")
+    def log1p_vec(v: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(np.round(np.log1p(v.to_numpy()), 6))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "value", log1p_vec(F.col("value")).alias("log1p_value"),
+    )
+
+
+@op("udaf_grouped_slope", oracle="""
+WITH m AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1)
+SELECT e.user_id,
+       count(*) AS n,
+       round(regr_slope(e.value,
+                        (epoch_us(e.ts) - m.t0) / 3600000000.0), 6)
+           AS slope_per_hour
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id
+""", tier=2, section="2.12")
+def udaf_grouped_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of value over time (drift detection), as a
+    grouped-map UDAF: ``groupBy(user).applyInPandas`` fits each user's
+    series in pandas. Oracle is DuckDB's closed-form ``regr_slope`` — an
+    independent implementation of the same regression.
+
+    x is hours since the user's first event (keeps the slope magnitude
+    in a range where round-6 comparison is meaningful).
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        x = (pdf["t_us"] - pdf["t_us"].min()).to_numpy(dtype="float64") / 3.6e9
+        y = pdf["value"].to_numpy(dtype="float64")
+        xc = x - x.mean()
+        denom = (xc * xc).sum()
+        slope = float((xc * (y - y.mean())).sum() / denom) if denom else None
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(pdf)],
+            "slope_per_hour": [round(slope, 6) if slope is not None else None],
+        })
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "value")
+    return ev.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n long, slope_per_hour double")
+
+
+@op("udtf_sessions", oracle=None, tier=3, section="2.12")
+def udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding each user's ordered event stream
+    into session rows (30-min gap rule) — the UDTF twin of
+    ``ts_sessionize``; rows-only oracle, cross-checked against the
+    built-in twin in tests/test_twins.py.
+
+    Mechanics shown: ``udtf`` class with per-partition ``eval``/
+    ``terminate`` over ``TABLE(...) PARTITION BY user_id ORDER BY ts``.
+    """
+    from pyspark.sql.functions import udtf
+
+    gap_us = 30 * 60 * 1_000_000
+
+    @udtf(returnType="user_id long, session_seq long, n_events long, "
+                     "start_us long, end_us long")
+    class Sessionize:
+        def __init__(self):
+            self.user = None
+            self.seq = 0
+            self.n = 0
+            self.start = None
+            self.last = None
+
+        def _flush(self):
+            if self.n:
+                yield (self.user, self.seq, self.n, self.start, self.last)
+
+        def eval(self, row):
+            user_id, t_us = row["user_id"], row["t_us"]
+            if self.user is None:
+                self.user = user_id
+            if self.last is not None and t_us - self.last > gap_us:
+                yield from self._flush()
+                self.seq += 1
+                self.n = 0
+                self.start = None
+            if self.start is None:
+                self.start = t_us
+            self.n += 1
+            self.last = t_us
+
+        def terminate(self):
+            yield from self._flush()
+
+    spark.udtf.register("udtf_sessions_fn", Sessionize)
+    load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    ).createOrReplaceTempView("udtf_sessions_in")
+    return spark.sql("""
+        SELECT * FROM udtf_sessions_fn(
+            TABLE(udtf_sessions_in) PARTITION BY user_id ORDER BY t_us)
+    """)

@@ -1,0 +1,76 @@
+"""Cross-implementation twin checks (SURVEY.md §5.3): independently-built
+operators over the same data must agree — streaming vs batch, UDTF vs
+built-in windowed SQL, pandas paths vs closed forms."""
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from industry_big_data_time_sequence_process_spark.operators import (
+    streaming, timeseries, udfs,
+)
+from industry_big_data_time_sequence_process_spark.sources.io import load
+
+from .conftest import SF_T2
+
+
+def test_udtf_sessions_twin(spark):
+    """UDTF sessionizer == windowed-cumsum sessionizer (per-user session
+    count and per-session event-count multisets)."""
+    built_in = timeseries.ts_sessionize(spark, SF_T2) \
+        .select("user_id", "n_events").collect()
+    via_udtf = udfs.udtf_sessions(spark, SF_T2) \
+        .select("user_id", "n_events").collect()
+    assert Counter(map(tuple, built_in)) == Counter(map(tuple, via_udtf))
+
+
+def test_stream_tumbling_twin(spark):
+    """Drained stream window counts == batch groupBy over the same file."""
+    streamed = streaming.stream_tumbling_counts(spark, SF_T2).collect()
+    ev = load(spark, SF_T2, "events")
+    batch = (ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.avg("value"), 6).alias("avg_value"))
+               .select(F.col("w.start").alias("window_start"),
+                       "event_type", "n", "avg_value").collect())
+    assert Counter(map(tuple, streamed)) == Counter(map(tuple, batch))
+
+
+def test_stream_watermark_late_semantics(spark):
+    """Append-mode watermark run (events staged 3x, one copy per
+    micro-batch): every emitted window appears exactly once, at exactly
+    2x the single-copy count — copies 0+1 aggregate (the watermark's
+    filter takes effect one batch late, measured Spark 4.1.2 behavior),
+    copy 2 is fully dropped as late, closed windows never re-emit.
+    Without the watermark the multiplicity would be 3x."""
+    out = streaming.stream_watermark_late(spark, SF_T2).collect()
+    starts = [r["window_start"] for r in out]
+    assert len(starts) == len(set(starts)), "window emitted more than once"
+    assert len(starts) > 0, "no windows emitted"
+
+    ev = load(spark, SF_T2, "events")
+    batch = {r["ws"]: r["n"] for r in ev.groupBy(
+        F.window("ts", "10 minutes").start.alias("ws"))
+        .agg(F.count("*").alias("n")).collect()}
+    for r in out:
+        assert r["n"] == 2 * batch[r["window_start"]], (
+            f"window {r['window_start']}: expected 2x single-copy count, "
+            f"got {r['n']} vs single {batch[r['window_start']]}")
+
+
+def test_ewma_first_value(spark):
+    """EWMA(adjust=False) must start at each user's first value."""
+    ev = load(spark, SF_T2, "events")
+    first = {r["user_id"]: round(r["v"], 6) for r in ev
+             .withColumn("rn", F.row_number().over(
+                 __import__("pyspark.sql.window", fromlist=["Window"])
+                 .Window.partitionBy("user_id").orderBy("ts", "event_id")))
+             .filter("rn = 1").select("user_id", F.col("value").alias("v"))
+             .collect()}
+    ewma = timeseries.ts_ewma(spark, SF_T2)
+    ev_ids = ev.select("user_id", "event_id", "ts")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("user_id").orderBy("ts", "event_id")
+    first_ewma = {r["user_id"]: r["ewma"] for r in ewma.join(
+        ev_ids.withColumn("rn", F.row_number().over(w)).filter("rn = 1"),
+        ["user_id", "event_id"]).collect()}
+    assert first_ewma == first
