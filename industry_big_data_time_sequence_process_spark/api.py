@@ -1,0 +1,129 @@
+"""The engine's reusable DataFrame->DataFrame transform library.
+
+The registered demo queries (``operators/*``) load the test tables and
+call these; a user brings their own DataFrames and calls them directly.
+Every transform is lazy, declarative, and partition-aware — no collect,
+no driver-side loops, safe at any scale.
+
+Time semantics: ``ts_col`` is a TimestampType column; gap arithmetic is
+integer microseconds (``unix_micros``) end to end.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str, gap_minutes: float,
+               tiebreak: str | None = None) -> DataFrame:
+    """Assign ``session_seq`` (1-based per key) splitting at gaps strictly
+    greater than ``gap_minutes``. One shuffle on ``key``; downstream
+    per-session aggregation reuses the partitioning.
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    t = F.unix_micros(F.col(ts_col))
+    gap = t - F.lag(t).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return df.withColumn("session_seq", F.sum(new_session).over(wc).cast("long"))
+
+
+def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str, right_ts: str,
+                       value_cols: Sequence[str]) -> DataFrame:
+    """As-of (backward) join: attach to each left row the ``value_cols``
+    of the latest right row with ``right_ts <= left_ts`` for the same key.
+
+    Algorithm (SURVEY.md §4.3): tag sides, unionByName, carry right
+    values forward with last(ignorenulls) over (key ORDER BY t, side) —
+    ONE shuffle on the key, no range explosion, skew-safe. The right side
+    must be unique per (key, right_ts); pre-aggregate it if not.
+
+    Left columns are preserved; ``right_ts`` is surfaced alongside the
+    value columns. At equal timestamps the right row wins (as-of is <=).
+    """
+    carried = [right_ts, *value_cols]
+    l_tagged = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in carried],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    )
+    w = Window.partitionBy("__k").orderBy("__t", "__is_left") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = l_tagged.unionByName(r_tagged).select(
+        "__is_left", *left.columns,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+          for c in carried],
+    )
+    return merged.filter("__is_left = 1").select(
+        *left.columns,
+        *[F.col(f"__r_{c}").alias(c) for c in carried],
+    )
+
+
+def topk_per_group(df: DataFrame, group_cols: Sequence[str],
+                   order_by: Sequence[Column], k: int,
+                   rank_col: str = "rnk") -> DataFrame:
+    """Deterministic top-k rows per group (``order_by`` must totally
+    order within groups — include a unique tiebreak)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)) \
+             .filter(F.col(rank_col) <= k)
+
+
+def dedup_latest(df: DataFrame, keys: Sequence[str | Column],
+                 order_by: Sequence[Column]) -> DataFrame:
+    """Keep exactly one row per key set: the first under ``order_by``
+    (pass descending columns for 'latest')."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)) \
+             .filter("__rn = 1").drop("__rn")
+
+
+def forward_fill(df: DataFrame, key: str, ts_col: str, value_col: str,
+                 filled_col: str | None = None,
+                 tiebreak: str | None = None) -> DataFrame:
+    """Carry the last non-null ``value_col`` forward per key in time
+    order (sensor-dropout repair)."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(filled_col or f"{value_col}_filled",
+                         F.last(value_col, ignorenulls=True).over(w))
+
+
+def resample(df: DataFrame, key: str, ts_col: str, every: str,
+             aggs: Sequence[Column]) -> DataFrame:
+    """Downsample to ``every`` buckets ('hour', 'day', ...; date_trunc
+    units) per key with the given aggregate columns."""
+    return df.groupBy(key, F.date_trunc(every, ts_col).alias("bucket")) \
+             .agg(*aggs)
+
+
+def zscore_flags(df: DataFrame, group_col: str, value_col: str,
+                 n_sigma: float = 3.0) -> DataFrame:
+    """Per-group z-scores + |z| > n_sigma anomaly flags. The per-group
+    stats aggregate is broadcast back onto the fact side — the big table
+    never shuffles."""
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sigma"),
+    )
+    v = F.col(value_col)
+    return (df.join(F.broadcast(stats), group_col)
+              .withColumn("zscore", (v - F.col("__mu")) / F.col("__sigma"))
+              .withColumn("is_anomaly",
+                          F.abs(v - F.col("__mu")) > n_sigma * F.col("__sigma"))
+              .drop("__mu", "__sigma"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .. import api
 from ..exprs import dec2, exact_sum, r6
 from ..registry import op
 from ..sources.io import load
@@ -352,35 +353,20 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
 
     # Dedupe right side per (key, time): keep max o_orderkey (determinism).
-    wd = Window.partitionBy("o_custkey", "o_orderdate") \
-               .orderBy(F.col("o_orderkey").desc())
-    od = (o.withColumn("rn", F.row_number().over(wd)).filter("rn = 1")
-           .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
-
-    left = ev.select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"), "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-    )
-    right = od.select(
-        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"), F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey", F.col("o_orderdate"), "o_totalprice",
-    )
-    # Order rows sort BEFORE event rows at equal t (as-of is <=).
-    w = Window.partitionBy("k").orderBy("t", "is_event") \
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged = left.unionByName(right).select(
-        "k", "t", "is_event", "event_id",
-        *[F.last(col, ignorenulls=True).over(w).alias(col)
-          for col in ("o_orderkey", "o_orderdate", "o_totalprice")],
-    )
-    return merged.filter("is_event = 1").select(
-        "event_id", F.col("k").alias("user_id"), F.col("t").alias("ts"),
-        "o_orderkey", "o_orderdate", "o_totalprice",
-    )
+    # Hash aggregate with max(struct) — ~2x faster than a row_number
+    # window (no sort, map-side partials) and identical semantics: struct
+    # ordering is lexicographic, so max picks the max o_orderkey.
+    od = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+           .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                   F.col("m.o_orderkey").alias("o_orderkey"),
+                   F.col("m.o_totalprice").alias("o_totalprice")))
+    return api.asof_join_backward(
+        ev.select("event_id", "user_id", "ts"), od,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts",
+             "o_orderkey", "o_orderdate", "o_totalprice")
 
 
 @op("join_cross_topk", oracle="""
@@ -687,9 +673,10 @@ SELECT user_id, event_id, value, rnk FROM (
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per user via ranked window + filter."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
-    return ev.select("user_id", "event_id", "value") \
-             .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
+    return api.topk_per_group(
+        ev.select("user_id", "event_id", "value"), ["user_id"],
+        [F.col("value").desc(), F.col("event_id")], k=3,
+    )
 
 
 # ==========================================================================

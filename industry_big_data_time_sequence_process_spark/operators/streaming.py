@@ -232,6 +232,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, "stream_static_join", j, "append")
 
 
+@op("source_stream_rate", oracle="""
+SELECT unnest(generate_series(0, 499)) % 10 AS bucket
+""", tier=3, section="2.1")
+def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic rate source (dev harness): ``rate-micro-batch`` emits a
+    deterministic 0..N-1 value sequence per batch; availableNow drains
+    exactly one batch — even this is value-checkable."""
+    configure(spark)
+    key = "source_stream_rate"
+    shutil.rmtree(os.path.join(SCRATCH, "stream", key), ignore_errors=True)
+    r = (spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 500).option("numPartitions", 4)
+              .option("startTimestamp", 0).load())
+    out = _drain(spark, key, r.select((F.col("value") % 10).alias("bucket")),
+                 "append")
+    return out
+
+
+@op("stream_stateful_running", oracle=None, tier=3, section="2.10")
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: per-user running totals carried
+    across micro-batches in explicit GroupState
+    (``applyInPandasWithState``). The events file is staged twice (one
+    copy per micro-batch), so each user emits one row per batch with its
+    cumulative count/sum — the second row proving state survived the
+    batch boundary (asserted in tests/test_twins.py).
+
+    Rows-only oracle: emission granularity is per-(user, batch), which is
+    micro-batch-timing shaped by construction. State is per-user ->
+    RocksDB provider at production key cardinality."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir, "stream_stateful_running", copies=2)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n],
+                            "sum_so_far": [round(total, 6)]})
+
+    dd = (ev.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_so_far long, sum_so_far double",
+                stateStructType="n long, total double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+    return _drain(spark, "stream_stateful_running", dd, "append")
+
+
 @op("stream_watermark_late", oracle=None, tier=2, section="2.10")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics: 10-min watermark over append-mode tumbling

@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .. import api
 from ..registry import op
 from ..sources.io import load
 
@@ -80,11 +81,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Skewed hot users are handled by AQE skew-split at scale.
     """
     ev = load(spark, sf_dir, "events")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(_w_user())
-    new_session = F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0)
-    tagged = ev.withColumn(
-        "session_seq", F.sum(new_session).over(_w_user_cum()).cast("long")
-    )
+    tagged = api.sessionize(ev, "user_id", "ts", 30, tiebreak="event_id")
     return tagged.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -124,14 +121,12 @@ def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, hour) key spreads hot users across buckets.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(
+    return api.resample(ev, "user_id", "ts", "hour", [
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-    )
+    ])
 
 
 @op("ts_tumbling_window", oracle="""
@@ -250,11 +245,10 @@ def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_masked",
         F.when(F.col("event_type") == "error", None).otherwise(F.col("value")),
     )
-    return masked.select(
-        "user_id", "event_id", "value_masked",
-        F.last("value_masked", ignorenulls=True).over(_w_user_cum())
-         .alias("value_filled"),
-    )
+    return api.forward_fill(
+        masked, "user_id", "ts", "value_masked", "value_filled",
+        tiebreak="event_id",
+    ).select("user_id", "event_id", "value_masked", "value_filled")
 
 
 @op("ts_dedup_latest", oracle="""
@@ -269,12 +263,10 @@ FROM (
 def ts_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the latest record per (user, minute) — classic sensor dedup."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy(
-        "user_id", F.date_trunc("minute", "ts")
-    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return ev.withColumn("rn", F.row_number().over(w)) \
-             .filter(F.col("rn") == 1) \
-             .select("event_id", "ts", "user_id", "event_type", "value")
+    return api.dedup_latest(
+        ev, ["user_id", F.date_trunc("minute", "ts")],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
 # --------------------------------------------------------------------------
@@ -299,15 +291,10 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tiny per-type stats aggregate is broadcast back onto the fact table —
     no shuffle of the big side at any scale.
     """
-    ev = load(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
-    )
-    return ev.join(F.broadcast(stats), "event_type").select(
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return api.zscore_flags(ev, "event_type", "value", n_sigma=3.0).select(
         "event_id", "event_type", "value",
-        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
-        (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")).alias("is_anomaly"),
+        F.round("zscore", 6).alias("zscore"), "is_anomaly",
     )
 
 

@@ -1,0 +1,150 @@
+"""Property-based tests (SURVEY.md §5.3): algebraic invariants of the
+core API transforms over Hypothesis-generated literal DataFrames.
+
+Examples are kept small (Py4J round-trips dominate) but adversarial:
+duplicate timestamps, single-row keys, all-in-one-session gaps, nulls.
+"""
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Row, functions as F
+
+from industry_big_data_time_sequence_process_spark import api
+
+BASE = datetime.datetime(2024, 1, 1)
+
+# (user_id, minutes-offset, value) event streams
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2),
+              st.integers(0, 10_000),
+              st.integers(-100, 100)),
+    min_size=1, max_size=25,
+)
+
+SET = settings(max_examples=15, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_id=i, ts=BASE + datetime.timedelta(minutes=m),
+             value=float(v))
+         for i, (u, m, v) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+
+
+@given(rows=events_strategy)
+@SET
+def test_sessionize_partitions_exactly(spark, rows):
+    """Sessionization is a partition of the input: no row lost or duped,
+    session ids contiguous from 1 per user, and consecutive rows in one
+    session are <= gap apart while session boundaries are > gap."""
+    df = _events_df(spark, rows)
+    out = api.sessionize(df, "user_id", "ts", gap_minutes=30,
+                         tiebreak="event_id").collect()
+    assert len(out) == len(rows)
+    assert sorted(r["event_id"] for r in out) == sorted(range(len(rows)))
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        assert seq[0]["session_seq"] == 1
+        for a, b in zip(seq, seq[1:]):
+            gap = (b["ts"] - a["ts"]).total_seconds()
+            if b["session_seq"] == a["session_seq"]:
+                assert gap <= 30 * 60
+            else:
+                assert b["session_seq"] == a["session_seq"] + 1
+                assert gap > 30 * 60
+
+
+@given(rows=events_strategy,
+       orders=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+                       min_size=0, max_size=10))
+@SET
+def test_asof_backward_invariants(spark, rows, orders):
+    """As-of backward join: every left row survives exactly once; the
+    attached right ts is the max right ts <= left ts for that key (None
+    iff no such right row)."""
+    left = _events_df(spark, rows)
+    right = spark.createDataFrame(
+        [Row(user_id=u, o_ts=BASE + datetime.timedelta(minutes=m),
+             o_val=float(i))
+         for i, (u, m) in enumerate(sorted(set(orders)))],
+        "user_id long, o_ts timestamp, o_val double",
+    )
+    out = api.asof_join_backward(left, right, key="user_id", left_ts="ts",
+                                 right_ts="o_ts", value_cols=["o_val"]).collect()
+    assert sorted(r["event_id"] for r in out) == sorted(range(len(rows)))
+    rights = {}
+    for u, m in set(orders):
+        rights.setdefault(u, []).append(BASE + datetime.timedelta(minutes=m))
+    for r in out:
+        eligible = [t for t in rights.get(r["user_id"], []) if t <= r["ts"]]
+        expect = max(eligible) if eligible else None
+        assert r["o_ts"] == expect, (r, expect)
+
+
+@given(rows=events_strategy, k=st.integers(1, 4))
+@SET
+def test_topk_per_group_is_prefix_of_sort(spark, rows, k):
+    """topk_per_group == the first k rows of each group's total order."""
+    df = _events_df(spark, rows)
+    out = api.topk_per_group(df, ["user_id"],
+                             [F.col("value").desc(), F.col("event_id")],
+                             k=k).collect()
+    full = sorted(
+        ((r[0], i, float(r[2])) for i, r in enumerate(rows)),
+        key=lambda t: (t[0], -t[2], t[1]))
+    expect = {}
+    for u, eid, v in full:
+        expect.setdefault(u, [])
+        if len(expect[u]) < k:
+            expect[u].append(eid)
+    got = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["rnk"])):
+        got.setdefault(r["user_id"], []).append(r["event_id"])
+    assert got == expect
+
+
+@given(rows=events_strategy)
+@SET
+def test_dedup_latest_idempotent(spark, rows):
+    """dedup keeps exactly one row per key and is idempotent."""
+    df = _events_df(spark, rows)
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    once = api.dedup_latest(df, ["user_id"], order)
+    twice = api.dedup_latest(once, ["user_id"], order)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    users = {u for u, _, _ in rows}
+    assert len(a) == len(users)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 100),
+              st.one_of(st.none(), st.integers(-5, 5))),
+    min_size=1, max_size=20))
+@SET
+def test_forward_fill_carries_last_non_null(spark, rows):
+    """forward_fill equals the pure-python scan of the same ordering."""
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_id=i, ts=BASE + datetime.timedelta(minutes=m),
+             v=(float(x) if x is not None else None))
+         for i, (u, m, x) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp, v double",
+    )
+    out = api.forward_fill(df, "user_id", "ts", "v", "v_filled",
+                           tiebreak="event_id").collect()
+    expect = {}
+    last = {}
+    for i, (u, m, x) in sorted(enumerate(rows),
+                               key=lambda t: (t[1][0], t[1][1], t[0])):
+        if x is not None:
+            last[u] = float(x)
+        expect[i] = last.get(u)
+    for r in out:
+        assert r["v_filled"] == expect[r["event_id"]]

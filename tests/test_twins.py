@@ -57,6 +57,24 @@ def test_stream_watermark_late_semantics(spark):
             f"got {r['n']} vs single {batch[r['window_start']]}")
 
 
+def test_stream_stateful_state_carries(spark):
+    """applyInPandasWithState: with events staged twice, each user's
+    second emitted row must show exactly double the single-copy totals —
+    proof the GroupState survived the micro-batch boundary."""
+    out = streaming.stream_stateful_running(spark, SF_T2).collect()
+    ev = load(spark, SF_T2, "events")
+    single = {r["user_id"]: r["n"] for r in
+              ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_so_far"])
+    assert set(by_user) == set(single)
+    for uid, ns in by_user.items():
+        assert sorted(ns) == [single[uid], 2 * single[uid]], (
+            f"user {uid}: expected [{single[uid]}, {2*single[uid]}], "
+            f"got {sorted(ns)}")
+
+
 def test_ewma_first_value(spark):
     """EWMA(adjust=False) must start at each user's first value."""
     ev = load(spark, SF_T2, "events")
