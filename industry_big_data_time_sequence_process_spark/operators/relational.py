@@ -611,6 +611,103 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low"]
+
+
+@op("agg_pivot", oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+FROM orders GROUP BY o_orderstatus
+""", tier=2, section="2.4")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per status x priority. The pivot
+    value list is EXPLICIT — the production rule: an implicit pivot runs
+    a whole extra distinct-scan job to discover the columns."""
+    o = load(spark, sf_dir, "orders")
+    wide = (o.groupBy("o_orderstatus")
+             .pivot("o_orderpriority", _PRIORITIES).count())
+    renamed = wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c)
+          for p, c in zip(_PRIORITIES, _PRIO_COLS)],
+    )
+    return renamed
+
+
+@op("unpivot_melt", oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""", tier=2, section="2.4")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide->long): lineitem measure columns into
+    (metric, val) rows — one scan, no union of rescans (Spark's
+    ``unpivot``/``Expand`` reads the table once; the oracle's UNION ALL
+    form is the portable equivalent)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "val",
+    )
+
+
+@op("filter_subquery_in", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+""", tier=2, section="2.2")
+def filter_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates through the SQL entry point: an uncorrelated
+    IN and a correlated EXISTS. Catalyst's RewritePredicateSubquery
+    decorrelates both into left-semi joins — verify with .explain():
+    no per-row subquery execution survives."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sq_v o
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_sq_v
+                            WHERE c_acctbal < 0)
+          AND EXISTS (SELECT 1 FROM lineitem_sq_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+    """)
+
+
+@op("scalar_subquery_agg", oracle="""
+SELECT o_orderkey, o_totalprice,
+       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 6)
+           AS dev_from_mean
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+""", tier=2, section="2.2")
+def scalar_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries (select-list + predicate): the aggregate runs
+    once and is broadcast into the scan filter, not re-evaluated per
+    row."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice)
+                                     FROM orders_ssq_v), 6) AS dev_from_mean
+        FROM orders_ssq_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_ssq_v) * 1.5
+    """)
+
+
 # ==========================================================================
 # §2.6 Sorts / limits / top-k
 # ==========================================================================

@@ -134,28 +134,41 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB: unit-normalized double vector (division inside the transform so
+#: the per-element op sequence matches the Spark side bit-for-bit).
+_DUCK_UNIT = ("list_transform({e}, x -> CAST(x AS DOUBLE) / "
+              f"sqrt({_DUCK_DOT.format(a='{e}', b='{e}')}))")
+
+
 @op("dedup_embedding_cosine", oracle=f"""
-SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND {_duck_cos('a.embedding', 'b.embedding')} >= 0.35
+WITH u AS (SELECT vec_id, {_DUCK_UNIT.format(e='embedding')} AS ue
+           FROM embeddings)
+SELECT vec1, vec2, round(score, 6) AS cosine FROM (
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           {_DUCK_DOT.format(a='a.ue', b='b.ue')} AS score
+    FROM u a, u b WHERE a.vec_id < b.vec_id
+) WHERE score >= 0.35
 """, tier=2, section="2.11")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.35 over all pairs.
 
-    This is the exact/verification baseline (O(n^2) candidate set) — at
-    100 TB the candidate set comes from ``sim_lsh_bucketed``'s
-    hyperplane buckets instead; the verify step is identical.
+    Norms are factored out BEFORE the pair join (unit-normalize each
+    vector once), so the per-pair work is a single 64-element dot — ~4x
+    cheaper than cosine-per-pair. This is still the exact/verification
+    baseline (O(n^2) candidate set); at 100 TB the candidate set comes
+    from ``sim_lsh_bucketed``'s hyperplane buckets instead.
     """
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("eb"))
-    cos = _cos(F.col("ea"), F.col("eb"))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    u = e.select("vec_id", unit.alias("ue"))
+    a = u.select(F.col("vec_id").alias("vec1"), F.col("ue").alias("ua"))
+    b = u.select(F.col("vec_id").alias("vec2"), F.col("ue").alias("ub"))
     return (
         a.join(b, F.col("vec1") < F.col("vec2"))
-         .filter(cos >= 0.35)
-         .select("vec1", "vec2", F.round(cos, 6).alias("cosine"))
+         .withColumn("score", _dot(F.col("ua"), F.col("ub")))
+         .filter(F.col("score") >= 0.35)
+         .select("vec1", "vec2", F.round("score", 6).alias("cosine"))
     )
 
 

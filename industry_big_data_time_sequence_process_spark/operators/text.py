@@ -276,15 +276,35 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("dedup_ngram_jaccard", oracle="""
-WITH tok AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+#: DuckDB 3-gram word shingles of `text` (1-based list indexing).
+_DUCK_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i+1] || ' '
+                 || string_split(text, ' ')[i+2])) AS s
     FROM documents
-), sizes AS (
-    SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+"""
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct 3-gram word shingles per document."""
+    t = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
+            F.element_at(t, i + 3)),
+    )
+    return d.select("doc_id", F.explode(sh).alias("s")).distinct()
+
+
+@op("dedup_ngram_jaccard", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), common AS (
     SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
-    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc1, doc2,
@@ -292,24 +312,25 @@ SELECT doc1, doc2,
 FROM common
 JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
-WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.85
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
 """, tier=2, section="2.11")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard >= 0.85 via an inverted-index
-    self-join (join on token, never all-pairs): |A ∩ B| from the token
-    join, |A ∪ B| = |A|+|B|-|A∩B|.
+    """Near-dup pairs by 3-gram-shingle Jaccard >= 0.5 via an
+    inverted-index self-join (join on shingle, never all-pairs).
 
-    Scale note: the token join explodes on stop-word-frequency tokens; in
-    production the profile step drops the top-percentile document-frequency
-    tokens first (cheap df filter), bounding the join fan-out.
+    Shingle choice IS the scale lever: word 3-grams are selective
+    (vocab^3 space), so the inverted-index join fans out only where real
+    phrase overlap exists — unigram sets over a small shared vocabulary
+    would make every document pair a candidate. This corpus contains
+    planted near-dups at jaccard ~0.95-1.0 vs ~0.04 background noise;
+    0.5 separates them cleanly.
     """
     d = load(spark, sf_dir, "documents")
-    tok = _tokens(d).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.token") == F.col("b.token"))
+        a.join(b, (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
          .groupBy(F.col("a.doc_id").alias("doc1"),
                   F.col("b.doc_id").alias("doc2"))
@@ -320,7 +341,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
         common.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
-              .filter(jac >= 0.85)
+              .filter(jac >= 0.5)
               .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -376,13 +397,11 @@ _MINHASH_BANDS = 4    # 4 bands x 4 rows: catches jaccard >~ 0.7
 
 
 @op("dedup_near_minhash", oracle=f"""
-WITH tok AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-    FROM documents
-), mh AS (      -- minhash_i(doc) = min over tokens of hash32(i || ':' || token)
+WITH sh AS ({_DUCK_SHINGLES}),
+mh AS (    -- minhash_i(doc) = min over shingles of hash32(i || ':' || shingle)
     SELECT t.doc_id, g.i,
-           min({_DUCK_H32.format(c="g.i || ':' || t.token")}) AS mh
-    FROM tok t, generate_series(0, {_MINHASH_K - 1}) g(i)
+           min({_DUCK_H32.format(c="g.i || ':' || t.s")}) AS mh
+    FROM sh t, generate_series(0, {_MINHASH_K - 1}) g(i)
     GROUP BY 1, 2
 ), bands AS (   -- band signature = ordered concat of its 4 minhashes
     SELECT doc_id, i // {_MINHASH_K // _MINHASH_BANDS} AS band,
@@ -393,12 +412,12 @@ WITH tok AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), sizes AS (
-    SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), verified AS (  -- exact jaccard, but only on the candidate pairs
     SELECT c.doc1, c.doc2, count(*) AS common
     FROM cand c
-    JOIN tok a ON a.doc_id = c.doc1
-    JOIN tok b ON b.doc_id = c.doc2 AND b.token = a.token
+    JOIN sh a ON a.doc_id = c.doc1
+    JOIN sh b ON b.doc_id = c.doc2 AND b.s = a.s
     GROUP BY 1, 2
 )
 SELECT v.doc1, v.doc2,
@@ -407,22 +426,23 @@ SELECT v.doc1, v.doc2,
 FROM verified v
 JOIN sizes s1 ON s1.doc_id = v.doc1
 JOIN sizes s2 ON s2.doc_id = v.doc2
-WHERE CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common) >= 0.8
+WHERE CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common) >= 0.5
 """, tier=2, section="2.11")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, the scale path for dedup:
 
-    shingle (unigram token sets) -> 16 minhashes (portable md5-derived
-    hash32 keyed by hash index) -> 4 bands of 4 -> bucket-join on band
+    3-gram word shingles -> 16 minhashes (portable md5-derived hash32
+    keyed by hash index) -> 4 bands of 4 -> bucket-join on band
     signature -> exact Jaccard verification on candidates only.
 
     Never compares all pairs: the band join only collides docs that are
-    already likely near-dups (P[collide] = 1-(1-j^4)^4). The portable hash
-    makes the whole pipeline value-verifiable against DuckDB — signatures
-    and all.
+    already likely near-dups (P[collide] = 1-(1-j^4)^4, ~0.94 at j=0.8,
+    ~1e-4 at the j~0.04 background of this corpus). The portable hash
+    makes the whole pipeline value-verifiable against DuckDB —
+    signatures and all.
     """
     d = load(spark, sf_dir, "documents")
-    tok = _tokens(d).distinct()
+    tok = _shingles(d).withColumnRenamed("s", "token")
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     mh = (
         tok.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))))
@@ -464,6 +484,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.col("n1") + F.col("n2") - F.col("common")))
     return (
         verified.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
-                .filter(jac >= 0.8)
+                .filter(jac >= 0.5)
                 .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )

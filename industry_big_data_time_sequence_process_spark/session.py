@@ -66,6 +66,7 @@ def get_session(app_name: str = "industry_big_data_time_sequence_process_spark",
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(cpus))
     )
