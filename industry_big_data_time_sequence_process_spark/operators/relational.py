@@ -611,6 +611,39 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_skew_salted", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+""", tier=2, section="2.4")
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys, the manual
+    hot-key-splitting technique (events has only 5 event_types — 20k
+    rows/key at sf0.1, millions at 100 TB; a plain groupBy sends each
+    entire key to ONE reducer).
+
+    Phase 1 groups by (key, salt) spreading every hot key over 16
+    reducers; phase 2 merges the 5x16 partials. Decomposable aggregates
+    only (count/sum -> avg) — the result is value-identical to the
+    direct groupBy, which is exactly what the oracle checks.
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec2("value")).alias("psum"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    ).withColumn(
+        "avg_value", F.round(F.col("sum_value") / F.col("n"), 6),
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIO_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low"]
 

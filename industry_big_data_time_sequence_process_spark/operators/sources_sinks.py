@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..exprs import exact_sum
 from ..registry import op
-from ..sources.io import SCHEMAS, load
+from ..sources.io import SCHEMAS, configure, load
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
@@ -108,6 +108,47 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
         F.count("*").alias("n"),
         exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@op("sink_bucketed_join", oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""", tier=2, section="2.1")
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables -> co-located (exchange-free) join: write orders
+    and customer bucketed 8-ways on the join key, then join the bucketed
+    reads. THE 100 TB pattern for repeated fact-dim joins: the shuffle is
+    paid once at write time, every downstream join is bucket-local
+    (tests/test_plans.py asserts no Exchange under the join). Value
+    oracle: the same join+agg over the original tables."""
+    configure(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    # Idempotence across processes: a previous run's warehouse dirs survive
+    # while the in-memory catalog does not, and CREATE refuses an existing
+    # location — drop both layers first.
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for t in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh.path or wh.netloc, t),
+                      ignore_errors=True)
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey") \
+        .mode("overwrite").saveAsTable("bkt_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey") \
+        .mode("overwrite").saveAsTable("bkt_customer")
+    ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+          .groupBy("c_mktsegment")
+          .agg(F.count("*").alias("n_orders"),
+               exact_sum("o_totalprice").alias("sum_price"))
     )
 
 

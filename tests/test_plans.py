@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the 100 TB posture, asserted.
+
+A correct result with a wrong plan (filter not pushed, dim not broadcast,
+extra shuffle) is a latent 100x regression at scale — these tests pin the
+plan properties the engine's design depends on (SURVEY.md §4).
+"""
+import re
+
+from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+
+from .conftest import SF_T2
+
+
+def _plan(spark, key: str, mode: str = "formatted") -> str:
+    df = REGISTRY[key].fn(spark, SF_T2)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_simple")
+    assert "LessThan(l_quantity,10.0)" in plan, "predicate not pushed to parquet"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "agg_groupby_multi")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = m.group(1)
+    assert "l_comment" not in cols and "l_orderkey" not in cols, (
+        f"unused columns not pruned from scan: {cols}")
+    assert "l_quantity" in cols
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    # the fact (customer) side must not shuffle for the dim joins
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_star_join_uses_hash_joins_not_nested_loop(spark):
+    plan = _plan(spark, "join_multikey_chain")
+    assert "NestedLoop" not in plan, "star join degenerated to nested loop"
+
+
+def test_theta_join_is_nested_loop_on_dims_only(spark):
+    plan = _plan(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan  # expected for pure non-equi
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(spark, "ts_sessionize", "simple")
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 1, (
+        f"sessionize should shuffle exactly once on user_id, "
+        f"found {n_exchanges} exchanges")
+
+
+def test_aggregation_has_map_side_partials(spark):
+    plan = _plan(spark, "agg_groupby_multi", "simple")
+    # partial aggregate before the exchange, final after
+    assert re.search(r"HashAggregate.*partial", plan, re.I | re.S), (
+        "no map-side partial aggregation")
+
+
+def test_anomaly_zscore_broadcasts_stats_not_facts(spark):
+    plan = _plan(spark, "ts_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(event_type" not in plan.split(
+        "BroadcastExchange")[0], "fact side shuffled for the stats join"
+
+
+def test_topk_global_take_ordered(spark):
+    plan = _plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy+limit should plan TakeOrderedAndProject (per-partition "
+        "top-k + driver merge), not a global sort")
+
+
+def test_subqueries_decorrelated_to_joins(spark):
+    plan = _plan(spark, "filter_subquery_in")
+    assert "LeftSemi" in plan, "IN/EXISTS subqueries not rewritten to semi joins"
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The whole point of bucketing: the join reads bucket-local files,
+    so no Exchange appears anywhere under the join."""
+    plan = _plan(spark, "sink_bucketed_join", "simple")
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, (
+        "bucketed scan not used:\n" + join_part[:500])
+
+
+def test_salted_agg_two_phase(spark):
+    plan = _plan(spark, "agg_skew_salted", "simple")
+    assert "salt" in plan
+
+
+def test_unpivot_single_scan(spark):
+    plan = _plan(spark, "unpivot_melt", "simple")
+    assert plan.count("FileScan") == 1, "unpivot rescans the table"
+    assert "Expand" in plan
