@@ -218,6 +218,89 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("date_parse_format", oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+       strftime(o_orderdate, '%d/%m/%Y') AS date_eu,
+       strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::TIMESTAMP
+           AS reparsed,
+       CAST(o_orderdate AS DATE) AS as_date
+FROM orders
+""", tier=2, section="2.8")
+def date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp <-> string round trip: format with a pattern, reparse
+    with the same pattern (the CSV/log-ingest staple). Spark uses
+    JDK patterns, DuckDB strftime codes — same rendered strings."""
+    o = load(spark, sf_dir, "orders")
+    eu = F.date_format("o_orderdate", "dd/MM/yyyy")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        eu.alias("date_eu"),
+        F.to_timestamp(eu, "dd/MM/yyyy").alias("reparsed"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+    )
+
+
+@op("cast_conversions", oracle="""
+SELECT l_orderkey,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_quantity AS VARCHAR) AS qty_str,
+       CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip,
+       CAST(l_linenumber AS DOUBLE) AS line_dbl,
+       epoch_us(l_shipdate) AS ship_epoch_us,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       (l_quantity > 25) AS qty_big,
+       CAST(l_quantity > 25 AS INT) AS qty_big_int
+FROM lineitem
+""", tier=2, section="2.8")
+def cast_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cast matrix: numeric narrowing, number<->string round trip,
+    timestamp->epoch/date, boolean->int. (Doubles here are x.0 so the
+    string forms agree across engines.)"""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        q.cast("int").alias("qty_int"),
+        q.cast("string").alias("qty_str"),
+        q.cast("string").cast("double").alias("qty_roundtrip"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.unix_micros("l_shipdate").alias("ship_epoch_us"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (q > 25).alias("qty_big"),
+        (q > 25).cast("int").alias("qty_big_int"),
+    )
+
+
+@op("func_conditional", oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS seg_or_dflt,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 1000.0) AS bal_cap1k,
+       (CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END) AS even_nation_bal
+FROM customer
+""", tier=1, section="2.8")
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: CASE/WHEN bands, coalesce+nullif
+    defaulting, greatest/least clamping, partial CASE (NULL else)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high")
+         .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")),
+                   F.lit("UNSEGMENTED")).alias("seg_or_dflt"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1k"),
+        F.when(F.col("c_nationkey") % 2 == 0, bal).alias("even_nation_bal"),
+    )
+
+
 @op("map_from_json", oracle="""
 SELECT event_id,
        json_keys(props)[1] AS first_key,

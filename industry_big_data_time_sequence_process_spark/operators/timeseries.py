@@ -33,10 +33,6 @@ def _w_user() -> Window:
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
-def _w_user_cum() -> Window:
-    return _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-
 def _exact_sum(col: str) -> F.Column:
     """Order-insensitive exact sum of a 2-decimal double column."""
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
@@ -321,6 +317,33 @@ def ts_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         ((F.col("value") - F.col("vmin"))
          / (F.col("vmax") - F.col("vmin"))).alias("value_scaled"),
+    )
+
+
+@op("ts_autocorr", oracle="""
+WITH lagged AS (
+    SELECT user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+    FROM events
+)
+SELECT user_id,
+       round(corr(value, prev_value), 6) AS autocorr_lag1,
+       count(prev_value) AS n_pairs
+FROM lagged GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the standard
+    is-this-signal-or-noise feature. lag window + corr aggregate share
+    the user_id partitioning: one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    lagged = ev.select(
+        "user_id", "value",
+        F.lag("value").over(_w_user()).alias("prev_value"),
+    )
+    return lagged.groupBy("user_id").agg(
+        F.round(F.corr("value", "prev_value"), 6).alias("autocorr_lag1"),
+        F.count("prev_value").alias("n_pairs"),
     )
 
 
