@@ -73,6 +73,47 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     )
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str,
+                      value_cols: Sequence[str]) -> DataFrame:
+    """As-of (forward) join: attach to each left row the ``value_cols`` of
+    the EARLIEST right row with ``right_ts >= left_ts`` for the same key.
+
+    Mirror of :func:`asof_join_backward`: tag sides, unionByName, then
+    carry right values BACKWARD with first(ignorenulls) over the
+    current-row..unbounded-following frame. At equal timestamps the right
+    row wins (forward as-of is >=), so left rows sort BEFORE right rows
+    at the same ``__t`` — the frame starting at a left row then includes
+    the tied right row. One shuffle on the key, no range explosion.
+    """
+    carried = [right_ts, *value_cols]
+    l_tagged = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in carried],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    )
+    w = Window.partitionBy("__k").orderBy("__t", F.col("__is_left").desc()) \
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = l_tagged.unionByName(r_tagged).select(
+        "__is_left", *left.columns,
+        *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+          for c in carried],
+    )
+    return merged.filter("__is_left = 1").select(
+        *left.columns,
+        *[F.col(f"__r_{c}").alias(c) for c in carried],
+    )
+
+
 def topk_per_group(df: DataFrame, group_cols: Sequence[str],
                    order_by: Sequence[Column], k: int,
                    rank_col: str = "rnk") -> DataFrame:

@@ -369,6 +369,42 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
              "o_orderkey", "o_orderdate", "o_totalprice")
 
 
+@op("join_asof_forward", oracle="""
+WITH od AS (   -- same deterministic per-(customer, date) dedupe as the
+               -- backward op: keep the max-key order
+    SELECT o_custkey, o_orderdate,
+           max(o_orderkey) AS o_orderkey,
+           max_by(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""", tier=2, section="2.3")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (forward) join: EARLIEST order at-or-after each event — the
+    "next action" lookup (next maintenance after an alert, next trade
+    after a quote). Same union+window plan shape as the backward op, with
+    the carry direction reversed; DuckDB's native forward ASOF JOIN
+    (``ON left.ts <= right.ts``) is the independent oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    od = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+           .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                   F.col("m.o_orderkey").alias("o_orderkey"),
+                   F.col("m.o_totalprice").alias("o_totalprice")))
+    return api.asof_join_forward(
+        ev.select("event_id", "user_id", "ts"), od,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts",
+             "o_orderkey", "o_orderdate", "o_totalprice")
+
+
 @op("join_cross_topk", oracle="""
 SELECT c_custkey, s_suppkey, score, rnk FROM (
     SELECT c.c_custkey, s.s_suppkey,

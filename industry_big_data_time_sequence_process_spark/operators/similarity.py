@@ -229,3 +229,78 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(cos >= 0.2)
          .select("vec1", "vec2", "bucket", F.round(cos, 6).alias("cosine"))
     )
+
+
+_IVF_STRIDE = 97  # centroid = every 97th vector: ~n/97 coarse cells
+
+
+@op("sim_ivf_topk", oracle=f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id % {_IVF_STRIDE} = 0
+), assign AS (   -- coarse quantization: nearest centroid per vector
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.embedding', 'c.cemb')} DESC,
+                            c.cid) AS crnk
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE crnk = 1
+), q AS (
+    SELECT vec_id AS q_vec_id, embedding AS qemb, cid
+    FROM assign WHERE vec_id < {_N_QUERIES}
+)
+SELECT q_vec_id, c_vec_id, cid, score, rnk FROM (
+    SELECT q.q_vec_id, a.vec_id AS c_vec_id, q.cid,
+           round({_duck_cos('q.qemb', 'a.embedding')}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {_duck_cos('q.qemb', 'a.embedding')} DESC,
+                        a.vec_id) AS rnk
+    FROM q JOIN assign a
+      ON a.cid = q.cid AND a.vec_id <> q.q_vec_id
+) WHERE rnk <= 3
+""", tier=3, section="2.11")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    (centroids = every 97th vector — deterministic, engine-portable), then
+    search each query ONLY inside its centroid's inverted list.
+
+    The other ANN scale path next to ``sim_lsh_bucketed``: LSH partitions
+    by random hyperplanes, IVF by data-adaptive cells (here: a stride
+    sample standing in for k-means, keeping both engines bit-identical).
+    Centroids are tiny -> broadcast; assignment is one narrow pass +
+    per-vector argmax; the bucket join replaces the all-pairs cross join,
+    cutting candidates by ~n_centroids x at the cost of recall at cell
+    boundaries (the classic nprobe=1 trade).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_c").desc(), "cid")
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+         .withColumn("_c", _cos(F.col("embedding"), F.col("cemb")))
+         .withColumn("crnk", F.row_number().over(w_assign))
+         .filter("crnk = 1").select("vec_id", "embedding", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("qemb"), "cid")
+    cand = assign.select(F.col("vec_id").alias("c_vec_id"),
+                         F.col("embedding").alias("cemb2"),
+                         F.col("cid").alias("cid2"))
+    score = _cos(F.col("qemb"), F.col("cemb2"))
+    w_top = Window.partitionBy("q_vec_id").orderBy(
+        F.col("_s").desc(), "c_vec_id")
+    return (
+        F.broadcast(q).join(cand, (F.col("cid") == F.col("cid2"))
+                            & (F.col("c_vec_id") != F.col("q_vec_id")))
+         .withColumn("_s", score)
+         .withColumn("rnk", F.row_number().over(w_top))
+         .filter("rnk <= 3")
+         .select("q_vec_id", "c_vec_id", "cid",
+                 F.round("_s", 6).alias("score"), "rnk")
+    )

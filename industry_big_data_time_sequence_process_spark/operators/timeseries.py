@@ -347,6 +347,110 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_session_native", oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+), tagged AS (
+    -- Spark session_window semantics: window = [start, last_ts + gap),
+    -- end-exclusive, so an event EXACTLY 30 min after the previous one
+    -- starts a NEW session (>=, vs the strict > of ts_sessionize).
+    SELECT *,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                         THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY user_id, seq
+""", tier=2, section="2.9")
+def ts_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregation —
+    the same operator the streaming twin (``stream_session_window``) uses,
+    here in batch mode.
+
+    Cross-checks two genuinely different algorithms: Spark merges
+    overlapping [ts, ts+gap) intervals inside a dedicated session-window
+    exec; the oracle derives identical sessions from the gaps-and-islands
+    window idiom. Both agree only if the boundary semantics (end-exclusive,
+    so a gap of exactly 30 min splits) match — which is exactly what this
+    op pins down vs ``ts_sessionize``'s strictly-greater rule.
+    """
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return ev.groupBy("user_id", sw.alias("w")).agg(
+        F.count("*").alias("n_events"),
+        _exact_sum("value").alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
+@op("ts_calendar_gaps", oracle="""
+WITH bounds AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+), obs AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+)
+SELECT g.user_id,
+       count(*) AS n_expected,
+       count(o.hour) AS n_observed,
+       count(*) - count(o.hour) AS n_missing,
+       min(CASE WHEN o.hour IS NULL THEN g.hour END) AS first_missing_hour
+FROM grid g LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.hour = o.hour
+GROUP BY g.user_id
+""", tier=2, section="2.9")
+def ts_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-bucket detection: materialize each user's expected hourly
+    grid (min..max hour, ``sequence`` + explode) and left-join the
+    observed hours — the sensor-health / SLA-monitoring staple.
+
+    The grid is generated FROM the per-user bounds aggregate, so its size
+    is (users x span-hours) regardless of event count — at 100 TB the
+    explode happens after the heavy groupBy, on the small side, and the
+    join is on the same (user_id, hour) key the distinct produced:
+    co-partitioned, one extra shuffle total.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+         .alias("hour"),
+    )
+    obs = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct().withColumn("seen", F.lit(1))
+    j = grid.join(obs, ["user_id", "hour"], "left")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_expected"),
+        F.count("seen").alias("n_observed"),
+        (F.count("*") - F.count("seen")).alias("n_missing"),
+        F.min(F.when(F.col("seen").isNull(), F.col("hour")))
+         .alias("first_missing_hour"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
