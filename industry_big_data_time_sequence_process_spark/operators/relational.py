@@ -326,6 +326,62 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
 
 
+@op("join_range_bucketed", oracle="""
+SELECT o.o_orderkey AS window_id, o.o_orderdate AS win_start,
+       l.l_orderkey, l.l_linenumber, l.l_shipdate
+FROM (SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderkey % 997 = 0) o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+""", tier=2, section="2.3")
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join made scalable by bucketing — the OSS answer to
+    a range-join hint. Semantics: shipments falling inside any of a set
+    of 7-day windows (no equi key between the tables at all).
+
+    A naive ``l_shipdate BETWEEN …`` join has no equi conjunct ->
+    Spark picks BroadcastNestedLoopJoin: every row tests every window,
+    O(|facts|·|windows|) compares. Instead each window is EXPLODED into
+    the 7 day-buckets it spans and each fact row maps to its own single
+    day-bucket; the join becomes an equi-join on the bucket (hash,
+    shuffle-free on the broadcast window side) with the exact range
+    check left as a residual. Each fact matches a window in exactly one
+    bucket (its own day), so no post-join dedup is needed. Cost drops to
+    O(|facts| + |windows|·span_days) — the standard interval-join
+    decomposition at 100 TB.
+
+    The DuckDB oracle runs the PLAIN range join: genuinely different
+    algorithm, identical rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    wins = (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+         .select(F.col("o_orderkey").alias("window_id"),
+                 F.col("o_orderdate").alias("win_start"))
+    )
+    win_buckets = wins.select(
+        "window_id", "win_start",
+        F.explode(F.sequence(
+            F.date_trunc("day", "win_start"),
+            F.date_trunc("day", F.expr("win_start + INTERVAL 6 DAYS")),
+            F.expr("interval 1 day"))).alias("bucket"),
+    )
+    facts = li.select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        F.date_trunc("day", "l_shipdate").alias("bucket"),
+    )
+    return (
+        facts.join(F.broadcast(win_buckets), "bucket")
+             .filter((F.col("l_shipdate") >= F.col("win_start"))
+                     & (F.col("l_shipdate")
+                        < F.expr("win_start + INTERVAL 7 DAYS")))
+             .select("window_id", "win_start",
+                     "l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
 @op("join_asof_backward", oracle="""
 WITH od AS (   -- per (customer, date) keep the max-key order: makes the
                -- as-of pick deterministic on both engines (32 dup pairs)
@@ -644,6 +700,29 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("event_type")).alias("types"),
         F.count("*").alias("n"),
+    )
+
+
+@op("agg_histogram", oracle="""
+SELECT event_type,
+       CAST(least(floor(value / 33.0), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS bin_min,
+       round(max(value), 6) AS bin_max
+FROM events
+GROUP BY 1, 2
+""", tier=2, section="2.4")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of value per event_type: 10 bins of width 33
+    over the [0, 330) domain, top bin clamped open-ended. One hash
+    aggregation on a computed key — the profiling staple that replaces
+    collecting raw values to the driver."""
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 33.0), F.lit(9)).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
     )
 
 

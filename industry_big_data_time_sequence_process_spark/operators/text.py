@@ -487,3 +487,68 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(jac >= 0.5)
                 .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@op("dedup_cluster_cc", oracle=f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc1, doc2 FROM common
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
+), edges AS (
+    SELECT doc1 AS a, doc2 AS b FROM pairs
+    UNION SELECT doc2, doc1 FROM pairs
+), cc AS (   -- min-label propagation to fixpoint
+    SELECT DISTINCT a AS node, a AS lbl FROM edges
+    UNION
+    SELECT e.b, cc.lbl FROM cc JOIN edges e
+      ON cc.node = e.a AND cc.lbl < e.b
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node
+""", tier=3, section="2.11")
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the jaccard>=0.5 pair
+    graph (``dedup_ngram_jaccard``), labeling every involved doc with its
+    component's min doc_id — the form a dedup pipeline actually consumes
+    (keep cluster_id, drop the rest).
+
+    The iterative algorithm of the suite: min-label propagation, each
+    round one join + one min-aggregate over the (tiny) edge list, looping
+    until a fixpoint (no label changed). Dup clusters are near-cliques,
+    so it converges in ~2 rounds; the driver-side loop is over ROUNDS
+    (distributed work inside), not rows. The DuckDB oracle reaches the
+    same fixpoint by a genuinely different route — a recursive CTE.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).withColumnsRenamed({"doc1": "a", "doc2": "b"}).cache()
+    labels = edges.select(F.col("a").alias("node")).distinct() \
+                  .withColumn("lbl", F.col("node"))
+    for _ in range(10):  # cap; real exit is the fixpoint check below
+        prop = (
+            edges.join(labels, edges.a == labels.node)
+                 .groupBy(F.col("b").alias("node"))
+                 .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(prop, "node", "left")
+                  .select("node", F.least(
+                      "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+        ).cache()
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+               .filter(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))

@@ -451,6 +451,119 @@ def ts_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_fill_bfill", oracle="""
+WITH masked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_masked
+    FROM events
+)
+SELECT user_id, event_id, value_masked,
+       first_value(value_masked IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_filled
+FROM masked
+""", tier=2, section="2.9")
+def ts_fill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill: mirror of ``ts_gap_fill_ffill`` — carry the NEXT
+    valid value back onto masked readings (end-of-series dropouts that
+    ffill can't repair). Same single user_id shuffle; the frame just
+    points the other way (current row -> unbounded following)."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")),
+    )
+    w = _w_user().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return masked.select(
+        "user_id", "event_id", "value_masked",
+        F.first("value_masked", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@op("ts_outlier_mad", oracle="""
+WITH med AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.adev / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev / (1.4826 * m.mad) > 3.5
+""", tier=2, section="2.9")
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value − median| / (1.4826·MAD) > 3.5
+    per event_type — the right-skew-proof alternative to
+    ``ts_anomaly_zscore`` (mean/σ are dragged by the very outliers they
+    should flag; median/MAD are not).
+
+    Two tiny per-type aggregates (exact interpolated percentiles),
+    broadcast back onto the fact stream twice — facts are never
+    shuffled, so the plan is two narrow passes at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    z = F.col("adev") / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+           .filter(z > 3.5)
+           .select("event_id", "event_type", "value",
+                   F.round("med", 6).alias("med"),
+                   F.round("mad", 6).alias("mad"),
+                   F.round(z, 6).alias("robust_z"))
+    )
+
+
+@op("ts_cross_corr", oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS views
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       round(corr(clicks, views), 6) AS click_view_corr,
+       count(*) AS n_hours
+FROM hourly GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal correlation: per user, do hourly click counts move
+    with hourly view counts? Resample both signals in ONE conditional
+    aggregation (no self-join), then corr over the per-user series —
+    the two groupBys share the user_id key, so the second is
+    shuffle-local under the first's partitioning."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+         .cast("double").alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+         .cast("double").alias("views"),
+    )
+    return hourly.groupBy("user_id").agg(
+        F.round(F.corr("clicks", "views"), 6).alias("click_view_corr"),
+        F.count("*").alias("n_hours"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
@@ -506,4 +619,53 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
         _interp_pdf, "user_id long, grid_ts timestamp, value_interp double"
+    )
+
+
+_LTTB_N = 100  # output points per series
+
+
+def _lttb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    if n <= _LTTB_N:
+        return pdf[["user_id", "event_id", "ts", "value"]]
+    x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
+    y = pdf["value"].to_numpy(dtype="float64")
+    # Largest-Triangle-Three-Buckets: keep endpoints; in each of N-2 interior
+    # buckets keep the point forming the largest triangle with the previously
+    # kept point and the NEXT bucket's centroid.
+    import numpy as np
+    bounds = np.linspace(1, n - 1, _LTTB_N - 1).astype(int)
+    keep = [0]
+    a = 0
+    for i in range(_LTTB_N - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        area = np.abs((x[a] - cx) * (y[lo:hi] - y[a])
+                      - (x[a] - x[lo:hi]) * (cy - y[a]))
+        a = lo + int(area.argmax())
+        keep.append(a)
+    keep.append(n - 1)
+    return pdf.iloc[keep][["user_id", "event_id", "ts", "value"]]
+
+
+@op("ts_downsample_lttb", oracle=None, tier=3, section="2.9")
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual downsampling: Largest-Triangle-Three-Buckets to 100 points
+    per user — the standard dashboard decimation that preserves spikes a
+    naive every-Nth sample would erase (Steinarsson 2013, public).
+
+    Sequential per series -> grouped-map Pandas UDF (numpy-vectorized
+    inside each bucket scan), parallel across users. Rows-only oracle:
+    the argmax recursion has no SQL twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+          .groupBy("user_id")
+          .applyInPandas(
+              _lttb_pdf,
+              "user_id long, event_id long, ts timestamp, value double")
     )
