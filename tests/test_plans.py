@@ -103,3 +103,44 @@ def test_unpivot_single_scan(spark):
     plan = _plan(spark, "unpivot_melt", "simple")
     assert plan.count("FileScan") == 1, "unpivot rescans the table"
     assert "Expand" in plan
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark):
+    # The whole point of join_range_bucketed: the keyless interval join
+    # must become an equi (broadcast hash) join on the day bucket, never
+    # a nested loop over windows x facts.
+    plan = _plan(spark, "join_range_bucketed")
+    assert "NestedLoop" not in plan, "bucketed range join degenerated"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_centroid_side_is_broadcast(spark):
+    plan = _plan(spark, "sim_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the big embeddings side must not shuffle to meet the tiny centroids
+    assert "Exchange hashpartitioning(cid" not in plan
+
+
+def test_hash_sample_filter_is_pushed_into_scan_stage(spark):
+    # bucket = f(md5) can't reach parquet PushedFilters (computed column),
+    # but it must stay a narrow pipeline: no Exchange at all in the plan.
+    plan = _plan(spark, "sample_hash_bucket", "simple")
+    assert "Exchange" not in plan, "hash sampling must be shuffle-free"
+
+
+def test_calendar_gaps_grid_from_aggregate_not_facts(spark):
+    # grid explode must hang off the per-user bounds aggregate (small),
+    # and the grid-obs join keys must be co-partitioned hash joins.
+    plan = _plan(spark, "ts_calendar_gaps")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_asof_forward_single_shuffle(spark):
+    # union+window asof: ONE hash exchange on the key for the window,
+    # plus the right side's pre-aggregation exchange — never a range
+    # explosion join.
+    plan = _plan(spark, "join_asof_forward", "simple")
+    assert "NestedLoop" not in plan
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 3, f"asof forward shuffled {n_exchanges}x"
