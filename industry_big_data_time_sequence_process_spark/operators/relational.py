@@ -461,6 +461,77 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
              "o_orderkey", "o_orderdate", "o_totalprice")
 
 
+_SALT = 8
+
+
+@op("join_skew_salted", oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""", tier=2, section="2.3")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the manual hot-key remedy when AQE's skew
+    split can't help (e.g. one key holding >1 executor-memory of rows).
+
+    The fact side gets a deterministic salt in [0, 8); the build side is
+    replicated 8x via explode; the join key becomes (key, salt), fanning
+    each hot key over 8 reducers. Semantically invariant — the oracle is
+    the PLAIN join — which is exactly the property that makes salting
+    safe to apply mechanically at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lf = li.withColumn("_salt", (F.col("l_linenumber") % _SALT).cast("int"))
+    ob = o.select("o_orderkey", "o_orderpriority").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return (
+        lf.join(ob, (lf.l_orderkey == ob.o_orderkey)
+                & (lf["_salt"] == ob["_salt"]))
+          .groupBy("o_orderpriority")
+          .agg(F.count("*").alias("n_lines"),
+               F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("sum_qty"))
+    )
+
+
+@op("join_fuzzy_levenshtein", oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer)
+SELECT a.c_custkey AS key1, b.c_custkey AS key2,
+       a.c_name AS name1, b.c_name AS name2,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM c a JOIN c b
+  ON substr(a.c_name, 1, length(a.c_name) - 2)
+     = substr(b.c_name, 1, length(b.c_name) - 2)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""", tier=3, section="2.3")
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (entity resolution): name pairs within edit
+    distance 1, found via BLOCKING — equi-join on the all-but-last-2-chars
+    prefix block, then the O(len²) Levenshtein verify runs only inside
+    blocks. The all-pairs quadratic never happens; this
+    block-then-verify shape is the same candidate-pruning discipline as
+    the MinHash/LSH dedup ops, applied to short strings.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    a = c.select(F.col("c_custkey").alias("key1"),
+                 F.col("c_name").alias("name1"), block.alias("blk"))
+    b = c.select(F.col("c_custkey").alias("key2"),
+                 F.col("c_name").alias("name2"), block.alias("blk"))
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, "blk")
+         .filter(F.col("key1") < F.col("key2"))
+         .withColumn("dist", dist)
+         .filter(F.col("dist") <= 1)
+         .select("key1", "key2", "name1", "name2", "dist")
+    )
+
+
 @op("join_cross_topk", oracle="""
 SELECT c_custkey, s_suppkey, score, rnk FROM (
     SELECT c.c_custkey, s.s_suppkey,

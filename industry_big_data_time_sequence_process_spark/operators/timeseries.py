@@ -564,6 +564,41 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_seasonal_baseline", oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT a.user_id, a.h,
+       a.n AS actual,
+       b.n AS seasonal_baseline,
+       a.n - b.n AS err
+FROM hourly a JOIN hourly b
+  ON a.user_id = b.user_id AND b.h = a.h - INTERVAL 24 HOUR
+""", tier=2, section="2.9")
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast check: each hour's event count vs the same
+    hour 24h earlier (the standard anomaly baseline for daily-periodic
+    signals). Resample once, then self-join the hourly series on
+    (user_id, h − 24h) — both sides share the aggregation's hash
+    partitioning on user_id, so the join adds no full re-shuffle of raw
+    events at any scale."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    a = hourly.select("user_id", "h", F.col("n").alias("actual"))
+    b = hourly.select(
+        "user_id",
+        F.expr("h + INTERVAL 24 HOURS").alias("h"),
+        F.col("n").alias("seasonal_baseline"),
+    )
+    return a.join(b, ["user_id", "h"]).select(
+        "user_id", "h", "actual", "seasonal_baseline",
+        (F.col("actual") - F.col("seasonal_baseline")).alias("err"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
