@@ -354,11 +354,13 @@ WITH gaps AS (
                (PARTITION BY user_id ORDER BY ts) AS gap_us
     FROM events
 ), tagged AS (
-    -- Spark session_window semantics: window = [start, last_ts + gap),
-    -- end-exclusive, so an event EXACTLY 30 min after the previous one
-    -- starts a NEW session (>=, vs the strict > of ts_sessionize).
+    -- Spark session_window semantics, pinned by
+    -- tests/test_properties.py::test_session_native_boundary_semantics:
+    -- an event EXACTLY gap after the previous one still MERGES (the
+    -- [start, last_ts + gap) range is inclusive for extension), so the
+    -- split rule is strictly-greater — same as ts_sessionize.
     SELECT *,
-           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                          THEN 1 ELSE 0 END) OVER
                (PARTITION BY user_id ORDER BY ts
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
@@ -380,9 +382,9 @@ def ts_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-checks two genuinely different algorithms: Spark merges
     overlapping [ts, ts+gap) intervals inside a dedicated session-window
     exec; the oracle derives identical sessions from the gaps-and-islands
-    window idiom. Both agree only if the boundary semantics (end-exclusive,
-    so a gap of exactly 30 min splits) match — which is exactly what this
-    op pins down vs ``ts_sessionize``'s strictly-greater rule.
+    window idiom. The boundary case (gap of EXACTLY 30 min merges, split
+    is strictly-greater — same rule as ``ts_sessionize``) is pinned by a
+    dedicated property test; getting it wrong flips session counts.
     """
     ev = load(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")

@@ -148,3 +148,53 @@ def test_forward_fill_carries_last_non_null(spark, rows):
         expect[i] = last.get(u)
     for r in out:
         assert r["v_filled"] == expect[r["event_id"]]
+
+
+@given(rows=events_strategy,
+       orders=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+                       min_size=0, max_size=10))
+@SET
+def test_asof_forward_invariants(spark, rows, orders):
+    """As-of forward join: every left row survives exactly once; the
+    attached right ts is the MIN right ts >= left ts for that key
+    (inclusive at equality), None iff no such right row."""
+    left = _events_df(spark, rows)
+    right = spark.createDataFrame(
+        [Row(user_id=u, o_ts=BASE + datetime.timedelta(minutes=m),
+             o_val=float(i))
+         for i, (u, m) in enumerate(sorted(set(orders)))],
+        "user_id long, o_ts timestamp, o_val double",
+    )
+    out = api.asof_join_forward(left, right, key="user_id", left_ts="ts",
+                                right_ts="o_ts", value_cols=["o_val"]).collect()
+    assert sorted(r["event_id"] for r in out) == sorted(range(len(rows)))
+    rights = {}
+    for u, m in set(orders):
+        rights.setdefault(u, []).append(BASE + datetime.timedelta(minutes=m))
+    for r in out:
+        eligible = [t for t in rights.get(r["user_id"], []) if t >= r["ts"]]
+        expect = min(eligible) if eligible else None
+        assert r["o_ts"] == expect, (r, expect)
+
+
+def test_session_native_boundary_semantics(spark):
+    """Boundary semantics, pinned empirically (Spark 4.1.2): a gap of
+    EXACTLY 30 min MERGES under BOTH ts_sessionize (strictly-greater
+    split rule) and native session_window — and a gap one microsecond
+    over splits both. The ts_session_native oracle encodes exactly this."""
+    us = datetime.timedelta(microseconds=1)
+    for extra, want_sessions in [(datetime.timedelta(0), 1), (us, 2)]:
+        df = spark.createDataFrame(
+            [Row(user_id=1, event_id=0, ts=BASE, value=1.0),
+             Row(user_id=1, event_id=1,
+                 ts=BASE + datetime.timedelta(minutes=30) + extra,
+                 value=1.0)],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+        tagged = api.sessionize(df, "user_id", "ts", gap_minutes=30,
+                                tiebreak="event_id").collect()
+        assert len({r["session_seq"] for r in tagged}) == want_sessions
+        native = (df.groupBy("user_id",
+                             F.session_window("ts", "30 minutes").alias("w"))
+                    .count().collect())
+        assert len(native) == want_sessions, (extra, native)
