@@ -57,7 +57,11 @@ def _drain(spark: SparkSession, key: str, df: DataFrame,
     for q in spark.streams.active:  # stale query from a previous invocation
         if q.name == name:
             q.stop()
+    # Always start fresh: a memory-sink query can't recover from a prior
+    # run's checkpoint, and ops whose drain key differs from their staging
+    # key (e.g. stream_stream_join) don't get it wiped by _events_stream.
     ckpt = os.path.join(SCRATCH, "stream", key, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
     q = (df.writeStream.format("memory").queryName(name)
            .outputMode(mode)
            .option("checkpointLocation", ckpt)
@@ -308,3 +312,46 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n")))
     out = _drain(spark, "stream_watermark_late", agg, "append")
     return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+@op("stream_stream_join", oracle="""
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       c.ts AS click_ts, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts + INTERVAL 10 MINUTE
+""", tier=3, section="2.10")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks x views of the same user within
+    ±10 min — the attribution-pipeline staple and the hardest stateful
+    op in Structured Streaming (both sides buffer state).
+
+    The time-range condition + 10-min watermarks on BOTH sides are what
+    bound that state: without them the join would buffer each stream
+    forever. Inner-join matches are emitted eagerly (watermark only
+    governs state eviction), so the availableNow drain yields exactly
+    the batch answer — which is the DuckDB oracle, value-for-value.
+    """
+    clicks = (_events_stream(spark, sf_dir, "ssj_clicks")
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "10 minutes"))
+    views = (_events_stream(spark, sf_dir, "ssj_views")
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "10 minutes"))
+    joined = clicks.join(
+        views,
+        F.expr("""
+            c_user_id = v_user_id AND
+            view_ts BETWEEN click_ts - INTERVAL 10 MINUTES
+                        AND click_ts + INTERVAL 10 MINUTES
+        """),
+    ).select(F.col("c_user_id").alias("user_id"),
+             "click_id", "view_id", "click_ts", "view_ts")
+    return _drain(spark, "stream_stream_join", joined, "append")
