@@ -123,3 +123,56 @@ def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_meta_batches,
         "doc_id long, width int, height int, n_channels int, decode_ok boolean",
     )
+
+
+def _resize_plan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch letterbox-resize planner: real mapInPandas plumbing,
+    arithmetic only (the actual pixel resample would live behind the same
+    signature with a codec present). Deterministic: dims come from the
+    same fake as ``_decode_meta_batches``."""
+    target = 224.0
+    for pdf in batches:
+        n = pdf["blob"].str.len().fillna(0).astype("int64")
+        w = (n % 640 + 1).astype("float64")
+        h = (n % 480 + 1).astype("float64")
+        scale = (target / w).combine(target / h, min)
+        new_w = (w * scale).round(0).astype("int32")
+        new_h = (h * scale).round(0).astype("int32")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "scale": scale.round(6),
+            "new_w": new_w,
+            "new_h": new_h,
+            "pad_x": ((224 - new_w) // 2).astype("int32"),
+            "pad_y": ((224 - new_h) // 2).astype("int32"),
+        })
+
+
+@op("mm_resize_stub", oracle="""
+SELECT doc_id,
+       round(least(224.0 / w, 224.0 / h), 6) AS scale,
+       CAST(round(w * least(224.0 / w, 224.0 / h), 0) AS INT) AS new_w,
+       CAST(round(h * least(224.0 / w, 224.0 / h), 0) AS INT) AS new_h,
+       CAST((224 - CAST(round(w * least(224.0 / w, 224.0 / h), 0) AS INT))
+            // 2 AS INT) AS pad_x,
+       CAST((224 - CAST(round(h * least(224.0 / w, 224.0 / h), 0) AS INT))
+            // 2 AS INT) AS pad_y
+FROM (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS DOUBLE) AS w,
+           CAST(octet_length(encode(text)) % 480 + 1 AS DOUBLE) AS h
+    FROM documents
+)
+""", tier=3, section="2.11")
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox resize to 224x224 — the model-input
+    prep step — as ``mapInPandas`` over the binary column. Pixel work is
+    stubbed (no codec in container); the geometry math, Arrow batching,
+    schema and partition-parallel shape are the production ones, and the
+    oracle value-checks the geometry end to end."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    return d.mapInPandas(
+        _resize_plan_batches,
+        "doc_id long, scale double, new_w int, new_h int, pad_x int, pad_y int",
+    )

@@ -552,3 +552,45 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+@op("text_unigram_logprob", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), corpus AS (
+    SELECT token, count(*) AS c FROM tok GROUP BY token
+), total AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       round(sum(ln(CAST(corpus.c AS DOUBLE) / total.n)), 6)
+           AS logprob,
+       count(*) AS n_tokens,
+       round(sum(ln(CAST(corpus.c AS DOUBLE) / total.n)) / count(*), 6)
+           AS avg_token_logprob
+FROM tok t JOIN corpus USING (token) CROSS JOIN total
+GROUP BY t.doc_id
+""", tier=3, section="2.11")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: Σ ln p(token), with
+    p estimated from the corpus itself — the perplexity-style quality
+    signal pretraining pipelines threshold on (gibberish scores far
+    below fluent text).
+
+    The LM "model" is the vocabulary-sized count table -> broadcast back
+    onto the token stream; the total is a broadcast scalar. One shuffle
+    (the per-doc sum); identical ln over identical doubles on both
+    engines, rounded at the end.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    corpus = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        tok.join(F.broadcast(corpus), "token")
+           .crossJoin(F.broadcast(total))
+           .groupBy("doc_id")
+           .agg(F.round(F.sum(lp), 6).alias("logprob"),
+                F.count("*").alias("n_tokens"),
+                F.round(F.sum(lp) / F.count("*"), 6)
+                 .alias("avg_token_logprob"))
+    )
