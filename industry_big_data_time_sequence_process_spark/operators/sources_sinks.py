@@ -111,6 +111,35 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("scan_partition_pruning", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(year(o_orderdate) AS INT) AS order_year
+FROM orders WHERE year(o_orderdate) = 1997
+""", tier=2, section="2.1")
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING proof: filter one year out of the partitioned
+    layout ``sink_parquet_partitioned`` writes. The predicate binds to
+    the directory key, so Spark lists and reads ONLY that partition's
+    files — at 100 TB this is the difference between scanning one year
+    and scanning the decade (plan shows ``PartitionFilters``; asserted
+    in tests/test_plans.py). Value-oracled against the original table:
+    pruning must lose no rows.
+    """
+    # scratch keyed by SF: a cached layout from another scale factor
+    # would silently change the result
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _scratch(f"scan_partition_pruning_{sf_tag}")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(F.col("order_year") == 1997).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("order_year").cast("int").alias("order_year"),
+    )
+
+
 @op("sink_bucketed_join", oracle="""
 SELECT c.c_mktsegment,
        count(*) AS n_orders,

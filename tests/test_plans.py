@@ -144,3 +144,11 @@ def test_asof_forward_single_shuffle(spark):
     assert "NestedLoop" not in plan
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges <= 3, f"asof forward shuffled {n_exchanges}x"
+
+
+def test_partition_pruning_reaches_directory_listing(spark):
+    # the year filter must bind to the partition directory key, not to a
+    # row-level parquet filter over all files
+    plan = _plan(spark, "scan_partition_pruning")
+    assert re.search(r"PartitionFilters: \[[^\]]*order_year[^\]]*1997", plan), (
+        "partition filter did not reach the directory listing")
