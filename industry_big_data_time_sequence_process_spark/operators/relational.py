@@ -797,6 +797,44 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_mode_deterministic", oracle="""
+SELECT user_id, event_type AS mode_type, n FROM (
+    SELECT user_id, event_type, count(*) AS n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type) AS rnk
+    FROM events GROUP BY user_id, event_type
+) WHERE rnk = 1
+""", tier=2, section="2.4")
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event_type per user — implemented as count +
+    windowed argmax rather than the native ``mode()`` aggregate, because
+    both engines' ``mode`` pick ARBITRARILY among ties; the explicit
+    (count DESC, value) tiebreak makes the answer reproducible across
+    engines, runs, and partitionings — the property a pipeline needs."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (counts.withColumn("rnk", F.row_number().over(w))
+                  .filter("rnk = 1")
+                  .select("user_id", F.col("event_type").alias("mode_type"), "n"))
+
+
+@op("agg_approx_percentile", oracle=None, tier=2, section="2.4")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (p50/p90/p99 of value per event_type) via
+    ``approx_percentile`` — the constant-memory path when exact
+    percentiles' full sort is too expensive at 100 TB. Rows-only oracle
+    like ``agg_approx_distinct``: sketch internals differ across engines
+    by design (accuracy 1e-4 here; the exact twin is
+    ``agg_percentile_exact``)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -706,3 +706,48 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
               _lttb_pdf,
               "user_id long, event_id long, ts timestamp, value double")
     )
+
+
+_CUSUM_K = 0.5   # slack, in per-user stddev units
+_CUSUM_H = 5.0   # alarm threshold, in per-user stddev units
+
+
+def _cusum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)
+    if not sd or sd != sd:  # single row / zero variance: nothing to detect
+        sd = 1.0
+    z = (pdf["value"] - mu) / sd
+    s_pos, s_neg, alarms = [], [], []
+    sp = sn = 0.0
+    for v in z:
+        sp = max(0.0, sp + v - _CUSUM_K)
+        sn = max(0.0, sn - v - _CUSUM_K)
+        alarm = sp > _CUSUM_H or sn > _CUSUM_H
+        if alarm:           # restart after an alarm (standard practice)
+            sp = sn = 0.0
+        s_pos.append(round(sp, 6))
+        s_neg.append(round(sn, 6))
+        alarms.append(alarm)
+    out = pdf[["user_id", "event_id"]].copy()
+    out["s_pos"], out["s_neg"], out["alarm"] = s_pos, s_neg, alarms
+    return out
+
+
+@op("ts_cusum_changepoint", oracle=None, tier=3, section="2.9")
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift/changepoint detection per user (Page 1954, public):
+    standardized two-sided cumulative sums with slack k=0.5σ, alarm at
+    5σ, restart-on-alarm. The max(0, ·) recursion is inherently
+    sequential -> grouped-map Pandas UDF, parallel across users;
+    rows-only oracle like the other sequential ops."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+          .groupBy("user_id")
+          .applyInPandas(
+              _cusum_pdf,
+              "user_id long, event_id long, s_pos double, s_neg double, "
+              "alarm boolean")
+    )
