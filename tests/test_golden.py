@@ -14,7 +14,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 #: rows-only ops that are value-deterministic (excludes limit_n - which is
 #: nondeterministic by contract - and the streaming ops covered by
 #: test_twins.py micro-batch assertions).
-GOLDEN_KEYS = ["ts_ewma", "ts_interpolate_linear", "agg_approx_distinct"]
+GOLDEN_KEYS = ["ts_ewma", "ts_interpolate_linear", "agg_approx_distinct",
+               "ts_downsample_lttb", "ts_cusum_changepoint",
+               "agg_approx_percentile"]
 
 
 def _snapshot(df) -> str:
