@@ -751,3 +751,98 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
               "user_id long, event_id long, s_pos double, s_neg double, "
               "alarm boolean")
     )
+
+
+@op("ts_funnel_steps", oracle="""
+WITH first_click AS (
+    SELECT user_id, min(ts) AS t_click
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+), next_purchase AS (
+    SELECT c.user_id, c.t_click, min(e.ts) AS t_purchase
+    FROM first_click c JOIN events e
+      ON e.user_id = c.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts > c.t_click
+     AND e.ts <= c.t_click + INTERVAL 1 HOUR
+    GROUP BY c.user_id, c.t_click
+)
+SELECT c.user_id, c.t_click, p.t_purchase,
+       (p.t_purchase IS NOT NULL) AS converted,
+       epoch_us(p.t_purchase) - epoch_us(c.t_click) AS latency_us
+FROM first_click c LEFT JOIN next_purchase p USING (user_id, t_click)
+""", tier=2, section="2.9")
+def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: first click -> purchase within 1 h, per user,
+    with conversion flag and latency — the product-analytics sequence
+    query. Both steps aggregate on user_id, and the step join stays on
+    that same key with a time-range residual: co-partitioned, no
+    explosion (the 1-h bound caps the candidate purchases per user)."""
+    ev = load(spark, sf_dir, "events")
+    first_click = (ev.filter(F.col("event_type") == "click")
+                     .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    next_purchase = (
+        first_click.join(purchases, "user_id")
+                   .filter((F.col("p_ts") > F.col("t_click"))
+                           & (F.col("p_ts")
+                              <= F.expr("t_click + INTERVAL 1 HOUR")))
+                   .groupBy("user_id", "t_click")
+                   .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    return first_click.join(next_purchase, ["user_id", "t_click"], "left") \
+        .select(
+            "user_id", "t_click", "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click"))
+            .alias("latency_us"),
+        )
+
+
+@op("ts_retention_cohort", oracle="""
+WITH first_day AS (
+    -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields TIMESTAMP
+    SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+               AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                AS BIGINT) AS day_n
+    FROM events e JOIN first_day f USING (user_id)
+)
+SELECT cohort_day, day_n, count(*) AS n_active,
+       round(CAST(count(*) AS DOUBLE) / max(cohort_size), 6) AS retention
+FROM activity
+JOIN (SELECT cohort_day AS cd, count(*) AS cohort_size
+      FROM first_day GROUP BY 1) s ON s.cd = activity.cohort_day
+WHERE day_n <= 7
+GROUP BY cohort_day, day_n
+""", tier=2, section="2.9")
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day; for
+    days 0-7, the share of each cohort active that day — the
+    product-health staple. Cohort assignment is one aggregate on
+    user_id; activity reuses that key for the join; cohort sizes are a
+    tiny broadcast. Day-grain distinct bounds the activity set."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+          .select("user_id", "cohort_day",
+                  F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+                   .cast("long").alias("day_n"))
+          .distinct()
+    )
+    sizes = first_day.groupBy(F.col("cohort_day").alias("cd")) \
+                     .agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.filter(F.col("day_n") <= 7)
+                .join(F.broadcast(sizes),
+                      activity.cohort_day == F.col("cd"))
+                .groupBy("cohort_day", "day_n")
+                .agg(F.count("*").alias("n_active"),
+                     F.round(F.count("*").cast("double")
+                             / F.max("cohort_size"), 6).alias("retention"))
+    )
