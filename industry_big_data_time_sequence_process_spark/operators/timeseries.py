@@ -601,6 +601,45 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_transition_matrix", oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+""", tier=2, section="2.9")
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: count each
+    (prev -> next) bigram along every user's timeline, normalize rows to
+    probabilities — the behavioral-model / anomalous-sequence baseline.
+    One user_id window for the lag, then the bigram aggregate collapses
+    to a 5x5 matrix: the per-type normalization window runs on that tiny
+    result, not on the fact stream."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(_w_user()).alias("prev_type"),
+    )
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+                .groupBy("prev_type", F.col("event_type").alias("next_type"))
+                .agg(F.count("*").alias("n")))
+    w_norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6)
+         .alias("p"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
