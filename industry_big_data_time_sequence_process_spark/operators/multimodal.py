@@ -176,3 +176,40 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_plan_batches,
         "doc_id long, scale double, new_w int, new_h int, pad_x int, pad_y int",
     )
+
+
+@op("mm_audio_chunks", oracle="""
+SELECT doc_id, n_samples,
+       unnest(generate_series(0, n_samples - 16000, 8000)) AS start_sample,
+       8000 AS hop, 16000 AS win
+FROM (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) * 40 AS BIGINT) AS n_samples
+    FROM documents
+)
+WHERE n_samples >= 16000
+""", tier=3, section="2.11")
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plan for an 'audio' blob column: 1-s windows
+    (16 000 samples @16 kHz) hopping every 0.5 s — the feature-extraction
+    fan-out (STFT/mel would map over these rows behind the same schema).
+    Sample count is a deterministic fake (bytes x 40, i.e. pretending
+    ~25 µs of audio per byte); the explode(sequence) fan-out, schema and
+    per-asset row shape are the production ones. Windows are emitted only
+    while fully inside the clip (start + win <= n_samples).
+    """
+    d = load(spark, sf_dir, "documents")
+    n_samples = (F.length(F.encode("text", "utf-8")) * 40).cast("long")
+    return (
+        d.select("doc_id", n_samples.alias("n_samples"))
+         .filter(F.col("n_samples") >= 16000)
+         .select(
+             "doc_id", "n_samples",
+             F.explode(F.sequence(
+                 F.lit(0).cast("long"),
+                 F.col("n_samples") - 16000,
+                 F.lit(8000).cast("long"))).alias("start_sample"),
+             F.lit(8000).alias("hop"),
+             F.lit(16000).alias("win"),
+         )
+    )
