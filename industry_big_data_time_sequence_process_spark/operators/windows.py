@@ -191,3 +191,26 @@ def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.cume_dist().over(w)).alias("cd"),
         r6(F.percent_rank().over(w)).alias("pr"),
     )
+
+
+@op("win_moving_median", oracle="""
+SELECT event_id, user_id, value,
+       round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25
+FROM events
+""", tier=3, section="2.5")
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 25-row moving MEDIAN per user — the robust smoother that
+    survives the spikes a moving average chases. Spark has no frame-capable
+    ``median``, but exact ``percentile(…, 0.5)`` IS frame-capable; both
+    engines interpolate the even-count midpoint identically ((a+b)/2 on
+    identical doubles). Shares the user_id window sort with every other
+    per-user frame op."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-24, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med25"),
+    )
