@@ -835,6 +835,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_boolean", oracle="""
+SELECT event_type,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 300) AS any_extreme,
+       count_if(value > 50) AS n_over_50,
+       CAST(count_if(value > 50) AS DOUBLE) / count(*) AS frac_over_50
+FROM events GROUP BY event_type
+""", tier=2, section="2.4")
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: every/any predicates + conditional
+    count + fraction — the data-quality assertion aggregates (``all rows
+    positive?``, ``any outlier?``). Deterministic regardless of row
+    order, unlike any_value/first."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.every(v > 0).alias("all_positive"),
+        F.some(v > 300).alias("any_extreme"),
+        F.count_if(v > 50).alias("n_over_50"),
+        (F.count_if(v > 50).cast("double") / F.count("*"))
+        .alias("frac_over_50"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -214,3 +214,27 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med25"),
     )
+
+
+@op("win_nth_value", oracle="""
+SELECT event_id, user_id, value,
+       nth_value(value, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_value,
+       nth_value(event_id, 3) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_event
+FROM events
+""", tier=3, section="2.5")
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a growing frame: each row sees its user's 2nd value
+    and 3rd event id so far (NULL until the frame holds that many rows) —
+    the 'first purchase vs second purchase' comparison shape."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.nth_value("event_id", 3).over(w).alias("third_event"),
+    )
