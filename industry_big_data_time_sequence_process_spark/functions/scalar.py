@@ -336,3 +336,31 @@ def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+@op("date_tz_convert", oracle="""
+SELECT event_id,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_wall,
+       timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_wall,
+       CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
+            AS INT) AS ny_hour,
+       (hour(timezone('America/New_York', timezone('UTC', ts)))
+        BETWEEN 9 AND 16) AS ny_business_hours
+FROM events
+""", tier=2, section="2.8")
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DST-aware timezone conversion: UTC event times to New York and
+    Tokyo wall clocks, plus the business-hours predicate every ops
+    dashboard needs. Spark ``from_utc_timestamp`` and the oracle's
+    double ``timezone()`` hop (naive->UTC tstz->target wall) both apply
+    the IANA tzdb, so EST/EDT transitions agree; the oracle form is
+    deliberately session-timezone-independent."""
+    ev = load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.select(
+        "event_id",
+        ny.alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        F.hour(ny).between(9, 16).alias("ny_business_hours"),
+    )
