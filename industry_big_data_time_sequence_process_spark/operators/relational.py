@@ -532,6 +532,26 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("join_hint_merge", oracle="""
+SELECT o.o_orderkey, o.o_orderdate, c.c_custkey, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""", tier=2, section="2.3")
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy control: force a sort-merge join with
+    ``hint('merge')`` where Catalyst would pick broadcast at this size.
+    The fact-x-fact posture at 100 TB IS sort-merge; pinning it here
+    (plan-asserted) proves results are strategy-invariant — same rows as
+    the plain join the oracle runs — and documents the hint API
+    (merge / shuffle_hash / shuffle_replicate_nl) as the engine's
+    override surface when AQE's choice is wrong.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").hint("merge")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_custkey", "c_acctbal"
+    )
+
+
 @op("join_cross_topk", oracle="""
 SELECT c_custkey, s_suppkey, score, rnk FROM (
     SELECT c.c_custkey, s.s_suppkey,

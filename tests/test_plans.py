@@ -152,3 +152,9 @@ def test_partition_pruning_reaches_directory_listing(spark):
     plan = _plan(spark, "scan_partition_pruning")
     assert re.search(r"PartitionFilters: \[[^\]]*order_year[^\]]*1997", plan), (
         "partition filter did not reach the directory listing")
+
+
+def test_merge_hint_forces_sort_merge_join(spark):
+    plan = _plan(spark, "join_hint_merge")
+    assert "SortMergeJoin" in plan, "merge hint ignored"
+    assert "BroadcastHashJoin" not in plan
