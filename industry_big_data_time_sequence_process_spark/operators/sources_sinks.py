@@ -195,3 +195,39 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [StructField("n_comment", StringType(), True)]
     )
     return spark.read.schema(evolved).parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+
+
+@op("scan_csv_badrecords", oracle=None, tier=2, section="2.1")
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: read a CSV with injected bad rows in
+    PERMISSIVE mode with a ``_corrupt_record`` column — the real-world
+    ingest posture (never fail the 100 TB job for one bad line; quarantine
+    it). Returns per-category counts: parsed rows, corrupt rows, and
+    null-field rows. Rows-only oracle (the fixture is self-written)."""
+    import csv
+
+    path = _scratch("scan_csv_badrecords")
+    os.makedirs(path, exist_ok=True)
+    fixture = os.path.join(path, "data.csv")
+    with open(fixture, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "qty", "price"])
+        for i in range(100):
+            w.writerow([i, i * 2, round(i * 1.5, 2)])
+        f.write('100,"unclosed quote,1.5\n')          # malformed quoting
+        f.write("101,not_a_number,2.5\n")             # type error
+        f.write("102,,3.5\n")                         # missing field -> null
+    schema = ("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
+    back = (spark.read.schema(schema)
+                 .option("header", True)
+                 .option("mode", "PERMISSIVE")
+                 .option("columnNameOfCorruptRecord", "_corrupt_record")
+                 .csv(fixture))
+    return back.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+         .alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull()
+                       & F.col("qty").isNull(), 1)).alias("n_null_qty"),
+        F.sum("id").alias("id_checksum"),
+    )

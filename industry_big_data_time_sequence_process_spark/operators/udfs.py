@@ -164,3 +164,27 @@ def udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM udtf_sessions_fn(
             TABLE(udtf_sessions_in) PARTITION BY user_id ORDER BY t_us)
     """)
+
+
+@op("udf_arrow_scalar", oracle="""
+SELECT event_id,
+       upper(substr(props, 6, 10)) AS k_snippet,
+       length(props) AS props_len
+FROM events
+""", tier=2, section="2.12")
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4's ``useArrow=True``):
+    same ``@udf`` authoring model as the pickled row-at-a-time path, but
+    arguments/results cross in Arrow batches — the migration story for
+    legacy UDF code that can't be rewritten as pandas_udf. SQL twin
+    value-checks the logic."""
+    @F.udf("string", useArrow=True)
+    def snippet(props: str) -> str:
+        return props[5:15].upper()
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        snippet("props").alias("k_snippet"),
+        F.length("props").alias("props_len"),
+    )

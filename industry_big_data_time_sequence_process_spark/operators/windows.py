@@ -238,3 +238,32 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.nth_value("event_id", 3).over(w).alias("third_event"),
     )
+
+
+@op("win_range_numeric", oracle="""
+SELECT event_id, event_type, value,
+       count(*) OVER w AS n_similar,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS sum_similar
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value
+             RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+""", tier=3, section="2.5")
+def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based range frame (not time): for each event, stats over all
+    same-type events within ±10 value units — the peer-group comparison
+    ('how does this reading compare to similar-magnitude readings').
+    The frame is defined by the ORDER BY value distance, so duplicate
+    values share identical frames: deterministic without a tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("value")
+               .rangeBetween(-10, 10))
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.count("*").over(w).alias("n_similar"),
+        # decimal-exact sum (not avg): frame avg is summation-order
+        # sensitive AND its round(…,6) can land on a .5 boundary where
+        # engines' tie rules differ; the exact sum has neither problem
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_similar"),
+    )
