@@ -594,3 +594,43 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(lp) / F.count("*"), 6)
                  .alias("avg_token_logprob"))
     )
+
+
+@op("text_pii_scrub", oracle=r"""
+WITH enriched AS (   -- plant deterministic PII-shaped spans (corpus has none)
+    SELECT doc_id,
+           text || ' contact user' || doc_id
+                || '@example.com or +1-555-01' || doc_id % 100 AS raw
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(raw, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+',
+                          '<EMAIL>', 'g'),
+           '\+?[0-9][0-9-]{4,}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+'))
+           AS n_emails,
+       len(regexp_extract_all(raw, '\+?[0-9][0-9-]{4,}')) AS n_phones
+FROM enriched
+""", tier=2, section="2.11")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every pretraining corpus gets:
+    replace email- and phone-shaped spans with placeholder tags and count
+    what was found (the audit trail). The corpus itself is synthetic, so
+    deterministic PII-shaped spans are planted first on BOTH engines,
+    then scrubbed. Pure JVM regexp — narrow, shuffle-free, pushes
+    through the scan at any scale."""
+    d = load(spark, sf_dir, "documents")
+    email_re = r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+"
+    phone_re = r"\+?[0-9][0-9-]{4,}"
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or +1-555-01"), F.col("doc_id") % 100)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"),
+            phone_re, "<PHONE>").alias("scrubbed"),
+        F.regexp_count(raw, F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).cast("long").alias("n_phones"),
+    )

@@ -885,3 +885,57 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.count("*").cast("double")
                              / F.max("cohort_size"), 6).alias("retention"))
     )
+
+
+@op("ts_seasonal_decompose", oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS c
+    FROM events GROUP BY 1
+), trended AS (
+    -- trend via ratio-of-exact-sums over the centered 7-day frame: one
+    -- double division on identical operands (a mean-of-means would drift)
+    SELECT d, CAST(s AS DOUBLE) / c AS daily_mean,
+           CAST(SUM(s) OVER w AS DOUBLE) / SUM(c) OVER w AS trend,
+           dayofweek(d) + 1 AS dow   -- DuckDB Sun=0 -> Spark Sun=1
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), weekly AS (
+    SELECT dow, avg(daily_mean - trend) AS weekly_effect
+    FROM trended GROUP BY dow
+)
+SELECT t.d, round(t.daily_mean, 6) AS daily_mean,
+       round(t.trend, 6) AS trend, t.dow,
+       round(w.weekly_effect, 6) AS weekly_effect,
+       round(t.daily_mean - t.trend - w.weekly_effect, 6) AS residual
+FROM trended t JOIN weekly w USING (dow)
+""", tier=3, section="2.9")
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/weekly/residual decomposition of the corpus-wide
+    daily mean (STL-lite): trend = centered 7-day moving mean computed as
+    a RATIO OF EXACT SUMS, weekly effect = day-of-week mean of the
+    detrended series, residual = the rest. The heavy pass is one daily
+    aggregation of the fact stream; every window/join after it runs on
+    ~days rows — at 100 TB the decomposition itself is free."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        (F.col("s").cast("double") / F.col("c")).alias("daily_mean"),
+        (F.sum("s").over(w).cast("double") / F.sum("c").over(w))
+        .alias("trend"),
+        F.dayofweek("d").alias("dow"),
+    )
+    weekly = trended.groupBy("dow").agg(
+        F.avg(F.col("daily_mean") - F.col("trend")).alias("weekly_effect"))
+    return trended.join(F.broadcast(weekly), "dow").select(
+        "d", F.round("daily_mean", 6).alias("daily_mean"),
+        F.round("trend", 6).alias("trend"), "dow",
+        F.round("weekly_effect", 6).alias("weekly_effect"),
+        F.round(F.col("daily_mean") - F.col("trend")
+                - F.col("weekly_effect"), 6).alias("residual"),
+    )
