@@ -879,6 +879,36 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_weighted_avg", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS weighted_sum,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS qty_weighted_price
+FROM lineitem GROUP BY l_returnflag
+""", tier=2, section="2.4")
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the VWAP shape.
+    Weights and values are 2-decimal, so both the products and their sums
+    are computed in DECIMAL (exact, order-insensitive); the single final
+    division is the only float op. This is the distributed-safe way to
+    write any weighted mean."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    wsum = F.sum(p * q).cast("double")
+    qsum = F.sum(q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("weighted_sum"),
+        qsum.alias("total_qty"),
+        F.round(wsum / qsum, 6).alias("qty_weighted_price"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -640,6 +640,59 @@ def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_rising_streaks", oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN value > lag(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+               THEN 0 ELSE 1 END AS brk
+    FROM events
+), streaks AS (
+    SELECT user_id, event_id, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS streak_id
+    FROM seq
+), sized AS (
+    SELECT user_id, streak_id, count(*) AS len,
+           min(event_id) AS start_event, max(value) AS peak_value
+    FROM streaks GROUP BY user_id, streak_id
+)
+SELECT user_id, len AS longest_rise, start_event, peak_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY len DESC, streak_id) AS rnk
+    FROM sized
+) WHERE rnk = 1
+""", tier=2, section="2.9")
+def ts_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest monotonically-rising run per user (gaps-and-islands on the
+    comparison direction): lag -> break flag -> running-sum streak ids ->
+    per-streak length -> windowed argmax. Monitoring's 'how long has this
+    metric been climbing' query. All four steps share the ONE user_id
+    shuffle; the argmax runs on streak-level rows."""
+    ev = load(spark, sf_dir, "events")
+    brk = F.when(F.col("value") > F.lag("value").over(_w_user()), 0) \
+           .otherwise(1)
+    w_cum = _w_user().rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+    streaks = ev.select(
+        "user_id", "event_id", "ts", "value", brk.alias("brk"),
+    ).select(
+        "user_id", "event_id", "value",
+        F.sum("brk").over(w_cum).alias("streak_id"),
+    )
+    sized = streaks.groupBy("user_id", "streak_id").agg(
+        F.count("*").alias("len"),
+        F.min("event_id").alias("start_event"),
+        F.max("value").alias("peak_value"),
+    )
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_id")
+    return (sized.withColumn("rnk", F.row_number().over(w_top))
+                 .filter("rnk = 1")
+                 .select("user_id", F.col("len").alias("longest_rise"),
+                         "start_event", "peak_value"))
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
