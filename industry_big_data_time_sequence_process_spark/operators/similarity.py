@@ -304,3 +304,32 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("q_vec_id", "c_vec_id", "cid",
                  F.round("_s", 6).alias("score"), "rnk")
     )
+
+
+@op("sim_label_centroids", oracle="""
+SELECT label, i AS dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid_component,
+       count(*) AS n_vectors
+FROM (
+    SELECT label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+)
+GROUP BY label, i
+""", tier=3, section="2.11")
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the building block of cluster-quality / mislabel auditing (a vector
+    far from its own label's centroid is a labeling suspect) and of real
+    k-means IVF training. posexplode -> (label, dim) mean is a single
+    hash aggregation whose key space (labels x 64 dims) is tiny however
+    many vectors stream through it — map-side partials do the heavy
+    lifting."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+         .groupBy("label", (F.col("pos") + 1).alias("dim"))
+         .agg(F.round(F.avg(F.col("x").cast("double")), 6)
+               .alias("centroid_component"),
+              F.count("*").alias("n_vectors"))
+    )
