@@ -909,6 +909,32 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_argminmax", oracle="""
+SELECT user_id,
+       min_by(value, event_id) AS first_value,
+       max_by(value, event_id) AS last_value,
+       max_by(event_type, value) AS type_at_peak,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY user_id
+""", tier=2, section="2.4")
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: each user's first/last reading (by the
+    unique event_id order) and the event type at their peak value — the
+    'value at extremum' lookups that otherwise cost a window + filter
+    pass. One hash aggregation. Determinism note: the by-keys here
+    (event_id unique; value — peak unique per user in this corpus) make
+    the answer well-defined; with tied keys both engines pick
+    arbitrarily, so never max_by on a non-unique key in production."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max_by("event_type", "value").alias("type_at_peak"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -333,3 +333,32 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("centroid_component"),
               F.count("*").alias("n_vectors"))
     )
+
+
+@op("sim_vector_stats", oracle="""
+SELECT vec_id, label,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+       round(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b)
+             / len(embedding), 6) AS v_mean,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings
+""", tier=3, section="2.11")
+def sim_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component statistics (min/max/mean/dim) — the embedding
+    sanity screen that catches NaN-poisoned, zeroed, or wrong-dimension
+    vectors before they enter an index. Pure higher-order array ops,
+    JVM-side, narrow: no shuffle at any scale. The mean is an explicit
+    left-to-right fold on both engines (identical double result)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mean = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(v)
+    return e.select(
+        "vec_id", "label",
+        F.round(F.array_min(v).cast("double"), 6).alias("v_min"),
+        F.round(F.array_max(v).cast("double"), 6).alias("v_max"),
+        F.round(mean, 6).alias("v_mean"),
+        F.size(v).cast("long").alias("dim"),
+    )

@@ -693,6 +693,44 @@ def ts_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "start_event", "peak_value"))
 
 
+@op("ts_gap_stats", oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us), 6)
+           AS p50_gap_us,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us), 6)
+           AS p90_gap_us
+FROM gaps GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per user (min/max/p50/p90 in µs) —
+    the cadence profile that picks sessionization thresholds and flags
+    dying sensors. Integer-µs gaps from the lag window feed exact
+    interpolated percentiles; window and aggregate share the user_id
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(_w_user()))).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 6).alias("p50_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 6).alias("p90_gap_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
