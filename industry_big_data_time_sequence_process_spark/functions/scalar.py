@@ -364,3 +364,29 @@ def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(ny).cast("int").alias("ny_hour"),
         F.hour(ny).between(9, 16).alias("ny_business_hours"),
     )
+
+
+@op("str_format_printf", oracle="""
+SELECT o_orderkey,
+       printf('ORD-%08d', o_orderkey) AS order_code,
+       printf('%s/%s', o_orderstatus, o_orderpriority) AS status_key,
+       printf('%.2f', o_totalprice) AS price_str,
+       printf('0x%08x', o_orderkey) AS hex_code
+FROM orders WHERE o_orderkey < 1000
+""", tier=2, section="2.8")
+def str_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (zero-padded ids, composed keys, fixed
+    decimals, percent strings) — the report/export surface. Spark
+    ``format_string`` and DuckDB ``printf`` are both C-style, so the
+    rendered strings agree byte-for-byte."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%08d", "o_orderkey").alias("order_code"),
+        F.format_string("%s/%s", "o_orderstatus", "o_orderpriority")
+         .alias("status_key"),
+        F.format_string("%.2f", "o_totalprice").alias("price_str"),
+        # no %f of computed ratios here: Java formats ties HALF_UP, C
+        # printf half-even, so '%.1f' of an exact .x5 diverges
+        F.format_string("0x%08x", "o_orderkey").alias("hex_code"),
+    )

@@ -552,6 +552,35 @@ def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("join_null_safe_keys", oracle="""
+WITH c AS (SELECT c_custkey, nullif(c_nationkey, 0) AS nk, c_acctbal
+           FROM customer),
+     s AS (SELECT s_suppkey, nullif(s_nationkey, 0) AS nk, s_acctbal
+           FROM supplier)
+SELECT c.c_custkey, s.s_suppkey, c.nk AS nation_or_null,
+       c.c_acctbal, s.s_acctbal
+FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+WHERE c.c_custkey < 100
+""", tier=2, section="2.3")
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join keys (``<=>`` / IS NOT DISTINCT FROM): nation 0 is
+    nulled on both sides, and unlike a plain equi-join — which silently
+    DROPS null-keyed rows — the null-safe comparison matches them to each
+    other. The dirty-dimension-key corner every warehouse hits; Spark
+    still executes it as a hash join (null-safe equality is hashable)."""
+    c = (load(spark, sf_dir, "customer")
+         .select("c_custkey", F.nullif("c_nationkey", F.lit(0)).alias("nk"),
+                 "c_acctbal")
+         .filter(F.col("c_custkey") < 100))
+    s = (load(spark, sf_dir, "supplier")
+         .select("s_suppkey",
+                 F.nullif("s_nationkey", F.lit(0)).alias("nk2"), "s_acctbal"))
+    return c.join(s, c["nk"].eqNullSafe(s["nk2"])).select(
+        "c_custkey", "s_suppkey", F.col("nk").alias("nation_or_null"),
+        "c_acctbal", "s_acctbal",
+    )
+
+
 @op("join_cross_topk", oracle="""
 SELECT c_custkey, s_suppkey, score, rnk FROM (
     SELECT c.c_custkey, s.s_suppkey,
