@@ -964,6 +964,31 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_mean_family", oracle="""
+SELECT event_type,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS arith_mean,
+       round(exp(avg(ln(value))), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / value), 6) AS harm_mean
+FROM events GROUP BY event_type
+""", tier=2, section="2.4")
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per event_type: arithmetic (decimal-
+    exact sum / count), geometric (exp∘avg∘ln — the right average for
+    multiplicative/right-skewed data like this corpus's values), harmonic
+    (n / Σ1/x — the right average for rates). All reduce to sums, so all
+    get map-side partials; ln/exp on identical doubles are identical, and
+    the 6-decimal round absorbs summation-order ulp."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(v.cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6).alias("arith_mean"),
+        F.round(F.exp(F.avg(F.log(v))), 6).alias("geo_mean"),
+        F.round(F.count("*") / F.sum(F.lit(1.0) / v), 6).alias("harm_mean"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

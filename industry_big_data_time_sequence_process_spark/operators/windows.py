@@ -267,3 +267,31 @@ def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w)
          .cast("double").alias("sum_similar"),
     )
+
+
+@op("win_pct_of_total", oracle="""
+SELECT event_id, user_id, event_type, value,
+       round(value / CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id) AS DOUBLE), 6) AS pct_of_user,
+       round(value / CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY event_type) AS DOUBLE), 6)
+           AS pct_of_type
+FROM events
+""", tier=2, section="2.5")
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows: each event's share of its user's and its
+    type's total value — the contribution/market-share shape of every BI
+    layer. Frameless partition totals (one value per partition, computed
+    once, broadcast to the partition's rows); DECIMAL-exact denominators
+    so the ratio is a single identical float division on both engines."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    tot_user = F.sum(v.cast("decimal(18,2)")) \
+                .over(Window.partitionBy("user_id")).cast("double")
+    tot_type = F.sum(v.cast("decimal(18,2)")) \
+                .over(Window.partitionBy("event_type")).cast("double")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.round(v / tot_user, 6).alias("pct_of_user"),
+        F.round(v / tot_type, 6).alias("pct_of_type"),
+    )
