@@ -231,3 +231,64 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & F.col("qty").isNull(), 1)).alias("n_null_qty"),
         F.sum("id").alias("id_checksum"),
     )
+
+
+@op("sql_frontend", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY o_orderpriority
+""", tier=1, section="2.1")
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: register the tables as temp views and run the
+    query as a SQL STRING through ``spark.sql`` — the surface a SQL-first
+    user of the engine actually types. Same Catalyst plan as the
+    DataFrame form (views are lazy; no materialization), proven by the
+    oracle running the identical text in DuckDB."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderpriority
+    """)
+
+
+@op("scan_json_nested", oracle="""
+SELECT o_orderstatus AS status,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       max(o_orderkey) AS max_key
+FROM orders GROUP BY 1
+""", tier=2, section="2.1")
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON round trip: serialize each order as a two-level
+    document ({id, meta:{status, price}}), write JSONL, re-read with an
+    explicit nested schema, and aggregate on fields extracted by dotted
+    paths. Proves struct-typed ingestion end to end (the flat `props`
+    column only exercises scalar JSON); checked against the original
+    table."""
+    path = _scratch("scan_json_nested")
+    o = load(spark, sf_dir, "orders")
+    nested = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "id BIGINT, meta STRUCT<status: STRING, price: DOUBLE>"
+    ).json(path)
+    return back.groupBy(F.col("meta.status").alias("status")).agg(
+        F.count("*").alias("n"),
+        exact_sum("meta.price").alias("sum_price"),
+        F.max("id").alias("max_key"),
+    )
