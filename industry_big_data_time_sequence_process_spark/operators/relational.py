@@ -989,6 +989,30 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_distinct_multi", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+       count(DISTINCT user_id) AS dau,
+       count(DISTINCT event_type) AS n_types,
+       count(DISTINCT user_id || ':' || event_type) AS user_type_pairs,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""", tier=2, section="2.4")
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE exact count-distincts with different keys in one
+    aggregation (DAU + type cardinality + pair cardinality per day).
+    Catalyst compiles this to a single Expand-based plan (each row
+    replicated once per distinct column set) rather than three separate
+    scans+joins — the one-pass multi-cardinality report at any scale."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(
+            F.concat_ws(":", "user_id", "event_type")).alias("user_type_pairs"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -731,6 +731,33 @@ def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_time_since_event", oracle="""
+SELECT event_id, user_id, ts, event_type,
+       epoch_us(ts) - epoch_us(last_value(
+           CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS us_since_error
+FROM events
+""", tier=2, section="2.9")
+def ts_time_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Time since last incident': for every event, µs elapsed since the
+    user's most recent 'error' (NULL before the first one) — the
+    conditional carry-forward that powers uptime clocks and recency
+    features. One ignore-nulls last() over the same cumulative user
+    window every other per-user op shares."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")),
+        ignorenulls=True).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.unix_micros("ts") - F.unix_micros(last_err))
+        .alias("us_since_error"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
