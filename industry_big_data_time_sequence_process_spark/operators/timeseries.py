@@ -758,6 +758,44 @@ def ts_time_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_rolling_wau", oracle="""
+WITH active AS (   -- one row per (user, active day)
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+    FROM events
+), contrib AS (    -- each active day counts toward 7 trailing windows
+    SELECT user_id, d + INTERVAL (g.k) DAY AS window_day
+    FROM active, generate_series(0, 6) g(k)
+), days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+            FROM events)
+SELECT c.window_day, count(DISTINCT c.user_id) AS wau
+FROM contrib c JOIN days ON days.d = c.window_day
+GROUP BY c.window_day
+""", tier=2, section="2.9")
+def ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the growth metric.
+    count(DISTINCT) can't run over a sliding window frame in either
+    engine, so the standard decomposition: dedup to (user, active-day),
+    EXPLODE each active day into the 7 window-days it contributes to
+    (bounded x7 fan-out of the already-day-deduped set, not of raw
+    events), then one distinct-count per window day. Restricted to days
+    that exist in the data so the edges are well-defined."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("d"), F.expr("d + INTERVAL 6 DAYS"),
+            F.expr("interval 1 day"))).alias("window_day"),
+    )
+    days = ev.select(F.date_trunc("day", "ts").alias("window_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "window_day")
+               .groupBy("window_day")
+               .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
