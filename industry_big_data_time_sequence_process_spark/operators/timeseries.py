@@ -796,6 +796,71 @@ def ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_pct_change_daily", oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           count(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s
+    FROM events GROUP BY 1
+)
+SELECT d, n,
+       CAST(s AS DOUBLE) AS total_value,
+       n - lag(n) OVER (ORDER BY d) AS dod_count_change,
+       round((CAST(s AS DOUBLE) - CAST(lag(s) OVER (ORDER BY d) AS DOUBLE))
+             / CAST(lag(s) OVER (ORDER BY d) AS DOUBLE), 6)
+           AS dod_value_pct
+FROM daily
+""", tier=2, section="2.9")
+def ts_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change of corpus totals (count delta, value % change)
+    — the topline trend tile. The lag runs on the ~days-sized daily
+    aggregate, not on facts; the % ratio divides two decimal-exact sums,
+    one identical float division per row."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    w = Window.orderBy("d")
+    prev_s = F.lag("s").over(w).cast("double")
+    return daily.select(
+        "d", "n",
+        F.col("s").cast("double").alias("total_value"),
+        (F.col("n") - F.lag("n").over(w)).alias("dod_count_change"),
+        F.round((F.col("s").cast("double") - prev_s) / prev_s, 6)
+         .alias("dod_value_pct"),
+    )
+
+
+@op("ts_lag_features", oracle="""
+SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS lag1,
+       lag(value, 2) OVER w AS lag2,
+       lag(value, 3) OVER w AS lag3,
+       lead(value, 1) OVER w AS lead1,
+       round(value - (lag(value, 1) OVER w + lag(value, 2) OVER w
+                      + lag(value, 3) OVER w) / 3.0, 6) AS delta_vs_lag3avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""", tier=2, section="2.9")
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon lag/lead feature block (lag 1-3, lead 1, deviation
+    from the 3-lag mean) — the standard supervised-forecasting feature
+    matrix, emitted in ONE window pass: all five expressions share the
+    same (user, time) sort, so Spark evaluates them over a single
+    exchange+sort."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    l1, l2, l3 = (F.lag("value", k).over(w) for k in (1, 2, 3))
+    return ev.select(
+        "event_id", "user_id", "value",
+        l1.alias("lag1"), l2.alias("lag2"), l3.alias("lag3"),
+        F.lead("value", 1).over(w).alias("lead1"),
+        F.round(F.col("value") - (l1 + l2 + l3) / 3.0, 6)
+         .alias("delta_vs_lag3avg"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
