@@ -1013,6 +1013,49 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_profile_wide", oracle="""
+SELECT count(*) AS n_rows,
+       min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS qty_mean,
+       round(stddev_samp(l_quantity), 6) AS qty_std,
+       min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS price_mean,
+       round(stddev_samp(l_extendedprice), 6) AS price_std,
+       min(l_discount) AS disc_min, max(l_discount) AS disc_max,
+       count(DISTINCT l_returnflag) AS flag_card
+FROM lineitem
+""", tier=2, section="2.4")
+def agg_profile_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profile (the ``describe()`` shape): min/max/
+    mean/std for three measures plus a categorical cardinality, in a
+    single aggregation over a single scan — the schema-profiling pass a
+    100 TB onboarding job runs first. Means are exact-sum ratios; stds
+    round at 6 (variance accumulators drift in the last ulp)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def mean_of(c: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+            / F.count("*"), 6)
+
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        mean_of("l_quantity").alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        mean_of("l_extendedprice").alias("price_mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_std"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+        F.countDistinct("l_returnflag").alias("flag_card"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,

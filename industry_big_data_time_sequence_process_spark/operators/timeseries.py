@@ -861,6 +861,30 @@ def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_hour_of_week_grid", oracle="""
+SELECT dayofweek(ts) + 1 AS dow,    -- DuckDB Sun=0 -> Spark Sun=1
+       CAST(hour(ts) AS INT) AS hod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""", tier=2, section="2.9")
+def ts_hour_of_week_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week occupancy grid (7x24 heatmap of activity) — the
+    capacity-planning / when-are-users-here view. One hash aggregation to
+    a fixed 168-cell result regardless of input size; the dow numbering
+    divergence (Spark Sun=1, DuckDB Sun=0) is normalized in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _exact_sum("value").alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
