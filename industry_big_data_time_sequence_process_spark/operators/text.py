@@ -634,3 +634,39 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(email_re)).cast("long").alias("n_emails"),
         F.regexp_count(raw, F.lit(phone_re)).cast("long").alias("n_phones"),
     )
+
+
+@op("text_cooccurrence", oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), pairs AS (
+    SELECT a.t AS t1, b.t AS t2, count(*) AS n_docs
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2
+)
+SELECT t1, t2, n_docs, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY n_docs DESC, t1, t2) AS rnk
+    FROM pairs
+) WHERE rnk <= 50
+""", tier=3, section="2.11")
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token co-occurrence pairs (documents sharing both tokens) —
+    the raw material of PMI collocation scores and co-occurrence
+    embeddings. Tokens are doc-deduped FIRST, so the per-doc pair
+    fan-out is (distinct tokens)² over a small analytics vocabulary, not
+    (token occurrences)²; the pair aggregation gets map-side partials
+    and the top-k is a tiny ordered head."""
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d).distinct()
+    a = tok.select("doc_id", F.col("token").alias("t1"))
+    b = tok.select(F.col("doc_id").alias("doc2"),
+                   F.col("token").alias("t2"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc2"))
+               & (F.col("t1") < F.col("t2")))
+         .groupBy("t1", "t2").agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), "t1", "t2")
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+                 .filter("rnk <= 50"))

@@ -885,6 +885,39 @@ def ts_hour_of_week_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_active_span", oracle="""
+SELECT user_id,
+       min(ts) AS first_seen, max(ts) AS last_seen,
+       count(*) AS n_events,
+       count(DISTINCT date_trunc('day', ts)) AS active_days,
+       CAST(date_diff('day', date_trunc('day', min(ts)),
+                      date_trunc('day', max(ts))) + 1 AS BIGINT)
+           AS span_days,
+       round(CAST(count(DISTINCT date_trunc('day', ts)) AS DOUBLE)
+             / (date_diff('day', date_trunc('day', min(ts)),
+                          date_trunc('day', max(ts))) + 1), 6)
+           AS activity_density
+FROM events GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary: first/last seen, event count, distinct
+    active days, calendar span, and density (active/span) — the user-level
+    features churn models start from. One aggregation on the entity key."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    span = (F.datediff(F.date_trunc("day", F.max("ts")),
+                       F.date_trunc("day", F.min("ts"))) + 1).cast("long")
+    active = F.countDistinct(day)
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_events"),
+        active.alias("active_days"),
+        span.alias("span_days"),
+        F.round(active.cast("double") / span, 6).alias("activity_density"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
