@@ -670,3 +670,66 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("n_docs").desc(), "t1", "t2")
     return (pairs.withColumn("rnk", F.row_number().over(w))
                  .filter("rnk <= 50"))
+
+
+@op("text_pmi_collocations", oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+pairs AS (
+    SELECT a.t AS t1, b.t AS t2, count(*) AS n_both
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2
+)
+SELECT t1, t2, n_both, pmi, rnk FROM (
+    SELECT t1, t2, n_both,
+           round(ln((CAST(n_both AS DOUBLE) * n.n_docs)
+                    / (CAST(d1.df AS DOUBLE) * d2.df)), 6) AS pmi,
+           row_number() OVER (
+               ORDER BY ln((CAST(n_both AS DOUBLE) * n.n_docs)
+                           / (CAST(d1.df AS DOUBLE) * d2.df)) DESC,
+                        t1, t2) AS rnk
+    FROM pairs
+    JOIN df d1 ON d1.t = t1
+    JOIN df d2 ON d2.t = t2
+    CROSS JOIN n
+    WHERE n_both >= 5
+) WHERE rnk <= 50
+""", tier=3, section="2.11")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocations: token pairs that
+    co-occur in documents more than their independent frequencies
+    predict — top-50 by PMI = ln(P(a,b)/P(a)P(b)) at support >= 5, the
+    statistical phrase detector behind multi-word tokenizer entries.
+    (This uniform synthetic corpus has near-zero PMI everywhere; ranking
+    rather than thresholding keeps the op's output meaningful.)
+    Doc-frequency table and the scalar doc count are broadcast back onto
+    the pair counts; identical ln on identical ratios both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d).distinct()
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = tok.groupBy(F.col("token").alias("t")).agg(F.count("*").alias("df"))
+    a = tok.select("doc_id", F.col("token").alias("t1"))
+    b = tok.select(F.col("doc_id").alias("doc2"), F.col("token").alias("t2"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc2"))
+               & (F.col("t1") < F.col("t2")))
+         .groupBy("t1", "t2").agg(F.count("*").alias("n_both"))
+    )
+    d1 = df.select(F.col("t").alias("t1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("t").alias("t2"), F.col("df").alias("df2"))
+    pmi = F.log((F.col("n_both").cast("double") * F.col("n_docs"))
+                / (F.col("df1").cast("double") * F.col("df2")))
+    w = Window.orderBy(F.col("_pmi").desc(), "t1", "t2")
+    return (
+        pairs.join(F.broadcast(d1), "t1").join(F.broadcast(d2), "t2")
+             .crossJoin(F.broadcast(n_docs))
+             .filter(F.col("n_both") >= 5)
+             .withColumn("_pmi", pmi)
+             .withColumn("rnk", F.row_number().over(w))
+             .filter("rnk <= 50")
+             .select("t1", "t2", "n_both",
+                     F.round("_pmi", 6).alias("pmi"), "rnk")
+    )
