@@ -733,3 +733,65 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("t1", "t2", "n_both",
                      F.round("_pmi", 6).alias("pmi"), "rnk")
     )
+
+
+@op("dedup_select_representative", oracle=f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc1, doc2 FROM common
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
+), edges AS (
+    SELECT doc1 AS a, doc2 AS b FROM pairs
+    UNION SELECT doc2, doc1 FROM pairs
+), cc AS (
+    SELECT DISTINCT a AS node, a AS lbl FROM edges
+    UNION
+    SELECT e.b, cc.lbl FROM cc JOIN edges e
+      ON cc.node = e.a AND cc.lbl < e.b
+), clusters AS (
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node
+), labeled AS (   -- singletons form their own cluster
+    SELECT d.doc_id, d.n_chars,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_chars,
+       (rnk = 1) AS keep,
+       cluster_size
+FROM (
+    SELECT *, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rnk,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+)
+""", tier=3, section="2.11")
+def dedup_select_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL answer: every document labeled with its
+    near-dup cluster (connected components; untouched docs are singleton
+    clusters) and a keep/drop verdict — keep the longest doc per cluster
+    (ties to min doc_id). This is the row a corpus-curation job writes
+    back out; composing `dedup_cluster_cc`'s labels with the corpus is
+    one broadcast join (the cluster table is pairs-sized, tiny) plus a
+    per-cluster argmax window."""
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id", "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id", "cluster_id", "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
