@@ -1312,3 +1312,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.exceptAll(o).distinct()
+
+
+@op("set_symmetric_diff", oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '2-HIGH')
+SELECT o_custkey, 'urgent_only' AS side FROM (
+    SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT o_custkey, 'high_only' AS side FROM (
+    SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+""", tier=2, section="2.7")
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: customers who placed urgent
+    but never high-priority orders, and vice versa — the audience-overlap
+    comparison, as two EXCEPTs unioned with a side tag."""
+    o = load(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+          .select("o_custkey").distinct())
+    b = (o.filter(F.col("o_orderpriority") == "2-HIGH")
+          .select("o_custkey").distinct())
+    return (
+        a.exceptAll(b).withColumn("side", F.lit("urgent_only"))
+         .unionByName(b.exceptAll(a).withColumn("side", F.lit("high_only")))
+    )
+
+
+@op("agg_topn_array", oracle="""
+SELECT user_id,
+       (list_sort(list(value), 'DESC'))[1:3] AS top3_values,
+       CAST(len(list(value)) AS INT) AS n_values
+FROM events GROUP BY user_id
+""", tier=2, section="2.4")
+def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 values per group AS AN ARRAY column — the compact leaderboard
+    a feature store keeps per entity, without a second window pass:
+    collect -> sort desc -> slice, all JVM array kernels after the one
+    grouping shuffle. (Deterministic because the sort is on the values
+    themselves.)"""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_list("value"), asc=False),
+                1, 3).alias("top3_values"),
+        F.size(F.collect_list("value")).alias("n_values"),
+    )

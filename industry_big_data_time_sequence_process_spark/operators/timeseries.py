@@ -918,6 +918,53 @@ def ts_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ts_step_regrid", oracle="""
+WITH bounds AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+               AS grid_ts
+    FROM bounds
+), obs AS (   -- last observation per (user, exact ts); dedup by event_id
+    SELECT user_id, ts, max_by(value, event_id) AS value
+    FROM events GROUP BY user_id, ts
+)
+SELECT g.user_id, g.grid_ts, o.value AS value_locf, o.ts AS obs_ts
+FROM grid g
+ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+""", tier=2, section="2.9")
+def ts_step_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function (LOCF) regridding: sample each user's signal onto a
+    regular hourly grid carrying the last observation forward — the
+    pure-SQL regularizer next to the pandas-based linear
+    ``ts_interpolate_linear``, and value-verifiable because LOCF needs no
+    float interpolation. Composition of two existing engine pieces: the
+    bounds->explode grid (ts_calendar_gaps) as-of joined backward to the
+    observations (api.asof_join_backward) — one user-keyed shuffle, no
+    range explosion, vs DuckDB's native ASOF as the oracle."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+         .alias("grid_ts"),
+    )
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value"))
+    return api.asof_join_backward(
+        grid, obs, key="user_id", left_ts="grid_ts", right_ts="ts",
+        value_cols=["value"],
+    ).select("user_id", "grid_ts",
+             F.col("value").alias("value_locf"),
+             F.col("ts").alias("obs_ts"))
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
