@@ -1358,3 +1358,74 @@ def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1, 3).alias("top3_values"),
         F.size(F.collect_list("value")).alias("n_values"),
     )
+
+
+@op("join_asof_tolerance", oracle="""
+WITH od AS (
+    SELECT o_custkey, o_orderdate,
+           max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+), matched AS (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(o_orderdate)
+                 <= 30 * 86400000000 THEN o_orderkey END AS o_orderkey,
+       CASE WHEN epoch_us(ts) - epoch_us(o_orderdate)
+                 <= 30 * 86400000000 THEN o_orderdate END AS o_orderdate
+FROM matched
+""", tier=2, section="2.3")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: the latest prior order counts only if
+    it is at most 30 days old — the staleness bound every real as-of has
+    (a quote from last month must not price today's trade). Same
+    single-shuffle union+window core; matches older than the tolerance
+    are nulled, keeping every left row (pandas ``merge_asof(tolerance=)``
+    semantics)."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    od = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max("o_orderkey").alias("o_orderkey"))
+           .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                   "o_orderkey"))
+    matched = api.asof_join_backward(
+        ev.select("event_id", "user_id", "ts"), od,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    fresh = (F.unix_micros("ts") - F.unix_micros("o_orderdate")
+             <= 30 * 86_400_000_000)
+    return matched.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(fresh, F.col("o_orderdate")).alias("o_orderdate"),
+    )
+
+
+@op("agg_rollup_grouping_id", oracle="""
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN NULL
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN NULL
+            ELSE o_orderpriority END AS o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""", tier=2, section="2.4")
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING_ID provenance: the bitmask that tells a
+    report row apart from a genuine NULL group — 0 = detail,
+    1 = per-status subtotal, 3 = grand total. Without it, subtotal rows
+    are indistinguishable from NULL-valued data in any nullable
+    dimension."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("sum_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
