@@ -1429,3 +1429,35 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
          .cast("double").alias("sum_price"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+
+
+@op("agg_entropy", oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT user_id, sum(c) AS n FROM counts GROUP BY 1
+)
+SELECT c.user_id,
+       round(-sum((CAST(c.c AS DOUBLE) / t.n)
+                  * ln(CAST(c.c AS DOUBLE) / t.n)), 6) AS type_entropy,
+       count(*) AS n_types
+FROM counts c JOIN tot t USING (user_id)
+GROUP BY c.user_id
+""", tier=2, section="2.4")
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (nats) —
+    the behavioral-diversity feature (bots look low-entropy, organic
+    users high). Two aggregations sharing the user_id key; p·ln p on
+    identical count ratios is identical on both engines, summed over at
+    most 5 terms."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(tot, "user_id")
+              .groupBy("user_id")
+              .agg(F.round(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+                   F.count("*").alias("n_types"))
+    )

@@ -188,3 +188,53 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         snippet("props").alias("k_snippet"),
         F.length("props").alias("props_len"),
     )
+
+
+@op("udaf_pandas_trimmed_mean", oracle="""
+WITH ranked AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+               AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT user_id,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS trimmed_mean,
+       count(*) AS n_kept
+FROM ranked
+WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
+  AND rn <= n - CAST(floor(0.1 * n) AS BIGINT)
+GROUP BY user_id
+""", tier=2, section="2.12")
+def udaf_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-AGG pandas UDF (the scalar-per-group UDAF flavor): 10%
+    trimmed mean of value per user — the outlier-proof average. The UDF
+    receives each group's values as one pandas Series (Arrow-batched);
+    the oracle reproduces the trim with rank arithmetic. Note the UDF
+    sorts by value only — the trim set is value-determined, so the
+    event_id tiebreak in the oracle's ORDER BY changes which *row* ranks
+    where but never which *values* survive."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values()
+        k = int(len(s) // 10)
+        kept = s.iloc[k: len(s) - k] if k else s
+        # exact integer-cents sum (values are 2-decimal), then the same
+        # two divisions the oracle's DECIMAL->DOUBLE/count path performs:
+        # float means drift with summation order; integers don't
+        cents = int((kept * 100).round().astype("int64").sum())
+        return cents / 100.0 / float(len(kept))
+
+    @pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        k = int(len(v) // 10)
+        return int(len(v) - 2 * k)
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean"),
+        trimmed_count("value").alias("n_kept"),
+    )
