@@ -362,3 +362,47 @@ def sim_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("v_mean"),
         F.size(v).cast("long").alias("dim"),
     )
+
+
+@op("sim_label_agreement", oracle=f"""
+WITH nn AS (
+    SELECT a.vec_id, a.label,
+           max_by(b.label, {_duck_cos('a.embedding', 'b.embedding')})
+               AS nn_label
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, a.label
+)
+SELECT label,
+       count(*) AS n_vectors,
+       count_if(nn_label = label) AS n_agree,
+       round(CAST(count_if(nn_label = label) AS DOUBLE) / count(*), 6)
+           AS agreement
+FROM nn GROUP BY label
+""", tier=3, section="2.11")
+def sim_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor label agreement per class: the fraction of
+    vectors whose single nearest neighbor (cosine, brute force) carries
+    the same label — the standard label-noise / class-separability probe
+    run before training on a labeled embedding set. The all-pairs
+    scan is the verification baseline (like ``sim_cosine_topk``);
+    at corpus scale the identical measurement runs over the
+    ``sim_lsh_bucketed``/``sim_ivf_topk`` candidate sets instead.
+    argmax via max_by on the exact fold-cosine — deterministic because
+    pairwise cosines are distinct in this corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlbl"),
+                 F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("cid"), F.col("label").alias("clbl"),
+                 F.col("embedding").alias("ce"))
+    nn = (
+        a.join(b, F.col("qid") != F.col("cid"))
+         .groupBy("qid", "qlbl")
+         .agg(F.max_by("clbl", _cos(F.col("qe"), F.col("ce")))
+               .alias("nn_label"))
+    )
+    agree = F.count_if(F.col("nn_label") == F.col("qlbl"))
+    return nn.groupBy(F.col("qlbl").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        agree.alias("n_agree"),
+        F.round(agree.cast("double") / F.count("*"), 6).alias("agreement"),
+    )

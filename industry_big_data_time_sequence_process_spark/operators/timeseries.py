@@ -965,6 +965,41 @@ def ts_step_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("ts").alias("obs_ts"))
 
 
+@op("ts_peak_detect", oracle="""
+WITH ctx AS (
+    SELECT user_id, event_id, ts, value,
+           lag(value)  OVER w AS prev_v,
+           lead(value) OVER w AS next_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, value
+FROM ctx
+WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+  AND value > prev_v AND value > next_v
+  AND value > 100
+""", tier=2, section="2.9")
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection: points strictly above both
+    neighbors and above an absolute floor (100) — the spike picker
+    behind alerting and waveform feature extraction. lag+lead share one
+    user-ordered window pass; interior points only (endpoints have no
+    two-sided evidence)."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    ctx = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return ctx.filter(
+        F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+        & (F.col("value") > F.col("prev_v"))
+        & (F.col("value") > F.col("next_v"))
+        & (F.col("value") > 100)
+    ).select("user_id", "event_id", "ts", "value")
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
