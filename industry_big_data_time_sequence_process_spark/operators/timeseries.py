@@ -1000,6 +1000,49 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value")
 
 
+@op("ts_daily_streaks", oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+    FROM events
+), grouped AS (  -- rn-difference trick: consecutive days share an anchor
+    SELECT user_id, d,
+           d - INTERVAL (row_number() OVER
+               (PARTITION BY user_id ORDER BY d)) DAY AS anchor
+    FROM days
+), streaks AS (
+    SELECT user_id, anchor, count(*) AS len, min(d) AS streak_start
+    FROM grouped GROUP BY user_id, anchor
+)
+SELECT user_id, len AS longest_streak_days, streak_start FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY len DESC, streak_start) AS rnk
+    FROM streaks
+) WHERE rnk = 1
+""", tier=2, section="2.9")
+def ts_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the engagement
+    streak metric. The rn-difference idiom: subtracting each active
+    day's per-user rank (as days) collapses every consecutive run to a
+    common anchor date, so streaks fall out of a plain groupBy — no
+    iteration, one user-keyed sort shared by rank and argmax."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "d",
+        (F.col("d") - F.col("rn") * F.expr("INTERVAL 1 DAY")).alias("anchor"),
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start"))
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start")
+    return (streaks.withColumn("rnk", F.row_number().over(w_top))
+                   .filter("rnk = 1")
+                   .select("user_id", F.col("len").alias("longest_streak_days"),
+                           "streak_start"))
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
