@@ -1043,6 +1043,40 @@ def ts_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "streak_start"))
 
 
+@op("ts_winsorize", oracle="""
+WITH bounds AS (
+    SELECT event_type,
+           percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 6) AS value_winsorized,
+       (e.value < b.lo OR e.value > b.hi) AS clamped
+FROM events e JOIN bounds b USING (event_type)
+""", tier=2, section="2.9")
+def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each value into its event type's [p5, p95]
+    band — the tail-taming preprocessing that keeps one sensor glitch
+    from dominating a trained model, preserving row count (unlike a
+    filter). Tiny per-type exact-percentile bounds broadcast onto the
+    fact stream; facts never shuffle."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id", "event_type", "value",
+        F.round(F.least(F.greatest("value", "lo"), F.col("hi")), 6)
+         .alias("value_winsorized"),
+        clamped.alias("clamped"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
