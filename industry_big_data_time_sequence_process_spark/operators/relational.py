@@ -1056,6 +1056,54 @@ def agg_profile_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_chi2_independence", oracle="""
+WITH obs AS (
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, event_type,
+           CAST(count(*) AS DOUBLE) AS o
+    FROM events GROUP BY 1, 2
+), margins AS (
+    SELECT o.*,
+           sum(o.o) OVER (PARTITION BY o.dow) AS row_tot,
+           sum(o.o) OVER (PARTITION BY o.event_type) AS col_tot,
+           sum(o.o) OVER () AS n
+    FROM obs o
+)
+SELECT round(sum(pow(o - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)), 6) AS chi2,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT dow) - 1)
+            * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof
+FROM margins
+""", tier=3, section="2.4")
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between day-of-week and event
+    type — the drift/association screen for categorical pairs (is the
+    traffic mix shifting by weekday?). Contingency counts via one
+    aggregation; margins via frameless windows over the tiny 7x5 cell
+    table; the statistic is a sum over cells, nowhere near the fact
+    stream."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"), "event_type"
+    ).agg(F.count("*").cast("double").alias("o"))
+    margins = obs.select(
+        "dow", "event_type", "o",
+        F.sum("o").over(Window.partitionBy("dow")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+        F.count("*").cast("long").alias("n_cells"),
+        ((F.countDistinct("dow") - 1)
+         * (F.countDistinct("event_type") - 1)).cast("long").alias("dof"),
+    )
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,
