@@ -1104,6 +1104,45 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_gini", oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       round(2.0 * sum(i * CAST(value AS DECIMAL(18,2)))
+             / (n * sum(CAST(value AS DECIMAL(18,2))))
+             - (n + 1.0) / n, 6) AS gini,
+       CAST(max(n) AS BIGINT) AS n
+FROM ranked GROUP BY event_type, n
+""", tier=3, section="2.4")
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — the
+    concentration metric ('do a few events carry most of the value?')
+    that flags whale-dominated segments. Rank-formula form
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over value-sorted rows: one
+    partition sort shared by rank and count, DECIMAL-exact weighted sums
+    (i·xᵢ is a 2-decimal times an integer), single float division."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wc).alias("n"),
+    )
+    gini = (2.0 * F.sum(F.col("i") * F.col("v"))
+            / (F.col("n") * F.sum("v")) - (F.col("n") + 1.0) / F.col("n"))
+    return ranked.groupBy("event_type", "n").agg(
+        F.round(gini, 6).alias("gini"),
+        F.max("n").cast("long").alias("n2"),
+    ).select("event_type", "gini", F.col("n2").alias("n"))
+
+
 @op("agg_skew_salted", oracle="""
 SELECT event_type,
        count(*) AS n,
