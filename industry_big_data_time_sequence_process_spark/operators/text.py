@@ -795,3 +795,51 @@ def dedup_select_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("keep"),
         F.count("*").over(wc).alias("cluster_size"),
     )
+
+
+@op("text_source_similarity", oracle="""
+WITH vocab AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), sizes AS (
+    SELECT source, count(*) AS n FROM vocab GROUP BY 1
+), common AS (
+    SELECT a.source AS src1, b.source AS src2, count(*) AS c
+    FROM vocab a JOIN vocab b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src1, src2,
+       round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS vocab_jaccard,
+       c AS shared_tokens
+FROM common
+JOIN sizes s1 ON s1.source = src1
+JOIN sizes s2 ON s2.source = src2
+""", tier=3, section="2.11")
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary Jaccard: how much do two sources' token
+    sets overlap — the corpus-curation view that finds mirror sites and
+    template farms at the SOURCE level before any per-document work.
+    Same inverted-index join discipline as the document dedup ops, but
+    the join key space is (vocab x sources): tiny, and the output is
+    source-pairs (190 rows at 20 sources) however big the corpus."""
+    d = load(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("src1"), "t")
+    b = vocab.select(F.col("source").alias("src2"),
+                     F.col("t").alias("t2"))
+    common = (
+        a.join(b, (F.col("t") == F.col("t2"))
+               & (F.col("src1") < F.col("src2")))
+         .groupBy("src1", "src2").agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("source").alias("src1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("src2"), F.col("n").alias("n2"))
+    jac = (F.col("c").cast("double")
+           / (F.col("n1") + F.col("n2") - F.col("c")))
+    return (
+        common.join(F.broadcast(s1), "src1").join(F.broadcast(s2), "src2")
+              .select("src1", "src2", F.round(jac, 6).alias("vocab_jaccard"),
+                      F.col("c").alias("shared_tokens"))
+    )
