@@ -843,3 +843,46 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("src1", "src2", F.round(jac, 6).alias("vocab_jaccard"),
                       F.col("c").alias("shared_tokens"))
     )
+
+
+@op("text_vocab_growth", oracle="""
+WITH firsts AS (   -- each token's first appearance in doc_id order
+    SELECT min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents)
+    GROUP BY t
+), new_per_doc AS (
+    SELECT first_doc AS doc_id, count(*) AS new_tokens FROM firsts GROUP BY 1
+), tokens_per_doc AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT t.doc_id,
+       sum(t.n_tokens) OVER w AS corpus_tokens,
+       sum(coalesce(n.new_tokens, 0)) OVER w AS vocab_size
+FROM tokens_per_doc t LEFT JOIN new_per_doc n USING (doc_id)
+WINDOW w AS (ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING)
+""", tier=3, section="2.11")
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law points): after ingesting docs
+    0..d, how many tokens seen vs distinct tokens known. A running
+    count-distinct is not window-able — the first-occurrence
+    decomposition is: each token charges +1 to the doc where it FIRST
+    appears (one aggregation), and a cumulative sum over doc order
+    rebuilds the curve. The curve drives dedup/quality decisions (a
+    flattening vocab signals template spam)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = firsts.groupBy("doc_id").agg(
+        F.count("*").alias("new_tokens"))
+    tokens_per_doc = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    joined = tokens_per_doc.join(new_per_doc, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.sum("n_tokens").over(w).alias("corpus_tokens"),
+        F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).alias("vocab_size"),
+    )
