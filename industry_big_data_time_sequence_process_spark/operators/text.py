@@ -886,3 +886,40 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).alias("corpus_tokens"),
         F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).alias("vocab_size"),
     )
+
+
+@op("text_zipf_fit", oracle="""
+WITH freq AS (
+    SELECT token, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+), ranked AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rank
+    FROM freq
+)
+SELECT round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           AS zipf_slope,
+       round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           AS r2,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM ranked
+""", tier=3, section="2.11")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    token frequency table (natural corpora fit slope ≈ −1; synthetic or
+    templated text deviates — a one-number corpus-health check). The
+    regression runs on the vocabulary-sized rank table via the built-in
+    regr_* aggregates; identical ln inputs → the closed-form moments
+    agree to rounding on both engines."""
+    d = load(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("f")))
+    w = Window.orderBy(F.col("f").desc(), "token")
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )

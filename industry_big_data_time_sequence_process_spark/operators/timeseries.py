@@ -1376,3 +1376,35 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("daily_mean") - F.col("trend")
                 - F.col("weekly_effect"), 6).alias("residual"),
     )
+
+
+@op("ts_order_audit", oracle="""
+WITH seq AS (
+    SELECT user_id,
+           CASE WHEN ts < lag(ts) OVER
+               (PARTITION BY user_id ORDER BY event_id) THEN 1 ELSE 0 END
+               AS ooo
+    FROM events
+)
+SELECT user_id,
+       CAST(sum(ooo) AS BIGINT) AS n_out_of_order,
+       count(*) AS n_events,
+       round(CAST(sum(ooo) AS DOUBLE) / count(*), 6) AS ooo_rate
+FROM seq GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order audit: per user, how many events arrived (by
+    event_id sequence) with a timestamp EARLIER than their predecessor —
+    the out-of-order rate that sizes streaming watermarks and flags
+    clock-skewed producers. One lag window in ingestion order sharing
+    the user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ooo = F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0)
+    seq = ev.select("user_id", ooo.alias("ooo"))
+    return seq.groupBy("user_id").agg(
+        F.sum("ooo").cast("long").alias("n_out_of_order"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("ooo").cast("double") / F.count("*"), 6)
+         .alias("ooo_rate"),
+    )
