@@ -292,3 +292,26 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("meta.price").alias("sum_price"),
         F.max("id").alias("max_key"),
     )
+
+
+@op("scan_csv_gzip", oracle="""
+SELECT s_nationkey,
+       count(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY s_nationkey
+""", tier=2, section="2.1")
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text round trip: write supplier as GZIP CSV, re-read
+    (codec inferred from the .gz extension), aggregate — the
+    log-ingestion reality where text arrives compressed. NB gzip is not
+    splittable: one file = one task, which is why the partitioned-
+    parquet layout, not .csv.gz, is the at-scale landing format (this op
+    documents the capability AND the caveat)."""
+    path = _scratch("scan_csv_gzip")
+    load(spark, sf_dir, "supplier").write.mode("overwrite") \
+        .option("header", True).option("compression", "gzip").csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        exact_sum("s_acctbal").alias("sum_bal"),
+    )

@@ -923,3 +923,27 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
         F.count("*").cast("long").alias("vocab_size"),
     )
+
+
+@op("dedup_bag_of_words", oracle="""
+SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+           AS bow_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+""", tier=2, section="2.11")
+def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: hash the SORTED token multiset, so
+    documents that shuffle the same words (template spam with reordered
+    fields) collapse to one group — the middle ground between byte-exact
+    ``dedup_exact_text`` and fuzzy shingle dedup. Emits every group
+    (n_docs > 1 marks the collapsible ones; this synthetic corpus has
+    none, exactly like its exact-dup twin at this sf)."""
+    d = load(spark, sf_dir, "documents")
+    bow = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    return (
+        d.groupBy(bow.alias("bow_hash"))
+         .agg(F.min("doc_id").alias("keep_doc_id"),
+              F.count("*").alias("n_docs"))
+    )

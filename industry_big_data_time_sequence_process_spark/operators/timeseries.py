@@ -1408,3 +1408,68 @@ def ts_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ooo").cast("double") / F.count("*"), 6)
          .alias("ooo_rate"),
     )
+
+
+@op("ts_benford_check", oracle="""
+WITH digits AS (
+    SELECT CAST(floor(value / pow(10, floor(log10(value)))) AS INT) AS d1
+    FROM events WHERE value > 0
+)
+SELECT d1,
+       count(*) AS n,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6)
+           AS observed_p,
+       round(ln(1.0 + 1.0 / d1) / ln(10.0), 6) AS benford_p
+FROM digits GROUP BY d1
+""", tier=3, section="2.9")
+def ts_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen: observed leading-digit
+    distribution of positive values vs the ln(1+1/d)/ln(10) expectation —
+    the classic fabricated-data / instrumentation-fault detector. One
+    hash aggregation to 9 rows; the share normalization runs on those 9."""
+    ev = load(spark, sf_dir, "events")
+    d1 = F.floor(F.col("value")
+                 / F.pow(F.lit(10.0), F.floor(F.log10("value")))).cast("int")
+    digits = ev.filter(F.col("value") > 0).select(d1.alias("d1"))
+    counts = digits.groupBy("d1").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return counts.select(
+        "d1", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 6)
+         .alias("observed_p"),
+        F.round(F.log(1.0 + 1.0 / F.col("d1")) / F.log(F.lit(10.0)), 6)
+         .alias("benford_p"),
+    )
+
+
+@op("ts_acf_multi", oracle="""
+WITH lagged AS (
+    SELECT user_id, value,
+           lag(value, 1) OVER w AS l1,
+           lag(value, 2) OVER w AS l2,
+           lag(value, 3) OVER w AS l3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       round(corr(value, l1), 6) AS acf1,
+       round(corr(value, l2), 6) AS acf2,
+       round(corr(value, l3), 6) AS acf3
+FROM lagged GROUP BY user_id
+""", tier=3, section="2.9")
+def ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 per user in ONE pass: three
+    lag columns off a single window sort, three corr aggregates in one
+    grouping — the ACF fingerprint that separates white noise, trends
+    and periodic signals (extends ``ts_autocorr``'s single lag)."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    lagged = ev.select(
+        "user_id", "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    return lagged.groupBy("user_id").agg(
+        *[F.round(F.corr("value", f"l{k}"), 6).alias(f"acf{k}")
+          for k in (1, 2, 3)],
+    )
