@@ -295,3 +295,32 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v / tot_user, 6).alias("pct_of_user"),
         F.round(v / tot_type, 6).alias("pct_of_type"),
     )
+
+
+@op("win_remaining_total", oracle="""
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+           AS remaining_value,
+       count(*) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS remaining_events
+FROM events
+""", tier=2, section="2.5")
+def win_remaining_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn-down windows: at each event, the user's value and event count
+    from HERE to the end of their history — the remaining-budget /
+    remaining-lifetime-value view (the mirror of a running total, frame
+    pointed forward). Decimal-exact sums keep the reverse accumulation
+    order-insensitive."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("remaining_value"),
+        F.count("*").over(w).alias("remaining_events"),
+    )
