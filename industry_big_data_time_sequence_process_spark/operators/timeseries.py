@@ -1473,3 +1473,75 @@ def ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.corr("value", f"l{k}"), 6).alias(f"acf{k}")
           for k in (1, 2, 3)],
     )
+
+
+@op("ts_paa_segments", oracle="""
+WITH ranked AS (
+    SELECT user_id, value,
+           ntile(10) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seg
+    FROM events
+)
+SELECT user_id, seg,
+       count(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS seg_mean
+FROM ranked GROUP BY user_id, seg
+""", tier=3, section="2.9")
+def ts_paa_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation: each user's ordered series
+    compressed to 10 equal-count segment means — the dimensionality
+    reduction under SAX indexing and fast DTW bounds (Keogh 2001,
+    public). ntile + one grouped exact-sum mean, both riding the same
+    user-ordered sort."""
+    ev = load(spark, sf_dir, "events")
+    ranked = ev.select(
+        "user_id", "value",
+        F.ntile(10).over(_w_user()).alias("seg"),
+    )
+    return ranked.groupBy("user_id", "seg").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6).alias("seg_mean"),
+    )
+
+
+@op("ts_running_distinct", oracle="""
+WITH firsts AS (
+    SELECT user_id, event_type, min(event_id) AS first_event
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(SUM(CASE WHEN f.first_event IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_seen
+FROM events e
+LEFT JOIN firsts f
+  ON f.user_id = e.user_id AND f.event_type = e.event_type
+ AND f.first_event = e.event_id
+""", tier=2, section="2.9")
+def ts_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count ('event types seen so far' per user) — not
+    window-able directly, so the same first-occurrence decomposition as
+    the vocabulary-growth op: +1 exactly where a type first appears,
+    cumulative sum rebuilds the curve. The onboarding-progress /
+    feature-adoption counter."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event")).select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_type").alias("f_type"),
+        "first_event")
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = ev.join(
+        F.broadcast(firsts),
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("event_type") == F.col("f_type"))
+        & (F.col("event_id") == F.col("first_event")),
+        "left",
+    ).select("event_id", "user_id", "ts",
+             F.col("first_event").isNotNull().cast("int").alias("is_new"))
+    return joined.select(
+        "event_id", "user_id",
+        F.sum("is_new").over(w).cast("long").alias("types_seen"),
+    )
