@@ -1545,3 +1545,78 @@ def ts_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum("is_new").over(w).cast("long").alias("types_seen"),
     )
+
+
+@op("ts_session_stats", oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), tagged AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM gaps
+), sessions AS (
+    SELECT user_id, session_seq,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(*) AS n_events
+    FROM tagged GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_us), 6)
+           AS p50_duration_us,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_us), 6)
+           AS p90_duration_us,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events), 6)
+           AS p50_events,
+       CAST(max(n_events) AS BIGINT) AS max_events
+FROM sessions
+""", tier=2, section="2.9")
+def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: count, p50/p90 duration and p50 size
+    over ALL sessions — the product-health headline built directly on the
+    flagship sessionizer's output (operators composing operators: the
+    gaps-and-islands pass feeds exact percentiles on the session-level
+    rows, which are thousands of times smaller than the fact stream)."""
+    sessions = ts_sessionize(spark, sf_dir)
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.percentile("duration_us", F.lit(0.5)), 6)
+         .alias("p50_duration_us"),
+        F.round(F.percentile("duration_us", F.lit(0.9)), 6)
+         .alias("p90_duration_us"),
+        F.round(F.percentile("n_events", F.lit(0.5)), 6).alias("p50_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+    )
+
+
+@op("ts_burstiness", oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS peak_hour_events,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_hour_events,
+       round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)), 6)
+           AS burst_ratio
+FROM hourly GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness: each user's peak-hour event count over their average
+    active-hour count — separates steady telemetry (ratio ~1) from bursty
+    human/incident traffic. Two aggregations sharing the user key."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    avg_n = F.sum("n").cast("double") / F.count("*")
+    return hourly.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_hour_events"),
+        F.round(avg_n, 6).alias("avg_hour_events"),
+        F.round(F.max("n").cast("double") / avg_n, 6).alias("burst_ratio"),
+    )
