@@ -947,3 +947,34 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.min("doc_id").alias("keep_doc_id"),
               F.count("*").alias("n_docs"))
     )
+
+
+@op("text_bigram_freq", oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bigrams AS (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+    FROM toks
+)
+SELECT bigram, n, rnk FROM (
+    SELECT bigram, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+    FROM bigrams GROUP BY bigram
+) WHERE rnk <= 30
+""", tier=2, section="2.11")
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram frequencies — the next-token statistics layer above
+    unigram ``text_word_freq`` (phrase tables, next-word priors).
+    Adjacent-pair construction via a transform over the token array
+    (JVM-side, no self-join), then the usual count + top-k."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bigrams = d.select(F.explode(F.transform(
+        F.sequence(F.lit(0), F.size(ts) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ts, i + 1),
+                              F.element_at(ts, i + 2)),
+    )).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return counts.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 30")

@@ -1620,3 +1620,35 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_n, 6).alias("avg_hour_events"),
         F.round(F.max("n").cast("double") / avg_n, 6).alias("burst_ratio"),
     )
+
+
+@op("ts_weekend_lift", oracle="""
+WITH flagged AS (
+    SELECT event_type, value,
+           dayofweek(ts) IN (0, 6) AS is_weekend  -- DuckDB Sun=0, Sat=6
+    FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE is_weekend) AS weekend_events,
+       count(*) FILTER (WHERE NOT is_weekend) AS weekday_events,
+       round((CAST(count(*) FILTER (WHERE is_weekend) AS DOUBLE) / 2)
+             / (CAST(count(*) FILTER (WHERE NOT is_weekend) AS DOUBLE) / 5),
+             6) AS weekend_rate_lift
+FROM flagged GROUP BY event_type
+""", tier=2, section="2.9")
+def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday traffic lift per event type: per-day-normalized
+    weekend rate over weekday rate (2 vs 5 day denominators) — the
+    seasonality summary behind staffing and campaign timing. One
+    conditional aggregation; the dow-numbering divergence is normalized
+    in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)  # Spark: Sun=1, Sat=7
+    we = F.count(F.when(is_we, 1))
+    wd = F.count(F.when(~is_we, 1))
+    return ev.groupBy("event_type").agg(
+        we.alias("weekend_events"),
+        wd.alias("weekday_events"),
+        F.round((we.cast("double") / 2) / (wd.cast("double") / 5), 6)
+         .alias("weekend_rate_lift"),
+    )
