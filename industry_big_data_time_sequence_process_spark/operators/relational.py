@@ -1548,3 +1548,66 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
                    F.count("*").alias("n_types"))
     )
+
+
+@op("join_asof_nearest", oracle="""
+WITH od AS (
+    SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+), back AS (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS bk, o.o_orderdate AS bd
+    FROM events e ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+), paired AS (
+    SELECT b.event_id, b.user_id, b.ts, b.bk, b.bd,
+           o.o_orderkey AS fk, o.o_orderdate AS fd
+    FROM back b ASOF LEFT JOIN od o
+      ON b.user_id = o.o_custkey AND b.ts <= o.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN bd IS NULL THEN fk
+            WHEN fd IS NULL THEN bk
+            WHEN epoch_us(ts) - epoch_us(bd) <= epoch_us(fd) - epoch_us(ts)
+            THEN bk ELSE fk END AS nearest_orderkey,
+       CASE WHEN bd IS NULL THEN fd
+            WHEN fd IS NULL THEN bd
+            WHEN epoch_us(ts) - epoch_us(bd) <= epoch_us(fd) - epoch_us(ts)
+            THEN bd ELSE fd END AS nearest_orderdate
+FROM paired
+""", tier=2, section="2.3")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: each event matched to its user's closest order in
+    EITHER direction (ties to the earlier one) — the sensor-alignment
+    mode pandas calls ``merge_asof(direction='nearest')``. Composed from
+    the engine's backward and forward as-of primitives — two union+window
+    passes on the same key partitioning — then a pure arithmetic pick;
+    the oracle composes DuckDB's two native ASOF directions the same
+    way."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    od = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max("o_orderkey").alias("o_orderkey"))
+           .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                   "o_orderkey"))
+    back = api.asof_join_backward(
+        ev.select("event_id", "user_id", "ts"), od,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    ).withColumnsRenamed({"o_orderkey": "bk", "o_orderdate": "bd"})
+    both = api.asof_join_forward(
+        back, od.withColumnsRenamed({"o_orderkey": "fk2",
+                                     "o_orderdate": "fd2"}),
+        key="user_id", left_ts="ts", right_ts="fd2",
+        value_cols=["fk2"],
+    )
+    b_gap = F.unix_micros("ts") - F.unix_micros("bd")
+    f_gap = F.unix_micros("fd2") - F.unix_micros("ts")
+    pick_back = (F.col("fd2").isNull()
+                 | (F.col("bd").isNotNull() & (b_gap <= f_gap)))
+    return both.select(
+        "event_id", "user_id", "ts",
+        F.when(pick_back, F.col("bk")).otherwise(F.col("fk2"))
+         .alias("nearest_orderkey"),
+        F.when(pick_back, F.col("bd")).otherwise(F.col("fd2"))
+         .alias("nearest_orderdate"),
+    )
