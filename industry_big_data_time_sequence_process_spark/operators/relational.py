@@ -1611,3 +1611,61 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pick_back, F.col("bd")).otherwise(F.col("fd2"))
          .alias("nearest_orderdate"),
     )
+
+
+@op("agg_anova_decomposition", oracle="""
+WITH stats AS (
+    SELECT event_type, count(*) AS n,
+           avg(value) AS grp_mean
+    FROM events GROUP BY event_type
+), grand AS (
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS gmean,
+           count(*) AS n_total
+    FROM events
+), ss AS (
+    SELECT round(sum(s.n * pow(s.grp_mean - g.gmean, 2)), 4) AS ss_between,
+           max(g.n_total) AS n_total,
+           count(*) AS k
+    FROM stats s CROSS JOIN grand g
+), tot AS (
+    SELECT round(sum(pow(e.value - g.gmean, 2)), 4) AS ss_total
+    FROM events e CROSS JOIN grand g
+)
+SELECT ss.ss_between,
+       round(tot.ss_total - ss.ss_between, 4) AS ss_within,
+       round(ss.ss_between / tot.ss_total, 6) AS eta_squared,
+       CAST(ss.k AS BIGINT) AS n_groups
+FROM ss CROSS JOIN tot
+""", tier=3, section="2.4")
+def agg_anova_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition: how much of value's variance is
+    explained by event_type (SS_between / SS_within / eta-squared) — the
+    does-this-dimension-matter test before modeling on it. Group stats
+    and the grand mean are tiny broadcasts; the total sum of squares is
+    one more pass over the facts. Rounded at 4 decimals: the SS sums run
+    over 10k float squares, where summation-order ulp lives below 1e-5."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("grp_mean"))
+    grand = ev.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         / F.count("*")).alias("gmean"),
+        F.count("*").alias("n_total"))
+    ss = stats.crossJoin(F.broadcast(grand)).agg(
+        F.round(F.sum(F.col("n")
+                      * F.pow(F.col("grp_mean") - F.col("gmean"), 2)), 4)
+         .alias("ss_between"),
+        F.max("n_total").alias("n_total"),
+        F.count("*").alias("k"))
+    tot = ev.crossJoin(F.broadcast(grand)).agg(
+        F.round(F.sum(F.pow(F.col("value") - F.col("gmean"), 2)), 4)
+         .alias("ss_total"))
+    return ss.crossJoin(tot).select(
+        "ss_between",
+        F.round(F.col("ss_total") - F.col("ss_between"), 4)
+         .alias("ss_within"),
+        F.round(F.col("ss_between") / F.col("ss_total"), 6)
+         .alias("eta_squared"),
+        F.col("k").cast("long").alias("n_groups"),
+    )

@@ -978,3 +978,29 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), "bigram")
     return counts.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 30")
+
+
+@op("text_repetition_ratio", oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS repetition_ratio
+FROM documents
+""", tier=2, section="2.11")
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total tokens — the
+    cheapest template/spam signal (boilerplate repeats, prose doesn't).
+    Pure array kernels per row, no shuffle; the type-token ratio quality
+    filters threshold on."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("long").alias("n_distinct"),
+        F.round(1.0 - F.size(F.array_distinct(ts)).cast("double")
+                / F.size(ts), 6).alias("repetition_ratio"),
+    )
