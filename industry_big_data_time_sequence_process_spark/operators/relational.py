@@ -1669,3 +1669,58 @@ def agg_anova_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("eta_squared"),
         F.col("k").cast("long").alias("n_groups"),
     )
+
+
+@op("agg_pareto_abc", oracle="""
+WITH cust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey,
+           CAST(s AS DOUBLE) AS total,
+           CAST(SUM(s) OVER (ORDER BY s DESC, o_custkey
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(s) OVER () AS DOUBLE) AS cum_share,
+           row_number() OVER (ORDER BY s DESC, o_custkey) AS rnk,
+           count(*) OVER () AS n_cust
+    FROM cust
+)
+SELECT o_custkey, total,
+       round(cum_share, 6) AS cum_share,
+       CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       round(CAST(rnk AS DOUBLE) / n_cust, 6) AS cust_pctile
+FROM ranked
+""", tier=2, section="2.4")
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: customers ranked by total order
+    value, tagged A/B/C by cumulative-share thresholds (50%/80%) — the
+    who-drives-revenue curve. Decimal-exact running and grand totals
+    make every cumulative share a single identical float division; the
+    ranking windows run on the customer-level aggregate, not on orders."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    w_cum = Window.orderBy(F.col("s").desc(), "o_custkey") \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_rnk = Window.orderBy(F.col("s").desc(), "o_custkey")
+    ranked = cust.select(
+        "o_custkey",
+        F.col("s").cast("double").alias("total"),
+        (F.sum("s").over(w_cum).cast("double")
+         / F.sum("s").over(w_all).cast("double")).alias("cum_share"),
+        F.row_number().over(w_rnk).alias("rnk"),
+        F.count("*").over(w_all).alias("n_cust"),
+    )
+    return ranked.select(
+        "o_custkey", "total",
+        F.round("cum_share", 6).alias("cum_share"),
+        F.when(F.col("cum_share") <= 0.5, "A")
+         .when(F.col("cum_share") <= 0.8, "B")
+         .otherwise("C").alias("abc_class"),
+        F.round(F.col("rnk").cast("double") / F.col("n_cust"), 6)
+         .alias("cust_pctile"),
+    )

@@ -1004,3 +1004,43 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.size(F.array_distinct(ts)).cast("double")
                 / F.size(ts), 6).alias("repetition_ratio"),
     )
+
+
+@op("text_stopword_density", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), stops AS (   -- self-trained stopword list: the corpus's top-10 tokens
+    SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+        FROM tok GROUP BY t
+    ) WHERE rnk <= 10
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       count(stops.t) AS n_stop,
+       round(CAST(count(stops.t) AS DOUBLE) / count(*), 6)
+           AS stopword_density
+FROM tok LEFT JOIN stops ON tok.t = stops.t
+GROUP BY tok.doc_id
+""", tier=2, section="2.11")
+def text_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword density per document, with the stopword list TRAINED from
+    the corpus itself (top-10 tokens) — the language-agnostic form of the
+    classic fluency filter: natural text carries a stable function-word
+    share, keyword-stuffed or tabular text doesn't. Stoplist is 10 rows
+    -> broadcast; one aggregation over the exploded tokens."""
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    stops = (tok.groupBy("token").agg(F.count("*").alias("n"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter("rnk <= 10")
+                .select(F.col("token").alias("stop_t")))
+    joined = tok.join(F.broadcast(stops),
+                      tok.token == F.col("stop_t"), "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("stop_t").alias("n_stop"),
+        F.round(F.count("stop_t").cast("double") / F.count("*"), 6)
+         .alias("stopword_density"),
+    )
