@@ -1652,3 +1652,73 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((we.cast("double") / 2) / (wd.cast("double") / 5), 6)
          .alias("weekend_rate_lift"),
     )
+
+
+@op("ts_ks_two_sample", oracle="""
+WITH tagged AS (
+    SELECT value,
+           CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+    FROM events
+), counts AS (
+    SELECT value, grp, count(*) AS c FROM tagged GROUP BY 1, 2
+), cum AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END)
+                OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS c1,
+           CAST(SUM(CASE WHEN grp = 0 THEN c ELSE 0 END)
+                OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS c0
+    FROM (SELECT value,
+                 SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS c,
+                 1 AS grp
+          FROM counts GROUP BY value
+          UNION ALL
+          SELECT value,
+                 SUM(CASE WHEN grp = 0 THEN c ELSE 0 END), 0
+          FROM counts GROUP BY value) u
+), totals AS (
+    SELECT CAST(count(*) FILTER (WHERE grp = 1) AS DOUBLE) AS n1,
+           CAST(count(*) FILTER (WHERE grp = 0) AS DOUBLE) AS n0
+    FROM tagged
+)
+SELECT round(max(abs(c.c1 / t.n1 - c.c0 / t.n0)), 6) AS ks_statistic,
+       CAST(t.n1 AS BIGINT) AS n_weekend,
+       CAST(t.n0 AS BIGINT) AS n_weekday
+FROM cum c CROSS JOIN totals t
+GROUP BY t.n1, t.n0
+""", tier=3, section="2.9")
+def ts_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: max ECDF gap between the
+    weekend and weekday value distributions — the distribution-drift
+    test that needs no binning choices. Per-value group counts collapse
+    the facts to the distinct-value grid; cumulative sums over that grid
+    (integer counts -> exact) give both ECDFs in one ordered pass, and
+    the statistic is a max over grid points."""
+    ev = load(spark, sf_dir, "events")
+    grp = F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+    counts = (ev.select("value", grp.alias("grp"))
+                .groupBy("value", "grp").agg(F.count("*").alias("c")))
+    per_value = counts.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0)).alias("i1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c")).otherwise(0)).alias("i0"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = per_value.select(
+        F.sum("i1").over(w).cast("double").alias("c1"),
+        F.sum("i0").over(w).cast("double").alias("c0"),
+    )
+    totals = ev.agg(
+        F.count(F.when(grp == 1, 1)).cast("double").alias("n1"),
+        F.count(F.when(grp == 0, 1)).cast("double").alias("n0"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).groupBy("n1", "n0").agg(
+        F.round(F.max(F.abs(F.col("c1") / F.col("n1")
+                            - F.col("c0") / F.col("n0"))), 6)
+         .alias("ks_statistic"),
+    ).select(
+        "ks_statistic",
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n0").cast("long").alias("n_weekday"),
+    )
