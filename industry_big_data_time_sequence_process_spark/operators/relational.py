@@ -1724,3 +1724,67 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rnk").cast("double") / F.col("n_cust"), 6)
          .alias("cust_pctile"),
     )
+
+
+@op("agg_rfm_segmentation", oracle="""
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(max(o_orderdate) AS DATE),
+                     DATE '1999-01-01') AS recency_days,
+           count(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+FROM per_cust
+""", tier=2, section="2.4")
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary per customer,
+    each quintile-scored 1-5 (5 = best: most recent, most frequent,
+    highest spend) — the workhorse customer-value model. One aggregation
+    to customer grain, then three ntile windows over that small table;
+    explicit key tiebreaks make the quintile edges deterministic."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1999-01-01").cast("date"),
+                   F.max("o_orderdate").cast("date")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         .alias("monetary"),
+    )
+    return per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
+                                       "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+         .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+         .alias("m_score"),
+    )
+
+
+@op("agg_histogram2d", oracle="""
+SELECT event_type,
+       CAST(hour(ts) AS INT) AS hod,
+       CAST(least(floor(value / 66.0), 4) AS BIGINT) AS value_band,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""", tier=3, section="2.4")
+def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D density grid: (hour-of-day x value band) counts per event type
+    — the joint-distribution heatmap behind 'when do big events happen'.
+    Still ONE hash aggregation to a bounded 5x24x5 cell space; binning
+    in the group key is how density estimation stays shuffle-light at
+    any scale."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.least(F.floor(F.col("value") / 66.0), F.lit(4)).cast("long")
+         .alias("value_band"),
+    ).agg(F.count("*").alias("n"))
