@@ -1788,3 +1788,65 @@ def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("value") / 66.0), F.lit(4)).cast("long")
          .alias("value_band"),
     ).agg(F.count("*").alias("n"))
+
+
+@op("join_market_basket", oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+    FROM lineitem
+), n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+supp AS (
+    SELECT part_bucket, count(*) AS s FROM items GROUP BY 1
+), pairs AS (
+    SELECT a.part_bucket AS p1, b.part_bucket AS p2, count(*) AS together
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+    GROUP BY 1, 2
+)
+SELECT p1, p2, together,
+       round(CAST(together AS DOUBLE) * n.n
+             / (CAST(s1.s AS DOUBLE) * s2.s), 6) AS lift,
+       rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY together DESC, p1, p2) AS rnk
+    FROM pairs
+) p
+JOIN supp s1 ON s1.part_bucket = p.p1
+JOIN supp s2 ON s2.part_bucket = p.p2
+CROSS JOIN n_orders n
+WHERE rnk <= 25
+""", tier=3, section="2.3")
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 25 most co-ordered part-bucket
+    pairs with their lift (P(a,b)/P(a)P(b)) — the recommender baseline.
+    Items are de-duped to (order, bucket) FIRST, so the self-join
+    fan-out is (buckets per order)², bounded; supports and the order
+    count are tiny broadcasts. Bucketed part keys (mod 100) stand in for
+    a category dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    supp = items.groupBy("part_bucket").agg(F.count("*").alias("s"))
+    a = items.select("l_orderkey", F.col("part_bucket").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("part_bucket").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2"))
+               & (F.col("p1") < F.col("p2")))
+         .groupBy("p1", "p2").agg(F.count("*").alias("together"))
+    )
+    w = Window.orderBy(F.col("together").desc(), "p1", "p2")
+    s1 = supp.select(F.col("part_bucket").alias("p1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("part_bucket").alias("p2"), F.col("s").alias("s2"))
+    lift = (F.col("together").cast("double") * F.col("n")
+            / (F.col("s1").cast("double") * F.col("s2")))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 25")
+             .join(F.broadcast(s1), "p1").join(F.broadcast(s2), "p2")
+             .crossJoin(F.broadcast(n_orders))
+             .select("p1", "p2", "together",
+                     F.round(lift, 6).alias("lift"), "rnk")
+    )
