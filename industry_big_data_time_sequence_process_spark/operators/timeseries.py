@@ -1722,3 +1722,77 @@ def ts_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_weekend"),
         F.col("n0").cast("long").alias("n_weekday"),
     )
+
+
+@op("ts_coverage_union", oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap_us IS NULL THEN 300000000
+                     ELSE least(gap_us, 300000000) END) AS BIGINT)
+           AS covered_us,
+       count(*) AS n_events
+FROM marked GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: total time each user was 'active', where
+    every event opens a 5-minute activity interval and overlaps must not
+    double-count — the device-uptime / engagement-minutes metric. The
+    sweep-line collapses to one lag: each event contributes
+    min(gap_to_previous, 5 min), so the union is computed in a single
+    window + aggregation without materializing intervals."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    marked = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"),
+    )
+    contrib = F.when(F.col("gap_us").isNull(), 300_000_000) \
+               .otherwise(F.least("gap_us", F.lit(300_000_000)))
+    return marked.groupBy("user_id").agg(
+        F.sum(contrib).cast("long").alias("covered_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@op("ts_new_vs_returning", oracle="""
+WITH first_day AS (
+    SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0
+    FROM events GROUP BY user_id
+), daily AS (
+    SELECT DISTINCT e.user_id,
+           CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS d
+    FROM events e
+)
+SELECT d.d,
+       count(*) FILTER (WHERE d.d = f.d0) AS new_users,
+       count(*) FILTER (WHERE d.d > f.d0) AS returning_users,
+       round(CAST(count(*) FILTER (WHERE d.d > f.d0) AS DOUBLE)
+             / count(*), 6) AS returning_share
+FROM daily d JOIN first_day f USING (user_id)
+GROUP BY d.d
+""", tier=2, section="2.9")
+def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning users — the acquisition/retention topline.
+    First-seen day per user (one aggregate, broadcast) classifies each
+    (user, active-day) pair; the daily rollup follows. Day-grain
+    distinct bounds the classified set regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"))
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    j = daily.join(F.broadcast(first_day), "user_id")
+    new_u = F.count(F.when(F.col("d") == F.col("d0"), 1))
+    ret_u = F.count(F.when(F.col("d") > F.col("d0"), 1))
+    return j.groupBy("d").agg(
+        new_u.alias("new_users"),
+        ret_u.alias("returning_users"),
+        F.round(ret_u.cast("double") / F.count("*"), 6)
+         .alias("returning_share"),
+    )
