@@ -1850,3 +1850,78 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("p1", "p2", "together",
                      F.round(lift, 6).alias("lift"), "rnk")
     )
+
+
+@op("agg_ab_proportion_test", oracle="""
+WITH flagged AS (
+    SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                ELSE 'weekday' END AS grp,
+           CAST(event_type = 'purchase' AS INT) AS converted
+    FROM events
+), rates AS (
+    SELECT count(*) FILTER (WHERE grp = 'weekend') AS n1,
+           sum(converted) FILTER (WHERE grp = 'weekend') AS x1,
+           count(*) FILTER (WHERE grp = 'weekday') AS n2,
+           sum(converted) FILTER (WHERE grp = 'weekday') AS x2
+    FROM flagged
+)
+SELECT round(CAST(x1 AS DOUBLE) / n1, 6) AS p_weekend,
+       round(CAST(x2 AS DOUBLE) / n2, 6) AS p_weekday,
+       round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_statistic,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday
+FROM rates
+""", tier=3, section="2.4")
+def agg_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: does the purchase rate differ weekend vs
+    weekday — the A/B-experiment readout computed as pure SQL over
+    integer counts (pooled-variance z; |z| > 1.96 rejects at 5%). One
+    conditional aggregation; every float op downstream runs on identical
+    small integers, so both engines agree bit-for-bit before rounding."""
+    ev = load(spark, sf_dir, "events")
+    grp_we = F.dayofweek("ts").isin(1, 7)
+    conv = (F.col("event_type") == "purchase").cast("int")
+    rates = ev.select(grp_we.alias("we"), conv.alias("c")).agg(
+        F.count(F.when(F.col("we"), 1)).alias("n1"),
+        F.sum(F.when(F.col("we"), F.col("c"))).alias("x1"),
+        F.count(F.when(~F.col("we"), 1)).alias("n2"),
+        F.sum(F.when(~F.col("we"), F.col("c"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp)
+                           * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return rates.select(
+        F.round(p1, 6).alias("p_weekend"),
+        F.round(p2, 6).alias("p_weekday"),
+        F.round(z, 6).alias("z_statistic"),
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+    )
+
+
+@op("agg_bipartite_degree", oracle="""
+WITH edges AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), part_deg AS (
+    SELECT l_partkey, count(*) AS suppliers_per_part FROM edges GROUP BY 1
+)
+SELECT suppliers_per_part AS degree,
+       count(*) AS n_parts
+FROM part_deg GROUP BY 1
+""", tier=3, section="2.4")
+def agg_bipartite_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-supplier bipartite graph (how many
+    suppliers serve each part, histogrammed) — the supply-chain
+    redundancy profile, and the generic two-level degree-of-degree
+    aggregation every graph summary starts with. Edge dedup + two
+    hash aggregations."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    part_deg = edges.groupBy("l_partkey").agg(
+        F.count("*").alias("degree"))
+    return part_deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
