@@ -1796,3 +1796,43 @@ def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ret_u.cast("double") / F.count("*"), 6)
          .alias("returning_share"),
     )
+
+
+@op("ts_gap_survival", oracle="""
+WITH gaps AS (
+    SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS g
+    FROM events
+)
+SELECT count(g) AS n_gaps,
+       round(CAST(count(*) FILTER (WHERE g > 60000000) AS DOUBLE)
+             / count(g), 6) AS p_gt_1m,
+       round(CAST(count(*) FILTER (WHERE g > 300000000) AS DOUBLE)
+             / count(g), 6) AS p_gt_5m,
+       round(CAST(count(*) FILTER (WHERE g > 1800000000) AS DOUBLE)
+             / count(g), 6) AS p_gt_30m,
+       round(CAST(count(*) FILTER (WHERE g > 7200000000) AS DOUBLE)
+             / count(g), 6) AS p_gt_2h
+FROM gaps
+""", tier=2, section="2.9")
+def ts_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap survival profile: P(inter-event gap > 1m / 5m / 30m / 2h)
+    across all users — the curve that justifies a session threshold
+    (pick it where survival flattens) and a streaming watermark (bound
+    it where survival ~0). One lag window + one conditional aggregate
+    over integer-µs gaps."""
+    ev = load(spark, sf_dir, "events")
+    g = (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(_w_user()))).alias("g")
+    gaps = ev.select(g)
+    def p_gt(us: int) -> F.Column:
+        return F.round(
+            F.count(F.when(F.col("g") > us, 1)).cast("double")
+            / F.count("g"), 6)
+    return gaps.agg(
+        F.count("g").alias("n_gaps"),
+        p_gt(60_000_000).alias("p_gt_1m"),
+        p_gt(300_000_000).alias("p_gt_5m"),
+        p_gt(1_800_000_000).alias("p_gt_30m"),
+        p_gt(7_200_000_000).alias("p_gt_2h"),
+    )
