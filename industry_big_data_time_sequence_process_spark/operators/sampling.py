@@ -96,3 +96,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
     )
+
+
+@op("sample_representativeness", oracle=f"""
+WITH labeled AS (
+    SELECT lang,
+           CASE WHEN {_DUCK_H32.format(c="CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {_DUCK_H32.format(c="CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+), by_split AS (
+    SELECT split, lang, count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY split) AS n_split
+    FROM labeled GROUP BY 1, 2
+), pop AS (
+    SELECT lang, CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER () AS pop_share
+    FROM labeled GROUP BY lang
+)
+SELECT b.split, b.lang,
+       round(CAST(b.n AS DOUBLE) / b.n_split, 6) AS split_share,
+       round(p.pop_share, 6) AS pop_share,
+       round(CAST(b.n AS DOUBLE) / b.n_split - p.pop_share, 6) AS deviation
+FROM by_split b JOIN pop p USING (lang)
+""", tier=2, section="2.11")
+def sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the hash-bucket splitter: each split's language mix vs the
+    population's, with the deviation — the representativeness check a
+    pipeline runs AFTER sampling (hash splits are unstratified, so drift
+    here is expected noise; a stratified sampler drives it to ~0). Two
+    small aggregations over the split labels; the sampler audits itself
+    with the same deterministic hash it splits with."""
+    d = load(spark, sf_dir, "documents")
+    bucket = _h32(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val").otherwise("test"))
+    labeled = d.select("lang", split.alias("split"))
+    by_split = labeled.groupBy("split", "lang").agg(F.count("*").alias("n"))
+    w_split = Window.partitionBy("split")
+    by_split = by_split.withColumn("n_split", F.sum("n").over(w_split))
+    pop = labeled.groupBy("lang").agg(F.count("*").alias("np"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    pop = pop.withColumn(
+        "pop_share", F.col("np").cast("double") / F.sum("np").over(w_all))
+    share = F.col("n").cast("double") / F.col("n_split")
+    return by_split.join(F.broadcast(pop.select("lang", "pop_share")), "lang") \
+        .select(
+            "split", "lang",
+            F.round(share, 6).alias("split_share"),
+            F.round("pop_share", 6).alias("pop_share"),
+            F.round(share - F.col("pop_share"), 6).alias("deviation"),
+        )

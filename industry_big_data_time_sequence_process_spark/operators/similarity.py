@@ -406,3 +406,32 @@ def sim_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree.alias("n_agree"),
         F.round(agree.cast("double") / F.count("*"), 6).alias("agreement"),
     )
+
+
+@op("sim_exact_dup_vectors", oracle="""
+SELECT md5(array_to_string(list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                     AS VARCHAR)), ',')) AS vec_hash,
+       min(vec_id) AS keep_vec_id,
+       count(*) AS n_copies
+FROM embeddings
+GROUP BY 1
+""", tier=2, section="2.11")
+def sim_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding detection: hash each vector's
+    6-decimal-rounded component string — catches the copy-paste /
+    re-ingested rows that inflate nearest-neighbor results before any
+    LSH work. Pure hash aggregation (the dedup_exact_text of the vector
+    world). Components are rendered as INTEGER micro-units before
+    hashing — float-to-string formats diverge across engines, int64
+    strings don't."""
+    e = load(spark, sf_dir, "embeddings")
+    h = F.md5(F.array_join(
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1_000_000, 0)
+                               .cast("long").cast("string")),
+        ","))
+    return e.groupBy(h.alias("vec_hash")).agg(
+        F.min("vec_id").alias("keep_vec_id"),
+        F.count("*").alias("n_copies"),
+    )
