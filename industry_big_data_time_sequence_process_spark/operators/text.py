@@ -1044,3 +1044,34 @@ def text_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("stop_t").cast("double") / F.count("*"), 6)
          .alias("stopword_density"),
     )
+
+
+@op("text_hapax_ratio", oracle="""
+WITH freq AS (
+    SELECT token, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       count_if(f = 1) AS hapax_count,
+       round(CAST(count_if(f = 1) AS DOUBLE) / count(*), 6)
+           AS hapax_ratio,
+       count_if(f >= 100) AS core_vocab
+FROM freq
+""", tier=3, section="2.11")
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share: fraction of vocabulary appearing exactly
+    once (natural corpora: ~40-60%; templated/synthetic text collapses
+    toward 0 — this corpus's small fixed vocabulary shows exactly that) —
+    plus the >=100-occurrence core-vocabulary count. One aggregation over
+    the frequency table."""
+    d = load(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("f")))
+    return freq.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.count_if(F.col("f") == 1).alias("hapax_count"),
+        F.round(F.count_if(F.col("f") == 1).cast("double")
+                / F.count("*"), 6).alias("hapax_ratio"),
+        F.count_if(F.col("f") >= 100).alias("core_vocab"),
+    )

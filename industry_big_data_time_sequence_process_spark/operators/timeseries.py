@@ -1836,3 +1836,61 @@ def ts_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_gt(1_800_000_000).alias("p_gt_30m"),
         p_gt(7_200_000_000).alias("p_gt_2h"),
     )
+
+
+@op("ts_conversion_horizons", oracle="""
+WITH first_click AS (
+    SELECT user_id, min(ts) AS t0
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+    SELECT c.user_id,
+           count(CASE WHEN e.ts <= c.t0 + INTERVAL 10 MINUTE THEN 1 END)
+               > 0 AS in_10m,
+           count(CASE WHEN e.ts <= c.t0 + INTERVAL 1 HOUR THEN 1 END)
+               > 0 AS in_1h,
+           count(CASE WHEN e.ts <= c.t0 + INTERVAL 24 HOUR THEN 1 END)
+               > 0 AS in_24h
+    FROM first_click c
+    LEFT JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+     AND e.ts > c.t0
+    GROUP BY c.user_id
+)
+SELECT count(*) AS n_users,
+       round(CAST(count_if(in_10m) AS DOUBLE) / count(*), 6) AS conv_10m,
+       round(CAST(count_if(in_1h) AS DOUBLE) / count(*), 6) AS conv_1h,
+       round(CAST(count_if(in_24h) AS DOUBLE) / count(*), 6) AS conv_24h
+FROM conv
+""", tier=3, section="2.9")
+def ts_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-by-horizon: share of first-click users who purchase
+    within 10 min / 1 h / 24 h — the funnel's time dimension, all three
+    horizons from ONE pass over the click-purchase pairs (conditional
+    counts per horizon, no per-horizon re-joins)."""
+    ev = load(spark, sf_dir, "events")
+    first_click = (ev.filter(F.col("event_type") == "click")
+                     .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select(F.col("user_id").alias("pu"),
+                          F.col("ts").alias("pts"))
+    j = first_click.join(
+        purchases,
+        (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("t0")),
+        "left")
+    def within(iv: str) -> F.Column:
+        return F.count(
+            F.when(F.col("pts") <= F.expr(f"t0 + INTERVAL {iv}"), 1)) > 0
+    conv = j.groupBy("user_id").agg(
+        within("10 MINUTES").alias("in_10m"),
+        within("1 HOUR").alias("in_1h"),
+        within("24 HOURS").alias("in_24h"),
+    )
+    return conv.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.count_if("in_10m").cast("double") / F.count("*"), 6)
+         .alias("conv_10m"),
+        F.round(F.count_if("in_1h").cast("double") / F.count("*"), 6)
+         .alias("conv_1h"),
+        F.round(F.count_if("in_24h").cast("double") / F.count("*"), 6)
+         .alias("conv_24h"),
+    )
