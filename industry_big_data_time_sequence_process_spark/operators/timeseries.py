@@ -1894,3 +1894,46 @@ def ts_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if("in_24h").cast("double") / F.count("*"), 6)
          .alias("conv_24h"),
     )
+
+
+@op("ts_run_length_encode", oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type = lag(event_type) OVER w
+                THEN 0 ELSE 1 END AS chg
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM flagged
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       count(*) AS run_length,
+       min(ts) AS run_start
+FROM runs
+GROUP BY user_id, run_id, event_type
+""", tier=2, section="2.9")
+def ts_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence: collapse
+    consecutive same-type events to (type, start, length) runs — the
+    state-machine compression behind pattern mining and storage codecs,
+    and the generalized gaps-and-islands (sessionize splits on time,
+    this splits on VALUE change). Same single user-ordered window
+    pipeline."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    chg = F.when(
+        F.col("event_type") == F.lag("event_type").over(w), 0).otherwise(1)
+    w_cum = _w_user().rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+    runs = ev.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg"),
+    ).select(
+        "user_id", "ts", "event_type",
+        F.sum("chg").over(w_cum).cast("long").alias("run_id"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("run_length"),
+        F.min("ts").alias("run_start"),
+    )
