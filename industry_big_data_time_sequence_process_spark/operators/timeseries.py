@@ -1937,3 +1937,32 @@ def ts_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("run_length"),
         F.min("ts").alias("run_start"),
     )
+
+
+@op("ts_second_difference", oracle="""
+WITH d1 AS (
+    SELECT user_id, event_id, ts, value,
+           value - lag(value) OVER w AS delta
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value, delta,
+       round(delta - lag(delta) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), 6) AS accel
+FROM d1
+""", tier=2, section="2.9")
+def ts_second_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second difference (delta of delta — the discrete acceleration):
+    distinguishes steady drift from inflection, the trend-change feature
+    on top of ``ts_delta``. Both lag layers share one user-ordered
+    window sort (Catalyst stacks them in a single Window exec pair over
+    one Exchange)."""
+    ev = load(spark, sf_dir, "events")
+    w = _w_user()
+    d1 = ev.select(
+        "user_id", "event_id", "ts", "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+    return d1.select(
+        "user_id", "event_id", "value", "delta",
+        F.round(F.col("delta") - F.lag("delta").over(w), 6).alias("accel"),
+    )
