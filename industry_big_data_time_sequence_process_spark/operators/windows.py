@@ -324,3 +324,47 @@ def win_remaining_total(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("remaining_value"),
         F.count("*").over(w).alias("remaining_events"),
     )
+
+
+@op("win_rolling_volatility", oracle="""
+WITH framed AS (
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+           count(*) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       CASE WHEN n > 1
+            THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) END
+           AS vol20,
+       n AS window_n
+FROM framed
+""", tier=3, section="2.5")
+def win_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-row volatility (sample std) per user — the risk/noise
+    band around every monitoring chart. A naive stddev-over-frame drifts
+    between engines (running vs segment-tree accumulators); instead both
+    moment sums Σx and Σx² are DECIMAL-exact over the frame (2-decimal
+    inputs -> 4-decimal products), and the variance closed form runs as
+    identical float arithmetic on identical exact operands."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-19, Window.currentRow))
+    vdec = F.col("value").cast("decimal(18,2)")
+    framed = ev.select(
+        "event_id", "user_id", "value",
+        F.sum(vdec * vdec).over(w).cast("double").alias("sxx"),
+        F.sum(vdec).over(w).cast("double").alias("sx"),
+        F.count("*").over(w).alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+          / (F.col("n") - 1)
+    return framed.select(
+        "event_id", "user_id", "value",
+        F.when(F.col("n") > 1, F.round(F.sqrt(var), 6)).alias("vol20"),
+        F.col("n").alias("window_n"),
+    )
