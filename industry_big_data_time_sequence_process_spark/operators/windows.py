@@ -368,3 +368,50 @@ def win_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 1, F.round(F.sqrt(var), 6)).alias("vol20"),
         F.col("n").alias("window_n"),
     )
+
+
+@op("win_rolling_zscore", oracle="""
+WITH framed AS (
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+           count(*) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       CASE WHEN n > 1 AND sxx - sx * sx / n > 0
+            THEN round((value - sx / n)
+                       / sqrt((sxx - sx * sx / n) / (n - 1)), 6) END
+           AS rolling_z,
+       n AS baseline_n
+FROM framed
+""", tier=3, section="2.5")
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE anomaly score: each value z-scored against its own user's
+    TRAILING 20-row baseline (frame ends 1 PRECEDING — the current point
+    must not contaminate its own baseline) — the leakage-free online
+    variant of the global ``ts_anomaly_zscore``. Same decimal-exact
+    moment-sum formulation as ``win_rolling_volatility``."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-19, -1))
+    vdec = F.col("value").cast("decimal(18,2)")
+    framed = ev.select(
+        "event_id", "user_id", "value",
+        F.sum(vdec * vdec).over(w).cast("double").alias("sxx"),
+        F.sum(vdec).over(w).cast("double").alias("sx"),
+        F.count("*").over(w).alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+          / (F.col("n") - 1)
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return framed.select(
+        "event_id", "user_id", "value",
+        F.when((F.col("n") > 1)
+               & (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") > 0),
+               F.round(z, 6)).alias("rolling_z"),
+        F.col("n").alias("baseline_n"),
+    )
