@@ -415,3 +415,29 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(z, 6)).alias("rolling_z"),
         F.col("n").alias("baseline_n"),
     )
+
+
+@op("win_rolling_envelope", oracle="""
+SELECT event_id, user_id, value,
+       min(value) OVER w AS ch_low,
+       max(value) OVER w AS ch_high,
+       (value >= max(value) OVER w) AS at_high
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""", tier=2, section="2.5")
+def win_rolling_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row min/max envelope (the Donchian channel) with a
+    breakout flag — the band every threshold-crossing alert draws.
+    Frame min/max are exact order-free extremes: no float discipline
+    needed, unlike frame sums."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-19, Window.currentRow))
+    hi = F.max("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.min("value").over(w).alias("ch_low"),
+        hi.alias("ch_high"),
+        (F.col("value") >= hi).alias("at_high"),
+    )
