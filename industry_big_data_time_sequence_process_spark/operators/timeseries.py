@@ -1966,3 +1966,47 @@ def ts_second_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value", "delta",
         F.round(F.col("delta") - F.lag("delta").over(w), 6).alias("accel"),
     )
+
+
+@op("ts_profile_typicality", oracle="""
+WITH user_prof AS (
+    SELECT user_id, CAST(hour(ts) AS INT) AS h,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1, 2
+), gprof AS (
+    SELECT CAST(hour(ts) AS INT) AS h, CAST(count(*) AS DOUBLE) AS g
+    FROM events GROUP BY 1
+)
+SELECT u.user_id,
+       round(sum(u.c * g.g)
+             / (sqrt(sum(u.c * u.c)) * sqrt(max(gn.norm))), 6)
+           AS typicality,
+       count(*) AS active_hours
+FROM user_prof u
+JOIN gprof g USING (h)
+CROSS JOIN (SELECT sum(g * g) AS norm FROM gprof) gn
+GROUP BY u.user_id
+""", tier=3, section="2.9")
+def ts_profile_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral typicality: cosine similarity between each user's
+    hour-of-day activity profile and the global profile — low scores
+    surface off-cycle users (night bots, other-timezone accounts). The
+    24-bin profiles are count vectors; the global profile and its norm
+    are broadcast scalars; integer-count products keep both engines
+    bit-identical before the final rounding."""
+    ev = load(spark, sf_dir, "events")
+    up = ev.groupBy("user_id", F.hour("ts").cast("int").alias("h")) \
+           .agg(F.count("*").cast("double").alias("c"))
+    gp = ev.groupBy(F.hour("ts").cast("int").alias("h")) \
+           .agg(F.count("*").cast("double").alias("g"))
+    gnorm = gp.agg(F.sum(F.col("g") * F.col("g")).alias("norm"))
+    cos = (F.sum(F.col("c") * F.col("g"))
+           / (F.sqrt(F.sum(F.col("c") * F.col("c")))
+              * F.sqrt(F.max("norm"))))
+    return (
+        up.join(F.broadcast(gp), "h")
+          .crossJoin(F.broadcast(gnorm))
+          .groupBy("user_id")
+          .agg(F.round(cos, 6).alias("typicality"),
+               F.count("*").alias("active_hours"))
+    )
