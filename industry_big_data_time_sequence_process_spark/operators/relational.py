@@ -1957,3 +1957,45 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
         F.count("*").alias("n_types"),
     )
+
+
+@op("agg_weighted_median", oracle="""
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice AS price,
+           CAST(l_quantity AS DECIMAL(18,2)) AS w,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+               (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING) AS cum_w,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+               (PARTITION BY l_returnflag) AS tot_w
+    FROM lineitem
+)
+SELECT l_returnflag,
+       min(price) AS weighted_median_price
+FROM ranked
+WHERE CAST(cum_w AS DOUBLE) >= CAST(tot_w AS DOUBLE) / 2
+GROUP BY l_returnflag
+""", tier=3, section="2.4")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag: the price at which
+    half the total quantity sits below — the robust center the plain
+    median misses when rows carry different weights. Decimal-exact
+    cumulative and total weights make the crossing threshold identical;
+    min(price) over the crossed region picks the boundary row
+    deterministically."""
+    li = load(spark, sf_dir, "lineitem")
+    wdec = F.col("l_quantity").cast("decimal(18,2)")
+    w_cum = (Window.partitionBy("l_returnflag")
+                   .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("price"),
+        F.sum(wdec).over(w_cum).alias("cum_w"),
+        F.sum(wdec).over(w_all).alias("tot_w"),
+    )
+    return (ranked.filter(F.col("cum_w").cast("double")
+                          >= F.col("tot_w").cast("double") / 2)
+                  .groupBy("l_returnflag")
+                  .agg(F.min("price").alias("weighted_median_price")))

@@ -2010,3 +2010,30 @@ def ts_profile_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.round(cos, 6).alias("typicality"),
                F.count("*").alias("active_hours"))
     )
+
+
+def _debounce_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    keep, last_kept = [], None
+    for t in pdf["ts"]:
+        if last_kept is None or (t - last_kept).total_seconds() >= 300:
+            keep.append(True)
+            last_kept = t
+        else:
+            keep.append(False)
+    return pdf.loc[keep, ["user_id", "event_id", "ts"]]
+
+
+@op("ts_debounce", oracle=None, tier=3, section="2.9")
+def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy debounce: keep an event only if >= 5 min have passed since
+    the previously KEPT event of that user — alert-storm suppression.
+    Unlike sessionization, the keep decision depends on the prior
+    DECISION, not just the prior row: inherently sequential per key ->
+    grouped-map Pandas UDF (same family as EWMA/CUSUM), rows-only
+    oracle, golden-snapshot tested."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.select("user_id", "event_id", "ts")
+              .groupBy("user_id")
+              .applyInPandas(_debounce_pdf,
+                             "user_id long, event_id long, ts timestamp"))
