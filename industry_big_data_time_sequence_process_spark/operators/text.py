@@ -1075,3 +1075,36 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"), 6).alias("hapax_ratio"),
         F.count_if(F.col("f") >= 100).alias("core_vocab"),
     )
+
+
+@op("text_char_entropy", oracle="""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), dist AS (
+    SELECT doc_id, ch, count(*) AS c,
+           sum(count(*)) OVER (PARTITION BY doc_id) AS n
+    FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+           AS char_entropy,
+       count(*) AS n_distinct_chars
+FROM dist GROUP BY doc_id
+""", tier=3, section="2.11")
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/encoding-garbage detector (natural text ~4.0-4.5 bits-nat
+    band; base64 blobs and key-mash run higher, repeated filler lower).
+    Complements the token-level ``agg_entropy``: chars catch what a
+    whitespace tokenizer can't see. One explode + two keyed
+    aggregations."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    dist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id")
+    dist = dist.withColumn("n", F.sum("c").over(w))
+    p = F.col("c").cast("double") / F.col("n")
+    return dist.groupBy("doc_id").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+        F.count("*").alias("n_distinct_chars"),
+    )
