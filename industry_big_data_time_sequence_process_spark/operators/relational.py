@@ -1999,3 +1999,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           >= F.col("tot_w").cast("double") / 2)
                   .groupBy("l_returnflag")
                   .agg(F.min("price").alias("weighted_median_price")))
+
+
+@op("agg_iqr_fences", oracle="""
+WITH q AS (
+    SELECT event_type,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       round(q.q3 - q.q1, 6) AS iqr,
+       round(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lower_fence,
+       round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS upper_fence,
+       count(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                  THEN 1 END) AS n_outliers
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.q1, q.q3
+""", tier=2, section="2.4")
+def agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot fences per event type: Q1/Q3/IQR, the 1.5-IQR
+    whisker bounds, and the outlier count beyond them — the third
+    robust-outlier vocabulary next to z-score (``ts_anomaly_zscore``)
+    and MAD (``ts_outlier_mad``). Exact interpolated quartiles broadcast
+    back onto the facts for the fence count."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return ev.join(F.broadcast(q), "event_type") \
+        .groupBy("event_type", "q1", "q3").agg(
+            F.count(F.when((F.col("value") < lo) | (F.col("value") > hi), 1))
+             .alias("n_outliers"),
+        ).select(
+            "event_type",
+            F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+            F.round(iqr, 6).alias("iqr"),
+            F.round(lo, 6).alias("lower_fence"),
+            F.round(hi, 6).alias("upper_fence"),
+            "n_outliers",
+        )
