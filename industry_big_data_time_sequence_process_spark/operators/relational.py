@@ -2044,3 +2044,42 @@ def agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hi, 6).alias("upper_fence"),
             "n_outliers",
         )
+
+
+@op("join_interval_overlap_pairs", oracle="""
+SELECT a.o_custkey,
+       a.o_orderkey AS order1, b.o_orderkey AS order2,
+       a.o_orderdate AS date1, b.o_orderdate AS date2,
+       CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                      CAST(b.o_orderdate AS DATE)) AS BIGINT) AS gap_days
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+""", tier=2, section="2.3")
+def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer order pairs placed within 7 days of each other — the
+    rapid-repeat detector (split shipments, double submissions, fraud
+    bursts). A SELF range join that stays scalable because the customer
+    key is an equi conjunct: hash join on o_custkey with the week window
+    as a residual, never a nested loop; per-customer order counts bound
+    the pair fan-out."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("ck"),
+                 F.col("o_orderkey").alias("order1"),
+                 F.col("o_orderdate").alias("date1"))
+    b = o.select(F.col("o_custkey").alias("ck2"),
+                 F.col("o_orderkey").alias("order2"),
+                 F.col("o_orderdate").alias("date2"))
+    return (
+        a.join(b, (F.col("ck") == F.col("ck2"))
+               & (F.col("order1") < F.col("order2"))
+               & (F.col("date2") >= F.col("date1"))
+               & (F.col("date2") < F.expr("date1 + INTERVAL 7 DAYS")))
+         .select(F.col("ck").alias("o_custkey"), "order1", "order2",
+                 "date1", "date2",
+                 F.datediff(F.col("date2").cast("date"),
+                            F.col("date1").cast("date")).cast("long")
+                  .alias("gap_days"))
+    )
