@@ -2037,3 +2037,40 @@ def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("user_id")
               .applyInPandas(_debounce_pdf,
                              "user_id long, event_id long, ts timestamp"))
+
+
+@op("ts_monthly_trend", oracle="""
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+           count(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+    FROM orders GROUP BY 1
+)
+SELECT m, n,
+       CAST(s AS DOUBLE) AS revenue,
+       round(CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w, 6)
+           AS avg_order_value_3mo,
+       CAST(SUM(n) OVER w AS BIGINT) AS orders_3mo
+FROM monthly
+WINDOW w AS (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""", tier=2, section="2.9")
+def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume and revenue with a trailing 3-month average
+    order value — the finance-review trend table, over the ORDERS time
+    axis (multi-year) rather than the events month. Ratio-of-exact-sums
+    over the month-grain window; all windows run on ~80 monthly rows."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    )
+    w = Window.orderBy("m").rowsBetween(-2, Window.currentRow)
+    return monthly.select(
+        "m", "n",
+        F.col("s").cast("double").alias("revenue"),
+        F.round(F.sum("s").over(w).cast("double")
+                / F.sum("n").over(w), 6).alias("avg_order_value_3mo"),
+        F.sum("n").over(w).cast("long").alias("orders_3mo"),
+    )
