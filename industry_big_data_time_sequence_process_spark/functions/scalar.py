@@ -173,21 +173,30 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("array_funcs", oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
-       list_contains(string_split(text, ' '), 'spark') AS has_spark,
-       list_slice(string_split(text, ' '), 1, 3) AS first3,
-       list_sort(list_slice(string_split(text, ' '), 1, 5)) AS first5_sorted
+       CAST(list_contains(string_split(text, ' '), 'spark') AS INT)
+           AS has_spark,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+           AS first3,
+       array_to_string(
+           list_sort(list_slice(string_split(text, ' '), 1, 5)), ' ')
+           AS first5_sorted
 FROM documents
 """, tier=2, section="2.8")
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size / contains / slice / sort over token arrays."""
+    """size / contains / slice / sort over token arrays. Array results are
+    rendered as space-joined strings and the boolean as INT on both
+    engines: array/bool columns are canonicalizer hazards (pandas crashes
+    on ndarray cells), and the rendered form hashes identically without
+    changing the computation under test."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.concat_ws(" ", F.sort_array(F.slice(toks, 1, 5)))
+         .alias("first5_sorted"),
     )
 
 

@@ -809,16 +809,20 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("agg_collect_sorted", oracle="""
 SELECT user_id,
-       list_sort(list(event_type)) AS types,
+       array_to_string(list_sort(list(event_type)), ',') AS types,
        count(*) AS n
 FROM events GROUP BY user_id
 """, tier=2, section="2.4")
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic list aggregation: collect_list is order-nondeterministic,
-    so always sort_array it (SURVEY.md App. A.7)."""
+    so always sort_array it (SURVEY.md App. A.7). Rendered as a ','-joined
+    string on both engines — array-typed result columns crash pandas-based
+    canonicalizers (unhashable numpy.ndarray), and the string form is
+    hash-stable without losing information."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_type")).alias("types"),
+        F.concat_ws(",", F.sort_array(F.collect_list("event_type")))
+         .alias("types"),
         F.count("*").alias("n"),
     )
 
@@ -888,7 +892,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        bool_and(value > 0) AS all_positive,
        bool_or(value > 300) AS any_extreme,
-       count_if(value > 50) AS n_over_50,
+       CAST(count_if(value > 50) AS BIGINT) AS n_over_50,
        CAST(count_if(value > 50) AS DOUBLE) / count(*) AS frac_over_50
 FROM events GROUP BY event_type
 """, tier=2, section="2.4")
@@ -1429,7 +1433,10 @@ def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("agg_topn_array", oracle="""
 SELECT user_id,
-       (list_sort(list(value), 'DESC'))[1:3] AS top3_values,
+       array_to_string(
+           list_transform((list_sort(list(value), 'DESC'))[1:3],
+                          v -> CAST(round(v * 1e6) AS BIGINT)),
+           ',') AS top3_values,
        CAST(len(list(value)) AS INT) AS n_values
 FROM events GROUP BY user_id
 """, tier=2, section="2.4")
@@ -1438,11 +1445,16 @@ def agg_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     a feature store keeps per entity, without a second window pass:
     collect -> sort desc -> slice, all JVM array kernels after the one
     grouping shuffle. (Deterministic because the sort is on the values
-    themselves.)"""
+    themselves.) Rendered as ','-joined integer micro-units: array columns
+    crash pandas canonicalizers and float->string repr differs across
+    engines, so round(v*1e6)::BIGINT joined as text is the hash-stable
+    form (SURVEY.md App. A)."""
     ev = load(spark, sf_dir, "events")
+    top3 = F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 3)
     return ev.groupBy("user_id").agg(
-        F.slice(F.sort_array(F.collect_list("value"), asc=False),
-                1, 3).alias("top3_values"),
+        F.concat_ws(",", F.transform(
+            top3, lambda v: F.round(v * 1e6).cast("long").cast("string")))
+         .alias("top3_values"),
         F.size(F.collect_list("value")).alias("n_values"),
     )
 

@@ -374,7 +374,7 @@ WITH nn AS (
 )
 SELECT label,
        count(*) AS n_vectors,
-       count_if(nn_label = label) AS n_agree,
+       CAST(count_if(nn_label = label) AS BIGINT) AS n_agree,
        round(CAST(count_if(nn_label = label) AS DOUBLE) / count(*), 6)
            AS agreement
 FROM nn GROUP BY label

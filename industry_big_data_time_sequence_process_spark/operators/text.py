@@ -360,8 +360,8 @@ WITH tok AS (
     GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-           AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """, tier=2, section="2.11")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,8 +858,8 @@ WITH firsts AS (   -- each token's first appearance in doc_id order
     FROM documents
 )
 SELECT t.doc_id,
-       sum(t.n_tokens) OVER w AS corpus_tokens,
-       sum(coalesce(n.new_tokens, 0)) OVER w AS vocab_size
+       CAST(sum(t.n_tokens) OVER w AS BIGINT) AS corpus_tokens,
+       CAST(sum(coalesce(n.new_tokens, 0)) OVER w AS BIGINT) AS vocab_size
 FROM tokens_per_doc t LEFT JOIN new_per_doc n USING (doc_id)
 WINDOW w AS (ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING)
 """, tier=3, section="2.11")
@@ -1053,10 +1053,10 @@ WITH freq AS (
     GROUP BY token
 )
 SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-       count_if(f = 1) AS hapax_count,
+       CAST(count_if(f = 1) AS BIGINT) AS hapax_count,
        round(CAST(count_if(f = 1) AS DOUBLE) / count(*), 6)
            AS hapax_ratio,
-       count_if(f >= 100) AS core_vocab
+       CAST(count_if(f >= 100) AS BIGINT) AS core_vocab
 FROM freq
 """, tier=3, section="2.11")
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
