@@ -51,7 +51,7 @@ def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
        regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
-       regexp_matches(p_brand, '[0-9]') AS brand_has_digit
+       CAST(regexp_matches(p_brand, '[0-9]') AS INT) AS brand_has_digit
 FROM part
 """, tier=1, section="2.8")
 def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,7 +62,7 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_masked"),
-        F.col("p_brand").rlike("[0-9]").alias("brand_has_digit"),
+        F.col("p_brand").rlike("[0-9]").cast("int").alias("brand_has_digit"),
     )
 
 
@@ -120,7 +120,7 @@ def date_trunc_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS INT) AS ship_days,
        o.o_orderdate + INTERVAL 90 DAY AS due_date,
-       (l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) AS late
+       CAST(l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY AS INT) AS late
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """, tier=2, section="2.8")
 def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +135,7 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days"),
         F.expr("o_orderdate + INTERVAL 90 DAYS").alias("due_date"),
         (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAYS"))
-            .alias("late"),
+            .cast("int").alias("late"),
     )
 
 
@@ -259,7 +259,7 @@ SELECT l_orderkey,
        CAST(l_linenumber AS DOUBLE) AS line_dbl,
        epoch_us(l_shipdate) AS ship_epoch_us,
        CAST(l_shipdate AS DATE) AS ship_date,
-       (l_quantity > 25) AS qty_big,
+       CAST(l_quantity > 25 AS INT) AS qty_big,
        CAST(l_quantity > 25 AS INT) AS qty_big_int
 FROM lineitem
 """, tier=2, section="2.8")
@@ -277,7 +277,7 @@ def cast_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("line_dbl"),
         F.unix_micros("l_shipdate").alias("ship_epoch_us"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
-        (q > 25).alias("qty_big"),
+        (q > 25).cast("int").alias("qty_big"),
         (q > 25).cast("int").alias("qty_big_int"),
     )
 
@@ -353,8 +353,8 @@ SELECT event_id,
        timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_wall,
        CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
             AS INT) AS ny_hour,
-       (hour(timezone('America/New_York', timezone('UTC', ts)))
-        BETWEEN 9 AND 16) AS ny_business_hours
+       CAST(hour(timezone('America/New_York', timezone('UTC', ts)))
+        BETWEEN 9 AND 16 AS INT) AS ny_business_hours
 FROM events
 """, tier=2, section="2.8")
 def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +371,7 @@ def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ny.alias("ny_wall"),
         F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
         F.hour(ny).cast("int").alias("ny_hour"),
-        F.hour(ny).between(9, 16).alias("ny_business_hours"),
+        F.hour(ny).between(9, 16).cast("int").alias("ny_business_hours"),
     )
 
 

@@ -100,7 +100,7 @@ def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             "width": (n % 640 + 1).astype("int32"),
             "height": (n % 480 + 1).astype("int32"),
             "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
-            "decode_ok": ~blobs.isna(),
+            "decode_ok": (~blobs.isna()).astype("int32"),
         })
 
 
@@ -109,7 +109,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
        CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
        3 AS n_channels,
-       true AS decode_ok
+       1 AS decode_ok
 FROM documents
 """, tier=2, section="2.11")
 def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +121,7 @@ def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("blob"))
     return d.mapInPandas(
         _decode_meta_batches,
-        "doc_id long, width int, height int, n_channels int, decode_ok boolean",
+        "doc_id long, width int, height int, n_channels int, decode_ok int",
     )
 
 

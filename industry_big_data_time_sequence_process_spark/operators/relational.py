@@ -93,9 +93,9 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("filter_null_semantics", oracle="""
 SELECT c_custkey,
        nullif(c_mktsegment, 'BUILDING') AS seg_null,
-       (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_building,
-       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE')
-           AS nullsafe_auto
+       CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INT) AS is_building,
+       CAST(nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE'
+            AS INT) AS nullsafe_auto
 FROM customer
 WHERE nullif(c_mktsegment, 'BUILDING') IS NULL
    OR nullif(c_mktsegment, 'BUILDING') IS NOT NULL
@@ -108,8 +108,9 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = c.select(
         "c_custkey",
         seg_null.alias("seg_null"),
-        seg_null.isNull().alias("is_building"),
-        seg_null.eqNullSafe(F.lit("AUTOMOBILE")).alias("nullsafe_auto"),
+        seg_null.isNull().cast("int").alias("is_building"),
+        seg_null.eqNullSafe(F.lit("AUTOMOBILE")).cast("int")
+                .alias("nullsafe_auto"),
     )
     return out.filter(F.col("seg_null").isNull() | F.col("seg_null").isNotNull())
 
@@ -890,8 +891,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("agg_boolean", oracle="""
 SELECT event_type,
-       bool_and(value > 0) AS all_positive,
-       bool_or(value > 300) AS any_extreme,
+       CAST(bool_and(value > 0) AS INT) AS all_positive,
+       CAST(bool_or(value > 300) AS INT) AS any_extreme,
        CAST(count_if(value > 50) AS BIGINT) AS n_over_50,
        CAST(count_if(value > 50) AS DOUBLE) / count(*) AS frac_over_50
 FROM events GROUP BY event_type
@@ -904,8 +905,8 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     v = F.col("value")
     return ev.groupBy("event_type").agg(
-        F.every(v > 0).alias("all_positive"),
-        F.some(v > 300).alias("any_extreme"),
+        F.every(v > 0).cast("int").alias("all_positive"),
+        F.some(v > 300).cast("int").alias("any_extreme"),
         F.count_if(v > 50).alias("n_over_50"),
         (F.count_if(v > 50).cast("double") / F.count("*"))
         .alias("frac_over_50"),

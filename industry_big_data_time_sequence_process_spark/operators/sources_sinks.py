@@ -40,10 +40,14 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, ts, user_id, event_type, value, props FROM events
 """, tier=1, section="2.1")
 def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ns-timestamp decode path end-to-end: parquet timestamp[ns] ->
-    LongType nanos (legacy.parquet.nanosAsLong) -> exact integer-division
-    truncation to µs TimestampType (sources/io.py). DuckDB reads the same
-    column natively truncated to µs, so `SELECT *` is the oracle."""
+    """The events timestamp decode path end-to-end, schema-ADAPTIVE: the
+    loader probes the parquet footer (sources/io.py:events_ts_kind) and
+    branches — timestamp[us/ms/s] reads straight into TimestampType;
+    timestamp[ns]/int64 surfaces as LongType nanos (legacy
+    nanosAsLong) and is truncated to µs via exact integer division.
+    Either way DuckDB surfaces the same column as µs TIMESTAMP, so
+    `SELECT *` is the oracle; a decode-branch mistake (the round-2
+    1970-collapse) fails this op's value hash immediately."""
     return load(spark, sf_dir, "events")
 
 
@@ -182,7 +186,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op("scan_schema_evolution", oracle="""
-SELECT n_nationkey, n_name, n_regionkey, NULL AS n_comment FROM nation
+SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_comment
+FROM nation
 """, tier=3, section="2.1")
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: request a superset schema (extra nullable

@@ -26,14 +26,17 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import op
-from ..sources.io import SCHEMAS, configure
+from ..sources.io import (
+    SCHEMAS, configure, decode_events_ts, events_read_schema,
+)
 from .sources_sinks import SCRATCH
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, key: str,
                    copies: int = 1) -> DataFrame:
     """Stage events.parquet into .scratch/stream/<key>/in and open it as a
-    file-stream source (ns-decode identical to the batch loader)."""
+    file-stream source (ts decode identical to the batch loader — footer-
+    probed adaptive, see sources/io.py)."""
     configure(spark)
     base = os.path.join(SCRATCH, "stream", key)
     indir = os.path.join(base, "in")
@@ -45,9 +48,9 @@ def _events_stream(spark: SparkSession, sf_dir: str, key: str,
         shutil.copy(src, dst)
         # distinct mtimes -> deterministic file->micro-batch assignment
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    raw = (spark.readStream.schema(SCHEMAS["events"])
+    raw = (spark.readStream.schema(events_read_schema(sf_dir))
                 .option("maxFilesPerTrigger", 1).parquet(indir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return decode_events_ts(raw, sf_dir)
 
 
 def _drain(spark: SparkSession, key: str, df: DataFrame,

@@ -542,12 +542,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("node", F.least(
                       "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
         ).cache()
+        # Full materialization BEFORE dropping the predecessor: a
+        # limit(1)-style probe can early-exit with the cache only partially
+        # populated, and unpersisting `labels` then would force lineage
+        # recomputation chaining through every earlier round.
+        new.count()
         changed = (
             new.alias("n").join(labels.alias("o"), "node")
                .filter(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
         )
-        if labels.is_cached:  # drop the superseded round's cache; the
-            labels.unpersist()  # count above already materialized `new`
+        if labels.is_cached:  # superseded round's cache
+            labels.unpersist()
         labels = new
         if changed == 0:
             break
@@ -765,7 +770,7 @@ WITH RECURSIVE sh AS ({_DUCK_SHINGLES}), sizes AS (
     FROM documents d LEFT JOIN clusters c USING (doc_id)
 )
 SELECT doc_id, cluster_id, n_chars,
-       (rnk = 1) AS keep,
+       CAST(rnk = 1 AS INT) AS keep,
        cluster_size
 FROM (
     SELECT *, row_number() OVER (
@@ -794,7 +799,7 @@ def dedup_select_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("cluster_id")
     return labeled.select(
         "doc_id", "cluster_id", "n_chars",
-        (F.row_number().over(w) == 1).alias("keep"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
         F.count("*").over(wc).alias("cluster_size"),
     )
 

@@ -278,7 +278,7 @@ WITH stats AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.mu) / s.sigma, 6) AS zscore,
-       (abs(e.value - s.mu) > 3 * s.sigma) AS is_anomaly
+       CAST(abs(e.value - s.mu) > 3 * s.sigma AS INT) AS is_anomaly
 FROM events e JOIN stats s USING (event_type)
 """, tier=1, section="2.9")
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +290,8 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return api.zscore_flags(ev, "event_type", "value", n_sigma=3.0).select(
         "event_id", "event_type", "value",
-        F.round("zscore", 6).alias("zscore"), "is_anomaly",
+        F.round("zscore", 6).alias("zscore"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
     )
 
 
@@ -1054,7 +1055,7 @@ SELECT e.event_id, e.event_type, e.value,
        round(CASE WHEN e.value < b.lo THEN b.lo
                   WHEN e.value > b.hi THEN b.hi
                   ELSE e.value END, 6) AS value_winsorized,
-       (e.value < b.lo OR e.value > b.hi) AS clamped
+       CAST(e.value < b.lo OR e.value > b.hi AS INT) AS clamped
 FROM events e JOIN bounds b USING (event_type)
 """, tier=2, section="2.9")
 def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,7 +1074,7 @@ def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         F.round(F.least(F.greatest("value", "lo"), F.col("hi")), 6)
          .alias("value_winsorized"),
-        clamped.alias("clamped"),
+        clamped.cast("int").alias("clamped"),
     )
 
 
@@ -1243,7 +1244,7 @@ WITH first_click AS (
     GROUP BY c.user_id, c.t_click
 )
 SELECT c.user_id, c.t_click, p.t_purchase,
-       (p.t_purchase IS NOT NULL) AS converted,
+       CAST(p.t_purchase IS NOT NULL AS INT) AS converted,
        epoch_us(p.t_purchase) - epoch_us(c.t_click) AS latency_us
 FROM first_click c LEFT JOIN next_purchase p USING (user_id, t_click)
 """, tier=2, section="2.9")
@@ -1269,7 +1270,7 @@ def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_click.join(next_purchase, ["user_id", "t_click"], "left") \
         .select(
             "user_id", "t_click", "t_purchase",
-            F.col("t_purchase").isNotNull().alias("converted"),
+            F.col("t_purchase").isNotNull().cast("int").alias("converted"),
             (F.unix_micros("t_purchase") - F.unix_micros("t_click"))
             .alias("latency_us"),
         )
@@ -1713,9 +1714,11 @@ def ts_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(grp == 1, 1)).cast("double").alias("n1"),
         F.count(F.when(grp == 0, 1)).cast("double").alias("n0"),
     )
+    # try_divide: a degenerate slice (one group empty — e.g. a corpus with
+    # no weekend rows) yields NULL ks rather than an ANSI DIVIDE_BY_ZERO.
     return cum.crossJoin(F.broadcast(totals)).groupBy("n1", "n0").agg(
-        F.round(F.max(F.abs(F.col("c1") / F.col("n1")
-                            - F.col("c0") / F.col("n0"))), 6)
+        F.round(F.max(F.abs(F.try_divide(F.col("c1"), F.col("n1"))
+                            - F.try_divide(F.col("c0"), F.col("n0")))), 6)
          .alias("ks_statistic"),
     ).select(
         "ks_statistic",

@@ -421,7 +421,7 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id, value,
        min(value) OVER w AS ch_low,
        max(value) OVER w AS ch_high,
-       (value >= max(value) OVER w) AS at_high
+       CAST(value >= max(value) OVER w AS INT) AS at_high
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -439,5 +439,5 @@ def win_rolling_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         F.min("value").over(w).alias("ch_low"),
         hi.alias("ch_high"),
-        (F.col("value") >= hi).alias("at_high"),
+        (F.col("value") >= hi).cast("int").alias("at_high"),
     )

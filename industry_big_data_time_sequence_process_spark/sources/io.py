@@ -1,19 +1,30 @@
 """Table IO: explicit schemas for the ten test tables + loaders.
 
 Schemas are declared once here (FIXTURES.md is the measured source of truth)
-— production posture, vs. inference-per-read. The ns-timestamp decode for
-``events`` lives HERE and nowhere else (SURVEY.md §1.2, §7):
+— production posture, vs. inference-per-read. The ``events.ts`` decode lives
+HERE and nowhere else (SURVEY.md §1.2, §7) and is **schema-adaptive**: the
+driver has shipped this column as both ``timestamp[ns]`` (round 1) and
+``timestamp[us]`` (round 2+), so the loader probes the parquet footer and
+branches instead of assuming a physical type:
 
-- Parquet stores ``events.ts`` as timestamp[ns]; Spark 4.1.2 reads it only
-  with ``spark.sql.legacy.parquet.nanosAsLong=true`` (applied by
-  ``session.configure``), surfacing LongType nanoseconds.
-- ``ts div 1000`` is *integer* division — exact. A double-routed
-  ``(ts/1000).cast('long')`` loses low bits at 1.7e18 ns magnitudes and can
-  land ±1 µs off DuckDB's truncation; verified exact-match with ``div``.
-- DuckDB 1.0.0's ``read_parquet`` surfaces the same column already truncated
-  to µs TIMESTAMP (probed), so oracle SQL uses ``ts`` directly.
+- footer says ``timestamp[us]``/``timestamp[ms]``/``timestamp[s]`` → read
+  straight into ``TimestampType`` (Spark handles the unit natively; verified
+  min/max equal DuckDB's to the microsecond under UTC session tz).
+- footer says ``timestamp[ns]`` or plain ``int64`` → Spark 4.1.2 surfaces
+  LongType nanoseconds (``spark.sql.legacy.parquet.nanosAsLong=true``,
+  applied by ``session.configure``); decode via ``timestamp_micros(ts div
+  1000)``. ``div`` is *integer* division — exact; a double-routed
+  ``(ts/1000).cast('long')`` loses low bits at 1.7e18 ns magnitudes.
+- DuckDB 1.0.0's ``read_parquet`` surfaces µs TIMESTAMP either way (probed),
+  so oracle SQL uses ``ts`` directly.
+
+A tripwire in :func:`load` asserts decoded timestamps land in a sane range
+(year >= 2000) so a future silent corpus re-type fails loudly instead of
+poisoning every downstream ts operator (round-2 post-mortem).
 """
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -80,10 +91,12 @@ SCHEMAS: dict[str, StructType] = {
         StructField("l_linestatus", StringType()),
         StructField("l_shipdate", TimestampType()),
     ]),
-    # Raw on-disk shape: ts is LongType *nanoseconds* (nanosAsLong).
+    # NOTE: events.ts physical type varies by corpus generation — see
+    # events_schema() for the footer-probed adaptive schema. This entry is
+    # the *decoded* logical shape every operator sees.
     "events": StructType([
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -108,17 +121,81 @@ def path(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+@lru_cache(maxsize=64)
+def events_ts_kind(sf_dir: str) -> str:
+    """Probe the on-disk physical type of ``events.ts`` from the parquet
+    footer (driver-side, one footer read, cached per directory).
+
+    Returns ``"timestamp"`` (any µs/ms/s timestamp unit Spark decodes
+    natively) or ``"int64_ns"`` (raw int64 / timestamp[ns], which Spark 4
+    surfaces as LongType nanoseconds under ``nanosAsLong``).
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path(sf_dir, "events")).field("ts").type
+    s = str(t)
+    if s.startswith("timestamp") and "[ns" not in s:
+        return "timestamp"
+    return "int64_ns"
+
+
+def events_read_schema(sf_dir: str) -> StructType:
+    """The schema to hand ``spark.read`` for events, per the footer probe."""
+    ts_type = (TimestampType() if events_ts_kind(sf_dir) == "timestamp"
+               else LongType())
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+
+def decode_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Normalize ``ts`` to µs TimestampType regardless of physical type."""
+    if events_ts_kind(sf_dir) == "int64_ns":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+#: Sanity floor for decoded event timestamps — the corpus is generated in
+#: 2024+; anything earlier means the decode branch picked wrong.
+_TS_SANITY_FLOOR_YEAR = 2000
+_ts_checked_dirs: set[str] = set()
+
+
+def _assert_ts_sane(df: DataFrame, sf_dir: str) -> None:
+    """One cheap driver-side probe per directory: the first event's year
+    must be plausible. Turns a silent corpus re-type into a loud failure."""
+    if sf_dir in _ts_checked_dirs:
+        return
+    row = df.select(F.year("ts").alias("y")).limit(1).collect()
+    if row and row[0]["y"] is not None and row[0]["y"] < _TS_SANITY_FLOOR_YEAR:
+        raise AssertionError(
+            f"events.ts decoded to year {row[0]['y']} (< "
+            f"{_TS_SANITY_FLOOR_YEAR}) for {sf_dir} — the physical parquet "
+            f"type changed and the decode branch is wrong; see "
+            f"events_ts_kind() in sources/io.py")
+    _ts_checked_dirs.add(sf_dir)
+
+
 def load_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a table with its explicit schema, no decoding."""
     configure(spark)
-    return spark.read.schema(SCHEMAS[table]).parquet(path(sf_dir, table))
+    schema = (events_read_schema(sf_dir) if table == "events"
+              else SCHEMAS[table])
+    return spark.read.schema(schema).parquet(path(sf_dir, table))
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read a table; ``events.ts`` is decoded to a µs TimestampType."""
+    """Read a table; ``events.ts`` is normalized to a µs TimestampType
+    whatever its physical encoding (footer-probed, see module docstring)."""
     df = load_raw(spark, sf_dir, table)
     if table == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = decode_events_ts(df, sf_dir)
+        _assert_ts_sane(df, sf_dir)
     return df
 
 

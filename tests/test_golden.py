@@ -1,15 +1,18 @@
 """Golden-file snapshots (SURVEY.md §5.3) for deterministic rows-only
-operators (no SQL oracle). Snapshots live in tests/golden/ at sf0.001;
-delete a file and re-run to regenerate after an intentional change.
+operators (no SQL oracle). Snapshots live in tests/golden/ at sf0.001.
 
 The driver regenerates /root/testdata with a fresh seed each round, so every
 snapshot is keyed to a fingerprint of the input parquet bytes (first line).
-A fingerprint mismatch means the data changed — the stale snapshot is
-rewritten and the test skips; only a same-data divergence (a real code
-regression) fails."""
+A fingerprint mismatch means the data changed — but regeneration is NOT
+automatic (round-2 post-mortem: auto-heal silently pinned a corrupted decode
+as "golden"). Rewriting now requires an explicit ``GOLDEN_REGEN=1`` env
+opt-in, and every candidate snapshot must pass cheap invariants first
+(non-empty; no pre-2000 timestamps — the corpus is generated 1992+/2024+ and
+a 1970 value means a decode bug, not new data)."""
 import glob
 import hashlib
 import os
+import re
 
 import pytest
 
@@ -25,6 +28,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 GOLDEN_KEYS = ["ts_ewma", "ts_interpolate_linear", "agg_approx_distinct",
                "ts_downsample_lttb", "ts_cusum_changepoint",
                "agg_approx_percentile"]
+
+#: ISO timestamp with a year before 1992 (earliest legitimate corpus date is
+#: TPC-H's 1992; events are 2024+). Matching one in a snapshot = decode bug.
+_BAD_TS = re.compile(r"\b(19[0-8][0-9]|199[01])-\d{2}-\d{2}[ T]\d{2}:")
 
 
 def _data_fingerprint() -> str:
@@ -46,6 +53,15 @@ def _snapshot(df, fingerprint: str) -> str:
     return "\n".join([f"#data:{fingerprint}", ",".join(cols)] + rows) + "\n"
 
 
+def _check_invariants(key: str, snap: str) -> None:
+    lines = snap.splitlines()
+    assert len(lines) > 2, f"[{key}] candidate snapshot is empty"
+    bad = _BAD_TS.search(snap)
+    assert bad is None, (
+        f"[{key}] candidate snapshot contains a pre-1992 timestamp "
+        f"({bad.group(0)}…) — this is a decode bug, refusing to pin it")
+
+
 @pytest.mark.parametrize("key", GOLDEN_KEYS)
 def test_golden(spark, key):
     fp = _data_fingerprint()
@@ -61,7 +77,14 @@ def test_golden(spark, key):
             return
         reason = "input data regenerated (fingerprint changed)"
     else:
-        reason = "golden file created"
+        reason = "no golden file"
+    # Never silently pin current behavior: new output must look sane AND the
+    # operator must opt in via GOLDEN_REGEN=1 (round-2 post-mortem).
+    _check_invariants(key, snap)
+    if os.environ.get("GOLDEN_REGEN") != "1":
+        pytest.fail(
+            f"[{key}] {reason}; candidate output passes invariants but "
+            f"regeneration requires GOLDEN_REGEN=1 (refusing to auto-pin)")
     with open(path, "w") as f:
         f.write(snap)
-    pytest.skip(f"{reason}: {path}")
+    pytest.skip(f"{reason}: regenerated {path}")

@@ -77,8 +77,12 @@ def test_session_has_aqe_skew_handling(spark):
 
 def test_sessionize_correct_and_single_shuffle_under_skew(spark, skew_dir):
     op = REGISTRY["ts_sessionize"]
-    plan = _plan(spark, "ts_sessionize", "simple").replace(
-        SF_T2, skew_dir)  # plan shape is data-independent; assert on skew dir
+    # build the plan ON the skewed dir (ADVICE r2: a string .replace only
+    # edits the rendered text, never re-plans against the skewed data)
+    df = op.fn(spark, skew_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
     import re
     n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_ex == 1, f"sessionize lost its single-shuffle shape: {n_ex}"
