@@ -164,7 +164,10 @@ def zscore_flags(df: DataFrame, group_col: str, value_col: str,
     )
     v = F.col(value_col)
     return (df.join(F.broadcast(stats), group_col)
-              .withColumn("zscore", (v - F.col("__mu")) / F.col("__sigma"))
+              # try_divide: a constant-valued group has sigma 0; NULL z
+              # beats an ANSI DIVIDE_BY_ZERO crash on degenerate slices
+              .withColumn("zscore",
+                          F.try_divide(v - F.col("__mu"), F.col("__sigma")))
               .withColumn("is_anomaly",
                           F.abs(v - F.col("__mu")) > n_sigma * F.col("__sigma"))
               .drop("__mu", "__sigma"))

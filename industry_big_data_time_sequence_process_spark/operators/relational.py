@@ -1678,7 +1678,8 @@ def agg_anova_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ss_between",
         F.round(F.col("ss_total") - F.col("ss_between"), 4)
          .alias("ss_within"),
-        F.round(F.col("ss_between") / F.col("ss_total"), 6)
+        # try_divide: ss_total is 0 when every value equals the grand mean
+        F.round(F.try_divide(F.col("ss_between"), F.col("ss_total")), 6)
          .alias("eta_squared"),
         F.col("k").cast("long").alias("n_groups"),
     )
@@ -1903,11 +1904,16 @@ def agg_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("we"), 1)).alias("n2"),
         F.sum(F.when(~F.col("we"), F.col("c"))).alias("x2"),
     )
-    p1 = F.col("x1").cast("double") / F.col("n1")
-    p2 = F.col("x2").cast("double") / F.col("n2")
+    # try_divide throughout: an empty arm (all-weekend corpus) or a
+    # degenerate pooled rate (pp of 0 or 1) must yield NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash.
+    p1 = F.try_divide(F.col("x1").cast("double"), F.col("n1"))
+    p2 = F.try_divide(F.col("x2").cast("double"), F.col("n2"))
     pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
-    z = (p1 - p2) / F.sqrt(pp * (1 - pp)
-                           * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    z = F.try_divide(
+        p1 - p2,
+        F.sqrt(pp * (1 - pp) * (F.try_divide(F.lit(1.0), F.col("n1"))
+                                + F.try_divide(F.lit(1.0), F.col("n2")))))
     return rates.select(
         F.round(p1, 6).alias("p_weekend"),
         F.round(p2, 6).alias("p_weekday"),

@@ -316,8 +316,9 @@ def ts_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.join(F.broadcast(rng), "event_type").select(
         "event_id", "event_type", "value",
-        ((F.col("value") - F.col("vmin"))
-         / (F.col("vmax") - F.col("vmin"))).alias("value_scaled"),
+        # try_divide: a constant-valued channel has vmax == vmin
+        F.try_divide(F.col("value") - F.col("vmin"),
+                     F.col("vmax") - F.col("vmin")).alias("value_scaled"),
     )
 
 
@@ -523,7 +524,8 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad"))
-    z = F.col("adev") / (1.4826 * F.col("mad"))
+    # try_divide: mad is 0 when a majority of the channel is constant
+    z = F.try_divide(F.col("adev"), 1.4826 * F.col("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
            .filter(z > 3.5)
@@ -1650,7 +1652,8 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         we.alias("weekend_events"),
         wd.alias("weekday_events"),
-        F.round((we.cast("double") / 2) / (wd.cast("double") / 5), 6)
+        # try_divide: a weekend-only slice has zero weekday events
+        F.round(F.try_divide(we.cast("double") / 2, wd.cast("double") / 5), 6)
          .alias("weekend_rate_lift"),
     )
 
@@ -1829,9 +1832,10 @@ def ts_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.unix_micros(F.lag("ts").over(_w_user()))).alias("g")
     gaps = ev.select(g)
     def p_gt(us: int) -> F.Column:
-        return F.round(
-            F.count(F.when(F.col("g") > us, 1)).cast("double")
-            / F.count("g"), 6)
+        # try_divide: count("g") is 0 when every user has a single event
+        return F.round(F.try_divide(
+            F.count(F.when(F.col("g") > us, 1)).cast("double"),
+            F.count("g")), 6)
     return gaps.agg(
         F.count("g").alias("n_gaps"),
         p_gt(60_000_000).alias("p_gt_1m"),
