@@ -154,6 +154,31 @@ def test_partition_pruning_reaches_directory_listing(spark):
         "partition filter did not reach the directory listing")
 
 
+def test_events_ts_predicate_pushes_to_scan(spark):
+    # The adaptive decode (sources/io.py) reads the current corpus's
+    # timestamp[us] column NATIVELY — so a ts range predicate must reach
+    # the parquet scan as a pushed filter. (Under the round-1 int64-ns
+    # layout this was structurally impossible: the decode projection
+    # `timestamp_micros(ts div 1000)` sat between the filter and the scan.
+    # At 100 TB this is the difference between reading one day's row
+    # groups and decoding the full table.)
+    from pyspark.sql import functions as F
+
+    from industry_big_data_time_sequence_process_spark.sources.io import (
+        events_ts_kind, load,
+    )
+    if events_ts_kind(SF_T2) != "timestamp":
+        import pytest
+        pytest.skip("corpus is int64-ns; decode projection blocks pushdown")
+    df = load(spark, SF_T2, "events").filter(F.col("ts") >= "2024-01-15") \
+        .select("event_id", "ts", "value")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", plan), (
+        "ts range predicate not pushed to the events parquet scan")
+
+
 def test_merge_hint_forces_sort_merge_join(spark):
     plan = _plan(spark, "join_hint_merge")
     assert "SortMergeJoin" in plan, "merge hint ignored"
