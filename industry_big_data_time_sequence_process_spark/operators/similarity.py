@@ -174,10 +174,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BITS = 4  # 16 buckets; recall/cost dial — more bits = fewer candidates
 
-
-@op("sim_lsh_bucketed", oracle=f"""
-WITH b AS (   -- 4-bit random-hyperplane signature; hyperplane j component i
-              -- is ±1 from the portable hash parity (deterministic engines)
+#: DuckDB: 4-bit random-hyperplane signature; hyperplane j component i is
+#: ±1 from the portable md5 parity, so both engines build identical planes.
+_DUCK_BUCKET = f"""
     SELECT vec_id, embedding,
            list_reduce(list_transform(range(0, {_LSH_BITS}), j -> CASE WHEN
                list_reduce(list_transform(embedding, (x, i) ->
@@ -188,7 +187,26 @@ WITH b AS (   -- 4-bit random-hyperplane signature; hyperplane j component i
                THEN CAST(1 AS BIGINT) << j ELSE 0 END),
                (p, q) -> p + q) AS bucket
     FROM embeddings
-)
+"""
+
+
+def _lsh_bucket() -> Column:
+    """Spark twin of ``_DUCK_BUCKET``: 4-bit hyperplane signature of the
+    ``embedding`` column, sign of dot with ±1 planes from md5 parity."""
+    sign = lambda j, i: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, i)), 1, 8), 16, 10)
+         .cast("long").bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = lambda j: F.aggregate(  # noqa: E731
+        F.transform("embedding",
+                    lambda x, i: x.cast("double") * sign(j, i)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bits = [F.when(proj(F.lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_LSH_BITS)]
+    return sum(bits[1:], start=bits[0]).cast("long")
+
+
+@op("sim_lsh_bucketed", oracle=f"""
+WITH b AS ({_DUCK_BUCKET})
 SELECT a.vec_id AS vec1, b2.vec_id AS vec2, a.bucket,
        round({_duck_cos('a.embedding', 'b2.embedding')}, 6) AS cosine
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -205,18 +223,7 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with cosine >= 0.2.
     """
     e = load(spark, sf_dir, "embeddings")
-    # hyperplane sign for (j, i): parity of hash32("j:i")
-    sign = lambda j, i: F.when(  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat_ws(":", j, i)), 1, 8), 16, 10)
-         .cast("long").bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-    proj = lambda j: F.aggregate(  # noqa: E731
-        F.transform("embedding",
-                    lambda x, i: x.cast("double") * sign(j, i)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    bits = [F.when(proj(F.lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(_LSH_BITS)]
-    bucket = sum(bits[1:], start=bits[0]).cast("long")
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = e.select("vec_id", "embedding", _lsh_bucket().alias("bucket"))
     a = b.select(F.col("vec_id").alias("vec1"),
                  F.col("embedding").alias("ea"), "bucket")
     b2 = b.select(F.col("vec_id").alias("vec2"),
@@ -228,6 +235,75 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("vec1") < F.col("vec2")))
          .filter(cos >= 0.2)
          .select("vec1", "vec2", "bucket", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@op("sim_lsh_recall_eval", oracle=f"""
+WITH b AS ({_DUCK_BUCKET}),
+topk AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+)
+SELECT t.q_vec_id,
+       count(*) AS n_true,
+       CAST(count_if(bq.bucket = bc.bucket) AS BIGINT) AS n_in_bucket,
+       round(CAST(count_if(bq.bucket = bc.bucket) AS DOUBLE) / count(*), 6)
+           AS recall_at_5
+FROM topk t
+JOIN b bq ON bq.vec_id = t.q_vec_id
+JOIN b bc ON bc.vec_id = t.c_vec_id
+GROUP BY t.q_vec_id
+""", tier=3, section="2.11")
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH scale path, measured against brute-force truth
+    — the evaluation harness an ANN index must ship with (a candidate
+    generator you can't score is a liability at 100 TB). For each query:
+    how many of its TRUE top-5 cosine neighbors land in the query's LSH
+    bucket (i.e. would survive the candidate cut of
+    ``sim_lsh_bucketed``)? Expected recall per neighbor is
+    (1 - theta/pi)^bits, so near neighbors (small theta) survive with
+    high probability while the bucket join prunes ~2^bits-fold.
+
+    Both the truth side and the signature side are engine-portable, so
+    the whole quality measurement is value-checked cross-engine — the
+    oracle is the same brute-force top-5 + md5-parity hyperplanes in SQL.
+    At corpus scale the truth side runs on a fixed query SAMPLE (as
+    here: {_N_QUERIES} queries) — recall estimation never needs the full
+    O(n²) pass."""
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", _lsh_bucket().alias("bucket"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("_s").desc(), "c_vec_id")
+    topk = (
+        F.broadcast(q).crossJoin(c)
+         .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+         .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+         .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+         .select("q_vec_id", "c_vec_id")
+    )
+    bq = b.select(F.col("vec_id").alias("q_vec_id"),
+                  F.col("bucket").alias("q_bucket"))
+    bc = b.select(F.col("vec_id").alias("c_vec_id"),
+                  F.col("bucket").alias("c_bucket"))
+    hit = F.count_if(F.col("q_bucket") == F.col("c_bucket"))
+    return (
+        F.broadcast(topk).join(bq, "q_vec_id").join(bc, "c_vec_id")
+         .groupBy("q_vec_id")
+         .agg(F.count("*").alias("n_true"),
+              hit.alias("n_in_bucket"),
+              F.round(hit.cast("double") / F.count("*"), 6)
+               .alias("recall_at_5"))
     )
 
 
