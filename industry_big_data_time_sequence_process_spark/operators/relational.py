@@ -90,6 +90,26 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("filter_ts_range", oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+""", tier=1, section="2.2")
+def filter_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range slice of the event stream — THE hot query shape of a
+    time-series engine ('last N days of telemetry'). With the adaptive
+    µs decode the predicate reaches the parquet scan as a pushed filter
+    (pinned in tests/test_plans.py), so row-group min/max stats skip
+    everything outside the window server-side; at 100 TB with a
+    time-partitioned layout this prunes whole partitions before any
+    row is read."""
+    ev = load(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-13").cast("timestamp")
+    return ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+
+
 @op("filter_null_semantics", oracle="""
 SELECT c_custkey,
        nullif(c_mktsegment, 'BUILDING') AS seg_null,
