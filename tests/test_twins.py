@@ -92,3 +92,26 @@ def test_ewma_first_value(spark):
         ev_ids.withColumn("rn", F.row_number().over(w)).filter("rn = 1"),
         ["user_id", "event_id"]).collect()}
     assert first_ewma == first
+
+
+def test_stream_stateful_on_rocksdb_provider(spark):
+    """The 100 TB state-store posture, executed: the same
+    applyInPandasWithState op runs on the RocksDB provider (what SCALE.md
+    prescribes once state outgrows executor heap) and must emit exactly
+    the rows the default HDFSBacked provider emits. Provider is a
+    query-start conf — restored afterwards so sibling tests keep the
+    default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    default = streaming.stream_stateful_running(spark, SF_T2).collect()
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        on_rocks = streaming.stream_stateful_running(spark, SF_T2).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert Counter(map(tuple, on_rocks)) == Counter(map(tuple, default))
