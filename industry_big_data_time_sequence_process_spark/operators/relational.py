@@ -808,6 +808,38 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("agg_regression_builtin", oracle="""
+SELECT user_id,
+       round(regr_slope(value, (epoch_us(ts) - 1704067200000000)
+                               / 3600000000.0), 6) AS slope_per_hr,
+       round(regr_intercept(value, (epoch_us(ts) - 1704067200000000)
+                                   / 3600000000.0), 6) AS intercept,
+       round(regr_r2(value, (epoch_us(ts) - 1704067200000000)
+                            / 3600000000.0), 6) AS r2,
+       count(*) AS n
+FROM events GROUP BY user_id
+""", tier=2, section="2.4")
+def agg_regression_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of value over time via the BUILT-IN
+    regression aggregates (regr_slope/intercept/r2) — the JVM-side,
+    map-side-partial twin of the Arrow UDAF ``udaf_grouped_slope``
+    (§2.12 exists to demonstrate the UDAF machinery; THIS is the form
+    to ship at 100 TB: sufficient statistics combine associatively, so
+    the whole fit is one hash aggregate, no per-group sort or Python).
+    The time axis is re-centered to hours since 2024-01-01 on BOTH
+    engines — raw epoch-µs squares to ~1e30 and loses the fit in
+    floating-point cancellation."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / 3.6e9
+    v = F.col("value")
+    return ev.groupBy("user_id").agg(
+        r6(F.regr_slope(v, x)).alias("slope_per_hr"),
+        r6(F.regr_intercept(v, x)).alias("intercept"),
+        r6(F.regr_r2(v, x)).alias("r2"),
+        F.count("*").alias("n"),
+    )
+
+
 @op("agg_conditional", oracle="""
 SELECT o_orderpriority,
        count(*) AS n_total,
