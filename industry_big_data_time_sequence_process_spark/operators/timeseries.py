@@ -2081,3 +2081,78 @@ def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n").over(w), 6).alias("avg_order_value_3mo"),
         F.sum("n").over(w).cast("long").alias("orders_3mo"),
     )
+
+
+@op("ts_downtime_episodes", oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       prev_ts AS down_start,
+       ts AS down_end,
+       gap_us AS downtime_us
+FROM gaps WHERE gap_us > 1800000000
+""", tier=2, section="2.9")
+def ts_downtime_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime episodes: one row per silence longer than 30 min on a
+    unit's event stream, with its exact bounds and duration — the
+    availability/OEE ledger of industrial monitoring (sessionize's dual:
+    sessions describe activity runs, THIS describes the holes between
+    them). One lag over the per-user ordering, a filter, done — a single
+    shuffle on the entity key, integer-µs arithmetic end to end."""
+    ev = load(spark, sf_dir, "events")
+    prev = F.lag("ts").over(_w_user())
+    gap = F.unix_micros("ts") - F.unix_micros(prev)
+    return (ev.select("user_id", "ts", "event_id",
+                      prev.alias("down_start"), gap.alias("downtime_us"))
+              .filter(F.col("downtime_us") > GAP_US)
+              .select("user_id", "down_start",
+                      F.col("ts").alias("down_end"), "downtime_us"))
+
+
+@op("ts_spc_violations", oracle="""
+WITH limits AS (   -- control limits fitted on the first-week baseline
+    SELECT event_type,
+           avg(value) AS mu,
+           stddev_samp(value) AS sigma
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.ts, e.value,
+       round(l.mu + 3 * l.sigma, 6) AS ucl,
+       round(l.mu - 3 * l.sigma, 6) AS lcl,
+       CAST(e.value > l.mu + 3 * l.sigma OR e.value < l.mu - 3 * l.sigma
+            AS INT) AS out_of_control
+FROM events e JOIN limits l USING (event_type)
+WHERE e.ts >= TIMESTAMP '2024-01-08'
+""", tier=2, section="2.9")
+def ts_spc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control: fit 3-sigma control limits per
+    channel on a FROZEN baseline week, then flag the monitored period's
+    excursions — the Shewhart-chart discipline of industrial quality
+    monitoring. Differs from ``ts_anomaly_zscore`` exactly where SPC
+    differs from z-scoring: the limits come from the baseline window
+    only, so a drifting process cannot stretch its own limits. The tiny
+    per-channel limits table broadcasts onto the monitored stream; the
+    baseline cut is a pushed-down ts predicate on both passes."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp")
+    limits = (ev.filter(F.col("ts") < cut)
+                .groupBy("event_type")
+                .agg(F.avg("value").alias("mu"),
+                     F.stddev_samp("value").alias("sigma")))
+    ucl = F.col("mu") + 3 * F.col("sigma")
+    lcl = F.col("mu") - 3 * F.col("sigma")
+    return (ev.filter(F.col("ts") >= cut)
+              .join(F.broadcast(limits), "event_type")
+              .select("event_id", "event_type", "ts", "value",
+                      F.round(ucl, 6).alias("ucl"),
+                      F.round(lcl, 6).alias("lcl"),
+                      ((F.col("value") > ucl) | (F.col("value") < lcl))
+                      .cast("int").alias("out_of_control")))
