@@ -2156,3 +2156,50 @@ def ts_spc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(lcl, 6).alias("lcl"),
                       ((F.col("value") > ucl) | (F.col("value") < lcl))
                       .cast("int").alias("out_of_control")))
+
+
+@op("ts_sax_symbols", oracle="""
+WITH stats AS (
+    SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT e.user_id,
+           (e.value - s.mu) / s.sd AS z,
+           ntile(10) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+               AS seg
+    FROM events e JOIN stats s USING (user_id)
+), segm AS (
+    SELECT user_id, seg, round(avg(z), 6) AS z_mean
+    FROM ranked GROUP BY user_id, seg
+)
+SELECT user_id, seg, z_mean,
+       CASE WHEN z_mean < -0.6745 THEN 'a'
+            WHEN z_mean < 0       THEN 'b'
+            WHEN z_mean < 0.6745  THEN 'c'
+            ELSE 'd' END AS symbol
+FROM segm
+""", tier=3, section="2.9")
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic Aggregate approXimation: z-normalize each user's series,
+    compress to 10 PAA segments, quantize each segment mean into a
+    4-letter alphabet at the standard Gaussian breakpoints (±0.6745, 0 —
+    equiprobable under N(0,1); Lin & Keogh 2003, public). The discrete
+    fingerprint under SAX indexing/motif discovery — two tiny aggregates
+    and a window riding one user-keyed shuffle; the per-user stats join
+    is a broadcast. Classification happens on the 6-rounded mean on both
+    engines so the symbol boundary is bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    ranked = (ev.join(F.broadcast(stats), "user_id")
+                .select("user_id",
+                        F.try_divide(F.col("value") - F.col("mu"),
+                                     F.col("sd")).alias("z"),
+                        F.ntile(10).over(_w_user()).alias("seg")))
+    segm = ranked.groupBy("user_id", "seg").agg(
+        F.round(F.avg("z"), 6).alias("z_mean"))
+    z = F.col("z_mean")
+    return segm.select(
+        "user_id", "seg", "z_mean",
+        F.when(z < -0.6745, "a").when(z < 0, "b")
+         .when(z < 0.6745, "c").otherwise("d").alias("symbol"))
