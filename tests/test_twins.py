@@ -115,3 +115,23 @@ def test_stream_stateful_on_rocksdb_provider(spark):
         else:
             spark.conf.set(key, prev)
     assert Counter(map(tuple, on_rocks)) == Counter(map(tuple, default))
+
+
+def test_interpolate_sql_twin(spark):
+    """The pure-SQL lerp (union + ignorenulls windows) must reproduce the
+    pandas grouped-map interpolation: identical (user, grid point) sets,
+    values equal to within one rounding ulp (pandas interpolates on a
+    float-NANOsecond axis, the SQL path on integer-µs -> the 6th decimal
+    can flip on ties; measured 13 of 105k rows at sf0.01). Pins that the
+    JVM scale path and the Arrow reference path implement the same
+    semantics."""
+    via_pandas = {(r["user_id"], r["grid_ts"]): r["value_interp"]
+                  for r in timeseries.ts_interpolate_linear(spark, SF_T2)
+                  .collect()}
+    via_sql = {(r["user_id"], r["grid_ts"]): r["value_interp"]
+               for r in timeseries.ts_interpolate_sql(spark, SF_T2)
+               .collect()}
+    assert via_pandas.keys() == via_sql.keys(), "grid mismatch"
+    worst = max(abs((via_pandas[k] or 0) - (via_sql[k] or 0))
+                for k in via_pandas)
+    assert worst <= 2e-6, f"interpolated values diverge: max |delta|={worst}"
