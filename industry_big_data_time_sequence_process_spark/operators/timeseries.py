@@ -1210,7 +1210,8 @@ def _cusum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         s_neg.append(round(sn, 6))
         alarms.append(alarm)
     out = pdf[["user_id", "event_id"]].copy()
-    out["s_pos"], out["s_neg"], out["alarm"] = s_pos, s_neg, alarms
+    out["s_pos"], out["s_neg"] = s_pos, s_neg
+    out["alarm"] = [int(a) for a in alarms]
     return out
 
 
@@ -1228,7 +1229,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
           .applyInPandas(
               _cusum_pdf,
               "user_id long, event_id long, s_pos double, s_neg double, "
-              "alarm boolean")
+              "alarm int")
     )
 
 
