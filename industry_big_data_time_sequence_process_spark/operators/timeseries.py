@@ -2300,3 +2300,40 @@ def ts_interpolate_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.when(F.col("pt") == g, F.col("pv"))
                                     .otherwise(lerp), 6)
                             .alias("value_interp")))
+
+
+@op("ts_rollup_two_level", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""", tier=2, section="2.9")
+def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style two-level rollup: aggregate the stream to HOURLY
+    partials first (count + exact decimal sum — the state a continuous
+    aggregate materializes), then answer the daily question by
+    re-aggregating the partials. The oracle aggregates the raw events
+    directly, so the test proves the reaggregation identity
+    (sum-of-sums, count-of-counts, avg as ratio of merged sums) that
+    every materialized-rollup architecture depends on. At 100 TB the
+    hourly table is what lands on disk (orders of magnitude smaller
+    than the stream) and every day/week/month query reads it, never the
+    raw events; decimal partials make the merge order-insensitive."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .alias("s")))
+    daily = (hourly.groupBy(F.date_trunc("day", "hour").alias("day"),
+                            "event_type")
+                   .agg(F.sum("n").alias("n"),
+                        F.sum("s").alias("s")))
+    return daily.select(
+        "day", "event_type", "n",
+        F.col("s").cast("double").alias("sum_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6)
+         .alias("avg_value"))
