@@ -320,3 +320,26 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum("s_acctbal").alias("sum_bal"),
     )
+
+
+@op("scan_orc_roundtrip", oracle="""
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""", tier=2, section="2.1")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: write customer as ORC (Spark's other first-class
+    columnar format — same predicate-pushdown/column-pruning machinery
+    as parquet via the vectorized ORC reader), re-read, aggregate;
+    checked against the original parquet table, proving the format
+    conversion lossless. The interop path for Hive-era warehouses."""
+    path = _scratch("scan_orc_roundtrip")
+    load(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        exact_sum("c_acctbal").alias("sum_bal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )

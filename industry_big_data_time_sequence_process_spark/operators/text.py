@@ -1115,3 +1115,41 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
         F.count("*").alias("n_distinct_chars"),
     )
+
+
+@op("text_line_dedup", oracle="""
+WITH lines AS (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS line
+    FROM documents
+), tagged AS (
+    SELECT doc_id, line,
+           count(*) OVER (PARTITION BY md5(trim(line))) AS n_copies
+    FROM lines WHERE length(trim(line)) > 0
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(count_if(n_copies > 1) AS BIGINT) AS n_dup_lines,
+       round(CAST(count_if(n_copies = 1) AS DOUBLE) / count(*), 6)
+           AS unique_line_frac
+FROM tagged GROUP BY doc_id
+""", tier=2, section="2.11")
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level duplication audit (the C4/RefinedWeb
+    cleaning signal): explode each document into sentence-lines, count
+    how often each normalized line occurs ACROSS the whole corpus, and
+    score every document by its duplicated-line share — boilerplate
+    (nav bars, license headers) lights up as n_copies > 1. Explode ->
+    one hash-keyed window on the line hash -> per-doc reaggregate; the
+    line-hash key space is what shuffles, never the documents."""
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", r"\. ")).alias("line"))
+    lines = lines.filter(F.length(F.trim("line")) > 0)
+    w = Window.partitionBy(F.md5(F.trim("line")))
+    tagged = lines.select("doc_id", F.count("*").over(w).alias("n_copies"))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("n_copies") > 1).alias("n_dup_lines"),
+        F.round(F.count_if(F.col("n_copies") == 1).cast("double")
+                / F.count("*"), 6).alias("unique_line_frac"),
+    )
