@@ -2154,3 +2154,75 @@ def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("date1").cast("date")).cast("long")
                   .alias("gap_days"))
     )
+
+
+@op("agg_pagerank_bipartite", oracle="""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), edges AS (
+    SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+    UNION ALL
+    SELECT 's' || l_suppkey, 'p' || l_partkey FROM pairs
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+r1 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
+              0.85 * sum(r.rank / d.outdeg) AS rank
+       FROM edges e JOIN r0 r ON r.node = e.src
+       JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst),
+r2 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
+              0.85 * sum(r.rank / d.outdeg) AS rank
+       FROM edges e JOIN r1 r ON r.node = e.src
+       JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst),
+r3 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
+              0.85 * sum(r.rank / d.outdeg) AS rank
+       FROM edges e JOIN r2 r ON r.node = e.src
+       JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst)
+SELECT node, pr, rnk FROM (
+    SELECT node, round(rank, 6) AS pr,
+           row_number() OVER (ORDER BY round(rank, 6) DESC, node) AS rnk
+    FROM r3
+) WHERE rnk <= 50
+""", tier=3, section="2.4")
+def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, damping 0.85) over the
+    part<->supplier bipartite graph — the second iterative algorithm of
+    the suite beside connected components, and unlike open-ended CC it
+    is EXACTLY value-oracle-able because the iteration count is fixed
+    (the DuckDB oracle chains the same three iterations as CTEs).
+    Per iteration: one join of the edge list against the current ranks +
+    one aggregate on the destination — the edge list partitions on the
+    source key, ranks are node-sized. The driver-side loop is over
+    ITERATIONS (distributed work inside), never rows; ranks round to 6
+    before the top-50 cut so the ordering decision is cross-engine
+    identical."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = (pairs.select(p.alias("src"), s.alias("dst"))
+                  .unionByName(pairs.select(s.alias("src"), p.alias("dst"))))
+    edges = edges.cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(3):
+        contrib = (edges.join(ranks, edges.src == ranks.node)
+                        .join(deg, "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                              .alias("inflow")))
+        ranks = contrib.crossJoin(F.broadcast(n_nodes)).select(
+            "node",
+            (F.lit(0.15) / F.col("n")
+             + F.lit(0.85) * F.col("inflow")).alias("rank"))
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    out = (ranks.select("node", F.round("rank", 6).alias("pr"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter("rnk <= 50"))
+    out = out.localCheckpoint(eager=True)  # materialize before dropping edges
+    edges.unpersist()
+    return out
