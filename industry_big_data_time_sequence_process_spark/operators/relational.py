@@ -2226,3 +2226,65 @@ def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before dropping edges
     edges.unpersist()
     return out
+
+
+@op("dim_scd2_upsert", oracle="""
+WITH changes AS (   -- deterministic change batch synthesized from orders:
+                    -- each customer's latest order re-prices their balance
+    SELECT o_custkey AS c_custkey,
+           max_by(o_totalprice, o_orderkey) AS new_acctbal,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS eff_ts
+    FROM orders GROUP BY o_custkey
+), changed AS (
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, ch.new_acctbal, ch.eff_ts
+    FROM customer c JOIN changes ch USING (c_custkey)
+    WHERE ch.new_acctbal <> c.c_acctbal
+)
+SELECT c_custkey, c_name, c_acctbal AS acctbal,
+       TIMESTAMP '1992-01-01' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, 1 AS is_current
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal,
+       TIMESTAMP '1992-01-01', eff_ts, 0
+FROM changed
+UNION ALL
+SELECT c_custkey, c_name, new_acctbal,
+       eff_ts, CAST(NULL AS TIMESTAMP), 1
+FROM changed
+""", tier=3, section="2.3")
+def dim_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 upsert WITHOUT a MERGE-capable
+    table format: the anti-join + union emulation (close the old
+    version with valid_to = effective ts, append the new version as
+    current, pass unchanged rows through). The change batch is
+    synthesized deterministically from orders (each customer's latest
+    order re-prices their balance), so the whole maintenance operation
+    is value-oracled. At 100 TB this is the nightly dimension-merge
+    job; the changes side is customer-keyed and orders of magnitude
+    smaller than the fact history, so it broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    changes = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("new_acctbal"),
+        F.max("o_orderdate").cast("timestamp").alias("eff_ts"))
+    changed = (c.join(F.broadcast(changes), "c_custkey")
+                .filter(F.col("new_acctbal") != F.col("c_acctbal")))
+    epoch = F.lit("1992-01-01").cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    unchanged = (c.join(F.broadcast(changed.select("c_custkey")),
+                        "c_custkey", "left_anti")
+                  .select("c_custkey", "c_name",
+                          F.col("c_acctbal").alias("acctbal"),
+                          epoch.alias("valid_from"),
+                          null_ts.alias("valid_to"),
+                          F.lit(1).alias("is_current")))
+    closed = changed.select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"),
+        epoch.alias("valid_from"), F.col("eff_ts").alias("valid_to"),
+        F.lit(0).alias("is_current"))
+    current = changed.select(
+        "c_custkey", "c_name", F.col("new_acctbal").alias("acctbal"),
+        F.col("eff_ts").alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(1).alias("is_current"))
+    return unchanged.unionByName(closed).unionByName(current)
