@@ -183,3 +183,26 @@ def test_merge_hint_forces_sort_merge_join(spark):
     plan = _plan(spark, "join_hint_merge")
     assert "SortMergeJoin" in plan, "merge hint ignored"
     assert "BroadcastHashJoin" not in plan
+
+
+def test_downtime_single_shuffle(spark):
+    # same single-shuffle contract as sessionize: one lag window on the
+    # entity key, nothing else moves the facts
+    plan = _plan(spark, "ts_downtime_episodes", "simple")
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n == 1, f"downtime episodes should shuffle once, found {n}"
+
+
+def test_interpolate_sql_no_explosion(spark):
+    # union + ignorenulls windows: bounded exchanges (obs dedup, bounds
+    # agg, union window), never a range-join explosion
+    plan = _plan(spark, "ts_interpolate_sql", "simple")
+    assert "NestedLoop" not in plan
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n <= 3, f"interpolate_sql grew extra shuffles: {n}"
+
+
+def test_spc_broadcasts_limits_not_facts(spark):
+    plan = _plan(spark, "ts_spc_violations")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "")
