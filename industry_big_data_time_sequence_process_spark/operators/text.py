@@ -1153,3 +1153,66 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(F.col("n_copies") == 1).cast("double")
                 / F.count("*"), 6).alias("unique_line_frac"),
     )
+
+
+@op("dedup_simhash_pairs", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, token, count(*) AS w,
+           {_DUCK_H32.format(c='token')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY 1, 2
+), bits AS (
+    SELECT t.doc_id, g.b,
+           sum(CASE WHEN (t.h >> g.b) & 1 = 1 THEN t.w ELSE -t.w END) AS s
+    FROM tok t, generate_series(0, 31) g(b)
+    GROUP BY 1, 2
+), sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+), bands AS (   -- 4 x 8-bit bands: hamming<=3 pairs must agree on >=1 band
+    SELECT doc_id, simhash, g.b AS band,
+           (simhash >> (g.b * 8)) & 255 AS bandval
+    FROM sig, generate_series(0, 3) g(b)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+           a.simhash AS s1, b2.simhash AS s2
+    FROM bands a JOIN bands b2
+      ON a.band = b2.band AND a.bandval = b2.bandval
+     AND a.doc_id < b2.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+""", tier=3, section="2.11")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS from the SimHash index: band each 32-bit signature
+    into four 8-bit bands, bucket-join on (band, value) — by pigeonhole
+    any pair within Hamming distance 3 agrees on at least one full band,
+    so the candidate set provably contains every such pair without an
+    all-pairs scan — then verify with bit_count(s1 XOR s2) <= 3. This
+    closes the simhash path from signatures (``dedup_simhash``) to
+    usable duplicate pairs, the same band-then-verify discipline as the
+    MinHash pipeline; candidates shuffle on the band value, never the
+    corpus on itself."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bandval",
+                 F.expr("(simhash >> (band * 8)) & 255"))
+    a = bands.select(F.col("doc_id").alias("doc1"),
+                     F.col("simhash").alias("s1"), "band", "bandval")
+    b = bands.select(F.col("doc_id").alias("doc2"),
+                     F.col("simhash").alias("s2"),
+                     F.col("band").alias("band2"),
+                     F.col("bandval").alias("bandval2"))
+    cand = (a.join(b, (F.col("band") == F.col("band2"))
+                   & (F.col("bandval") == F.col("bandval2"))
+                   & (F.col("doc1") < F.col("doc2")))
+             .select("doc1", "doc2", "s1", "s2").distinct())
+    hamming = F.bit_count(F.expr("s1 ^ s2")).cast("int")
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= 3)
+                .select("doc1", "doc2", "hamming"))
