@@ -2337,3 +2337,46 @@ def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_value"),
         F.round(F.col("s").cast("double") / F.col("n"), 6)
          .alias("avg_value"))
+
+
+@op("ts_window_features", oracle="""
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win,
+       count(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS f_mean,
+       round(coalesce(stddev_samp(value), 0.0), 6) AS f_std,
+       round(min(value), 6) AS f_min,
+       round(max(value), 6) AS f_max,
+       round(max(value) - min(value), 6) AS f_range,
+       round(min_by(value, event_id), 6) AS f_first,
+       round(max_by(value, event_id), 6) AS f_last
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+""", tier=2, section="2.9")
+def ts_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(unit, hour-window) feature vector — count, mean, dispersion,
+    extremes, endpoints — the windowed feature-extraction step an
+    industrial ML pipeline feeds to its models (the reference domain's
+    'windows x channels -> feature matrix' move, as one hash aggregate).
+    Endpoint features use min_by/max_by on event_id (the documented
+    per-stream total order, FIXTURES.md: monotonic with ts):
+    deterministic, no window sort; single-sample windows get
+    std 0 via coalesce rather than NULL. Everything partial-aggregates
+    map-side; the key space is (units x hours), far smaller than the
+    stream."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("win")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6).alias("f_mean"),
+        F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6)
+         .alias("f_std"),
+        F.round(F.min("value"), 6).alias("f_min"),
+        F.round(F.max("value"), 6).alias("f_max"),
+        F.round(F.max("value") - F.min("value"), 6).alias("f_range"),
+        F.round(F.min_by("value", "event_id"), 6).alias("f_first"),
+        F.round(F.max_by("value", "event_id"), 6).alias("f_last"),
+    )
