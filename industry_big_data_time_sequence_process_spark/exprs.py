@@ -30,3 +30,25 @@ def exact_sum(col) -> Column:
 
 def r6(c: Column) -> Column:
     return F.round(c, 6)
+
+
+def safe_corr(x, y) -> Column:
+    """Pearson correlation that degrades to NULL (not an ANSI
+    DIVIDE_BY_ZERO crash) when either series has zero variance.
+
+    Spark's built-in ``corr`` divides by sqrt(varX * varY) inside the
+    aggregate's final evaluation, so a constant series crashes the whole
+    job under ANSI mode and no outer CASE can guard it. This form keeps
+    the division OUTSIDE the aggregates — covar_samp and stddev_samp are
+    crash-free — and guards it with try_divide. Mathematically identical;
+    agrees with DuckDB's fused ``corr`` to well below the r6 rounding
+    everywhere the corpus exercises it (pinned by oracle parity)."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    # Pairwise deletion, matching corr: each stddev must run over rows
+    # where BOTH columns are present (lag columns carry leading NULLs),
+    # else the variances describe a different row set than the covariance.
+    px = F.when(cy.isNotNull(), cx)
+    py = F.when(cx.isNotNull(), cy)
+    return F.try_divide(F.covar_samp(cx, cy),
+                        F.stddev_samp(px) * F.stddev_samp(py))

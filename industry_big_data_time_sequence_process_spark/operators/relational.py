@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import api
-from ..exprs import dec2, exact_sum, r6
+from ..exprs import dec2, exact_sum, r6, safe_corr
 from ..registry import op
 from ..sources.io import load
 
@@ -804,7 +804,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         r6(F.stddev_samp("value")).alias("sd"),
         r6(F.var_samp("value")).alias("var"),
-        r6(F.corr("value", F.col("user_id").cast("double"))).alias("corr_vu"),
+        r6(safe_corr("value", F.col("user_id").cast("double")))
+            .alias("corr_vu"),
     )
 
 

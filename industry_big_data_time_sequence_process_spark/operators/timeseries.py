@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import api
+from ..exprs import safe_corr
 from ..registry import op
 from ..sources.io import load
 
@@ -344,7 +345,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(_w_user()).alias("prev_value"),
     )
     return lagged.groupBy("user_id").agg(
-        F.round(F.corr("value", "prev_value"), 6).alias("autocorr_lag1"),
+        F.round(safe_corr("value", "prev_value"), 6).alias("autocorr_lag1"),
         F.count("prev_value").alias("n_pairs"),
     )
 
@@ -564,7 +565,7 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("views"),
     )
     return hourly.groupBy("user_id").agg(
-        F.round(F.corr("clicks", "views"), 6).alias("click_view_corr"),
+        F.round(safe_corr("clicks", "views"), 6).alias("click_view_corr"),
         F.count("*").alias("n_hours"),
     )
 
@@ -1474,7 +1475,7 @@ def ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("value", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
     )
     return lagged.groupBy("user_id").agg(
-        *[F.round(F.corr("value", f"l{k}"), 6).alias(f"acf{k}")
+        *[F.round(safe_corr("value", f"l{k}"), 6).alias(f"acf{k}")
           for k in (1, 2, 3)],
     )
 

@@ -32,6 +32,14 @@ GUARDED = [
     "ts_gap_survival",
     "agg_ab_proportion_test",
     "agg_anova_decomposition",
+    # correlation family: Spark's built-in corr divides by sqrt(var*var)
+    # inside the aggregate and crashes on constant series under ANSI;
+    # these use exprs.safe_corr (covar/sd*sd with try_divide, pairwise)
+    "agg_stats",
+    "ts_autocorr",
+    "ts_acf_multi",
+    "ts_cross_corr",
+    "ts_sax_symbols",
 ]
 
 
