@@ -2381,3 +2381,47 @@ def ts_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min_by("value", "event_id"), 6).alias("f_first"),
         F.round(F.max_by("value", "event_id"), 6).alias("f_last"),
     )
+
+
+@op("ts_label_horizon", oracle="""
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CAST(max(CASE WHEN p.ts > c.ts
+                      AND p.ts <= c.ts + INTERVAL 24 HOUR
+                     THEN 1 ELSE 0 END) AS INT) AS label_purchase_24h
+FROM clicks c LEFT JOIN purch p ON p.user_id = c.user_id
+GROUP BY c.event_id, c.user_id, c.ts
+""", tier=2, section="2.9")
+def ts_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label generation for supervised training: for
+    every click, does the same user purchase within the next 24 h? The
+    labeling step of a churn/conversion model's training pipeline —
+    and the step where temporal leakage bugs live, so it is expressed
+    with an explicit (t, t+24h] window, never a symmetric join. Spark
+    side rides the forward as-of join (earliest purchase after the
+    click, one user-keyed shuffle, no range explosion) and then tests
+    it against the horizon; the oracle reaches the same labels through
+    a per-user aggregate — two genuinely different routes, one answer."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", F.col("ts").alias("p_ts"),
+                       F.lit(0).alias("p_dummy")))
+    # earliest purchase strictly after each click: forward as-of on ts+1µs
+    shifted = clicks.withColumn(
+        "t_after", F.timestamp_micros(F.unix_micros("ts") + 1))
+    joined = api.asof_join_forward(
+        shifted, purch.withColumnsRenamed({"p_ts": "ts_r"}),
+        key="user_id", left_ts="t_after", right_ts="ts_r",
+        value_cols=["p_dummy"],
+    )
+    within = (F.col("ts_r").isNotNull()
+              & (F.col("ts_r") <= F.expr("ts + INTERVAL 24 HOURS")))
+    return joined.select(
+        "event_id", "user_id", "ts",
+        within.cast("int").alias("label_purchase_24h"))
