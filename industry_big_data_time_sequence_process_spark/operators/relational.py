@@ -2000,33 +2000,31 @@ def agg_bipartite_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op("agg_hhi_concentration", oracle="""
-WITH shares AS (
-    SELECT user_id,
-           CAST(count(*) AS DOUBLE)
-               / sum(count(*)) OVER (PARTITION BY user_id) AS share
+WITH counts AS (
+    SELECT user_id, count(*) AS c
     FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       round(sum(share * share), 6) AS hhi,
+       round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS hhi,
        count(*) AS n_types
-FROM shares GROUP BY user_id
+FROM counts GROUP BY user_id
 """, tier=3, section="2.4")
 def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman concentration of each user's event-type mix
     (1/n_types = uniform, 1.0 = single-type) — the antitrust index
     repurposed as a behavioral-focus feature, complementing
-    ``agg_entropy``'s log form. Shares are identical count ratios; the
-    squared sum runs over at most 5 terms."""
+    ``agg_entropy``'s log form. Computed in the integer-exact form
+    Σc² / (Σc)² — both sums are exact longs in any summation order, so
+    the single final division is bit-deterministic across runs and
+    engines (the share-squared-sum form flaked on a round-6 boundary
+    when partial-agg order varied) — and the per-user share window
+    disappears: two hash aggregates, no window shuffle."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c"))
-    w = Window.partitionBy("user_id")
-    shares = counts.select(
-        "user_id",
-        (F.col("c").cast("double") / F.sum("c").over(w)).alias("share"),
-    )
-    return shares.groupBy("user_id").agg(
-        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+    return counts.groupBy("user_id").agg(
+        F.round(F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c")), 6).alias("hhi"),
         F.count("*").alias("n_types"),
     )
 
