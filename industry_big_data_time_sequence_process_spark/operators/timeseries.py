@@ -1894,14 +1894,16 @@ def ts_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("1 HOUR").alias("in_1h"),
         within("24 HOURS").alias("in_24h"),
     )
+    # try_divide: an empty click stream leaves the global agg with
+    # count 0 — NULL rates, not an ANSI DIVIDE_BY_ZERO
     return conv.agg(
         F.count("*").alias("n_users"),
-        F.round(F.count_if("in_10m").cast("double") / F.count("*"), 6)
-         .alias("conv_10m"),
-        F.round(F.count_if("in_1h").cast("double") / F.count("*"), 6)
-         .alias("conv_1h"),
-        F.round(F.count_if("in_24h").cast("double") / F.count("*"), 6)
-         .alias("conv_24h"),
+        F.round(F.try_divide(F.count_if("in_10m").cast("double"),
+                             F.count("*")), 6).alias("conv_10m"),
+        F.round(F.try_divide(F.count_if("in_1h").cast("double"),
+                             F.count("*")), 6).alias("conv_1h"),
+        F.round(F.try_divide(F.count_if("in_24h").cast("double"),
+                             F.count("*")), 6).alias("conv_24h"),
     )
 
 

@@ -79,3 +79,32 @@ def degen_dir(tmp_path_factory):
 def test_no_divide_by_zero_on_degenerate_slices(spark, degen_dir, key):
     rows = REGISTRY[key].fn(spark, degen_dir).collect()
     assert isinstance(rows, list)  # completed without raising
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    """A corpus whose events table has ZERO rows — global aggregates see
+    count 0, every per-key frame is empty."""
+    d = tmp_path_factory.mktemp("empty_events_sf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq.write_table(pa.table({n: [] for n in schema.names}, schema=schema),
+                   d / "events.parquet")
+    return str(d)
+
+
+#: global-ratio ops where an empty stream drives count(*) itself to zero
+EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
+                 "ts_ks_two_sample", "agg_ab_proportion_test"]
+
+
+@pytest.mark.parametrize("key", EMPTY_GUARDED)
+def test_no_crash_on_empty_events(spark, empty_events_dir, key):
+    rows = REGISTRY[key].fn(spark, empty_events_dir).collect()
+    assert isinstance(rows, list)  # completed without raising
