@@ -2005,7 +2005,8 @@ WITH counts AS (
     FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS hhi,
+       round(CAST(sum(c * c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS hhi,
        count(*) AS n_types
 FROM counts GROUP BY user_id
 """, tier=3, section="2.4")
@@ -2018,13 +2019,21 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single final division is bit-deterministic across runs and
     engines (the share-squared-sum form flaked on a round-6 boundary
     when partial-agg order varied) — and the per-user share window
-    disappears: two hash aggregates, no window shuffle."""
+    disappears: two hash aggregates, no window shuffle. Overflow posture
+    for 100 TB (round-4 ADVICE): the numerator squares/sums in
+    decimal(38,0) — exact and order-insensitive up to 1e38, where a
+    long*long square dies at c≈3.03e9 under ANSI — and the denominator
+    casts each exact long sum to double BEFORE multiplying (each
+    conversion exact below 2^53; the product rounds once, identically in
+    DuckDB). sf0.01 values are bit-identical to the all-long form."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c"))
+    c_dec = F.col("c").cast("decimal(19,0)")
     return counts.groupBy("user_id").agg(
-        F.round(F.sum(F.col("c") * F.col("c")).cast("double")
-                / (F.sum("c") * F.sum("c")), 6).alias("hhi"),
+        F.round(F.sum(c_dec * c_dec).cast("double")
+                / (F.sum("c").cast("double") * F.sum("c").cast("double")),
+                6).alias("hhi"),
         F.count("*").alias("n_types"),
     )
 
@@ -2167,15 +2176,18 @@ deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
 r1 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
-              0.85 * sum(r.rank / d.outdeg) AS rank
+              0.85 * (sum(CAST(floor(r.rank / d.outdeg * 1e12) AS BIGINT))
+                      / 1e12) AS rank
        FROM edges e JOIN r0 r ON r.node = e.src
        JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst),
 r2 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
-              0.85 * sum(r.rank / d.outdeg) AS rank
+              0.85 * (sum(CAST(floor(r.rank / d.outdeg * 1e12) AS BIGINT))
+                      / 1e12) AS rank
        FROM edges e JOIN r1 r ON r.node = e.src
        JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst),
 r3 AS (SELECT e.dst AS node, 0.15 / max(nn.n) +
-              0.85 * sum(r.rank / d.outdeg) AS rank
+              0.85 * (sum(CAST(floor(r.rank / d.outdeg * 1e12) AS BIGINT))
+                      / 1e12) AS rank
        FROM edges e JOIN r2 r ON r.node = e.src
        JOIN deg d ON d.src = e.src CROSS JOIN nn GROUP BY e.dst)
 SELECT node, pr, rnk FROM (
@@ -2195,7 +2207,18 @@ def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     source key, ranks are node-sized. The driver-side loop is over
     ITERATIONS (distributed work inside), never rows; ranks round to 6
     before the top-50 cut so the ordering decision is cross-engine
-    identical."""
+    identical.
+
+    Determinism (round-4 ADVICE): a plain double ``sum(rank/outdeg)``
+    depends on partial-agg order, so a value near a round-6 boundary
+    could flip between runs or engines — the flake class the HHI fix
+    (commit 2f35bbe) removed. Same cure here: each contribution is
+    floored onto a 1e-12 fixed-point grid (``floor(rank/outdeg * 1e12)``
+    — the inputs are bit-identical IEEE doubles in both engines, so the
+    floored long is too), and the per-node SUM is over exact longs —
+    order-invariant, no overflow (inflow ≤ total rank mass 1 → sum ≤
+    1e12). The ≤1e-12-per-edge truncation is noise at the 6-dp output
+    grid; what it buys is bit-equal ranks on every run of every engine."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
@@ -2211,12 +2234,14 @@ def agg_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (edges.join(ranks, edges.src == ranks.node)
                         .join(deg, "src")
                         .groupBy(F.col("dst").alias("node"))
-                        .agg(F.sum(F.col("rank") / F.col("outdeg"))
-                              .alias("inflow")))
+                        .agg(F.sum(F.floor(F.col("rank") / F.col("outdeg")
+                                           * F.lit(1e12)))
+                              .alias("inflow_fx")))
         ranks = contrib.crossJoin(F.broadcast(n_nodes)).select(
             "node",
             (F.lit(0.15) / F.col("n")
-             + F.lit(0.85) * F.col("inflow")).alias("rank"))
+             + F.lit(0.85) * (F.col("inflow_fx") / F.lit(1e12)))
+            .alias("rank"))
     # No cache/checkpoint needed: the three iterations unroll into ONE
     # lazy plan whose repeated edge-list shuffles AQE reuses at runtime
     # (measured: no persistent RDDs, 0.16 s warm at sf0.01).

@@ -275,8 +275,8 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole quality measurement is value-checked cross-engine — the
     oracle is the same brute-force top-5 + md5-parity hyperplanes in SQL.
     At corpus scale the truth side runs on a fixed query SAMPLE (as
-    here: {_N_QUERIES} queries) — recall estimation never needs the full
-    O(n²) pass."""
+    here: the ``_N_QUERIES`` = 8 fixed query ids) — recall estimation
+    never needs the full O(n²) pass."""
     e = load(spark, sf_dir, "embeddings")
     b = e.select("vec_id", _lsh_bucket().alias("bucket"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -26,9 +26,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import op
-from ..sources.io import (
-    SCHEMAS, configure, decode_events_ts, events_read_schema,
-)
+from ..sources.io import configure, decode_events_ts, events_read_schema
 from .sources_sinks import SCRATCH
 
 

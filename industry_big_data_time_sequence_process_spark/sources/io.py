@@ -121,22 +121,41 @@ def path(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def _events_file_stamp(sf_dir: str) -> tuple[str, float, int]:
+    """(path, mtime, size) identity of the events parquet — regenerating the
+    corpus in place changes the stamp, which invalidates both the footer-type
+    cache and the sanity-probe memo (a path-only key would silently reuse a
+    stale decode branch across an in-process corpus rewrite)."""
+    import os
+
+    p = path(sf_dir, "events")
+    try:
+        st = os.stat(p)
+        return (p, st.st_mtime, st.st_size)
+    except OSError:
+        return (p, 0.0, 0)
+
+
 @lru_cache(maxsize=64)
+def _events_ts_kind_stamped(stamp: tuple[str, float, int]) -> str:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(stamp[0]).field("ts").type
+    s = str(t)
+    if s.startswith("timestamp") and "[ns" not in s:
+        return "timestamp"
+    return "int64_ns"
+
+
 def events_ts_kind(sf_dir: str) -> str:
     """Probe the on-disk physical type of ``events.ts`` from the parquet
-    footer (driver-side, one footer read, cached per directory).
+    footer (driver-side, one footer read, cached per (path, mtime, size)).
 
     Returns ``"timestamp"`` (any µs/ms/s timestamp unit Spark decodes
     natively) or ``"int64_ns"`` (raw int64 / timestamp[ns], which Spark 4
     surfaces as LongType nanoseconds under ``nanosAsLong``).
     """
-    import pyarrow.parquet as pq
-
-    t = pq.read_schema(path(sf_dir, "events")).field("ts").type
-    s = str(t)
-    if s.startswith("timestamp") and "[ns" not in s:
-        return "timestamp"
-    return "int64_ns"
+    return _events_ts_kind_stamped(_events_file_stamp(sf_dir))
 
 
 def events_read_schema(sf_dir: str) -> StructType:
@@ -163,22 +182,44 @@ def decode_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
 #: Sanity floor for decoded event timestamps — the corpus is generated in
 #: 2024+; anything earlier means the decode branch picked wrong.
 _TS_SANITY_FLOOR_YEAR = 2000
-_ts_checked_dirs: set[str] = set()
+_ts_checked: set[tuple[str, float, int]] = set()
 
 
-def _assert_ts_sane(df: DataFrame, sf_dir: str) -> None:
-    """One cheap driver-side probe per directory: the first event's year
-    must be plausible. Turns a silent corpus re-type into a loud failure."""
-    if sf_dir in _ts_checked_dirs:
+def _assert_ts_sane(sf_dir: str) -> None:
+    """Pure-footer tripwire, once per (path, mtime, size): the row-group
+    statistics minimum of ``ts``, pushed through the same decode rule the
+    Spark branch applies, must land in a plausible year. Turns a silent
+    corpus re-type into a loud failure WITHOUT putting any eager Spark
+    action on the load path (the former ``limit(1).collect()`` probe did) —
+    this runs driver-side against metadata pyarrow already fetched for the
+    type probe's footer read."""
+    stamp = _events_file_stamp(sf_dir)
+    if stamp in _ts_checked:
         return
-    row = df.select(F.year("ts").alias("y")).limit(1).collect()
-    if row and row[0]["y"] is not None and row[0]["y"] < _TS_SANITY_FLOOR_YEAR:
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(stamp[0]).metadata
+        col_idx = md.schema.to_arrow_schema().get_field_index("ts")
+        stats = md.row_group(0).column(col_idx).statistics
+        lo = stats.min if stats is not None and stats.has_min_max else None
+    except Exception:
+        return  # stats absent/unreadable: nothing to check, not an error
+    if lo is None:
+        return
+    if isinstance(lo, (int, float)):  # int64 / timestamp[ns] physical
+        year = datetime.datetime.fromtimestamp(
+            int(lo) / 1e9, tz=datetime.timezone.utc).year
+    else:  # decoded datetime from a true timestamp physical type
+        year = lo.year
+    if year < _TS_SANITY_FLOOR_YEAR:
         raise AssertionError(
-            f"events.ts decoded to year {row[0]['y']} (< "
-            f"{_TS_SANITY_FLOOR_YEAR}) for {sf_dir} — the physical parquet "
-            f"type changed and the decode branch is wrong; see "
-            f"events_ts_kind() in sources/io.py")
-    _ts_checked_dirs.add(sf_dir)
+            f"events.ts decodes to year {year} (< {_TS_SANITY_FLOOR_YEAR}) "
+            f"for {sf_dir} — the physical parquet type changed and the "
+            f"decode branch is wrong; see events_ts_kind() in sources/io.py")
+    _ts_checked.add(stamp)
 
 
 def load_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -195,7 +236,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = load_raw(spark, sf_dir, table)
     if table == "events":
         df = decode_events_ts(df, sf_dir)
-        _assert_ts_sane(df, sf_dir)
+        _assert_ts_sane(sf_dir)
     return df
 
 
