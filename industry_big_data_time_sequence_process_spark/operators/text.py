@@ -276,8 +276,20 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB 3-gram word shingles of `text` (1-based list indexing).
-_DUCK_SHINGLES = """
+#: High-document-frequency shingle cap (SCALE.md "the production guard"):
+#: a shingle present in more than max(FLOOR, FRAC·n_docs) documents is
+#: boilerplate (licence headers, templated footers) — it carries no
+#: near-dup signal but fans the inverted-index join out toward all-pairs
+#: (df docs sharing one shingle → df² candidate pairs). Dropping it bounds
+#: the per-shingle join fan-out by the cap. The floor keeps the guard
+#: inert on small corpora (sf0.01: 500 docs, max df 500 < 1000 → the cap
+#: provably removes nothing, so oracle values are unchanged).
+_SHINGLE_DF_CAP_FLOOR = 1000
+_SHINGLE_DF_CAP_FRAC = 0.005
+
+#: DuckDB 3-gram word shingles of `text` (1-based list indexing) — raw,
+#: before the df cap.
+_DUCK_SHINGLES_RAW = """
     SELECT DISTINCT doc_id,
            unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
                i -> string_split(text, ' ')[i] || ' '
@@ -286,9 +298,32 @@ _DUCK_SHINGLES = """
     FROM documents
 """
 
+#: Capped shingle stream — what every shingle-consuming oracle uses; the
+#: NOT IN set is the (tiny) hot-shingle list, mirroring the Spark side's
+#: broadcast anti-join. `s` is never NULL (concat of split parts), so
+#: NOT IN three-valued-logic hazards don't apply.
+_DUCK_SHINGLES = f"""
+    SELECT doc_id, s FROM ({_DUCK_SHINGLES_RAW})
+    WHERE s NOT IN (
+        SELECT s FROM ({_DUCK_SHINGLES_RAW})
+        GROUP BY s
+        HAVING count(*) > greatest({_SHINGLE_DF_CAP_FLOOR},
+            CAST(ceil({_SHINGLE_DF_CAP_FRAC} *
+                      (SELECT count(*) FROM documents)) AS BIGINT))
+    )
+"""
+
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, s) — distinct 3-gram word shingles per document."""
+    """(doc_id, s) — distinct 3-gram word shingles per document, with
+    shingles above the high-df cap removed (see cap constants above).
+
+    The cap is computed distributively: shingle df is one aggregate over
+    the stream (same key as the downstream inverted-index join), the doc
+    count is a 1-row aggregate, and the hot-shingle set — by construction
+    at most 1/FRAC ≈ 200 distinct shingles times a slack factor, in
+    practice a handful — is removed via a broadcast LEFT ANTI join. No
+    driver-side collect anywhere."""
     t = F.split("text", " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
@@ -296,7 +331,17 @@ def _shingles(d: DataFrame) -> DataFrame:
             " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
             F.element_at(t, i + 3)),
     )
-    return d.select("doc_id", F.explode(sh).alias("s")).distinct()
+    raw = d.select("doc_id", F.explode(sh).alias("s")).distinct()
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    cap = F.greatest(
+        F.lit(_SHINGLE_DF_CAP_FLOOR).cast("long"),
+        F.ceil(F.lit(_SHINGLE_DF_CAP_FRAC) * F.col("n_docs")).cast("long"))
+    hot = (raw.groupBy("s").agg(F.count("*").alias("df"))
+              .crossJoin(F.broadcast(n_docs))
+              .filter(F.col("df") > cap)
+              .select("s"))
+    return (raw.join(F.broadcast(hot), "s", "left_anti")
+               .select("doc_id", "s"))
 
 
 @op("dedup_ngram_jaccard", oracle=f"""
