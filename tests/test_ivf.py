@@ -1,0 +1,79 @@
+"""Trained IVF centroids (VERDICT r3 item #3).
+
+``sim_ivf_topk`` round 3 used a stride-97 sample as "centroids"; round 4
+trains them (portable hash-bucket seeds + 3 fixed-point Lloyd iterations).
+The bar set by the verdict: measured recall@5 of the trained cells must be
+>= the stride version's, at the same cell count / search cost. The stride
+baseline is recomputed here in DuckDB (the round-3 assignment SQL, kept
+verbatim as the yardstick) so the comparison survives the operator's
+replacement.
+"""
+import duckdb
+
+from industry_big_data_time_sequence_process_spark.operators.similarity import (
+    _IVF_EVAL_QUERIES, _IVF_STRIDE, _duck_cos,
+)
+from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+
+from .conftest import SF_T2
+
+_STRIDE_RECALL_SQL = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id % {_IVF_STRIDE} = 0
+), assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.embedding', 'c.cemb')} DESC,
+                            c.cid) AS r
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE r = 1
+), topk AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {_IVF_EVAL_QUERIES} AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+)
+SELECT avg(CASE WHEN aq.cid = ac.cid THEN 1.0 ELSE 0.0 END) AS recall
+FROM topk t
+JOIN assign aq ON aq.vec_id = t.q_vec_id
+JOIN assign ac ON ac.vec_id = t.c_vec_id
+"""
+
+
+def _stride_recall(sf_dir: str) -> float:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    r = con.execute(_STRIDE_RECALL_SQL).fetchone()[0]
+    con.close()
+    return float(r)
+
+
+def test_trained_recall_at_least_stride(spark):
+    rows = REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_T2).collect()
+    assert len(rows) == _IVF_EVAL_QUERIES
+    trained = (sum(r["n_in_cell"] for r in rows)
+               / sum(r["n_true"] for r in rows))
+    stride = _stride_recall(SF_T2)
+    assert trained >= stride, (trained, stride)
+    assert trained > 0.3  # data-adaptive cells must beat random chance
+    # same search cost: the trained quantizer keeps ~n/97 cells
+
+
+def test_trained_cells_cover_corpus_once(spark):
+    from industry_big_data_time_sequence_process_spark.operators.similarity \
+        import _ivf_cells
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+    e = load(spark, SF_T2, "embeddings")
+    cells = _ivf_cells(e)
+    n = e.count()
+    assert cells.count() == n                       # every vector assigned
+    assert cells.select("vec_id").distinct().count() == n  # exactly once
+    n_cells = cells.select("cid").distinct().count()
+    assert 1 <= n_cells <= -(-n // _IVF_STRIDE)     # at most ceil(n/97)
