@@ -11,7 +11,7 @@ replacement.
 import duckdb
 
 from industry_big_data_time_sequence_process_spark.operators.similarity import (
-    _IVF_EVAL_QUERIES, _IVF_STRIDE, _duck_cos,
+    _EVAL_QUERIES, _IVF_STRIDE, _duck_cos,
 )
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 
@@ -36,7 +36,7 @@ WITH cent AS (
                    ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
                             c.vec_id) AS rnk
         FROM embeddings q, embeddings c
-        WHERE q.vec_id < {_IVF_EVAL_QUERIES} AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_EVAL_QUERIES} AND q.vec_id <> c.vec_id
     ) WHERE rnk <= 5
 )
 SELECT avg(CASE WHEN aq.cid = ac.cid THEN 1.0 ELSE 0.0 END) AS recall
@@ -57,7 +57,7 @@ def _stride_recall(sf_dir: str) -> float:
 
 def test_trained_recall_at_least_stride(spark):
     rows = REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_T2).collect()
-    assert len(rows) == _IVF_EVAL_QUERIES
+    assert len(rows) == _EVAL_QUERIES
     trained = (sum(r["n_in_cell"] for r in rows)
                / sum(r["n_true"] for r in rows))
     stride = _stride_recall(SF_T2)
