@@ -58,9 +58,9 @@ def test_stream_watermark_late_semantics(spark):
 
 
 def test_stream_stateful_state_carries(spark):
-    """applyInPandasWithState: with events staged twice, each user's
+    """transformWithStateInPandas: with events staged twice, each user's
     second emitted row must show exactly double the single-copy totals —
-    proof the GroupState survived the micro-batch boundary."""
+    proof the ValueState survived the micro-batch boundary."""
     out = streaming.stream_stateful_running(spark, SF_T2).collect()
     ev = load(spark, SF_T2, "events")
     single = {r["user_id"]: r["n"] for r in
@@ -95,26 +95,38 @@ def test_ewma_first_value(spark):
 
 
 def test_stream_stateful_on_rocksdb_provider(spark):
-    """The 100 TB state-store posture, executed: the same
-    applyInPandasWithState op runs on the RocksDB provider (what SCALE.md
-    prescribes once state outgrows executor heap) and must emit exactly
-    the rows the default HDFSBacked provider emits. Provider is a
-    query-start conf — restored afterwards so sibling tests keep the
-    default."""
+    """The 100 TB state-store posture is now STRUCTURAL: the op pins the
+    RocksDB provider for its query (transformWithStateInPandas requires
+    it; the legacy fallback gets the same pin). Assert (a) two runs emit
+    identical rows (deterministic under the pinned provider), and (b)
+    the pin is scoped — the session-level provider conf is untouched
+    afterwards."""
     key = "spark.sql.streaming.stateStore.providerClass"
-    rocks = ("org.apache.spark.sql.execution.streaming.state."
-             "RocksDBStateStoreProvider")
-    default = streaming.stream_stateful_running(spark, SF_T2).collect()
-    prev = spark.conf.get(key, None)
+    before = spark.conf.get(key, None)
+    first = streaming.stream_stateful_running(spark, SF_T2).collect()
+    second = streaming.stream_stateful_running(spark, SF_T2).collect()
+    assert Counter(map(tuple, first)) == Counter(map(tuple, second))
+    assert spark.conf.get(key, None) == before, "provider pin leaked"
+
+
+def test_stateful_modern_api_plan_builds(spark):
+    """The transformWithStateInPandas implementation must stay real,
+    buildable code even where its protobuf-speaking runner can't execute
+    (this container): the logical plan constructs and analyzes with the
+    documented output schema. The capability probe decides execution;
+    enabling the modern path is an environment change, not a code
+    change."""
+    ev = streaming._events_stream(spark, SF_T2, "tws_plan_probe")
+    df = streaming._stateful_running_tws(ev)
+    assert [f.name for f in df.schema.fields] == \
+        ["user_id", "n_so_far", "sum_so_far"]
+    # and the probe tells the truth about this environment
     try:
-        spark.conf.set(key, rocks)
-        on_rocks = streaming.stream_stateful_running(spark, SF_T2).collect()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    assert Counter(map(tuple, on_rocks)) == Counter(map(tuple, default))
+        from google.protobuf import descriptor  # noqa: F401
+        have_proto = True
+    except ImportError:
+        have_proto = False
+    assert streaming.tws_available() == have_proto
 
 
 def test_interpolate_sql_twin(spark):
