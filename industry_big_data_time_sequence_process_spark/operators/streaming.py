@@ -385,21 +385,43 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, prev)
 
 
-@op("stream_watermark_late", oracle=None, tier=2, section="2.10")
+@op("stream_watermark_late", oracle="""
+WITH wm AS (
+    SELECT epoch_us(max(ts)) - 600000000 AS wm_us FROM events
+), win AS (
+    SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us,
+           count(*) AS n1
+    FROM events GROUP BY 1
+)
+SELECT make_timestamp(ws_us) AS window_start,
+       CAST(2 * n1 AS BIGINT) AS n
+FROM win CROSS JOIN wm
+WHERE ws_us + 600000000 <= wm.wm_us
+""", tier=2, section="2.10")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics: 10-min watermark over append-mode tumbling
-    counts, with the events file staged THREE times (each copy one
-    micro-batch via ``maxFilesPerTrigger=1``).
+    """Watermark semantics, VALUE-ORACLED (VERDICT r3 item #6 — was
+    rows-only): 10-min watermark over append-mode tumbling counts, with
+    the events file staged THREE times (each copy one micro-batch via
+    ``maxFilesPerTrigger=1`` + distinct mtimes, so batch assignment is
+    deterministic). Copy 2 is the injected late-row set: by the time it
+    arrives, every row in it is behind the watermark.
 
     Measured Spark 4.1.2 behavior (verified this repo, dbg harness): the
     watermark advances after batch 0, but takes effect for *late-row
     filtering* one batch later — so copy 1 still aggregates (windows emit
-    at 2x count when the watermark closes them at the end of batch 1)
-    while copy 2 is dropped wholesale (numRowsDroppedByWatermark > 0).
-    Each closed window is emitted exactly once and never re-emitted.
+    at 2x count when the watermark closes them) while copy 2 is dropped
+    wholesale (numRowsDroppedByWatermark > 0). Each closed window is
+    emitted exactly once and never re-emitted; windows not closed at
+    termination (those ending within 10 min of max(ts)) never emit.
 
-    Rows-only oracle: emitted multiplicity encodes micro-batch timing;
-    the exact-semantics assertions live in tests/test_twins.py."""
+    That makes the drained result EXACTLY expressible in SQL: tumbling
+    windows with end <= max(ts) - 10 min, at 2x the single-copy count —
+    the oracle asserts both the surviving multiplicity (late set
+    excluded) and the precise emitted-window frontier. Boundary caveat:
+    if max(ts) - 10 min landed exactly ON a window end the <= could
+    disagree with Spark's eviction comparison; window ends are whole
+    10-minute marks and event timestamps carry microsecond fractions, so
+    the corpus never hits it (verified at sf0.001/sf0.01/sf0.1)."""
     ev = _events_stream(spark, sf_dir, "stream_watermark_late", copies=3)
     agg = (ev.withWatermark("ts", "10 minutes")
              .groupBy(F.window("ts", "10 minutes").alias("w"))
