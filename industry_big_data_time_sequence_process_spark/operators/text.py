@@ -648,7 +648,22 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("text_pii_scrub", oracle=r"""
+#: Email-shaped span (shared by the op, its oracle, and tests/test_pii.py).
+_EMAIL_RE = r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+"
+#: Phone-shaped span, boundary-anchored (round-4 ADVICE/VERDICT hardening:
+#: the round-3 pattern ``\+?[0-9][0-9-]{4,}`` matched ANY >=5-digit run —
+#: years, IDs, prices). A span now needs actual phone SHAPE: either an
+#: international ``+`` prefix (digits/dashes, ending in a digit) or at
+#: least THREE dash-separated groups of 1-4 digits. Plain digit runs
+#: ("12345", "987654321"), years, and 2-group ranges ("10-20") no longer
+#: scrub. Documented collision: ISO dates ("2024-01-15") share the
+#: 3-group dashed shape and DO scrub — RE2 (the oracle engine) has no
+#: lookahead to carve them out; a production scrubber whitelists date
+#: shapes first.
+_PHONE_RE = r"\+[0-9][0-9-]{4,}[0-9]|\b[0-9]{1,4}(?:-[0-9]{1,4}){2,}\b"
+
+
+@op("text_pii_scrub", oracle=rf"""
 WITH enriched AS (   -- plant deterministic PII-shaped spans (corpus has none)
     SELECT doc_id,
            text || ' contact user' || doc_id
@@ -657,12 +672,10 @@ WITH enriched AS (   -- plant deterministic PII-shaped spans (corpus has none)
 )
 SELECT doc_id,
        regexp_replace(
-           regexp_replace(raw, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+',
-                          '<EMAIL>', 'g'),
-           '\+?[0-9][0-9-]{4,}', '<PHONE>', 'g') AS scrubbed,
-       len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+'))
-           AS n_emails,
-       len(regexp_extract_all(raw, '\+?[0-9][0-9-]{4,}')) AS n_phones
+           regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones
 FROM enriched
 """, tier=2, section="2.11")
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,21 +683,22 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace email- and phone-shaped spans with placeholder tags and count
     what was found (the audit trail). The corpus itself is synthetic, so
     deterministic PII-shaped spans are planted first on BOTH engines,
-    then scrubbed. Pure JVM regexp — narrow, shuffle-free, pushes
-    through the scan at any scale."""
+    then scrubbed. The phone pattern is boundary-anchored (see
+    ``_PHONE_RE``) so digit-heavy non-PII text — years, IDs, prices,
+    numeric ranges — is NOT over-scrubbed (tests/test_pii.py pins an
+    entity-count golden on a planted mixed fixture). Pure JVM regexp —
+    narrow, shuffle-free, pushes through the scan at any scale."""
     d = load(spark, sf_dir, "documents")
-    email_re = r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+"
-    phone_re = r"\+?[0-9][0-9-]{4,}"
     raw = F.concat(
         F.col("text"), F.lit(" contact user"), F.col("doc_id"),
         F.lit("@example.com or +1-555-01"), F.col("doc_id") % 100)
     return d.select(
         "doc_id",
         F.regexp_replace(
-            F.regexp_replace(raw, email_re, "<EMAIL>"),
-            phone_re, "<PHONE>").alias("scrubbed"),
-        F.regexp_count(raw, F.lit(email_re)).cast("long").alias("n_emails"),
-        F.regexp_count(raw, F.lit(phone_re)).cast("long").alias("n_phones"),
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>").alias("scrubbed"),
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
 
 
