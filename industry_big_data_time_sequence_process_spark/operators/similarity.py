@@ -175,31 +175,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_BITS = 4   # bits per band: 16 buckets/band — AND within a band
 _LSH_BANDS = 4  # OR across bands: candidate = collision in ANY band
 
-#: DuckDB: per-(vector, band) 4-bit random-hyperplane signature; plane
-#: (band, j) component i is ±1 from the portable md5 parity, so both
-#: engines build identical planes.
+#: Bits per band scale with the corpus: bits(n) = max(4, floor(log2(n/125)))
+#: — 4 bits (16 buckets/band) up to n = 4000, one more bit per doubling
+#: after. Fixed bits make the same-bucket pair count grow ~n²/2^bits (the
+#: measured e=1.36 super-linearity of the 10x audit); bits ∝ log2(n) holds
+#: expected per-band candidates ~linear in n. The floor keeps every test
+#: corpus (n ≤ 2000) at exactly 4 bits, so sf0.01/sf0.1 values are
+#: unchanged by this round-4 fix. AND-tightening per added bit costs
+#: recall — the standard LSH trade; `sim_lsh_recall_eval` measures it at
+#: whatever size it runs.
+_LSH_BITS_SQL = ("greatest(4, CAST(floor(log2(greatest(count(*), 125)"
+                 " / 125.0)) AS INT))")
+
+#: DuckDB: per-(vector, band) hyperplane signature; plane (band, j)
+#: component i is ±1 from the portable md5 parity, so both engines build
+#: identical planes. The bucket integer ENCODING differs from the Spark
+#: side (bit-shift here, pow there) — only the induced equality classes
+#: matter, and those match because the bit vectors do.
 _DUCK_BANDS = f"""
     SELECT vec_id, embedding, t.band,
-           list_reduce(list_transform(range(0, {_LSH_BITS}), j -> CASE WHEN
+           list_reduce(list_transform(range(0, p.bits), j -> CASE WHEN
                list_reduce(list_transform(embedding, (x, i) ->
                    CAST(x AS DOUBLE) * (CASE WHEN
                        ('0x' || substr(md5(t.band || ':' || j || ':' ||
                             (i - 1)), 1, 8))::BIGINT
                        & 1 = 1 THEN 1.0 ELSE -1.0 END)),
-                   (p, q) -> p + q) > 0
+                   (p2, q) -> p2 + q) > 0
                THEN CAST(1 AS BIGINT) << j ELSE 0 END),
-               (p, q) -> p + q) AS bucket
-    FROM embeddings CROSS JOIN range(0, {_LSH_BANDS}) t(band)
+               (p2, q) -> p2 + q) AS bucket
+    FROM embeddings
+    CROSS JOIN (SELECT {_LSH_BITS_SQL} AS bits FROM embeddings) p
+    CROSS JOIN range(0, {_LSH_BANDS}) t(band)
 """
 
 
 def _lsh_bands(e: DataFrame) -> DataFrame:
     """(vec_id, embedding, band, bucket): Spark twin of ``_DUCK_BANDS`` —
-    one 4-bit hyperplane signature per band, planes keyed (band, bit,
-    dim) through the portable md5 parity."""
+    one n-adaptive-width hyperplane signature per band, planes keyed
+    (band, bit, dim) through the portable md5 parity. The bit count comes
+    from a 1-row broadcast aggregate (never a driver collect); the
+    signature folds over a dynamic ``sequence(0, bits-1)`` with the bit
+    value encoded as 2.0^j (exact for j ≤ 52)."""
     sign = lambda b, j, i: F.when(  # noqa: E731
         F.conv(F.substring(F.md5(F.concat_ws(":", b, j, i)), 1, 8), 16, 10)
          .cast("long").bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
@@ -208,13 +226,24 @@ def _lsh_bands(e: DataFrame) -> DataFrame:
         F.transform("embedding",
                     lambda x, i: x.cast("double") * sign(band, j, i)),
         F.lit(0.0), lambda acc, x: acc + x)
-    bits = [F.when(proj(F.lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(_LSH_BITS)]
-    bucket = sum(bits[1:], start=bits[0]).cast("long")
-    return (e.select("vec_id", "embedding",
+    bit_val = lambda j: F.when(  # noqa: E731
+        proj(j) > 0,
+        F.pow(F.lit(2.0), j.cast("double")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    bucket = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.col("bits") - 1), bit_val),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_bits = F.greatest(
+        F.lit(4),
+        F.floor(F.log2(F.greatest(F.col("n"), F.lit(125)).cast("double")
+                       / F.lit(125.0))).cast("int"))
+    n1 = e.agg(F.count("*").alias("n"))
+    return (e.crossJoin(F.broadcast(n1))
+             .select("vec_id", "embedding", n_bits.alias("bits"),
                      F.explode(F.array(*[F.lit(x) for x in
                                          range(_LSH_BANDS)])).alias("band"))
-             .withColumn("bucket", bucket))
+             .withColumn("bucket", bucket)
+             .select("vec_id", "embedding", "band", "bucket"))
 
 
 @op("sim_lsh_bucketed", oracle=f"""
@@ -235,9 +264,13 @@ WHERE {_duck_cos('e1.embedding', 'e2.embedding')} >= 0.2
 """, tier=3, section="2.11")
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH, OR over 4 independent
-    4-bit bands (VERDICT r3 item #4 — round 3 shipped a single AND-only
-    band; real corpora want OR-over-bands to trade candidates for
-    recall, exactly as the MinHash text path already does).
+    bands of n-adaptive width (VERDICT r3 item #4 — round 3 shipped a
+    single AND-only band; real corpora want OR-over-bands to trade
+    candidates for recall, exactly as the MinHash text path already
+    does). Band width is bits(n) = max(4, floor(log2(n/125))): fixed
+    bits measured e=1.36 super-linear in the 10x audit (the n²/2^bits
+    same-bucket growth); one extra bit per corpus doubling holds
+    expected candidates ~linear (measured e=0.83 at 10x; SCALE.md).
 
     A pair is a candidate when it collides in ANY band
     (P = 1 - (1 - (1-θ/π)^bits)^bands), then only candidates are
@@ -442,7 +475,8 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     cent = (seeded.withColumn("r", F.row_number().over(w_seed))
                   .filter("r = 1")
                   .select("cid", F.transform(
-                      "embedding", lambda x: x.cast("double")).alias("cemb")))
+                      "embedding", lambda x: x.cast("double")).alias("cemb"))
+                  .cache())
 
     def _assign(centroids: DataFrame) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
@@ -462,10 +496,24 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
                 .agg((F.sum("fx").cast("double")
                       / F.count("*").cast("double")
                       / F.lit(_IVF_FX)).alias("comp")))
-        cent = (comp.groupBy("cid")
-                    .agg(F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "comp"))),
-                        lambda s: s["comp"]).alias("cemb")))
+        new_cent = (comp.groupBy("cid")
+                        .agg(F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("dim", "comp"))),
+                            lambda s: s["comp"]).alias("cemb"))
+                        .cache())
+        # Same cache hygiene as dedup_cluster_cc: the unrolled iterations
+        # otherwise recompute the whole training lineage per reference —
+        # measured as a >5 min stall at the 10x corpus (20k vectors)
+        # before this materialize-then-unpersist was added. Centroids are
+        # tiny (k x 64 doubles), so the cache cost is nil; full count()
+        # BEFORE unpersisting the predecessor, or the cache would
+        # repopulate through the dropped lineage.
+        new_cent.count()
+        cent.unpersist()
+        cent = new_cent
+    # `cent` (the trained centroids) intentionally stays cached: the
+    # returned assignment plan broadcasts it, possibly more than once.
     return _assign(cent)
 
 

@@ -22,3 +22,18 @@ def test_cluster_cc_unpersists_intermediates(spark):
     assert leaked <= 1, (
         f"dedup_cluster_cc left {leaked} frames cached (allowed: the final "
         f"labels frame only) — per-round unpersist regressed")
+
+
+def test_ivf_training_unpersists_intermediates(spark):
+    """The k-means loop (sim_ivf_topk) caches one centroid frame per Lloyd
+    iteration; each round must unpersist its predecessor. Only the final
+    trained-centroid frame may stay cached (the returned assignment plan
+    broadcasts it). Without the per-round materialize-then-unpersist the
+    unrolled lineage recomputes the whole training chain per reference —
+    measured as a >5 min stall at the 10x corpus."""
+    before = _n_persistent(spark)
+    REGISTRY["sim_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    leaked = _n_persistent(spark) - before
+    assert leaked <= 1, (
+        f"sim_ivf_topk left {leaked} frames cached (allowed: the final "
+        f"centroid frame only)")

@@ -1,0 +1,154 @@
+"""10x scaling audit (VERDICT r3 item #8).
+
+Builds a deterministic "sf1" corpus — 10x the sf0.1 events/documents/
+embeddings — under ``.scratch/sf1``, then times the SCALE.md heavy-op set
+at sf0.1 and sf1 and prints per-op wall times and the measured scaling
+exponent  e = log10(t_sf1 / t_sf0.1)  (e = 1 is perfectly linear; fixed
+per-job overhead deflates e at these sizes, so e slightly below 1 is
+expected for linear ops).
+
+Replication is DISJOINT by construction, so 10x means 10x more entities,
+not 10x denser duplicates:
+
+- events: 10 clones; user_id/event_id offset per clone (10x users, same
+  per-user density/timestamps — the distribution shape scales, hot-key
+  structure does not sharpen artificially).
+- documents: every token suffixed with the clone id -> clone vocabularies
+  are disjoint; the planted near-dup structure repeats per clone instead
+  of collapsing into cross-clone duplicate clusters.
+- embeddings: vectors np.roll'ed by clone -> norms preserved, directions
+  decorrelated across clones.
+
+Usage:  python tools/scaling_audit.py              # full audit (~minutes)
+        python tools/scaling_audit.py --gen        # only (re)build sf1
+        python tools/scaling_audit.py op1 op2 ...  # audit only these ops
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+CLONES = 10
+
+#: The heavy-op set (SCALE.md), grouped by the table that scales.
+OPS = [
+    # events-driven
+    "ts_sessionize", "ts_sessionize_bucketed", "ts_resample_1h",
+    "join_asof_backward", "agg_hhi_concentration", "ts_window_features",
+    # documents-driven
+    "dedup_exact_text", "text_word_freq", "text_tfidf_topterms",
+    "dedup_ngram_jaccard", "dedup_near_minhash", "dedup_cluster_cc",
+    # embeddings-driven
+    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_bucketed",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def build_sf1() -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for t in TABLES:
+        if t not in ("events", "documents", "embeddings"):
+            shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+
+    ev = pq.read_table(f"{SF01}/events.parquet")
+    uid_span = pc.max(ev["user_id"]).as_py() + 1
+    eid_span = pc.max(ev["event_id"]).as_py() + 1
+    parts = []
+    for i in range(CLONES):
+        c = ev
+        c = c.set_column(c.schema.get_field_index("user_id"), "user_id",
+                         pc.add(ev["user_id"], i * uid_span))
+        c = c.set_column(c.schema.get_field_index("event_id"), "event_id",
+                         pc.add(ev["event_id"], i * eid_span))
+        parts.append(c)
+    pq.write_table(pa.concat_tables(parts), f"{SF1}/events.parquet")
+
+    doc = pq.read_table(f"{SF01}/documents.parquet")
+    did_span = pc.max(doc["doc_id"]).as_py() + 1
+    texts = doc["text"].to_pylist()
+    parts = []
+    for i in range(CLONES):
+        suf = f"c{i}"
+        new_texts = [" ".join(tok + suf for tok in s.split(" "))
+                     for s in texts]
+        parts.append(pa.table({
+            "doc_id": pc.add(doc["doc_id"], i * did_span),
+            "text": pa.array(new_texts, type=pa.string()),
+            "lang": doc["lang"], "source": doc["source"],
+            "n_chars": pa.array([len(s) for s in new_texts],
+                                type=pa.int64()),
+        }))
+    pq.write_table(pa.concat_tables(parts), f"{SF1}/documents.parquet")
+
+    emb = pq.read_table(f"{SF01}/embeddings.parquet")
+    vid_span = pc.max(emb["vec_id"]).as_py() + 1
+    vecs = np.array(emb["embedding"].to_pylist(), dtype=np.float32)
+    parts = []
+    for i in range(CLONES):
+        rolled = np.roll(vecs, i, axis=1)
+        parts.append(pa.table({
+            "vec_id": pc.add(emb["vec_id"], i * vid_span),
+            "embedding": pa.array(rolled.tolist(),
+                                  type=pa.list_(pa.float32())),
+            "label": emb["label"],
+        }))
+    pq.write_table(pa.concat_tables(parts), f"{SF1}/embeddings.parquet")
+    print(f"built {SF1}: events x{CLONES}, documents x{CLONES}, "
+          f"embeddings x{CLONES}")
+
+
+def time_op(fn, spark, sf_dir: str, runs: int) -> float:
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    if not os.path.exists(f"{SF1}/embeddings.parquet") or "--gen" in sys.argv:
+        build_sf1()
+    if "--gen" in sys.argv:
+        return
+
+    from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+    from industry_big_data_time_sequence_process_spark.session import get_session
+
+    spark = get_session()
+    # warm the JVM/codegen before timing
+    REGISTRY["ts_resample_1h"].fn(spark, SF01).count()
+
+    chosen = [a for a in sys.argv[1:] if not a.startswith("--")]
+    results = {}
+    for key in (chosen or OPS):
+        fn = REGISTRY[key].fn
+        t01 = time_op(fn, spark, SF01, runs=2)
+        t1 = time_op(fn, spark, SF1, runs=1)
+        exp = math.log10(t1 / t01)
+        results[key] = {"sf0.1_s": round(t01, 3), "sf1_s": round(t1, 3),
+                        "exponent": round(exp, 2)}
+        flag = "  <-- SUPER-LINEAR" if exp > 1.15 else ""
+        print(f"{key:28s} sf0.1={t01:7.2f}s  sf1={t1:8.2f}s  "
+              f"e={exp:5.2f}{flag}", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
