@@ -391,6 +391,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("dedup_containment", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) AS containment,
+       round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= 0.8
+""", tier=2, section="2.11")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT >= 0.8 — the doc-inside-doc
+    detector Jaccard structurally misses: a paragraph fully quoted
+    inside a 10x-longer article has jaccard ~0.1 (union dominated by the
+    long side) but containment ~1.0 (intersection over the SMALLER set).
+    Pretraining dedup needs both: jaccard for same-length near-dups,
+    containment for partial/quoted duplication (the C4/RefinedWeb
+    "substring dup" class, computed here set-wise over 3-gram shingles).
+
+    Same scale shape as ``dedup_ngram_jaccard`` — the capped inverted-
+    index self-join, never all-pairs; both scores are emitted so the
+    output shows WHICH criterion fired (a contained pair typically
+    passes containment while failing jaccard)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .groupBy(F.col("a.doc_id").alias("doc1"),
+                  F.col("b.doc_id").alias("doc2"))
+         .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    cont = F.col("c").cast("double") / F.least("n1", "n2")
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
+              .filter(cont >= 0.8)
+              .select("doc1", "doc2",
+                      F.round(cont, 6).alias("containment"),
+                      F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @op("dedup_simhash", oracle=f"""
 WITH tok AS (
     SELECT doc_id, token, count(*) AS w,
@@ -699,6 +752,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PHONE_RE, "<PHONE>").alias("scrubbed"),
         F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+@op("text_bigram_logprob", oracle="""
+WITH bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i+1])) AS bg
+    FROM documents
+), c2 AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c
+       FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT token) AS v FROM
+      (SELECT unnest(string_split(text, ' ')) AS token FROM documents))
+SELECT b.doc_id,
+       round(sum(ln((c2.c + 1.0) / (c1.c + v.v))), 6) AS logprob,
+       count(*) AS n_bigrams,
+       round(sum(ln((c2.c + 1.0) / (c1.c + v.v))) / count(*), 6)
+           AS avg_bigram_logprob
+FROM bg b
+JOIN c2 USING (bg)
+JOIN c1 ON c1.w1 = string_split(b.bg, ' ')[1]
+CROSS JOIN v
+GROUP BY b.doc_id
+""", tier=3, section="2.11")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language-model score per document:
+    Σ ln P(w2|w1) with P = (c(w1,w2)+1)/(c(w1·)+V) — one rung up from
+    ``text_unigram_logprob`` on the perplexity-based quality-filter
+    ladder (a document whose own bigrams are corpus-improbable is
+    boilerplate, scramble, or another language). All counts are corpus
+    aggregates joined back onto the per-doc bigram stream — two hash
+    aggregations plus a join keyed on the bigram itself, linear at any
+    corpus size; the vocab-size denominator comes from a broadcast 1-row
+    aggregate. Log inputs are exact integer ratios, so both engines take
+    ln of bit-identical doubles; the per-doc sum rounds to 6 (Appendix A
+    float discipline, same as the unigram op)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bg_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(t, i + 1),
+                                          F.element_at(t, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = d.select("doc_id", F.explode(bg_arr).alias("bg"))
+    c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (bgs.select(F.split("bg", " ").getItem(0).alias("w1"))
+             .groupBy("w1").agg(F.count("*").alias("c1")))
+    v = _tokens(d).agg(F.count_distinct("token").alias("v"))
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        bgs.join(c2, "bg")
+           .join(c1, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+           .crossJoin(F.broadcast(v))
+           .groupBy("doc_id")
+           .agg(F.round(F.sum(lp), 6).alias("logprob"),
+                F.count("*").alias("n_bigrams"),
+                F.round(F.sum(lp) / F.count("*"), 6)
+                 .alias("avg_bigram_logprob"))
     )
 
 
