@@ -1317,6 +1317,113 @@ def _cusum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+#: Page-Hinkley parameters, in per-user stddev units scaled to the 1e-9
+#: fixed-point grid: slack delta = 0.5 sigma, alarm lambda = 5 sigma.
+_PH_FX = 1_000_000_000
+_PH_DELTA_FX = _PH_FX // 2
+_PH_LAMBDA_FX = 5 * _PH_FX
+
+
+@op("ts_page_hinkley", oracle=f"""
+WITH stats AS (
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+    FROM events GROUP BY user_id
+), sd AS (
+    SELECT user_id, sv / n AS mu,
+           CASE WHEN n < 2 THEN 1.0
+                ELSE sqrt(greatest((svv - sv * sv / n) / (n - 1), 0.0))
+           END AS sd0
+    FROM stats
+), z AS (
+    SELECT e.user_id, e.event_id, e.ts,
+           CAST(floor((e.value - s.mu)
+                / (CASE WHEN s.sd0 = 0 THEN 1.0 ELSE s.sd0 END)
+                * {_PH_FX}) AS BIGINT) AS zfx
+    FROM events e JOIN sd s USING (user_id)
+), s AS (
+    SELECT user_id, event_id, ts,
+           SUM(zfx - {_PH_DELTA_FX}) OVER w AS sp,
+           SUM(zfx + {_PH_DELTA_FX}) OVER w AS sn
+    FROM z WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+), ph AS (
+    SELECT user_id, event_id,
+           sp - min(sp) OVER w AS php,
+           max(sn) OVER w - sn AS phn
+    FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(count_if(php > {_PH_LAMBDA_FX}) AS BIGINT) AS n_alarms_up,
+       CAST(count_if(phn > {_PH_LAMBDA_FX}) AS BIGINT) AS n_alarms_down,
+       round(max(php) / {_PH_FX}.0, 6) AS max_ph_up,
+       round(max(phn) / {_PH_FX}.0, 6) AS max_ph_down,
+       min(CASE WHEN php > {_PH_LAMBDA_FX} OR phn > {_PH_LAMBDA_FX}
+                THEN event_id END) AS min_alarm_event_id
+FROM ph GROUP BY user_id
+""", tier=3, section="2.9")
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection per user — the VALUE-ORACLED, pure-
+    window scale twin of the rows-only sequential ``ts_cusum_changepoint``
+    (same family, Page 1954; PH replaces the max(0,·) recursion with
+    "cumulative sum minus its running extremum", which two stock window
+    frames express — no per-row Python anywhere).
+
+    Determinism is the whole trick: per-user mean/std come from
+    decimal-exact Σv and Σv² (order-invariant; single IEEE divide-back),
+    each standardized deviation is floored onto the 1e-9 fixed-point grid,
+    and every running sum/extremum is then over exact LONGS — so the
+    result is bit-identical however either engine implements window
+    aggregation (DuckDB's segment-tree combination order vs Spark's
+    streaming accumulation would flip threshold-adjacent alarms if the
+    cumsum ran in floats). Alarm = excursion > 5 sigma with 0.5 sigma
+    slack, both directions; zero-variance/singleton users standardize
+    by 1.0 (mirrors the CUSUM op) and never alarm."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"),
+    )
+    sd0 = F.when(F.col("n") < 2, F.lit(1.0)).otherwise(
+        F.sqrt(F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1), F.lit(0.0))))
+    sd = stats.select("user_id", (F.col("sv") / F.col("n")).alias("mu"),
+                      sd0.alias("sd0"))
+    z = ev.join(sd, "user_id").select(
+        "user_id", "event_id", "ts",
+        F.floor((F.col("value") - F.col("mu"))
+                / F.when(F.col("sd0") == 0, F.lit(1.0))
+                   .otherwise(F.col("sd0"))
+                * F.lit(float(_PH_FX))).alias("zfx"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = z.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("zfx") - _PH_DELTA_FX).over(w).alias("sp"),
+        F.sum(F.col("zfx") + _PH_DELTA_FX).over(w).alias("sn"))
+    ph = s.select(
+        "user_id", "event_id",
+        (F.col("sp") - F.min("sp").over(w)).alias("php"),
+        (F.max("sn").over(w) - F.col("sn")).alias("phn"))
+    up = F.count_if(F.col("php") > _PH_LAMBDA_FX)
+    down = F.count_if(F.col("phn") > _PH_LAMBDA_FX)
+    return ph.groupBy("user_id").agg(
+        up.alias("n_alarms_up"),
+        down.alias("n_alarms_down"),
+        F.round(F.max("php") / F.lit(float(_PH_FX)), 6).alias("max_ph_up"),
+        F.round(F.max("phn") / F.lit(float(_PH_FX)), 6).alias("max_ph_down"),
+        F.min(F.when((F.col("php") > _PH_LAMBDA_FX)
+                     | (F.col("phn") > _PH_LAMBDA_FX), F.col("event_id")))
+         .alias("min_alarm_event_id"),
+    )
+
+
 @op("ts_cusum_changepoint", oracle=None, tier=3, section="2.9")
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift/changepoint detection per user (Page 1954, public):
