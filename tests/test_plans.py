@@ -206,3 +206,14 @@ def test_spc_broadcasts_limits_not_facts(spark):
     plan = _plan(spark, "ts_spc_violations")
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "")
+
+
+def test_page_hinkley_single_window_exchange(spark):
+    # stats agg shuffles once on user_id and broadcasts back (tiny);
+    # both window layers AND the final aggregate share ONE
+    # hashpartitioning(user_id) exchange — the sessionize discipline.
+    plan = _plan(spark, "ts_page_hinkley")
+    import re
+    hashes = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hashes) <= 2, f"page-hinkley grew extra shuffles: {plan}"
+    assert "BroadcastMode" in plan or "BroadcastExchange" in plan
