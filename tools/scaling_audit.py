@@ -63,12 +63,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def build_sf1() -> None:
     os.makedirs(SF1, exist_ok=True)
     for t in TABLES:
-        if t not in ("events", "documents", "embeddings"):
+        if t not in ("events", "documents", "embeddings",
+                     "orders", "customer"):
             shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
 
     ev = pq.read_table(f"{SF01}/events.parquet")
     uid_span = pc.max(ev["user_id"]).as_py() + 1
     eid_span = pc.max(ev["event_id"]).as_py() + 1
+
+    # orders/customer scale WITH the cloned users (custkey lives in the
+    # same id space as user_id), so user-keyed event⋈order ops (as-of,
+    # interval joins) measure honestly instead of joining clones against
+    # nothing.
+    orders = pq.read_table(f"{SF01}/orders.parquet")
+    okey_span = pc.max(orders["o_orderkey"]).as_py() + 1
+    parts = []
+    for i in range(CLONES):
+        c = orders
+        c = c.set_column(c.schema.get_field_index("o_custkey"), "o_custkey",
+                         pc.add(orders["o_custkey"], i * uid_span))
+        c = c.set_column(c.schema.get_field_index("o_orderkey"),
+                         "o_orderkey",
+                         pc.add(orders["o_orderkey"], i * okey_span))
+        parts.append(c)
+    pq.write_table(pa.concat_tables(parts), f"{SF1}/orders.parquet")
+
+    cust = pq.read_table(f"{SF01}/customer.parquet")
+    parts = []
+    for i in range(CLONES):
+        c = cust.set_column(cust.schema.get_field_index("c_custkey"),
+                            "c_custkey",
+                            pc.add(cust["c_custkey"], i * uid_span))
+        parts.append(c)
+    pq.write_table(pa.concat_tables(parts), f"{SF1}/customer.parquet")
     parts = []
     for i in range(CLONES):
         c = ev
