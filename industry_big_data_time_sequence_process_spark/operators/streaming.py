@@ -278,6 +278,16 @@ def tws_available() -> bool:
         return False
 
 
+def _batch_cents(pdf) -> int:
+    """Exact integer-cent sum of a 2-decimal ``value`` batch: each v*100
+    rounds to its exact integer (the corpus is 2-decimal, FIXTURES.md),
+    so per-key state accumulates exact longs — order-invariant and
+    bit-equal to the oracle's DECIMAL(18,2) sum. A float running total
+    here would drift with batch/partition order and make the op
+    unverifiable (which is exactly what it was before round 4)."""
+    return int(round(float((pdf["value"] * 100).round().sum())))
+
+
 def _stateful_running_tws(ev: DataFrame) -> DataFrame:
     """The modern (Spark 4) plan: ``transformWithStateInPandas`` with an
     explicit per-user ValueState. This is the production implementation;
@@ -290,17 +300,17 @@ def _stateful_running_tws(ev: DataFrame) -> DataFrame:
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "totals", "n long, total double")
+                "totals", "n long, total_cents long")
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total = (self._state.get() if self._state.exists()
-                        else (0, 0.0))
+            n, cents = (self._state.get() if self._state.exists()
+                        else (0, 0))
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, round(total, 6)))
+                cents += _batch_cents(pdf)
+            self._state.update((n, cents))
             yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n],
-                                "sum_so_far": [round(total, 6)]})
+                                "sum_so_far": [cents / 100.0]})
 
         def close(self) -> None:
             pass
@@ -323,13 +333,13 @@ def _stateful_running_legacy(ev: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+            cents += _batch_cents(pdf)
+        state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n],
-                            "sum_so_far": [round(total, 6)]})
+                            "sum_so_far": [cents / 100.0]})
 
     return (ev.select("user_id", "value")
               .groupBy("user_id")
@@ -337,18 +347,36 @@ def _stateful_running_legacy(ev: DataFrame) -> DataFrame:
                   update,
                   outputStructType="user_id long, n_so_far long, "
                                    "sum_so_far double",
-                  stateStructType="n long, total double",
+                  stateStructType="n long, total_cents long",
                   outputMode="append",
                   timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-@op("stream_stateful_running", oracle=None, tier=3, section="2.10")
+@op("stream_stateful_running", oracle="""
+WITH s AS (
+    SELECT user_id, count(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sd
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(t.k * n AS BIGINT) AS n_so_far,
+       CAST(t.k * sd AS DOUBLE) AS sum_so_far
+FROM s CROSS JOIN (SELECT unnest([1, 2]) AS k) t
+""", tier=3, section="2.10")
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: per-user running totals carried
     across micro-batches in explicit per-key state. The events file is
     staged twice (one copy per micro-batch), so each user emits one row
     per batch with its cumulative count/sum — the second row proving
     state survived the batch boundary (asserted in tests/test_twins.py).
+
+    VALUE-ORACLED since round 4 (was execution-only): the state
+    accumulates exact integer CENTS (see ``_batch_cents``) instead of a
+    drifting float total, so the emitted set is exactly "each user at
+    k=1 and k=2 times its single-copy aggregate" — which the DuckDB
+    oracle states directly with a decimal-exact sum. Deterministic
+    because file->micro-batch assignment is (staged mtimes +
+    maxFilesPerTrigger=1) deterministic.
 
     Primary implementation is the MODERN Spark 4 API
     (``transformWithStateInPandas`` + ValueState, VERDICT r3 item #5);
