@@ -399,18 +399,20 @@ _IVF_FX = 1e9      # fixed-point grid for the exact (order-invariant) means
 _DUCK_HV = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
 
 
-def _duck_ivf_prefix() -> str:
-    """WITH-chain that trains the IVF centroids and assigns every vector to
-    its final cell — shared by both IVF oracles. Mirrors ``_ivf_cells``."""
-    assign = """{name} AS (
+#: cell assignment CTE template shared by every IVF oracle variant —
+#: {src} is the vector source (full corpus or the capped training sample).
+_DUCK_IVF_ASSIGN = """{name} AS (
     SELECT vec_id, embedding, cid FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {cos} DESC, c.cid) AS r
-        FROM embeddings e CROSS JOIN {cent} c
+        FROM {src} e CROSS JOIN {cent} c
     ) WHERE r = 1
 )"""
-    update = f"""u{{i}} AS (
+
+
+#: fixed-point exact mean-update CTE template, shared by the IVF oracles.
+_DUCK_IVF_UPDATE = f"""u{{i}} AS (
     SELECT cid, list(comp ORDER BY dim) AS cemb FROM (
         SELECT cid, dim,
                CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -423,6 +425,13 @@ def _duck_ivf_prefix() -> str:
         GROUP BY cid, dim)
     GROUP BY cid
 )"""
+
+
+def _duck_ivf_prefix() -> str:
+    """WITH-chain that trains the IVF centroids and assigns every vector to
+    its final cell — shared by both IVF oracles. Mirrors ``_ivf_cells``."""
+    assign = _DUCK_IVF_ASSIGN
+    update = _DUCK_IVF_UPDATE
     cos = _duck_cos("e.embedding", "c.cemb")
     parts = [f"""params AS (
     SELECT greatest(1, CAST(ceil(count(*) / {_IVF_STRIDE}.0) AS BIGINT)) AS k
@@ -438,10 +447,47 @@ def _duck_ivf_prefix() -> str:
 )"""]
     cent = "seeds"
     for i in range(1, _IVF_ITERS + 1):
-        parts.append(assign.format(name=f"a{i}", cent=cent, cos=cos))
+        parts.append(assign.format(name=f"a{i}", cent=cent, cos=cos,
+                                   src="embeddings"))
         parts.append(update.format(i=i))
         cent = f"u{i}"
-    parts.append(assign.format(name="cells", cent=cent, cos=cos))
+    parts.append(assign.format(name="cells", cent=cent, cos=cos,
+                               src="embeddings"))
+    return ",\n".join(parts)
+
+
+_IVF_NLIST = 32      # capacity-constant cell count for the scalable index —
+                     # a deployment knob (like faiss nlist), NOT n-derived
+_IVF_TRAIN_CAP = 2000  # centroids train on the md5-lowest CAP vectors: a
+                       # uniform-but-deterministic sample, constant-size
+                       # regardless of corpus size
+
+
+def _duck_ivf_capped_prefix() -> str:
+    """WITH-chain for the SCALABLE index — mirrors ``_ivf_cells_scalable``:
+    k-means runs only on the capped hash-sample (constant cost at any
+    corpus size), then ONE linear pass assigns the full corpus."""
+    cos = _duck_cos("e.embedding", "c.cemb")
+    parts = [f"""train AS (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY {_DUCK_HV}, vec_id LIMIT {_IVF_TRAIN_CAP}
+), seeds AS (
+    SELECT cid, cemb FROM (
+        SELECT ({_DUCK_HV} % {_IVF_NLIST}) AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
+               row_number() OVER (PARTITION BY ({_DUCK_HV} % {_IVF_NLIST})
+                   ORDER BY {_DUCK_HV}, vec_id) AS r
+        FROM train
+    ) WHERE r = 1
+)"""]
+    cent = "seeds"
+    for i in range(1, _IVF_ITERS + 1):
+        parts.append(_DUCK_IVF_ASSIGN.format(name=f"a{i}", cent=cent,
+                                             cos=cos, src="train"))
+        parts.append(_DUCK_IVF_UPDATE.format(i=i))
+        cent = f"u{i}"
+    parts.append(_DUCK_IVF_ASSIGN.format(name="cells", cent=cent, cos=cos,
+                                         src="embeddings"))
     return ",\n".join(parts)
 
 
@@ -492,9 +538,15 @@ def _ivf_train(e: DataFrame) -> DataFrame:
                   .select("cid", F.transform(
                       "embedding", lambda x: x.cast("double")).alias("cemb"))
                   .cache())
+    return _lloyd(e, cent)
 
+
+def _lloyd(train: DataFrame, cent: DataFrame) -> DataFrame:
+    """``_IVF_ITERS`` fixed Lloyd iterations of (assign ``train`` to
+    ``cent``, recompute exact fixed-point means); ``cent`` must arrive
+    cached and the result stays cached (callers broadcast it)."""
     for _ in range(_IVF_ITERS):
-        assigned = _ivf_assign(e, cent)
+        assigned = _ivf_assign(train, cent)
         comp = (assigned
                 .select("cid", F.posexplode("embedding").alias("pos", "x"))
                 .select("cid", (F.col("pos") + 1).alias("dim"),
@@ -529,6 +581,42 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     """(vec_id, embedding, cid): the trained index assignment — every
     vector under its single nearest trained centroid."""
     return _ivf_assign(e, _ivf_train(e))
+
+
+def _ivf_train_capped(e: DataFrame) -> DataFrame:
+    """(cid, cemb): centroids trained on the md5-lowest ``_IVF_TRAIN_CAP``
+    vectors with a capacity-constant ``_IVF_NLIST`` cells — the linear-
+    scale IVF training discipline (sample cap bounds training cost at ANY
+    corpus size; constant nlist makes the full-corpus assignment pass
+    n x nlist, i.e. linear). Spark twin of ``_duck_ivf_capped_prefix``.
+
+    The sample is `ORDER BY hash LIMIT cap` — TakeOrderedAndProject
+    (per-partition top-cap, driver merges cap x p rows), never a global
+    sort, and deterministic under re-runs and appends because the hash is
+    the portable md5 draw, not rand().
+    """
+    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    train = (e.select("vec_id", "embedding", hv.alias("hv"))
+              .orderBy("hv", "vec_id")
+              .limit(_IVF_TRAIN_CAP)
+              .cache())
+    w_seed = Window.partitionBy("cid").orderBy("hv", "vec_id")
+    cent = (train.withColumn("cid", F.col("hv") % _IVF_NLIST)
+                 .withColumn("r", F.row_number().over(w_seed))
+                 .filter("r = 1")
+                 .select("cid", F.transform(
+                     "embedding", lambda x: x.cast("double")).alias("cemb"))
+                 .cache())
+    trained = _lloyd(train.select("vec_id", "embedding"), cent)
+    train.unpersist()   # trained was materialized inside _lloyd
+    return trained
+
+
+def _ivf_cells_scalable(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid): the scalable index — capped-sample-trained
+    centroids, then ONE linear n x nlist assignment pass over the corpus."""
+    return _ivf_assign(e, _ivf_train_capped(e))
 
 
 @op("sim_ivf_topk", oracle=f"""
@@ -581,6 +669,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q).join(cand, (F.col("cid") == F.col("cid2"))
                             & (F.col("c_vec_id") != F.col("q_vec_id")))
          .withColumn("_s", score)
+         .withColumn("rnk", F.row_number().over(w_top))
+         .filter("rnk <= 3")
+         .select("q_vec_id", "c_vec_id", "cid",
+                 F.round("_s", 6).alias("score"), "rnk")
+    )
+
+
+@op("sim_ivf_scalable_topk", oracle=f"""
+WITH {_duck_ivf_capped_prefix()},
+q AS (
+    SELECT vec_id AS q_vec_id, embedding AS qemb, cid
+    FROM cells WHERE vec_id < {_N_QUERIES}
+)
+SELECT q_vec_id, c_vec_id, cid, score, rnk FROM (
+    SELECT q.q_vec_id, a.vec_id AS c_vec_id, q.cid,
+           round({_duck_cos('q.qemb', 'a.embedding')}, 6) AS score,
+           row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {_duck_cos('q.qemb', 'a.embedding')} DESC,
+                        a.vec_id) AS rnk
+    FROM q JOIN cells a
+      ON a.cid = q.cid AND a.vec_id <> q.q_vec_id
+) WHERE rnk <= 3
+""", tier=3, section="2.11")
+def sim_ivf_scalable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-training IVF — the named fix from the round-4 10x
+    scaling audit, implemented (SCALE.md measured ``sim_ivf_topk``'s
+    training at e=1.84: its cell count k ≈ n/97 makes assignment n x k ≈
+    n²/97). This variant applies standard deployed-IVF practice instead:
+
+    - **nlist is a capacity constant** (``_IVF_NLIST`` = 32, the faiss
+      nlist knob) — never derived from n;
+    - **training is capped**: k-means runs on the md5-lowest
+      ``_IVF_TRAIN_CAP`` = 2000 vectors (a deterministic uniform sample;
+      constant training cost at ANY corpus size);
+    - **one linear pass** assigns the full corpus (n x 32 cosines).
+
+    Same query shape as ``sim_ivf_topk`` (nprobe=1, top-3 inside the
+    query's cell). The trade: constant nlist means cell size — per-query
+    search cost — grows as n/32; at real scale you raise nlist per
+    deployment (it's a config constant, not a code change) or shard the
+    index, exactly as faiss-style IVF deployments do. Measured in the
+    10x audit: see SCALE.md (this op exists to make that row linear).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells_scalable(e)
+    q = cells.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("qemb"), "cid")
+    cand = cells.select(F.col("vec_id").alias("c_vec_id"),
+                        F.col("embedding").alias("cemb2"),
+                        F.col("cid").alias("cid2"))
+    w_top = Window.partitionBy("q_vec_id").orderBy(
+        F.col("_s").desc(), "c_vec_id")
+    return (
+        F.broadcast(q).join(cand, (F.col("cid") == F.col("cid2"))
+                            & (F.col("c_vec_id") != F.col("q_vec_id")))
+         .withColumn("_s", _cos(F.col("qemb"), F.col("cemb2")))
          .withColumn("rnk", F.row_number().over(w_top))
          .filter("rnk <= 3")
          .select("q_vec_id", "c_vec_id", "cid",

@@ -111,12 +111,36 @@ def udaf_grouped_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit, "user_id long, n long, slope_per_hour double")
 
 
-@op("udtf_sessions", oracle=None, tier=3, section="2.12")
+@op("udtf_sessions", oracle="""
+WITH gaps AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t_us,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), tagged AS (
+    SELECT user_id, t_us,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+    FROM gaps
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(t_us) AS start_us, max(t_us) AS end_us
+FROM tagged
+GROUP BY user_id, session_seq
+""", tier=3, section="2.12")
 def udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4) exploding each user's ordered event stream
     into session rows (30-min gap rule) — the UDTF twin of
-    ``ts_sessionize``; rows-only oracle, cross-checked against the
-    built-in twin in tests/test_twins.py.
+    ``ts_sessionize``, value-oracled since round 4: the emitted
+    (session_seq starting at 0, n_events, start/end in epoch-µs longs)
+    is exactly the lag/cumsum sessionization, so the DuckDB oracle is
+    the flagship's SQL re-keyed to the UDTF's output columns. (Ordering
+    ties on equal t_us can differ between engines, but session
+    membership, counts and extrema are tie-invariant — only integer µs
+    arithmetic crosses engines.) Cross-checked row-for-row against the
+    built-in twin in tests/test_twins.py as well.
 
     Mechanics shown: ``udtf`` class with per-partition ``eval``/
     ``terminate`` over ``TABLE(...) PARTITION BY user_id ORDER BY ts``.

@@ -101,3 +101,34 @@ def test_trained_cells_cover_corpus_once(spark):
     assert cells.select("vec_id").distinct().count() == n  # exactly once
     n_cells = cells.select("cid").distinct().count()
     assert 1 <= n_cells <= -(-n // _IVF_STRIDE)     # at most ceil(n/97)
+
+
+def test_scalable_cells_capacity_constant(spark):
+    """The scalable index (linear-training fix from the 10x audit): every
+    vector assigned exactly once, to one of at most _IVF_NLIST cells —
+    nlist is a capacity constant, never derived from n."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity \
+        import _IVF_NLIST, _ivf_cells_scalable
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+    e = load(spark, SF_T2, "embeddings")
+    cells = _ivf_cells_scalable(e)
+    n = e.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    assert cells.select("cid").distinct().count() <= _IVF_NLIST
+
+
+def test_scalable_topk_scores_sane(spark):
+    """Scalable-index search returns top-3 per query with scores bounded
+    by the brute-force optimum (an ANN result can never beat exact)."""
+    bf = {(r["q_vec_id"], r["rnk"]): r["score"]
+          for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_T2).collect()
+          if r["rnk"] <= 3}
+    ann = {(r["q_vec_id"], r["rnk"]): r["score"]
+           for r in REGISTRY["sim_ivf_scalable_topk"].fn(spark, SF_T2)
+           .collect()}
+    # every query answered (queries are vec_id < 8 and cells are nonempty)
+    assert {q for q, _ in ann} == {q for q, _ in bf}
+    for k, s in ann.items():
+        if k in bf:
+            assert s <= bf[k] + 1e-9, (k, s, bf[k])

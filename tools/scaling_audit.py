@@ -53,7 +53,8 @@ OPS = [
     "dedup_exact_text", "text_word_freq", "text_tfidf_topterms",
     "dedup_ngram_jaccard", "dedup_near_minhash", "dedup_cluster_cc",
     # embeddings-driven
-    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_bucketed",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_scalable_topk",
+    "sim_lsh_bucketed",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
