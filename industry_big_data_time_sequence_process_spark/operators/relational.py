@@ -602,6 +602,76 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS = 1 << 16   # 65536-bit filter = 1024 longs — broadcast-tiny
+_BLOOM_SEEDS = (1, 2, 3)  # k=3 hash functions; fpp ~0.2% at ~3k keys
+
+
+@op("join_bloom_prefilter", oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY o.o_orderpriority
+""", tier=2, section="2.3")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime prefilter for a selective fact⋈build join —
+    the pattern Spark's own AQE row-level runtime filtering applies,
+    built explicitly so the mechanics are visible and plan-pinned.
+
+    The build side (date-filtered orders) hashes its join keys into a
+    65536-bit bloom (k=3 xxhash64 seeds), stored as 1024 (word_idx,
+    bits) longs — broadcast-tiny no matter how many keys it encodes,
+    which is exactly why blooms beat broadcast key-SETS at scale: the
+    filter size is fixed by fpp, not by build cardinality. The fact side
+    (lineitem) probes membership via three narrow BroadcastHashJoins
+    BEFORE any shuffle, so non-matching fact rows never enter the
+    exchange; false positives (conservative by construction) are removed
+    by the exact join that follows, which is why the result is
+    value-identical to the plain join and the DuckDB oracle is simply
+    that plain join. xxhash64 is JVM-side whole-stage-codegen; no
+    cross-engine hash discipline is needed because the bloom never
+    leaves Spark. tests/test_plans.py pins: 3+ BroadcastHashJoins and no
+    Exchange on the fact side before the probe.
+    """
+    m, seeds = _BLOOM_BITS, _BLOOM_SEEDS
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    keys = orders.select("o_orderkey")
+
+    words = None
+    for s in seeds:
+        pos = F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(m))
+        part = (keys.withColumn("_pos", pos)
+                    .select(F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+                            F.expr("shiftleft(cast(1 as bigint), "
+                                   "cast(_pos & 63 as int))").alias("bit")))
+        words = part if words is None else words.unionAll(part)
+    bloom = words.groupBy("word_idx").agg(
+        F.bit_or("bit").alias("bits"))
+
+    cand = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    for s in seeds:
+        pos = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m))
+        b = (bloom.withColumnRenamed("word_idx", f"w{s}")
+                  .withColumnRenamed("bits", f"bits{s}"))
+        cand = (cand.withColumn(f"_p{s}", pos)
+                    .join(F.broadcast(b),
+                          F.shiftright(F.col(f"_p{s}"), 6) == F.col(f"w{s}"))
+                    .filter(F.expr(f"(shiftrightunsigned(bits{s}, "
+                                   f"cast(_p{s} & 63 as int)) & 1) = 1"))
+                    .drop(f"_p{s}", f"w{s}", f"bits{s}"))
+
+    return (cand.join(orders.select("o_orderkey", "o_orderpriority"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n_items"),
+                     exact_sum("l_extendedprice").alias("revenue")))
+
+
 @op("join_cross_topk", oracle="""
 SELECT c_custkey, s_suppkey, score, rnk FROM (
     SELECT c.c_custkey, s.s_suppkey,

@@ -217,3 +217,12 @@ def test_page_hinkley_single_window_exchange(spark):
     hashes = re.findall(r"Exchange hashpartitioning", plan)
     assert len(hashes) <= 2, f"page-hinkley grew extra shuffles: {plan}"
     assert "BroadcastMode" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_prefilter_probes_before_shuffle(spark):
+    """join_bloom_prefilter: the three bloom probes are narrow broadcast
+    joins on the fact side — non-matching lineitem rows must die BEFORE
+    any exchange (that is the entire point of a runtime bloom filter)."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
