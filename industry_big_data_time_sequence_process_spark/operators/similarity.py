@@ -15,6 +15,8 @@ baseline whose candidate set the LSH op replaces at 100 TB.
 """
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import op
@@ -211,28 +213,56 @@ _DUCK_BANDS = f"""
 """
 
 
+_LSH_MAXBITS = 32  # planes precomputed up to 32 bits/band — bits(n) hits 32
+                   # at n ≈ 5e11 vectors, far past any single-index corpus
+_LSH_DIM = 64      # contractual embedding width (FIXTURES.md)
+
+
+def _plane_sign(band: int, j: int, i: int) -> float:
+    """±1 component i of hyperplane (band, j) — the identical portable
+    md5 parity the DuckDB oracle computes inline (``_DUCK_BANDS``)."""
+    h = hashlib.md5(f"{band}:{j}:{i}".encode()).hexdigest()[:8]
+    return 1.0 if int(h, 16) & 1 else -1.0
+
+
+def _planes_literal() -> str:
+    """The full plane bank as ONE SQL literal: array of _LSH_BANDS x
+    _LSH_MAXBITS planes, each array<double> of ±1. Plane components are
+    pure functions of (band, bit, dim), so they constant-fold at
+    plan-build time instead of being re-derived per row — the round-4
+    perf fix that removed ~2M md5+conv evaluations per 2000-vector scan
+    (measured 16.5 s -> see SCALE.md) while producing bit-identical
+    buckets (same parity, same fold order)."""
+    planes = []
+    for band in range(_LSH_BANDS):
+        for j in range(_LSH_MAXBITS):
+            comps = ",".join(
+                "1.0D" if _plane_sign(band, j, i) > 0 else "-1.0D"
+                for i in range(_LSH_DIM))
+            planes.append(f"array({comps})")
+    return "array(" + ",".join(planes) + ")"
+
+
 def _lsh_bands(e: DataFrame) -> DataFrame:
     """(vec_id, embedding, band, bucket): Spark twin of ``_DUCK_BANDS`` —
     one n-adaptive-width hyperplane signature per band, planes keyed
-    (band, bit, dim) through the portable md5 parity. The bit count comes
-    from a 1-row broadcast aggregate (never a driver collect); the
-    signature folds over a dynamic ``sequence(0, bits-1)`` with the bit
-    value encoded as 2.0^j (exact for j ≤ 52)."""
-    sign = lambda b, j, i: F.when(  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat_ws(":", b, j, i)), 1, 8), 16, 10)
-         .cast("long").bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-    band = F.col("band")
-    proj = lambda j: F.aggregate(  # noqa: E731
-        F.transform("embedding",
-                    lambda x, i: x.cast("double") * sign(band, j, i)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    bit_val = lambda j: F.when(  # noqa: E731
-        proj(j) > 0,
-        F.pow(F.lit(2.0), j.cast("double")).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    bucket = F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.col("bits") - 1), bit_val),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    (band, bit, dim) through the portable md5 parity (precomputed into a
+    constant plane bank by ``_planes_literal``; the oracle still derives
+    them inline — only the induced buckets must match, and they are
+    bit-identical because parity and fold order are unchanged). The bit
+    count comes from a 1-row broadcast aggregate (never a driver
+    collect); the signature folds over a dynamic ``sequence(0, bits-1)``
+    with the bit value encoded as 2.0^j (exact for j ≤ 52)."""
+    bucket = F.expr(f"""
+        aggregate(transform(sequence(0, bits - 1), j ->
+            CASE WHEN aggregate(zip_with(embedding,
+                    element_at({_planes_literal()},
+                               band * {_LSH_MAXBITS} + j + 1),
+                    (x, s) -> cast(x AS double) * s),
+                cast(0.0 AS double), (acc, x2) -> acc + x2) > 0
+            THEN cast(pow(2.0D, cast(j AS double)) AS bigint)
+            ELSE cast(0 AS bigint) END),
+        cast(0 AS bigint), (acc, x2) -> acc + x2)""")
     n_bits = F.greatest(
         F.lit(4),
         F.floor(F.log2(F.greatest(F.col("n"), F.lit(125)).cast("double")
@@ -254,13 +284,16 @@ cand AS (
     FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
                       AND a.vec_id < b2.vec_id
     GROUP BY 1, 2
-)
-SELECT c.vec1, c.vec2, c.n_shared_bands,
-       round({_duck_cos('e1.embedding', 'e2.embedding')}, 6) AS cosine
-FROM cand c
-JOIN embeddings e1 ON e1.vec_id = c.vec1
-JOIN embeddings e2 ON e2.vec_id = c.vec2
-WHERE {_duck_cos('e1.embedding', 'e2.embedding')} >= 0.2
+),
+u AS (SELECT vec_id, {_DUCK_UNIT.format(e='embedding')} AS ue
+      FROM embeddings)
+SELECT vec1, vec2, n_shared_bands, round(score, 6) AS cosine FROM (
+    SELECT c.vec1, c.vec2, c.n_shared_bands,
+           {_DUCK_DOT.format(a='u1.ue', b='u2.ue')} AS score
+    FROM cand c
+    JOIN u u1 ON u1.vec_id = c.vec1
+    JOIN u u2 ON u2.vec_id = c.vec2
+) WHERE score >= 0.2
 """, tier=3, section="2.11")
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH, OR over 4 independent
@@ -295,16 +328,21 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("vec1") < F.col("vec2")))
          .groupBy("vec1", "vec2").agg(F.count("*").alias("n_shared_bands"))
     )
-    e1 = e.select(F.col("vec_id").alias("vec1"),
-                  F.col("embedding").alias("ea"))
-    e2 = e.select(F.col("vec_id").alias("vec2"),
-                  F.col("embedding").alias("eb"))
-    cos = _cos(F.col("ea"), F.col("eb"))
+    # Verify with norms factored out BEFORE the pair join (the
+    # dedup_embedding_cosine discipline, identical in the oracle): one
+    # 64-wide dot per candidate instead of three — measured 13.3 -> 4.7 s
+    # at sf0.1 where the 457k-pair verify stage dominates.
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    u = e.select("vec_id", unit.alias("ue"))
+    e1 = u.select(F.col("vec_id").alias("vec1"), F.col("ue").alias("ua"))
+    e2 = u.select(F.col("vec_id").alias("vec2"), F.col("ue").alias("ub"))
+    score = _dot(F.col("ua"), F.col("ub"))
     return (
         cand.join(e1, "vec1").join(e2, "vec2")
-            .filter(cos >= 0.2)
+            .filter(score >= 0.2)
             .select("vec1", "vec2", "n_shared_bands",
-                    F.round(cos, 6).alias("cosine"))
+                    F.round(score, 6).alias("cosine"))
     )
 
 
