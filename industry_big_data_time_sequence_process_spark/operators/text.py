@@ -323,15 +323,18 @@ def _shingles(d: DataFrame) -> DataFrame:
     count is a 1-row aggregate, and the hot-shingle set — by construction
     at most 1/FRAC ≈ 200 distinct shingles times a slack factor, in
     practice a handful — is removed via a broadcast LEFT ANTI join. No
-    driver-side collect anywhere."""
-    t = F.split("text", " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
-            F.element_at(t, i + 3)),
-    )
-    raw = d.select("doc_id", F.explode(sh).alias("s")).distinct()
+    driver-side collect anywhere.
+
+    The split is HOISTED through an explicit projection before the
+    shingle transform: with ``split(text)`` inline in the lambda, each
+    of the 3 element accesses per position re-splits the whole text —
+    O(len²) per document, measured 3.5 s vs 0.6 s for the projected form
+    at sf0.1 (5000 docs). The projection/Generate boundary keeps
+    CollapseProject from inlining it back."""
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    sh = F.expr("transform(sequence(0, size(tk) - 3), "
+                "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")
+    raw = toks.select("doc_id", F.explode(sh).alias("s")).distinct()
     n_docs = d.agg(F.count("*").alias("n_docs"))
     cap = F.greatest(
         F.lit(_SHINGLE_DF_CAP_FLOOR).cast("long"),
@@ -791,14 +794,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln of bit-identical doubles; the per-doc sum rounds to 6 (Appendix A
     float discipline, same as the unigram op)."""
     d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    bg_arr = F.when(
-        F.size(t) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(t) - 2),
-                    lambda i: F.concat_ws(" ", F.element_at(t, i + 1),
-                                          F.element_at(t, i + 2)))
-    ).otherwise(F.array().cast("array<string>"))
-    bgs = d.select("doc_id", F.explode(bg_arr).alias("bg"))
+    # split hoisted through a projection — same O(len²) fix as _shingles
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    bg_arr = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), "
+        "i -> concat_ws(' ', tk[i], tk[i+1])) "
+        "ELSE cast(array() AS array<string>) END")
+    bgs = toks.select("doc_id", F.explode(bg_arr).alias("bg"))
     c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = (bgs.select(F.split("bg", " ").getItem(0).alias("w1"))
              .groupBy("w1").agg(F.count("*").alias("c1")))
@@ -1149,12 +1151,11 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adjacent-pair construction via a transform over the token array
     (JVM-side, no self-join), then the usual count + top-k."""
     d = load(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
-    bigrams = d.select(F.explode(F.transform(
-        F.sequence(F.lit(0), F.size(ts) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(ts, i + 1),
-                              F.element_at(ts, i + 2)),
-    )).alias("bigram"))
+    # split hoisted through a projection — same O(len²) fix as _shingles
+    bigrams = (d.select(F.split("text", " ").alias("tk"))
+                .select(F.explode(F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> concat_ws(' ', tk[i], tk[i+1]))")).alias("bigram")))
     counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), "bigram")
     return counts.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 30")

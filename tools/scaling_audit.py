@@ -41,8 +41,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF1 = os.path.join(REPO, ".scratch", "sf1")
-CLONES = 10
+#: --clones N picks the replication factor (default 10 -> ".scratch/sf1";
+#: 100 -> ".scratch/sf10") — exponents are normalized by log10(CLONES), so
+#: a 100x run measures the same e on a decade-wider lever arm.
+CLONES = (int(sys.argv[sys.argv.index("--clones") + 1])
+          if "--clones" in sys.argv else 10)
+SF1 = os.path.join(REPO, ".scratch", f"sf{CLONES // 10}")
 
 #: The heavy-op set (SCALE.md), grouped by the table that scales.
 OPS = [
@@ -163,13 +167,16 @@ def main() -> None:
     # warm the JVM/codegen before timing
     REGISTRY["ts_resample_1h"].fn(spark, SF01).count()
 
-    chosen = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--clones" in argv:
+        i = argv.index("--clones"); argv = argv[:i] + argv[i + 2:]
+    chosen = [a for a in argv if not a.startswith("--")]
     results = {}
     for key in (chosen or OPS):
         fn = REGISTRY[key].fn
         t01 = time_op(fn, spark, SF01, runs=2)
         t1 = time_op(fn, spark, SF1, runs=1)
-        exp = math.log10(t1 / t01)
+        exp = math.log10(t1 / t01) / math.log10(CLONES)
         results[key] = {"sf0.1_s": round(t01, 3), "sf1_s": round(t1, 3),
                         "exponent": round(exp, 2)}
         flag = "  <-- SUPER-LINEAR" if exp > 1.15 else ""
