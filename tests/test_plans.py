@@ -226,3 +226,14 @@ def test_bloom_prefilter_probes_before_shuffle(spark):
     plan = _plan(spark, "join_bloom_prefilter")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_scalable_ivf_centroid_side_is_broadcast(spark):
+    """Same posture as the reference trainer: the corpus never shuffles
+    to meet the (tiny, capacity-constant) centroids; the capped training
+    sample arrives via TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "sim_ivf_scalable_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(cid" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [hv" not in plan  # no global sort for the sample
