@@ -215,3 +215,23 @@ def test_containment_dominates_jaccard(spark):
     assert rows, "containment output empty on the planted-dup corpus"
     for r in rows:
         assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0, r
+
+
+def test_incremental_minhash_is_the_crossing_slice(spark):
+    """dedup_incremental_minhash (batch = doc_id%4==3 vs corpus) must
+    emit exactly dedup_near_minhash's pairs that CROSS the batch
+    boundary, re-oriented as (new_doc, dup_of) — the incremental path
+    may not invent pairs the full self-join can't see, nor drop any
+    crossing pair (identical band signatures on both paths)."""
+    from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+
+    from .conftest import SF_T2
+
+    full = {(r["doc1"], r["doc2"])
+            for r in REGISTRY["dedup_near_minhash"].fn(spark, SF_T2)
+            .collect()}
+    crossing = {p for p in full if (p[0] % 4 == 3) != (p[1] % 4 == 3)}
+    inc = {tuple(sorted((r["new_doc"], r["dup_of"])))
+           for r in REGISTRY["dedup_incremental_minhash"].fn(spark, SF_T2)
+           .collect()}
+    assert inc == crossing, (inc ^ crossing)
