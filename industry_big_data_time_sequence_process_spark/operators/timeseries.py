@@ -1186,58 +1186,162 @@ def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inherently-sequential ops: applyInPandas per user (rows-only oracle)
 # --------------------------------------------------------------------------
 
+#: EWMA smoothing weights. BOTH engines use these exact double literals
+#: (`0.3` / `0.7` parse to the same IEEE double in Python and DuckDB);
+#: deriving one from the other (`1.0 - 0.3`) would land on a DIFFERENT
+#: double than the literal `0.7` and break bit-parity of the recursion.
 _EWMA_ALPHA = 0.3
+_EWMA_BETA = 0.7
 
 
 def _ewma_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "event_id"])
-    pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean().round(6)
-    return pdf[["user_id", "event_id", "ewma"]]
+    x = pdf["value"].to_numpy(dtype="float64")
+    y = x.copy()
+    for i in range(1, len(y)):
+        # same literals, same op order (mul, mul, add) as the oracle's
+        # recursive term -> bit-identical IEEE doubles in both engines
+        y[i] = _EWMA_BETA * y[i - 1] + _EWMA_ALPHA * x[i]
+    out = pdf[["user_id", "event_id"]].copy()
+    out["ewma"] = y
+    return out
 
 
-@op("ts_ewma", oracle=None, tier=2, section="2.9")
+@op("ts_ewma", oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn,
+           CAST({_EWMA_BETA!r} AS DOUBLE) * r.ewma
+               + CAST({_EWMA_ALPHA!r} AS DOUBLE) * s.value
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, round(ewma, 6) AS ewma FROM r
+""", tier=2, section="2.9")
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per user (alpha=0.3).
 
     The recursion is inherently sequential per key -> grouped-map Pandas UDF
-    (Arrow-batched, parallel across users). Rows-only oracle: no portable
-    SQL twin (the closed form over window frames is O(n^2)).
+    (Arrow-batched, parallel across users; the per-key scan is the
+    irreducible sequential part). VALUE-oracled via a DuckDB recursive CTE
+    that steps each user's series one row per iteration: both engines start
+    from the same parquet doubles and apply `0.7*prev + 0.3*x` with
+    identical literals and operation order, so the recursion is
+    bit-identical and the final round(·, 6) lands on the same grid — no
+    tolerance needed. Iteration depth = max per-user row count (~90 at
+    sf0.01), and each DuckDB iteration advances ALL users at once.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id") \
-             .applyInPandas(_ewma_pdf, "user_id long, event_id long, ewma double")
+    raw = ev.select("user_id", "event_id", "ts", "value").groupBy("user_id") \
+            .applyInPandas(_ewma_pdf, "user_id long, event_id long, ewma double")
+    return raw.select("user_id", "event_id",
+                      F.round("ewma", 6).alias("ewma"))
+
+
+_HOUR_US = 3_600_000_000
+
+#: Shared by ts_interpolate_linear (pandas grouped-map) and
+#: ts_interpolate_sql (pure window SQL): both produce the identical
+#: closed-form hourly-grid lerp, so one oracle value-checks both.
+_INTERP_ORACLE = """
+WITH obs AS (   -- dedupe per (user, instant): deterministic max-key pick
+    SELECT user_id, ts, max_by(value, event_id) AS value
+    FROM events GROUP BY user_id, ts
+), bounds AS (
+    SELECT user_id,
+           CASE WHEN date_trunc('hour', min(ts)) = min(ts)
+                THEN date_trunc('hour', min(ts))
+                ELSE date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+           END AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM obs GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t
+    FROM bounds WHERE h0 <= h1
+), u AS (
+    SELECT user_id, ts AS t, 1 AS is_obs, value AS v FROM obs
+    UNION ALL
+    SELECT user_id, t, 0, NULL FROM grid
+), carried AS (
+    SELECT user_id, t, is_obs,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_obs DESC
+               ROWS UNBOUNDED PRECEDING) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN epoch_us(t) END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_obs DESC
+               ROWS UNBOUNDED PRECEDING) AS pt,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_obs DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN epoch_us(t) END
+                       IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_obs DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM u
+)
+SELECT user_id, t AS grid_ts,
+       round(CASE WHEN pt = epoch_us(t) THEN pv
+                  ELSE pv + (nv - pv) * (CAST(epoch_us(t) - pt AS DOUBLE)
+                                         / CAST(nt - pt AS DOUBLE))
+             END, 6) AS value_interp
+FROM carried WHERE is_obs = 0
+"""
 
 
 def _interp_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("ts")
-    s = pdf.set_index("ts")["value"]
-    s = s[~s.index.duplicated(keep="last")]
-    grid = pd.date_range(s.index.min().ceil("h"), s.index.max().floor("h"),
-                         freq="h")
-    if len(grid) == 0:
-        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                             "grid_ts": pd.Series(dtype="datetime64[us]"),
-                             "value_interp": pd.Series(dtype="float64")})
-    interp = (
-        s.reindex(s.index.union(grid)).interpolate(method="time")
-         .reindex(grid).round(6)
-    )
+    """Hourly-grid lerp mirroring ``ts_interpolate_sql``'s closed form
+    EXACTLY — dedupe per instant by max event_id, integer-µs fractions,
+    `pv + (nv-pv) * (dt/Dt)` in that operation order — so the pandas and
+    SQL paths (and the shared DuckDB oracle) are bit-identical."""
+    import numpy as np
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "grid_ts": pd.Series(dtype="datetime64[us]"),
+                          "value_interp": pd.Series(dtype="float64")})
+    pdf = pdf.sort_values(["ts", "event_id"]).drop_duplicates(
+        subset="ts", keep="last")
+    t_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    v = pdf["value"].to_numpy(dtype="float64")
+    h0 = -(-t_us[0] // _HOUR_US) * _HOUR_US   # ceil to the hour grid
+    h1 = (t_us[-1] // _HOUR_US) * _HOUR_US    # floor to the hour grid
+    if h0 > h1:
+        return empty
+    g = np.arange(h0, h1 + 1, _HOUR_US)
+    p = np.searchsorted(t_us, g, side="right") - 1
+    nx = np.searchsorted(t_us, g, side="left")
+    pv, pt, nv, nt = v[p], t_us[p], v[nx], t_us[nx]
+    exact = pt == g
+    denom = np.where(exact, 1, nt - pt).astype("float64")
+    frac = (g - pt).astype("float64") / denom
+    out = np.where(exact, pv, pv + (nv - pv) * frac)
     return pd.DataFrame({
         "user_id": pdf["user_id"].iloc[0],
-        "grid_ts": interp.index,
-        "value_interp": interp.values,
+        "grid_ts": g.astype("datetime64[us]"),
+        "value_interp": out,
     })
 
 
-@op("ts_interpolate_linear", oracle=None, tier=3, section="2.9")
+@op("ts_interpolate_linear", oracle=_INTERP_ORACLE, tier=3, section="2.9")
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted linear interpolation of each user's series onto a
     regular hourly grid (sensor regridding). Sequential per user ->
-    grouped-map Pandas UDF; rows-only oracle."""
+    grouped-map Pandas UDF (Arrow-batched, parallel across users);
+    VALUE-oracled by the same DuckDB SQL as its pure-SQL scale twin
+    ``ts_interpolate_sql`` — the UDF reproduces the twin's closed-form
+    integer-µs lerp bit-for-bit (see ``_interp_pdf``)."""
     ev = load(spark, sf_dir, "events")
-    return ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+    raw = ev.select("user_id", "event_id", "ts", "value") \
+            .groupBy("user_id").applyInPandas(
         _interp_pdf, "user_id long, grid_ts timestamp, value_interp double"
     )
+    return raw.select("user_id", "grid_ts",
+                      F.round("value_interp", 6).alias("value_interp"))
 
 
 _LTTB_N = 100  # output points per series
@@ -1289,31 +1393,33 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUSUM_K = 0.5   # slack, in per-user stddev units
-_CUSUM_H = 5.0   # alarm threshold, in per-user stddev units
+#: CUSUM parameters on the same 1e-9 fixed-point grid as Page-Hinkley:
+#: slack k = 0.5 sigma, alarm threshold h = 5 sigma.
+_CUSUM_FX = 1_000_000_000
+_CUSUM_K_FX = _CUSUM_FX // 2
+_CUSUM_H_FX = 5 * _CUSUM_FX
 
 
 def _cusum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Integer CUSUM recursion over pre-standardized fixed-point z values
+    (computed JVM-side); exact long arithmetic -> bit-identical to the
+    oracle's recursive CTE."""
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    mu = pdf["value"].mean()
-    sd = pdf["value"].std(ddof=1)
-    if not sd or sd != sd:  # single row / zero variance: nothing to detect
-        sd = 1.0
-    z = (pdf["value"] - mu) / sd
     s_pos, s_neg, alarms = [], [], []
-    sp = sn = 0.0
-    for v in z:
-        sp = max(0.0, sp + v - _CUSUM_K)
-        sn = max(0.0, sn - v - _CUSUM_K)
-        alarm = sp > _CUSUM_H or sn > _CUSUM_H
+    sp = sn = 0
+    for z in pdf["zfx"].astype("int64"):
+        z = int(z)
+        sp = max(0, sp + z - _CUSUM_K_FX)
+        sn = max(0, sn - z - _CUSUM_K_FX)
+        alarm = sp > _CUSUM_H_FX or sn > _CUSUM_H_FX
         if alarm:           # restart after an alarm (standard practice)
-            sp = sn = 0.0
-        s_pos.append(round(sp, 6))
-        s_neg.append(round(sn, 6))
-        alarms.append(alarm)
+            sp = sn = 0
+        s_pos.append(sp)
+        s_neg.append(sn)
+        alarms.append(int(alarm))
     out = pdf[["user_id", "event_id"]].copy()
-    out["s_pos"], out["s_neg"] = s_pos, s_neg
-    out["alarm"] = [int(a) for a in alarms]
+    out["sp_fx"], out["sn_fx"] = s_pos, s_neg
+    out["alarm"] = alarms
     return out
 
 
@@ -1424,22 +1530,103 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ts_cusum_changepoint", oracle=None, tier=3, section="2.9")
+@op("ts_cusum_changepoint", oracle=f"""
+WITH RECURSIVE stats AS (
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+    FROM events GROUP BY user_id
+), sd AS (
+    SELECT user_id, sv / n AS mu,
+           CASE WHEN n < 2 THEN 1.0
+                ELSE sqrt(greatest((svv - sv * sv / n) / (n - 1), 0.0))
+           END AS sd0
+    FROM stats
+), z AS (
+    SELECT e.user_id, e.event_id,
+           CAST(floor((e.value - s.mu)
+                / (CASE WHEN s.sd0 = 0 THEN 1.0 ELSE s.sd0 END)
+                * {_CUSUM_FX}) AS BIGINT) AS zfx,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN sd s USING (user_id)
+), r AS (
+    SELECT user_id, event_id, rn,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN 1 ELSE 0 END AS alarm,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN CAST(0 AS BIGINT) ELSE spr END AS sp,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN CAST(0 AS BIGINT) ELSE snr END AS sn
+    FROM (SELECT user_id, event_id, rn,
+                 greatest(CAST(0 AS BIGINT), zfx - {_CUSUM_K_FX}) AS spr,
+                 greatest(CAST(0 AS BIGINT), -zfx - {_CUSUM_K_FX}) AS snr
+          FROM z WHERE rn = 1) b
+    UNION ALL
+    SELECT user_id, event_id, rn,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN 1 ELSE 0 END,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN CAST(0 AS BIGINT) ELSE spr END,
+           CASE WHEN spr > {_CUSUM_H_FX} OR snr > {_CUSUM_H_FX}
+                THEN CAST(0 AS BIGINT) ELSE snr END
+    FROM (SELECT s.user_id, s.event_id, s.rn,
+                 greatest(CAST(0 AS BIGINT),
+                          r.sp + s.zfx - {_CUSUM_K_FX}) AS spr,
+                 greatest(CAST(0 AS BIGINT),
+                          r.sn - s.zfx - {_CUSUM_K_FX}) AS snr
+          FROM r JOIN z s ON s.user_id = r.user_id
+                         AND s.rn = r.rn + 1) q
+)
+SELECT user_id, event_id,
+       round(sp / {_CUSUM_FX}.0, 6) AS s_pos,
+       round(sn / {_CUSUM_FX}.0, 6) AS s_neg,
+       alarm
+FROM r
+""", tier=3, section="2.9")
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift/changepoint detection per user (Page 1954, public):
     standardized two-sided cumulative sums with slack k=0.5σ, alarm at
     5σ, restart-on-alarm. The max(0, ·) recursion is inherently
-    sequential -> grouped-map Pandas UDF, parallel across users;
-    rows-only oracle like the other sequential ops."""
+    sequential -> grouped-map Pandas UDF, parallel across users.
+
+    VALUE-oracled via the Page-Hinkley determinism recipe
+    (``ts_page_hinkley``): per-user mean/std from decimal-exact Σv and
+    Σv² (order-invariant), each standardized deviation floored onto the
+    1e-9 fixed-point grid JVM-side, and the restart recursion then runs
+    over exact LONGS — in pandas here, in a recursive CTE in DuckDB —
+    so threshold-adjacent alarms cannot flip between engines. The join
+    and the grouped-map share the user_id hash partitioning (one
+    shuffle for stats, one for the co-partitioned join+group)."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.select("user_id", "event_id", "ts", "value")
-          .groupBy("user_id")
-          .applyInPandas(
-              _cusum_pdf,
-              "user_id long, event_id long, s_pos double, s_neg double, "
-              "alarm int")
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"),
     )
+    sd0 = F.when(F.col("n") < 2, F.lit(1.0)).otherwise(
+        F.sqrt(F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1), F.lit(0.0))))
+    sd = stats.select("user_id", (F.col("sv") / F.col("n")).alias("mu"),
+                      sd0.alias("sd0"))
+    z = ev.join(sd, "user_id").select(
+        "user_id", "event_id", "ts",
+        F.floor((F.col("value") - F.col("mu"))
+                / F.when(F.col("sd0") == 0, F.lit(1.0))
+                   .otherwise(F.col("sd0"))
+                * F.lit(float(_CUSUM_FX))).alias("zfx"))
+    raw = z.groupBy("user_id").applyInPandas(
+        _cusum_pdf,
+        "user_id long, event_id long, sp_fx long, sn_fx long, alarm int")
+    fx = F.lit(float(_CUSUM_FX))
+    return raw.select(
+        "user_id", "event_id",
+        F.round(F.col("sp_fx") / fx, 6).alias("s_pos"),
+        F.round(F.col("sn_fx") / fx, 6).alias("s_neg"),
+        "alarm")
 
 
 @op("ts_funnel_steps", oracle="""
@@ -2233,9 +2420,10 @@ def ts_profile_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _debounce_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    gap = pd.Timedelta(seconds=300)  # integer-ns compare, no float time math
     keep, last_kept = [], None
     for t in pdf["ts"]:
-        if last_kept is None or (t - last_kept).total_seconds() >= 300:
+        if last_kept is None or t - last_kept >= gap:
             keep.append(True)
             last_kept = t
         else:
@@ -2243,14 +2431,34 @@ def _debounce_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.loc[keep, ["user_id", "event_id", "ts"]]
 
 
-@op("ts_debounce", oracle=None, tier=3, section="2.9")
+@op("ts_debounce", oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, ts, rn, 1 AS kept, ts AS last_kept
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.rn,
+           CASE WHEN epoch_us(s.ts) - epoch_us(r.last_kept) >= 300000000
+                THEN 1 ELSE 0 END,
+           CASE WHEN epoch_us(s.ts) - epoch_us(r.last_kept) >= 300000000
+                THEN s.ts ELSE r.last_kept END
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts FROM r WHERE kept = 1
+""", tier=3, section="2.9")
 def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy debounce: keep an event only if >= 5 min have passed since
     the previously KEPT event of that user — alert-storm suppression.
     Unlike sessionization, the keep decision depends on the prior
     DECISION, not just the prior row: inherently sequential per key ->
-    grouped-map Pandas UDF (same family as EWMA/CUSUM), rows-only
-    oracle, golden-snapshot tested."""
+    grouped-map Pandas UDF (same family as EWMA/CUSUM). VALUE-oracled
+    via a DuckDB recursive CTE carrying the last-kept timestamp one row
+    per iteration — all comparisons are integer time (ns in pandas, µs
+    in the oracle), so the kept set is exact in both engines."""
     ev = load(spark, sf_dir, "events")
     return (ev.select("user_id", "event_id", "ts")
               .groupBy("user_id")
@@ -2417,50 +2625,7 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(z < 0.6745, "c").otherwise("d").alias("symbol"))
 
 
-@op("ts_interpolate_sql", oracle="""
-WITH obs AS (   -- dedupe per (user, instant): deterministic max-key pick
-    SELECT user_id, ts, max_by(value, event_id) AS value
-    FROM events GROUP BY user_id, ts
-), bounds AS (
-    SELECT user_id,
-           CASE WHEN date_trunc('hour', min(ts)) = min(ts)
-                THEN date_trunc('hour', min(ts))
-                ELSE date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
-           END AS h0,
-           date_trunc('hour', max(ts)) AS h1
-    FROM obs GROUP BY user_id
-), grid AS (
-    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t
-    FROM bounds WHERE h0 <= h1
-), u AS (
-    SELECT user_id, ts AS t, 1 AS is_obs, value AS v FROM obs
-    UNION ALL
-    SELECT user_id, t, 0, NULL FROM grid
-), carried AS (
-    SELECT user_id, t, is_obs,
-           last_value(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY t, is_obs DESC
-               ROWS UNBOUNDED PRECEDING) AS pv,
-           last_value(CASE WHEN v IS NOT NULL THEN epoch_us(t) END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY t, is_obs DESC
-               ROWS UNBOUNDED PRECEDING) AS pt,
-           first_value(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY t, is_obs DESC
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-           first_value(CASE WHEN v IS NOT NULL THEN epoch_us(t) END
-                       IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY t, is_obs DESC
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
-    FROM u
-)
-SELECT user_id, t AS grid_ts,
-       round(CASE WHEN pt = epoch_us(t) THEN pv
-                  ELSE pv + (nv - pv) * (CAST(epoch_us(t) - pt AS DOUBLE)
-                                         / CAST(nt - pt AS DOUBLE))
-             END, 6) AS value_interp
-FROM carried WHERE is_obs = 0
-""", tier=2, section="2.9")
+@op("ts_interpolate_sql", oracle=_INTERP_ORACLE, tier=2, section="2.9")
 def ts_interpolate_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted linear interpolation onto the hourly grid,
     re-expressed PURE SQL — the scale path beside the pandas

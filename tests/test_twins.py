@@ -131,12 +131,12 @@ def test_stateful_modern_api_plan_builds(spark):
 
 def test_interpolate_sql_twin(spark):
     """The pure-SQL lerp (union + ignorenulls windows) must reproduce the
-    pandas grouped-map interpolation: identical (user, grid point) sets,
-    values equal to within one rounding ulp (pandas interpolates on a
-    float-NANOsecond axis, the SQL path on integer-µs -> the 6th decimal
-    can flip on ties; measured 13 of 105k rows at sf0.01). Pins that the
-    JVM scale path and the Arrow reference path implement the same
-    semantics."""
+    pandas grouped-map interpolation EXACTLY: `_interp_pdf` now mirrors
+    the SQL twin's closed form (integer-µs fractions, identical op
+    order), so both paths — and the shared DuckDB oracle — are
+    bit-identical, not merely within a rounding ulp (the pre-round-4
+    pandas path interpolated on a float-ns axis and flipped the 6th
+    decimal on 13 of 105k rows at sf0.01)."""
     via_pandas = {(r["user_id"], r["grid_ts"]): r["value_interp"]
                   for r in timeseries.ts_interpolate_linear(spark, SF_T2)
                   .collect()}
@@ -144,6 +144,7 @@ def test_interpolate_sql_twin(spark):
                for r in timeseries.ts_interpolate_sql(spark, SF_T2)
                .collect()}
     assert via_pandas.keys() == via_sql.keys(), "grid mismatch"
-    worst = max(abs((via_pandas[k] or 0) - (via_sql[k] or 0))
-                for k in via_pandas)
-    assert worst <= 2e-6, f"interpolated values diverge: max |delta|={worst}"
+    diverging = {k for k in via_pandas if via_pandas[k] != via_sql[k]}
+    assert not diverging, (
+        f"interpolated values diverge on {len(diverging)} grid points, "
+        f"e.g. {sorted(diverging)[:3]}")
