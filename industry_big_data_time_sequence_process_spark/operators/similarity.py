@@ -1049,3 +1049,80 @@ def sim_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("keep_vec_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding compression (round 4, SURVEY.md §2.14)
+# --------------------------------------------------------------------------
+
+
+@op("emb_quantize_int8", oracle="""
+WITH q AS (
+    SELECT vec_id,
+           list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS s,
+           embedding
+    FROM embeddings
+), e AS (
+    SELECT vec_id, s,
+           list_transform(embedding, x ->
+               abs((floor((CAST(x AS DOUBLE) * 127.0) / s + 0.5) * s)
+                   / 127.0 - CAST(x AS DOUBLE))) AS errs,
+           list_transform(embedding, x ->
+               floor((CAST(x AS DOUBLE) * 127.0) / s + 0.5)) AS qs
+    FROM q WHERE s > 0
+)
+SELECT vec_id,
+       round(s, 6) AS scale,
+       round(list_aggregate(errs, 'max'), 9) AS max_abs_err,
+       round(list_reduce(list_transform(errs, x -> x * x),
+                         (p, c) -> p + c) / len(errs), 9) AS mse,
+       CAST(len(list_filter(qs, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+FROM e
+UNION ALL
+SELECT vec_id, 0.0, 0.0, 0.0, CAST(0 AS BIGINT)
+FROM q WHERE s = 0
+""", tier=2, section="2.11")
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector scales —
+    the 4x storage/bandwidth cut every large vector corpus applies
+    before indexing — reported as per-vector reconstruction-error stats
+    (max abs error, MSE, saturated-component count).
+
+    q_i = floor(x_i·127/s + 0.5) with s = max|x| never exceeds ±127, so
+    the codes pack losslessly into int8; dequantization is q_i·s/127.
+    The whole operator is a NARROW map over the corpus — array
+    higher-order functions, zero shuffles, zero Python — so it scales
+    as a pure scan. Cross-engine float discipline as the cosine family:
+    identical double casts and operation order on both engines
+    (``floor(+0.5)`` rounding, not engine-native round, because
+    half-even vs half-up would flip codes); the error fold is an
+    explicit left-to-right ``aggregate``/``list_reduce``. Zero vectors
+    (s = 0) report zero error at scale 0 rather than dividing by zero."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    base = e.select(
+        "vec_id", "embedding",
+        F.array_max(F.transform("embedding",
+                                lambda x: F.abs(xd(x)))).alias("s"))
+    qexpr = ("transform(embedding, x -> "
+             "floor((CAST(x AS DOUBLE) * 127.0D) / s + 0.5D))")
+    errexpr = ("transform(embedding, x -> "
+               "abs((floor((CAST(x AS DOUBLE) * 127.0D) / s + 0.5D) * s)"
+               " / 127.0D - CAST(x AS DOUBLE)))")
+    nz = base.filter(F.col("s") > 0).selectExpr(
+        "vec_id", "s", f"{errexpr} AS errs", f"{qexpr} AS qs")
+    sse = F.aggregate(F.transform("errs", lambda x: x * x),
+                      F.lit(0.0), lambda p, c: p + c)
+    out_nz = nz.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.round(F.array_max("errs"), 9).alias("max_abs_err"),
+        F.round(sse / F.size("errs"), 9).alias("mse"),
+        F.size(F.filter("qs", lambda v: F.abs(v) == 127))
+         .cast("long").alias("n_sat"))
+    out_z = base.filter(F.col("s") == 0).select(
+        "vec_id", F.lit(0.0).alias("scale"),
+        F.lit(0.0).alias("max_abs_err"), F.lit(0.0).alias("mse"),
+        F.lit(0).cast("long").alias("n_sat"))
+    return out_nz.unionByName(out_z)

@@ -1488,3 +1488,67 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= 3)
                 .select("doc1", "doc2", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (round 4, SURVEY.md §2.14)
+# --------------------------------------------------------------------------
+
+#: Deterministic pseudo-benchmark: every 97th doc_id plays the role of a
+#: held-out eval set. In production this side is the ACTUAL benchmark
+#: suite — thousands of documents, always minuscule next to the corpus.
+_DECONTAM_EVAL_MOD = 97
+
+#: A training doc sharing at least this many distinct (capped) 3-gram
+#: shingles with the eval set is flagged contaminated. One shared 3-gram
+#: is noise ("the united states"); five shared phrases is leakage.
+_DECONTAM_MIN_SHARED = 5
+
+
+@op("text_decontaminate", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+ev AS (SELECT doc_id AS eval_id, s FROM sh
+       WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, s FROM sh
+       WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.s) AS n_shared,
+       count(DISTINCT ev.eval_id) AS n_eval_docs,
+       CASE WHEN count(DISTINCT tr.s) >= {_DECONTAM_MIN_SHARED}
+            THEN 1 ELSE 0 END AS contaminated
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+""", tier=2, section="2.11")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene step every
+    LLM data pipeline runs before the tokenizer: flag training documents
+    whose text overlaps a held-out evaluation set (here the deterministic
+    doc_id % 97 == 0 slice stands in for the benchmark suite), by counting
+    distinct 3-gram shingles shared with any eval document (the published
+    n-gram-collision recipe, e.g. GPT-2/GPT-3 appendix decontamination).
+
+    Scale shape: the eval side is small BY DEFINITION (a benchmark is
+    thousands of docs; the corpus is billions), so its shingle inverted
+    index is BROADCAST and the probe is a build-right hash join — the
+    corpus never shuffles on the shingle key to meet the eval set
+    (plan-pinned); the only corpus shuffles are the shared shingle
+    stream's own distinct/df-cap aggregations, the same cost every
+    dedup op in this family already pays, plus the final per-doc count
+    on doc_id. The high-df cap applies first, so boilerplate n-grams
+    neither flag false contamination nor fan out the probe join. Output: every training doc
+    with >= 1 shared shingle, its shared-shingle and eval-doc-hit counts,
+    and the contaminated flag at the >= 5-shingle threshold."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    ev = sh.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0) \
+           .select(F.col("doc_id").alias("eval_id"), "s")
+    tr = sh.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "s")
+          .groupBy("doc_id")
+          .agg(F.count_distinct("s").alias("n_shared"),
+               F.count_distinct("eval_id").alias("n_eval_docs"))
+          .select("doc_id", "n_shared", "n_eval_docs",
+                  (F.col("n_shared") >= _DECONTAM_MIN_SHARED)
+                  .cast("int").alias("contaminated"))
+    )

@@ -2800,3 +2800,84 @@ def ts_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts",
         within.cast("int").alias("label_purchase_24h"))
+
+
+# --------------------------------------------------------------------------
+# Survival analysis (round 4, SURVEY.md §2.14)
+# --------------------------------------------------------------------------
+
+
+@op("ts_survival_km", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           epoch_us(coalesce(
+               min(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(ts))) - epoch_us(min(ts)) AS dur_us,
+           CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                     IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM events GROUP BY user_id
+), grouped AS (
+    SELECT dur_us,
+           count(*) AS n_all,
+           CAST(SUM(ev) AS BIGINT) AS d_events
+    FROM per_user GROUP BY dur_us
+), risk AS (
+    SELECT dur_us, d_events,
+           CAST(SUM(n_all) OVER (ORDER BY dur_us DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+    FROM grouped
+), km AS (
+    SELECT dur_us, d_events, n_risk,
+           SUM(ln(CASE WHEN n_risk = d_events THEN 1.0
+                       ELSE CAST(n_risk - d_events AS DOUBLE) / n_risk
+                  END)) OVER (ORDER BY dur_us
+                              ROWS UNBOUNDED PRECEDING) AS cum_ln
+    FROM risk WHERE d_events > 0
+)
+SELECT dur_us, n_risk, d_events,
+       CASE WHEN n_risk = d_events THEN 0.0
+            ELSE round(exp(cum_ln), 6) END AS survival
+FROM km
+""", tier=3, section="2.9")
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase (Kaplan &
+    Meier 1958, public): each user contributes one duration from their
+    first event to their first 'purchase', right-CENSORED at their last
+    event when they never purchase — the estimator the naive
+    "average time to convert over converters" fatally biases. One row
+    per distinct event duration: at-risk count, event count, and
+    S(t) = Π_{t_i <= t} (1 - d_i/n_i).
+
+    Shape: one shuffle to the per-user triple (conditional min/max
+    aggregates), one to the per-duration groups; the at-risk counts are
+    a reverse cumulative sum and the product a cumulative sum of logs,
+    both over the (small, bounded by distinct event times) curve — the
+    same global-ordered-window discipline as the Pareto/cume ops.
+    Durations are exact integer µs end to end; the only float is the
+    final ln/exp product, rounded to 6dp (terminal n=d rows emit exact
+    0.0 rather than ln(0))."""
+    ev = load(spark, sf_dir, "events")
+    p_ts = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        (F.unix_micros(F.coalesce(p_ts, F.max("ts")))
+         - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        p_ts.isNotNull().cast("int").alias("ev"))
+    grouped = per_user.groupBy("dur_us").agg(
+        F.count("*").alias("n_all"),
+        F.sum("ev").alias("d_events"))
+    w_desc = (Window.orderBy(F.col("dur_us").desc())
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = grouped.select(
+        "dur_us", "d_events",
+        F.sum("n_all").over(w_desc).alias("n_risk"))
+    w_asc = (Window.orderBy("dur_us")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    term = F.log(F.when(F.col("n_risk") == F.col("d_events"), F.lit(1.0))
+                  .otherwise((F.col("n_risk") - F.col("d_events"))
+                             .cast("double") / F.col("n_risk")))
+    km = (risk.filter(F.col("d_events") > 0)
+              .withColumn("cum_ln", F.sum(term).over(w_asc)))
+    return km.select(
+        "dur_us", "n_risk", "d_events",
+        F.when(F.col("n_risk") == F.col("d_events"), F.lit(0.0))
+         .otherwise(F.round(F.exp("cum_ln"), 6)).alias("survival"))

@@ -237,3 +237,24 @@ def test_scalable_ivf_centroid_side_is_broadcast(spark):
     assert "Exchange hashpartitioning(cid" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort [hv" not in plan  # no global sort for the sample
+
+
+def test_quantize_int8_is_narrow(spark):
+    """The int8 quantizer is a pure map over the corpus: any Exchange in
+    its plan is a 100x regression at scale (union of the s>0 / s=0
+    branches is narrow too)."""
+    plan = _plan(spark, "emb_quantize_int8", "simple")
+    assert "Exchange" not in plan, "quantization plan grew a shuffle"
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval-set shingle index must broadcast: the corpus must never
+    shuffle on the shingle key to MEET the eval set (a sort-merge probe
+    would shuffle the whole corpus against a benchmark-sized build
+    side). The shared shingle stream's own distinct/df-cap aggregations
+    shuffle as in every dedup op — that's not what this pins."""
+    plan = _plan(spark, "text_decontaminate", "simple")
+    assert "SortMergeJoin" not in plan, "eval probe degenerated to SMJ"
+    # inner probe join (eval side) + the two anti joins (df cap) are all
+    # broadcast builds
+    assert plan.count("BroadcastHashJoin") >= 3, "eval probe not broadcast"
