@@ -1348,23 +1348,37 @@ _LTTB_N = 100  # output points per series
 
 
 def _lttb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Largest-Triangle-Three-Buckets, in the exact arithmetic the
+    DuckDB oracle mirrors: x is integer-µs offset from the series start
+    (exact int64 -> double), bucket centroids come from exact integer
+    sums (µs for x, cents for y) divided back in one IEEE step each, and
+    every float expression keeps the oracle's operand order — so bucket
+    bounds, areas, argmax picks and hence the kept row set are
+    bit-identical in both engines."""
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
     n = len(pdf)
     if n <= _LTTB_N:
         return pdf[["user_id", "event_id", "ts", "value"]]
-    x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
-    y = pdf["value"].to_numpy(dtype="float64")
-    # Largest-Triangle-Three-Buckets: keep endpoints; in each of N-2 interior
-    # buckets keep the point forming the largest triangle with the previously
-    # kept point and the NEXT bucket's centroid.
     import numpy as np
-    bounds = np.linspace(1, n - 1, _LTTB_N - 1).astype(int)
+    t_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    xi = t_us - t_us[0]
+    x = xi.astype("float64")
+    y = pdf["value"].to_numpy(dtype="float64")
+    cents = np.round(y * 100.0).astype("int64")
+    # Keep endpoints; in each of N-2 interior buckets keep the point
+    # forming the largest triangle with the previously kept point and the
+    # NEXT bucket's centroid (Steinarsson 2013, public).
+    delta = (float(n) - 2.0) / 98.0
+    bounds = [n - 1 if i == 98 else int(float(i) * delta + 1.0)
+              for i in range(_LTTB_N - 1)]
     keep = [0]
     a = 0
     for i in range(_LTTB_N - 2):
         lo, hi = bounds[i], bounds[i + 1]
         nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
-        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        cnt = nhi - nlo
+        cx = float(int(xi[nlo:nhi].sum())) / cnt
+        cy = (int(cents[nlo:nhi].sum()) / 100) / cnt
         area = np.abs((x[a] - cx) * (y[lo:hi] - y[a])
                       - (x[a] - x[lo:hi]) * (cy - y[a]))
         a = lo + int(area.argmax())
@@ -1373,16 +1387,91 @@ def _lttb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[keep][["user_id", "event_id", "ts", "value"]]
 
 
-@op("ts_downsample_lttb", oracle=None, tier=3, section="2.9")
+@op("ts_downsample_lttb", oracle="""
+WITH RECURSIVE u AS (
+    SELECT user_id, count(*) AS n, min(ts) AS t0 FROM events GROUP BY 1
+), small AS (   -- series that already fit the budget pass through whole
+    SELECT e.user_id, e.event_id, e.ts, e.value
+    FROM events e JOIN u ON u.user_id = e.user_id AND u.n <= 100
+), seq AS (
+    SELECT e.user_id, e.event_id, e.ts, e.value,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) - 1 AS rn,
+           CAST(epoch_us(e.ts) - epoch_us(u.t0) AS BIGINT) AS xi,
+           CAST(CAST(epoch_us(e.ts) - epoch_us(u.t0) AS BIGINT)
+                AS DOUBLE) AS x,
+           e.value AS y
+    FROM events e JOIN u ON u.user_id = e.user_id AND u.n > 100
+), bounds AS (
+    SELECT u.user_id, t.i,
+           CASE WHEN t.i = 98 THEN u.n - 1
+                ELSE CAST(trunc(CAST(t.i AS DOUBLE)
+                           * ((CAST(u.n AS DOUBLE) - 2.0) / 98.0)
+                           + 1.0) AS BIGINT)
+           END AS b
+    FROM u, range(0, 99) t(i) WHERE u.n > 100
+), bk AS (      -- candidate bucket k = 0..97 spans [lo, hi)
+    SELECT user_id, i AS k, b AS lo,
+           lead(b) OVER (PARTITION BY user_id ORDER BY i) AS hi
+    FROM bounds
+), nb AS (      -- the NEXT-bucket range for step k: [nlo, nhi)
+    SELECT bk.user_id, bk.k, bk.hi AS nlo,
+           coalesce(lead(bk.hi) OVER (PARTITION BY bk.user_id
+                                      ORDER BY bk.k), u2.n) AS nhi
+    FROM bk JOIN u u2 ON u2.user_id = bk.user_id
+    WHERE bk.hi IS NOT NULL
+), cent AS (    -- exact-integer-sum centroids of each next bucket
+    SELECT nb.user_id, nb.k,
+           CAST(SUM(s.xi) AS DOUBLE) / (nb.nhi - nb.nlo) AS cx,
+           CAST(SUM(CAST(s.y AS DECIMAL(18,2))) AS DOUBLE)
+               / (nb.nhi - nb.nlo) AS cy
+    FROM nb JOIN seq s ON s.user_id = nb.user_id
+                      AND s.rn >= nb.nlo AND s.rn < nb.nhi
+    GROUP BY nb.user_id, nb.k, nb.nhi, nb.nlo
+), r AS (       -- the sequential pick: one bucket per iteration
+    SELECT s.user_id, 0 AS step, CAST(0 AS BIGINT) AS a,
+           s.x AS xa, s.y AS ya
+    FROM seq s WHERE s.rn = 0
+    UNION ALL
+    SELECT user_id, step, a, xa, ya FROM (
+        SELECT c.user_id, r.step + 1 AS step, c.rn AS a,
+               c.x AS xa, c.y AS ya,
+               row_number() OVER (
+                   PARTITION BY c.user_id
+                   ORDER BY abs((r.xa - ct.cx) * (c.y - r.ya)
+                                - (r.xa - c.x) * (ct.cy - r.ya)) DESC,
+                            c.rn ASC) AS pick
+        FROM r
+        JOIN bk ON bk.user_id = r.user_id AND bk.k = r.step
+        JOIN cent ct ON ct.user_id = r.user_id AND ct.k = r.step
+        JOIN seq c ON c.user_id = r.user_id
+                  AND c.rn >= bk.lo AND c.rn < bk.hi
+        WHERE r.step < 98
+    ) q WHERE pick = 1
+)
+SELECT user_id, event_id, ts, value FROM small
+UNION ALL
+SELECT s.user_id, s.event_id, s.ts, s.value
+FROM (SELECT user_id, a FROM r
+      UNION ALL
+      SELECT user_id, n - 1 FROM u WHERE n > 100) k
+JOIN seq s ON s.user_id = k.user_id AND s.rn = k.a
+""", tier=3, section="2.9")
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual downsampling: Largest-Triangle-Three-Buckets to 100 points
     per user — the standard dashboard decimation that preserves spikes a
     naive every-Nth sample would erase (Steinarsson 2013, public).
 
     Sequential per series -> grouped-map Pandas UDF (numpy-vectorized
-    inside each bucket scan), parallel across users. Rows-only oracle:
-    the argmax recursion has no SQL twin.
-    """
+    inside each bucket scan), parallel across users. VALUE-oracled: the
+    DuckDB oracle precomputes bucket bounds and exact-integer-sum
+    next-bucket centroids statically, then replays the pick recursion
+    one bucket per recursive-CTE iteration, ranking candidates by the
+    identical triangle-area expression (see ``_lttb_pdf`` for why every
+    float matches bit-for-bit). Series at or under the 100-point budget
+    pass through whole — which is all of sf0.01 (max 86 events/user), so
+    ``tests/test_lttb.py`` exercises the real downsampling branch on a
+    dedicated >100-points/user fixture."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.select("user_id", "event_id", "ts", "value")

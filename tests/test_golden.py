@@ -25,10 +25,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 #: rows-only ops that are value-deterministic (excludes limit_n - which is
 #: nondeterministic by contract - and the streaming ops covered by
 #: test_twins.py micro-batch assertions). Round 4 moved ts_ewma,
-#: ts_interpolate_linear and ts_cusum_changepoint out of this list: they
-#: gained full DuckDB value oracles (recursive-CTE / shared-twin SQL).
-GOLDEN_KEYS = ["agg_approx_distinct", "ts_downsample_lttb",
-               "agg_approx_percentile"]
+#: ts_interpolate_linear, ts_cusum_changepoint and ts_downsample_lttb out
+#: of this list: they gained full DuckDB value oracles (recursive-CTE /
+#: shared-twin SQL; LTTB additionally pinned on a real-downsampling
+#: fixture in test_lttb.py).
+GOLDEN_KEYS = ["agg_approx_distinct", "agg_approx_percentile"]
 
 #: ISO timestamp with a year before 1992 (earliest legitimate corpus date is
 #: TPC-H's 1992; events are 2024+). Matching one in a snapshot = decode bug.
