@@ -1126,3 +1126,232 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("max_abs_err"), F.lit(0.0).alias("mse"),
         F.lit(0).cast("long").alias("n_sat"))
     return out_nz.unionByName(out_z)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 4, SURVEY.md §2.14) — the PQ half of the
+# industry-standard IVF+PQ ANN stack (Jégou, Douze & Schmid 2011, public).
+# --------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64-dim vectors -> 8 dims per subspace)
+_PQ_K = 16       # codewords per subspace -> 4 bits/subspace, 4 bytes/vector
+_PQ_FX = 1e9     # fixed-point grid: subspace distances floor onto exact
+                 # longs, so ADC sums are order-invariant in both engines
+
+#: DuckDB: squared L2 between the m-th 8-dim subvectors of {a} and {b},
+#: double-cast elements, left-to-right fold (same discipline as _DUCK_DOT).
+_DUCK_PQ_D2 = (
+    "list_reduce(list_transform(range(1, 9), i -> "
+    "(CAST({a}[{m} * 8 + i] AS DOUBLE) - CAST({b}[{m} * 8 + i] AS DOUBLE))"
+    " * (CAST({a}[{m} * 8 + i] AS DOUBLE) - CAST({b}[{m} * 8 + i] AS DOUBLE))"
+    "), (p, c) -> p + c)")
+
+
+def _duck_pq_dfx(a: str, b: str, m: str) -> str:
+    return (f"CAST(floor({_DUCK_PQ_D2.format(a=a, b=b, m=m)}"
+            f" * 1000000000.0) AS BIGINT)")
+
+
+#: Shared oracle prefix: md5-lowest-16 codebook, per-(vector, subspace)
+#: integer argmin codes, and the per-query ADC distance table.
+def _duck_pq_prefix(nq: int) -> str:
+    d_ec = _duck_pq_dfx("e.embedding", "s.embedding", "ms.m")
+    d_qc = _duck_pq_dfx("q.embedding", "s.embedding", "ms.m")
+    return f"""hvs AS (
+    SELECT vec_id, embedding, {_DUCK_HV} AS hv FROM embeddings
+), sample AS (
+    SELECT embedding,
+           row_number() OVER (ORDER BY hv, vec_id) - 1 AS k
+    FROM (SELECT * FROM hvs ORDER BY hv, vec_id LIMIT {_PQ_K})
+), ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+codes AS (
+    SELECT vec_id, m, mk % {_PQ_K} AS code FROM (
+        SELECT e.vec_id, ms.m, min({d_ec} * {_PQ_K} + s.k) AS mk
+        FROM embeddings e, sample s, ms
+        GROUP BY e.vec_id, ms.m
+    )
+), dtab AS (
+    SELECT q.vec_id AS q_vec_id, ms.m, s.k, {d_qc} AS dfx
+    FROM embeddings q, sample s, ms
+    WHERE q.vec_id < {nq}
+), scored AS (
+    SELECT d.q_vec_id, c.vec_id AS c_vec_id,
+           CAST(SUM(d.dfx) AS BIGINT) AS adfx
+    FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.code
+    GROUP BY 1, 2
+)"""
+
+
+def _pq_d2fx(a: Column, b: Column, m: Column) -> Column:
+    """Fixed-point squared L2 between the m-th subvectors (Spark side,
+    bit-identical to ``_DUCK_PQ_D2`` + floor)."""
+    sa = F.slice(a, m * 8 + 1, F.lit(8))
+    sb = F.slice(b, m * 8 + 1, F.lit(8))
+    d2 = F.aggregate(
+        F.zip_with(sa, sb, lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return F.floor(d2 * F.lit(_PQ_FX)).cast("long")
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(k, cw): 16 codeword source vectors = the md5-lowest sample (the
+    portable deterministic draw; ORDER BY hash LIMIT k is
+    TakeOrderedAndProject, never a global sort). Codeword (m, k) is the
+    m-th subvector of sample vector k — stored once as the full vector,
+    sliced per subspace at use sites."""
+    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    w = Window.orderBy("hv", "vec_id")
+    return (e.select("vec_id", "embedding", hv.alias("hv"))
+             .orderBy("hv", "vec_id").limit(_PQ_K)
+             .withColumn("k", F.row_number().over(w) - 1)
+             .select("k", F.col("embedding").alias("cw")))
+
+
+def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): per-vector, per-subspace nearest codeword.
+    The argmin is an exact-integer min over ``dfx * K + k`` (distance on
+    the 1e-9 grid, codeword id as tiebreak) — deterministic in any
+    aggregation order, map-side combinable."""
+    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    cand = (e.select("vec_id", "embedding")
+             .crossJoin(F.broadcast(cb))
+             .select("vec_id", "embedding", "k", "cw", m))
+    key = _pq_d2fx(F.col("embedding"), F.col("cw"), F.col("m")) \
+        * _PQ_K + F.col("k")
+    return (cand.select("vec_id", "m", key.alias("key"))
+                .groupBy("vec_id", "m")
+                .agg(F.min("key").alias("mk"))
+                .select("vec_id", "m", (F.col("mk") % _PQ_K).alias("code")))
+
+
+def _pq_scored(e: DataFrame, nq: int) -> DataFrame:
+    """(q_vec_id, c_vec_id, adfx): asymmetric-distance (ADC) scores —
+    each query's 8x16 subspace distance table joins the corpus codes on
+    (m, code); the per-pair total is a SUM of exact longs."""
+    cb = _pq_codebook(e)
+    codes = _pq_codes(e, cb)
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm")
+    dtab = (q.crossJoin(F.broadcast(cb))
+             .select("q_vec_id", "qemb", "k", "cw", m)
+             .select("q_vec_id", "qm", "k",
+                     _pq_d2fx(F.col("qemb"), F.col("cw"),
+                              F.col("qm")).alias("dfx")))
+    return (codes.join(F.broadcast(dtab),
+                       (F.col("m") == F.col("qm"))
+                       & (F.col("code") == F.col("k")))
+                 .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"))
+                 .agg(F.sum("dfx").alias("adfx")))
+
+
+@op("sim_pq_topk", oracle=f"""
+WITH {_duck_pq_prefix(_N_QUERIES)}
+SELECT q_vec_id, c_vec_id,
+       round(adfx / 1000000000.0, 6) AS approx_dist, rnk
+FROM (SELECT q_vec_id, c_vec_id, adfx,
+             row_number() OVER (PARTITION BY q_vec_id
+                                ORDER BY adfx, c_vec_id) AS rnk
+      FROM scored WHERE q_vec_id <> c_vec_id)
+WHERE rnk <= 5
+""", tier=3, section="2.11")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8 subspaces x 16 codewords compress each
+    64-dim vector to 4 BYTES of codes; queries score the whole corpus by
+    table lookup (asymmetric distance, ADC) instead of 64-dim float math
+    — with IVF (``sim_ivf_scalable_topk``) this is the standard
+    billion-vector stack.
+
+    Scale shape: the codebook (16 vectors) and every query's 8x16
+    distance table are broadcast; code assignment is one pass over the
+    corpus with exact-integer argmin (map-side combinable — the ONLY
+    corpus shuffle before the per-(query, vector) ADC sum). Cross-engine
+    determinism is total, not statistical: subspace distances are floored
+    onto the 1e-9 fixed-point grid, so code argmins, ADC sums and
+    neighbor ranks are exact-integer decisions in both engines — no
+    float summation order anywhere past the (bit-identical) 8-element
+    fold."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = _pq_scored(e, _N_QUERIES) \
+        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+    w = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter("rnk <= 5")
+                  .select("q_vec_id", "c_vec_id",
+                          F.round(F.col("adfx") / F.lit(_PQ_FX), 6)
+                           .alias("approx_dist"),
+                          "rnk"))
+
+
+@op("sim_pq_recall_eval", oracle=f"""
+WITH {_duck_pq_prefix(_EVAL_QUERIES)},
+truth AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_reduce(list_transform(
+                       range(1, len(q.embedding) + 1), i ->
+                       (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE))
+                       * (CAST(q.embedding[i] AS DOUBLE)
+                          - CAST(c.embedding[i] AS DOUBLE))),
+                       (p, c2) -> p + c2) * 1000000000.0) AS BIGINT),
+                   c.vec_id) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {_EVAL_QUERIES} AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+), pq AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q_vec_id, c_vec_id,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY adfx, c_vec_id) AS rnk
+        FROM scored WHERE q_vec_id <> c_vec_id
+    ) WHERE rnk <= 5
+)
+SELECT t.q_vec_id,
+       CAST(count_if(pq.c_vec_id IS NOT NULL) AS BIGINT) AS n_hits,
+       round(CAST(count_if(pq.c_vec_id IS NOT NULL) AS DOUBLE) / 5,
+             6) AS recall_at_5
+FROM truth t
+LEFT JOIN pq ON pq.q_vec_id = t.q_vec_id AND pq.c_vec_id = t.c_vec_id
+GROUP BY t.q_vec_id
+""", tier=3, section="2.11")
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ ADC ranking vs brute-force exact-L2 truth —
+    the eval an ANN index must ship (same 64-query discipline as the
+    LSH/IVF evals; fixed-point distances make the measurement itself
+    value-checked cross-engine, not just approximately reproduced). At
+    corpus scale the truth side stays a fixed-sample computation."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("cemb"))
+    d2full = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    tfx = F.floor(d2full * F.lit(_PQ_FX)).cast("long")
+    w_t = Window.partitionBy("q_vec_id").orderBy("tfx", "c_vec_id")
+    truth = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+              .withColumn("tfx", tfx)
+              .withColumn("rnk", F.row_number().over(w_t))
+              .filter("rnk <= 5")
+              .select("q_vec_id", "c_vec_id"))
+    w_p = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
+    pq = (_pq_scored(e, _EVAL_QUERIES)
+          .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+          .withColumn("rnk", F.row_number().over(w_p))
+          .filter("rnk <= 5")
+          .select("q_vec_id", F.col("c_vec_id").alias("pq_c")))
+    return (truth.join(pq, (truth.q_vec_id == pq.q_vec_id)
+                       & (truth.c_vec_id == pq.pq_c), "left")
+                 .groupBy(truth.q_vec_id.alias("q_vec_id"))
+                 .agg(F.count("pq_c").alias("n_hits"),
+                      F.round(F.count("pq_c") / F.lit(5.0), 6)
+                       .alias("recall_at_5")))

@@ -258,3 +258,12 @@ def test_decontaminate_probe_is_broadcast(spark):
     # inner probe join (eval side) + the two anti joins (df cap) are all
     # broadcast builds
     assert plan.count("BroadcastHashJoin") >= 3, "eval probe not broadcast"
+
+
+def test_pq_adc_join_is_broadcast(spark):
+    """PQ's distance tables (codebook, per-query ADC table) are tiny by
+    construction and must broadcast; the corpus must never shuffle to
+    meet them (SMJ on the code key would move the whole corpus)."""
+    plan = _plan(spark, "sim_pq_topk", "simple")
+    assert "SortMergeJoin" not in plan, "ADC/codebook join degenerated to SMJ"
+    assert plan.count("BroadcastHashJoin") >= 1, "ADC join not broadcast"
