@@ -1355,3 +1355,55 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("pq_c").alias("n_hits"),
                       F.round(F.count("pq_c") / F.lit(5.0), 6)
                        .alias("recall_at_5")))
+
+
+@op("sim_doc_retrieval", oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+knn AS (
+    SELECT q_vec_id, c_vec_id, score, rnk FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               round({_duck_cos('q.embedding', 'c.embedding')}, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM q, embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ) WHERE rnk <= 3
+)
+SELECT k.q_vec_id, k.rnk, k.score, d.doc_id, d.lang, d.source, d.n_chars,
+       md5(d.text) AS doc_fingerprint
+FROM knn k JOIN documents d ON d.doc_id = k.c_vec_id
+""", tier=2, section="2.11")
+def sim_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic retrieval — the RAG-shaped query: embed-side
+    top-3 cosine neighbors per query vector, then join the hits BACK to
+    the ``documents`` table (``vec_id`` and ``doc_id`` are aligned in
+    this corpus) to return the payload a retriever actually serves
+    (language, source, length, content fingerprint).
+
+    Scale shape: the neighbor search is whichever ANN path fits the
+    corpus (brute-force here as the oracle-exact baseline; swap in the
+    IVF/PQ index at scale — same output contract); the join-back is a
+    BROADCAST of the tiny hit list (queries x k rows) against the
+    streamed documents table, so the corpus of documents never
+    shuffles for retrieval."""
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_s").desc(), "c_vec_id")
+    knn = (F.broadcast(q).crossJoin(c)
+            .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+            .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter("rnk <= 3")
+            .select("q_vec_id", "rnk",
+                    F.round("_s", 6).alias("score"), "c_vec_id"))
+    return (d.join(F.broadcast(knn), d.doc_id == knn.c_vec_id)
+             .select("q_vec_id", "rnk", "score", "doc_id", "lang",
+                     "source", "n_chars",
+                     F.md5("text").alias("doc_fingerprint")))

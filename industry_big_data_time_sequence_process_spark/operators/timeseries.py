@@ -2970,3 +2970,60 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur_us", "n_risk", "d_events",
         F.when(F.col("n_risk") == F.col("d_events"), F.lit(0.0))
          .otherwise(F.round(F.exp("cum_ln"), 6)).alias("survival"))
+
+
+@op("ts_backtest_seasonal_naive", oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+    FROM events GROUP BY 1, 2
+), scored AS (
+    SELECT a.user_id,
+           CAST(floor(abs(a.v - f.v) * 1000000000.0) AS BIGINT) AS aerr_fx,
+           CAST(floor((a.v - f.v) * 1000000000.0) AS BIGINT) AS err_fx
+    FROM hourly a
+    JOIN hourly f ON f.user_id = a.user_id
+                 AND f.h = a.h - INTERVAL 24 HOURS
+)
+SELECT user_id,
+       count(*) AS n_scored,
+       round(CAST(SUM(aerr_fx) AS DOUBLE) / count(*) / 1000000000.0, 6)
+           AS mae,
+       round(CAST(SUM(err_fx) AS DOUBLE) / count(*) / 1000000000.0, 6)
+           AS bias
+FROM scored GROUP BY user_id
+""", tier=2, section="2.9")
+def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the daily-seasonal-naive forecast — the baseline every
+    industrial forecasting pipeline must beat, measured honestly: predict
+    each user-hour's mean value with the SAME HOUR YESTERDAY, score only
+    hours where both sides exist, report per-user MAE and signed bias.
+
+    The forecast join is an equi-join on (user_id, hour - 24h) — NOT a
+    24-row lag, which would silently misalign on gappy series (a sensor
+    that skips hours would "forecast" from the wrong day). Everything is
+    keyed on user_id: hourly rollup, self-join and final aggregate ride
+    the same hash partitioning. Hourly means divide decimal-exact sums
+    once (bit-identical both engines); each error floors onto the 1e-9
+    fixed-point grid so the MAE/bias sums are exact longs —
+    order-invariant at any parallelism."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("v")))
+    f = hourly.select(F.col("user_id").alias("f_user_id"),
+                      F.col("h").alias("fh"), F.col("v").alias("fv"))
+    fx = F.lit(1e9)
+    scored = (hourly.join(f, (F.col("user_id") == F.col("f_user_id"))
+                          & (F.col("fh") == F.expr("h - INTERVAL 24 HOURS")))
+                    .select("user_id",
+                            F.floor(F.abs(F.col("v") - F.col("fv")) * fx)
+                             .cast("long").alias("aerr_fx"),
+                            F.floor((F.col("v") - F.col("fv")) * fx)
+                             .cast("long").alias("err_fx")))
+    return (scored.groupBy("user_id")
+                  .agg(F.count("*").alias("n_scored"),
+                       F.round(F.sum("aerr_fx").cast("double")
+                               / F.count("*") / fx, 6).alias("mae"),
+                       F.round(F.sum("err_fx").cast("double")
+                               / F.count("*") / fx, 6).alias("bias")))
