@@ -40,6 +40,11 @@ GUARDED = [
     "ts_acf_multi",
     "ts_cross_corr",
     "ts_sax_symbols",
+    # round-4 additions: KM terminal row (n_risk = d_events) must emit
+    # exact 0.0 (never ln(0)); the backtest's forecast join is empty on
+    # single-event users; both must complete on the degenerate slices
+    "ts_survival_km",
+    "ts_backtest_seasonal_naive",
 ]
 
 
@@ -101,7 +106,9 @@ def empty_events_dir(tmp_path_factory):
 
 #: global-ratio ops where an empty stream drives count(*) itself to zero
 EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
-                 "ts_ks_two_sample", "agg_ab_proportion_test"]
+                 "ts_ks_two_sample", "agg_ab_proportion_test",
+                 "ts_survival_km", "ts_backtest_seasonal_naive",
+                 "ts_downsample_lttb"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -53,12 +53,15 @@ OPS = [
     # events-driven
     "ts_sessionize", "ts_sessionize_bucketed", "ts_resample_1h",
     "join_asof_backward", "agg_hhi_concentration", "ts_window_features",
+    "ts_survival_km", "ts_backtest_seasonal_naive", "ts_downsample_lttb",
     # documents-driven
     "dedup_exact_text", "text_word_freq", "text_tfidf_topterms",
     "dedup_ngram_jaccard", "dedup_near_minhash", "dedup_cluster_cc",
+    "text_decontaminate",
     # embeddings-driven
     "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_scalable_topk",
-    "sim_lsh_bucketed",
+    "sim_lsh_bucketed", "emb_quantize_int8", "sim_pq_topk",
+    "sim_doc_retrieval",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
