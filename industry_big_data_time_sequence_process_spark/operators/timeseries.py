@@ -3027,3 +3027,135 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / F.count("*") / fx, 6).alias("mae"),
                        F.round(F.sum("err_fx").cast("double")
                                / F.count("*") / fx, 6).alias("bias")))
+
+
+# --------------------------------------------------------------------------
+# Recursive smoothers (round 4, SURVEY.md §2.14) — same value-oracle recipe
+# as ts_ewma: both engines run the identical IEEE recursion (same double
+# literals, same operation order), DuckDB via a recursive CTE stepping all
+# users one row per iteration.
+# --------------------------------------------------------------------------
+
+#: Local-level (random-walk + noise) scalar Kalman filter parameters.
+_KAL_Q = 0.01   # process variance
+_KAL_R = 1.0    # measurement variance
+
+
+def _kalman_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    z = pdf["value"].to_numpy(dtype="float64")
+    x = z.copy()
+    p = 1.0
+    for i in range(1, len(z)):
+        # identical literals & op order as the oracle's recursive term
+        pp = p + _KAL_Q
+        k = pp / (pp + _KAL_R)
+        x[i] = x[i - 1] + k * (z[i] - x[i - 1])
+        p = (1.0 - k) * pp
+    out = pdf[["user_id", "event_id"]].copy()
+    out["x_filt"] = x
+    return out
+
+
+@op("ts_kalman_filter", oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn,
+           CAST(value AS DOUBLE) AS x, CAST(1.0 AS DOUBLE) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn,
+           r.x + ((r.p + {_KAL_Q!r}) / ((r.p + {_KAL_Q!r}) + {_KAL_R!r}))
+                 * (s.value - r.x),
+           (1.0 - ((r.p + {_KAL_Q!r}) / ((r.p + {_KAL_Q!r}) + {_KAL_R!r})))
+               * (r.p + {_KAL_Q!r})
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, round(x, 6) AS x_filt FROM r
+""", tier=3, section="2.9")
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter per user under the local-level model (random
+    walk + observation noise; Kalman 1960, public): the optimal
+    recursive denoiser for drifting sensor baselines, with Q=0.01,
+    R=1.0. Gain, state and covariance recursions are inherently
+    sequential per key -> grouped-map Pandas UDF, parallel across users.
+
+    VALUE-oracled via a DuckDB recursive CTE: x0 = z0, P0 = 1, then
+    P⁻ = P+Q, K = P⁻/(P⁻+R), x = x + K(z−x), P = (1−K)P⁻ — written with
+    the identical double literals and operation order in both engines,
+    so the filtered series is bit-identical before the final
+    round(·, 6)."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select("user_id", "event_id", "ts", "value") \
+            .groupBy("user_id").applyInPandas(
+        _kalman_pdf, "user_id long, event_id long, x_filt double")
+    return raw.select("user_id", "event_id",
+                      F.round("x_filt", 6).alias("x_filt"))
+
+
+#: Holt double-exponential smoothing weights (level, trend). BOTH engines
+#: use these exact literals; derived forms (1-alpha) would parse to a
+#: different double than the literal 0.7 — see _EWMA_BETA.
+_HOLT_A = 0.3
+_HOLT_1A = 0.7
+_HOLT_B = 0.1
+_HOLT_1B = 0.9
+
+
+def _holt_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    z = pdf["value"].to_numpy(dtype="float64")
+    lev = z.copy()
+    trend = z * 0.0
+    for i in range(1, len(z)):
+        lev[i] = _HOLT_A * z[i] + _HOLT_1A * (lev[i - 1] + trend[i - 1])
+        trend[i] = _HOLT_B * (lev[i] - lev[i - 1]) + _HOLT_1B * trend[i - 1]
+    out = pdf[["user_id", "event_id"]].copy()
+    out["level"], out["trend"] = lev, trend
+    return out
+
+
+@op("ts_holt_linear", oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn,
+           CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT user_id, event_id, rn, l2,
+           CAST({_HOLT_B!r} AS DOUBLE) * (l2 - l) + CAST({_HOLT_1B!r} AS DOUBLE) * b
+    FROM (
+        SELECT s.user_id, s.event_id, s.rn, r.l, r.b,
+               CAST({_HOLT_A!r} AS DOUBLE) * s.value
+                   + CAST({_HOLT_1A!r} AS DOUBLE) * (r.l + r.b) AS l2
+        FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ) q
+)
+SELECT user_id, event_id, round(l, 6) AS level, round(b, 6) AS trend
+FROM r
+""", tier=3, section="2.9")
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (Holt 1957, public):
+    level + trend state, alpha=0.3, beta=0.1, b0=0 — the one-step-ahead
+    trend forecaster a step up from EWMA. Sequential per key ->
+    grouped-map Pandas UDF; VALUE-oracled by the same recursive-CTE
+    recipe as ``ts_ewma`` (the trend update reuses the freshly-computed
+    level through a subquery so both engines evaluate
+    l' = 0.3z + 0.7(l+b) then b' = 0.1(l'−l) + 0.9b with identical
+    literals and order — bit-identical state before round(·, 6))."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select("user_id", "event_id", "ts", "value") \
+            .groupBy("user_id").applyInPandas(
+        _holt_pdf,
+        "user_id long, event_id long, level double, trend double")
+    return raw.select("user_id", "event_id",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"))
