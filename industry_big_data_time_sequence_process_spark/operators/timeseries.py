@@ -3159,3 +3159,101 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("user_id", "event_id",
                       F.round("level", 6).alias("level"),
                       F.round("trend", 6).alias("trend"))
+
+
+@op("ts_sax_motifs", oracle="""
+WITH seq AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS rn
+    FROM events
+), cells AS (
+    SELECT user_id, value, rn // 20 AS win, (rn % 20) // 5 AS seg
+    FROM seq
+), wstats AS (   -- per-window stats from decimal-exact sums, 1 IEEE step
+    SELECT user_id, win, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+    FROM cells GROUP BY user_id, win
+    HAVING count(*) = 20
+), wsd AS (
+    SELECT user_id, win, sv / 20 AS mu,
+           CASE WHEN sqrt(greatest((svv - sv * sv / 20) / 19, 0.0)) = 0
+                THEN 1.0
+                ELSE sqrt(greatest((svv - sv * sv / 20) / 19, 0.0))
+           END AS sd
+    FROM wstats
+), segs AS (     -- segment mean of z == (segment mean of v - mu) / sd
+    SELECT c.user_id, c.win, c.seg,
+           round((CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) / 5
+                  - w.mu) / w.sd, 6) AS z_mean
+    FROM cells c JOIN wsd w ON w.user_id = c.user_id AND w.win = c.win
+    GROUP BY c.user_id, c.win, c.seg, w.mu, w.sd
+), words AS (
+    SELECT user_id, win,
+           string_agg(CASE WHEN z_mean < -0.6745 THEN 'a'
+                           WHEN z_mean < 0       THEN 'b'
+                           WHEN z_mean < 0.6745  THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS word
+    FROM segs GROUP BY user_id, win
+)
+SELECT user_id, word,
+       count(*) AS n_windows,
+       min(win) AS first_win, max(win) AS last_win
+FROM words GROUP BY user_id, word
+HAVING count(*) >= 2
+""", tier=3, section="2.9")
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (Lin & Keogh 2003, public): tumbling 20-event
+    windows per user, each window z-normalized AGAINST ITSELF, PAA to 4
+    segments of 5, quantized at the Gaussian breakpoints into a 4-letter
+    word — then windows sharing a word are repeated-shape candidates
+    (motifs), the "this load pattern recurs" primitive of industrial
+    telemetry mining. Partial tail windows are dropped (count = 20).
+
+    Determinism: per-window μ/σ AND per-segment z-means all derive from
+    decimal-exact Σv / Σv² with single IEEE divide-backs (the segment
+    mean of z equals (segment-mean(v) − μ)/σ, so no float values are
+    ever summed); zero-variance windows normalize by 1.0. Everything
+    rides the one user-keyed shuffle (row_number), then small grouped
+    aggregates; words assemble via order-keyed concat in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    rn = F.row_number().over(_w_user()) - 1
+    cells = ev.select(
+        "user_id", "value",
+        (rn / 20).cast("long").alias("win"),
+        ((rn % 20) / 5).cast("long").alias("seg"))
+    vdec = F.col("value").cast("decimal(18,2)")
+    wstats = (cells.groupBy("user_id", "win")
+                   .agg(F.count("*").alias("n"),
+                        F.sum(vdec).cast("double").alias("sv"),
+                        F.sum(vdec * vdec).cast("double").alias("svv"))
+                   .filter("n = 20"))
+    sd_raw = F.sqrt(F.greatest(
+        (F.col("svv") - F.col("sv") * F.col("sv") / 20) / 19, F.lit(0.0)))
+    wsd = wstats.select(
+        "user_id", "win", (F.col("sv") / 20).alias("mu"),
+        F.when(sd_raw == 0, F.lit(1.0)).otherwise(sd_raw).alias("sd"))
+    segs = (cells.join(wsd, ["user_id", "win"])
+                 .groupBy("user_id", "win", "seg", "mu", "sd")
+                 .agg(F.sum(vdec).cast("double").alias("svs"))
+                 .select("user_id", "win", "seg",
+                         F.round((F.col("svs") / 5 - F.col("mu"))
+                                 / F.col("sd"), 6).alias("z_mean")))
+    z = F.col("z_mean")
+    sym = (F.when(z < -0.6745, "a").when(z < 0, "b")
+            .when(z < 0.6745, "c").otherwise("d"))
+    words = (segs.select("user_id", "win", "seg", sym.alias("sym"))
+                 .groupBy("user_id", "win")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("seg", "sym"))),
+                         lambda s: s.sym), "").alias("word")))
+    return (words.groupBy("user_id", "word")
+                 .agg(F.count("*").alias("n_windows"),
+                      F.min("win").alias("first_win"),
+                      F.max("win").alias("last_win"))
+                 .filter("n_windows >= 2"))
