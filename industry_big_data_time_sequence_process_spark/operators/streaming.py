@@ -499,3 +499,156 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("c_user_id").alias("user_id"),
              "click_id", "view_id", "click_ts", "view_ts")
     return _drain(spark, "stream_stream_join", joined, "append")
+
+
+# ==========================================================================
+# Streaming drift detection (round 4, SURVEY.md §2.14)
+# ==========================================================================
+
+
+@op("stream_cusum_alarms", oracle=f"""
+WITH RECURSIVE stats AS (
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+    FROM events GROUP BY user_id
+), sd AS (
+    SELECT user_id, sv / n AS mu,
+           CASE WHEN n < 2 THEN 1.0
+                ELSE sqrt(greatest((svv - sv * sv / n) / (n - 1), 0.0))
+           END AS sd0
+    FROM stats
+), z AS (
+    SELECT e.user_id, e.event_id,
+           CAST(floor((e.value - s.mu)
+                / (CASE WHEN s.sd0 = 0 THEN 1.0 ELSE s.sd0 END)
+                * 1000000000) AS BIGINT) AS zfx,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN sd s USING (user_id)
+), r AS (
+    SELECT user_id, event_id, rn, spr, snr,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN 1 ELSE 0 END AS alarm,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN CAST(0 AS BIGINT) ELSE spr END AS sp,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN CAST(0 AS BIGINT) ELSE snr END AS sn
+    FROM (SELECT user_id, event_id, rn,
+                 greatest(CAST(0 AS BIGINT), zfx - 500000000) AS spr,
+                 greatest(CAST(0 AS BIGINT), -zfx - 500000000) AS snr
+          FROM z WHERE rn = 1) b
+    UNION ALL
+    SELECT user_id, event_id, rn, spr, snr,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN 1 ELSE 0 END,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN CAST(0 AS BIGINT) ELSE spr END,
+           CASE WHEN spr > 5000000000 OR snr > 5000000000
+                THEN CAST(0 AS BIGINT) ELSE snr END
+    FROM (SELECT s.user_id, s.event_id, s.rn,
+                 greatest(CAST(0 AS BIGINT),
+                          r.sp + s.zfx - 500000000) AS spr,
+                 greatest(CAST(0 AS BIGINT),
+                          r.sn - s.zfx - 500000000) AS snr
+          FROM r JOIN z s ON s.user_id = r.user_id
+                         AND s.rn = r.rn + 1) q
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+       round(max(spr) / 1000000000.0, 6) AS max_s_pos,
+       round(max(snr) / 1000000000.0, 6) AS max_s_neg,
+       min(CASE WHEN alarm = 1 THEN event_id END) AS first_alarm_event_id
+FROM r GROUP BY user_id
+""", tier=3, section="2.10")
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift detection: the CUSUM recursion of
+    ``ts_cusum_changepoint`` run as a stateful streaming query — the
+    "alert on baseline drift as telemetry arrives" deployment shape.
+
+    Architecture (the production pattern, each piece demonstrated):
+    per-user μ/σ come from the STATIC batch table (the training window)
+    and join the stream stream-static on user_id; the standardized
+    deviation floors onto the 1e-9 fixed-point grid JVM-side; the
+    restart recursion runs in ``applyInPandasWithState`` carrying
+    (sp, sn, alarm/extremum counters) as exact longs per user. Because
+    the state is integer, the emitted per-user summary (event count,
+    alarm count, max excursions pre-restart, first alarm id) is
+    bit-equal to the batch recursion — which is exactly what the DuckDB
+    oracle states (recursive CTE + per-user aggregate), making this one
+    of the few VALUE-ORACLED stateful streaming ops anywhere. The batch
+    twin equality is additionally pinned in tests/test_twins.py.
+
+    The modern ``transformWithStateInPandas`` variant of this recursion
+    is demonstrated by ``stream_stateful_running`` (env-probed; this
+    container lacks protobuf), so this op uses the portable legacy API
+    directly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sources.io import load
+    from .timeseries import _CUSUM_FX, _CUSUM_H_FX, _CUSUM_K_FX
+
+    ev_static = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev_static.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"))
+    sd0 = F.when(F.col("n") < 2, F.lit(1.0)).otherwise(
+        F.sqrt(F.greatest(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1), F.lit(0.0))))
+    sd = stats.select("user_id", (F.col("sv") / F.col("n")).alias("mu"),
+                      sd0.alias("sd0"))
+
+    stream = _events_stream(spark, sf_dir, "stream_cusum_alarms")
+    z = stream.join(sd, "user_id").select(
+        "user_id", "event_id", "ts",
+        F.floor((F.col("value") - F.col("mu"))
+                / F.when(F.col("sd0") == 0, F.lit(1.0))
+                   .otherwise(F.col("sd0"))
+                * F.lit(float(_CUSUM_FX))).alias("zfx"))
+
+    def update(key, pdfs, state: GroupState):
+        sp, sn, n, alarms, mx_p, mx_n, first = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, zf in zip(pdf["event_id"], pdf["zfx"]):
+                spr = max(0, sp + int(zf) - _CUSUM_K_FX)
+                snr = max(0, sn - int(zf) - _CUSUM_K_FX)
+                mx_p, mx_n = max(mx_p, spr), max(mx_n, snr)
+                alarm = spr > _CUSUM_H_FX or snr > _CUSUM_H_FX
+                if alarm:
+                    alarms += 1
+                    if first is None:
+                        first = int(eid)
+                    sp = sn = 0
+                else:
+                    sp, sn = spr, snr
+                n += 1
+        state.update((sp, sn, n, alarms, mx_p, mx_n, first))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "n_alarms": [alarms],
+            "max_s_pos": [mx_p / float(_CUSUM_FX)],
+            "max_s_neg": [mx_n / float(_CUSUM_FX)],
+            "first_alarm_event_id": [first]})
+
+    dd = (z.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, n_alarms long, "
+                         "max_s_pos double, max_s_neg double, "
+                         "first_alarm_event_id long",
+        stateStructType="sp long, sn long, n long, alarms long, "
+                        "mx_p long, mx_n long, first_eid long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    out = _drain(spark, "stream_cusum_alarms", dd, "append")
+    return out.select(
+        "user_id", "n_events", "n_alarms",
+        F.round("max_s_pos", 6).alias("max_s_pos"),
+        F.round("max_s_neg", 6).alias("max_s_neg"),
+        "first_alarm_event_id")

@@ -148,3 +148,26 @@ def test_interpolate_sql_twin(spark):
     assert not diverging, (
         f"interpolated values diverge on {len(diverging)} grid points, "
         f"e.g. {sorted(diverging)[:3]}")
+
+
+def test_stream_cusum_equals_batch(spark):
+    """The streaming CUSUM summary must agree with the batch recursion
+    on everything the batch op exposes: per-user event count, alarm
+    count, and first alarm id (integer state on both sides, so equality
+    is exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from industry_big_data_time_sequence_process_spark.operators import streaming as st
+
+    stream = {r["user_id"]: (r["n_events"], r["n_alarms"],
+                             r["first_alarm_event_id"])
+              for r in st.stream_cusum_alarms(spark, SF_T2).collect()}
+    batch = {r["user_id"]: (r["n"], r["a"], r["f"])
+             for r in timeseries.ts_cusum_changepoint(spark, SF_T2)
+             .groupBy("user_id")
+             .agg(F.count("*").alias("n"),
+                  F.sum("alarm").alias("a"),
+                  F.min(F.when(F.col("alarm") == 1, F.col("event_id")))
+                   .alias("f"))
+             .collect()}
+    assert stream == batch
