@@ -3257,3 +3257,114 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("win").alias("first_win"),
                       F.max("win").alias("last_win"))
                  .filter("n_windows >= 2"))
+
+
+@op("ts_attribution_last_touch", oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'click'
+                           THEN epoch_us(ts) END IGNORE NULLS) OVER w AS c_ts,
+           last_value(CASE WHEN event_type = 'click'
+                           THEN event_id END IGNORE NULLS) OVER w AS c_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event_id, ts AS t_purchase,
+       CASE WHEN c_ts IS NOT NULL AND epoch_us(ts) - c_ts <= 86400000000
+            THEN c_id END AS click_event_id,
+       CASE WHEN c_ts IS NOT NULL AND epoch_us(ts) - c_ts <= 86400000000
+            THEN epoch_us(ts) - c_ts END AS latency_us,
+       CAST(c_ts IS NOT NULL AND epoch_us(ts) - c_ts <= 86400000000
+            AS INT) AS attributed
+FROM ordered WHERE event_type = 'purchase'
+""", tier=2, section="2.9")
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click strictly before it, within a 24 h lookback — the
+    marketing-analytics join every event warehouse serves daily.
+    Expressed as ONE ignorenulls last() window over the interleaved
+    per-user event stream (frame ends at 1 PRECEDING, so a same-instant
+    click with a smaller event_id still counts as "before"), then a
+    filter to purchases — a single user-keyed shuffle, no self-join, no
+    range explosion; the 24 h bound is an integer-µs comparison
+    (bit-identical both engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    is_click = F.col("event_type") == "click"
+    c_ts = F.last(F.when(is_click, F.unix_micros("ts")),
+                  ignorenulls=True).over(w)
+    c_id = F.last(F.when(is_click, F.col("event_id")),
+                  ignorenulls=True).over(w)
+    within = (F.col("c_ts").isNotNull()
+              & (F.unix_micros("ts") - F.col("c_ts") <= 86_400_000_000))
+    return (ev.select("user_id", "event_id", "ts", "event_type",
+                      c_ts.alias("c_ts"), c_id.alias("c_id"))
+              .filter(F.col("event_type") == "purchase")
+              .select("user_id",
+                      F.col("event_id").alias("purchase_event_id"),
+                      F.col("ts").alias("t_purchase"),
+                      F.when(within, F.col("c_id")).alias("click_event_id"),
+                      F.when(within, F.unix_micros("ts") - F.col("c_ts"))
+                       .alias("latency_us"),
+                      within.cast("int").alias("attributed")))
+
+
+@op("ts_funnel_three_step", oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT v.user_id, v.t_view, min(e.ts) AS t_click
+    FROM v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click'
+     AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+    GROUP BY v.user_id, v.t_view
+), p AS (
+    SELECT c.user_id, c.t_click, min(e.ts) AS t_purchase
+    FROM c JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+     AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+    GROUP BY c.user_id, c.t_click
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CAST(c.t_click IS NOT NULL AS INT)
+         + CAST(p.t_purchase IS NOT NULL AS INT) AS stage_reached
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id AND p.t_click = c.t_click
+""", tier=2, section="2.9")
+def ts_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel (view -> click within 1 h -> purchase within a
+    further 1 h), per user, with the deepest stage reached — the
+    multi-step generalization of ``ts_funnel_steps``. Every step
+    aggregates and joins on user_id with a bounded time-range residual,
+    so the whole chain is co-partitioned on one key and the 1 h windows
+    cap each step's candidate fan-out."""
+    ev = load(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", F.col("ts").alias("c_ts"))
+    c = (v.join(clicks, "user_id")
+          .filter((F.col("c_ts") > F.col("t_view"))
+                  & (F.col("c_ts")
+                     <= F.expr("t_view + INTERVAL 1 HOUR")))
+          .groupBy("user_id", "t_view")
+          .agg(F.min("c_ts").alias("t_click")))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    p = (c.join(purchases, "user_id")
+          .filter((F.col("p_ts") > F.col("t_click"))
+                  & (F.col("p_ts")
+                     <= F.expr("t_click + INTERVAL 1 HOUR")))
+          .groupBy("user_id", "t_click")
+          .agg(F.min("p_ts").alias("t_purchase")))
+    return (v.join(c.select("user_id", "t_click"), "user_id", "left")
+             .join(p, ["user_id", "t_click"], "left")
+             .select("user_id", "t_view", "t_click", "t_purchase",
+                     (F.lit(1)
+                      + F.col("t_click").isNotNull().cast("int")
+                      + F.col("t_purchase").isNotNull().cast("int"))
+                     .alias("stage_reached")))
