@@ -2381,3 +2381,102 @@ def dim_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eff_ts").alias("valid_from"), null_ts.alias("valid_to"),
         F.lit(1).alias("is_current"))
     return unchanged.unionByName(closed).unionByName(current)
+
+
+@op("agg_ols_two_feature", oracle="""
+WITH mom AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(hour(ts)) AS DOUBLE) AS s1,
+           CAST(SUM(isodow(ts)) AS DOUBLE) AS s2,
+           CAST(SUM(hour(ts) * hour(ts)) AS DOUBLE) AS s11,
+           CAST(SUM(hour(ts) * isodow(ts)) AS DOUBLE) AS s12,
+           CAST(SUM(isodow(ts) * isodow(ts)) AS DOUBLE) AS s22,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(hour(ts) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS s1y,
+           CAST(SUM(isodow(ts) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy
+    FROM events GROUP BY event_type
+), sol AS (
+    SELECT event_type, n, sy, s1y, s2y, syy,
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM mom
+)
+SELECT event_type,
+       round(det0 / det, 6) AS b0,
+       round(det1 / det, 6) AS b_hour,
+       round(det2 / det, 6) AS b_dow,
+       round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                        - (det2 / det) * s2y)
+                   / (syy - sy * sy / n), 6) AS r2
+FROM sol
+""", tier=3, section="2.4")
+def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple regression, distributed: fit
+    value ~ b0 + b_hour·hour(ts) + b_dow·isodow(ts) per event type by
+    solving the 3x3 normal equations from ONE aggregation pass of
+    moments — no gradient steps, no iteration, no driver math. The
+    moment pass is map-side-combinable and order-invariant by
+    construction: integer features make Σx, Σx² exact longs and the
+    y-moments sum in DECIMAL (2-decimal corpus), each cast to double
+    once; the Cramer determinants are then identical IEEE polynomial
+    evaluations in both engines, so coefficients and R² match on the
+    rounding grid without tolerance. The scalable shape for fitting
+    millions of per-group models: one shuffle, 11 aggregates, closed
+    form."""
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts").cast("long")
+    # ISO day-of-week (1=Mon..7=Sun) matches DuckDB's isodow
+    iso = F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long")
+    y = F.col("value").cast("decimal(18,2)")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(h).cast("double").alias("s1"),
+        F.sum(iso).cast("double").alias("s2"),
+        F.sum(h * h).cast("double").alias("s11"),
+        F.sum(h * iso).cast("double").alias("s12"),
+        F.sum(iso * iso).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(h * y).cast("double").alias("s1y"),
+        F.sum(iso * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = (F.col("sy"), F.col("s1y"), F.col("s2y"),
+                         F.col("syy"))
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    sse = syy - (det0 / det) * sy - (det1 / det) * s1y \
+        - (det2 / det) * s2y
+    sst = syy - sy * sy / n
+    return mom.select(
+        "event_type",
+        F.round(det0 / det, 6).alias("b0"),
+        F.round(det1 / det, 6).alias("b_hour"),
+        F.round(det2 / det, 6).alias("b_dow"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"))
