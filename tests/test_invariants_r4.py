@@ -1,0 +1,101 @@
+"""Algebraic invariants of the round-4 operators, checked on the real
+corpus (complementing the oracle parity, which pins values but not the
+mathematical shape a consumer relies on)."""
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from industry_big_data_time_sequence_process_spark.operators import (
+    relational, timeseries,
+)
+from industry_big_data_time_sequence_process_spark.sources.io import load
+
+from .conftest import SF_T2
+
+
+def test_survival_curve_shape(spark):
+    """Kaplan-Meier S(t): within [0,1], non-increasing in t, at-risk
+    counts non-increasing, event counts positive."""
+    rows = sorted(
+        timeseries.ts_survival_km(spark, SF_T2).collect(),
+        key=lambda r: r["dur_us"])
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-12, None
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9, "S(t) increased"
+        assert r["d_events"] > 0
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n, "at-risk count increased"
+        prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_kalman_filtered_within_running_envelope(spark):
+    """The local-level Kalman estimate is a convex combination of the
+    observations seen so far, so it must stay inside each user's running
+    [min, max] envelope (checked via the raw values; rounding gives the
+    filter a 1e-6 slack)."""
+    ev = {(r["user_id"], r["event_id"]): r["value"]
+          for r in load(spark, SF_T2, "events")
+          .select("user_id", "event_id", "ts", "value").collect()}
+    order = defaultdict(list)
+    for r in load(spark, SF_T2, "events") \
+            .select("user_id", "event_id", "ts").collect():
+        order[r["user_id"]].append((r["ts"], r["event_id"]))
+    filt = {(r["user_id"], r["event_id"]): r["x_filt"]
+            for r in timeseries.ts_kalman_filter(spark, SF_T2).collect()}
+    for uid, evs in order.items():
+        lo = hi = None
+        for _, eid in sorted(evs):
+            v = ev[(uid, eid)]
+            lo = v if lo is None else min(lo, v)
+            hi = v if hi is None else max(hi, v)
+            x = filt[(uid, eid)]
+            assert lo - 1e-6 <= x <= hi + 1e-6, (uid, eid, x, lo, hi)
+
+
+def test_backtest_mae_dominates_bias(spark):
+    """MAE >= |bias| always (triangle inequality on the error sample);
+    equality iff all errors share a sign."""
+    for r in timeseries.ts_backtest_seasonal_naive(spark, SF_T2).collect():
+        assert r["mae"] >= abs(r["bias"]) - 1e-9, r
+
+
+def test_ols_r2_bounded(spark):
+    """R-squared of an intercept-bearing OLS fit lies in [0, 1]."""
+    for r in relational.agg_ols_two_feature(spark, SF_T2).collect():
+        assert -1e-9 <= r["r2"] <= 1.0 + 1e-9, r
+
+
+def test_attribution_integrity(spark):
+    """Every attributed click must exist, belong to the same user, be a
+    click, and precede its purchase by exactly latency_us <= 24 h."""
+    ev = {r["event_id"]: (r["user_id"], r["event_type"], r["ts"])
+          for r in load(spark, SF_T2, "events")
+          .select("event_id", "user_id", "event_type", "ts").collect()}
+    out = timeseries.ts_attribution_last_touch(spark, SF_T2).collect()
+    assert any(r["attributed"] == 1 for r in out)
+    for r in out:
+        if r["attributed"] == 0:
+            assert r["click_event_id"] is None and r["latency_us"] is None
+            continue
+        cu, ctype, cts = ev[r["click_event_id"]]
+        assert cu == r["user_id"] and ctype == "click"
+        delta_us = int((r["t_purchase"] - cts).total_seconds() * 1e6)
+        assert 0 <= r["latency_us"] <= 86_400_000_000
+        assert abs(delta_us - r["latency_us"]) <= 1
+
+
+def test_funnel_stages_monotone(spark):
+    """stage_reached consistency: t_click only when stage >= 2,
+    t_purchase only when stage == 3, and timestamps strictly ordered
+    within their windows."""
+    for r in timeseries.ts_funnel_three_step(spark, SF_T2).collect():
+        s = r["stage_reached"]
+        assert s in (1, 2, 3)
+        assert (r["t_click"] is not None) == (s >= 2)
+        assert (r["t_purchase"] is not None) == (s == 3)
+        if s >= 2:
+            assert r["t_view"] < r["t_click"]
+        if s == 3:
+            assert r["t_click"] < r["t_purchase"]
