@@ -2480,3 +2480,67 @@ def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det, 6).alias("b_hour"),
         F.round(det2 / det, 6).alias("b_dow"),
         F.round(F.lit(1.0) - sse / sst, 6).alias("r2"))
+
+
+#: KMV sketch size: estimate uses the k-th smallest hash.
+_KMV_K = 64
+
+
+@op("agg_kmv_distinct", oracle=f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+    FROM events
+), ranked AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n_exact
+    FROM hashed
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CASE WHEN n_exact <= {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE round(({_KMV_K} - 1) * 4294967296.0 / hv, 6) END
+           AS kmv_estimate,
+       round(abs(CASE WHEN n_exact <= {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / hv END
+                 - n_exact) / n_exact, 6) AS rel_error
+FROM ranked
+WHERE r = least(CAST({_KMV_K} AS BIGINT), n_exact)
+""", tier=3, section="2.4")
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002, public): distinct users per event type
+    estimated as (k−1)/h_(k) with k = 64, where h_(k) is the k-th
+    smallest value of a uniform hash of the key. Unlike HLL (whose
+    register layout is engine-private — our ``agg_approx_distinct``
+    is rows-only for exactly that reason), KMV over the PORTABLE md5
+    draw is deterministic, so the sketch, its estimate AND its measured
+    relative error are all fully value-oracled cross-engine — an
+    approximate operator with an exact contract.
+
+    Scale shape: the k smallest hashes per group are a bounded-size,
+    MERGEABLE summary (union = k smallest of the union), i.e. the
+    map-side-combinable architecture every distributed distinct-count
+    sketch uses; groups at or under k report exactly."""
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    hashed = (ev.select("event_type", hv.alias("hv")).distinct())
+    w_r = Window.partitionBy("event_type").orderBy("hv")
+    w_n = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type", "hv",
+        F.row_number().over(w_r).alias("r"),
+        F.count("*").over(w_n).alias("n_exact"))
+    est = F.when(F.col("n_exact") <= _KMV_K,
+                 F.col("n_exact").cast("double")) \
+           .otherwise((_KMV_K - 1) * F.lit(4294967296.0) / F.col("hv"))
+    return (ranked.filter(F.col("r") == F.least(F.lit(_KMV_K).cast("long"),
+                                                F.col("n_exact")))
+                  .select("event_type", "n_exact",
+                          F.round(est, 6).alias("kmv_estimate"),
+                          F.round(F.abs(est - F.col("n_exact"))
+                                  / F.col("n_exact"), 6)
+                           .alias("rel_error")))
