@@ -267,3 +267,14 @@ def test_pq_adc_join_is_broadcast(spark):
     plan = _plan(spark, "sim_pq_topk", "simple")
     assert "SortMergeJoin" not in plan, "ADC/codebook join degenerated to SMJ"
     assert plan.count("BroadcastHashJoin") >= 1, "ADC join not broadcast"
+
+
+def test_attribution_single_shuffle_no_join(spark):
+    """Last-touch attribution must stay one window over the interleaved
+    stream: exactly one hash exchange (user_id), and no join operator —
+    the self-join formulation it replaces would shuffle twice and risk
+    range explosion."""
+    plan = _plan(spark, "ts_attribution_last_touch", "simple")
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"attribution shuffled {n_exchanges}x"
+    assert "Join" not in plan, "attribution grew a join"
