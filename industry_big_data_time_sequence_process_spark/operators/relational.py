@@ -2544,3 +2544,119 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(F.abs(est - F.col("n_exact"))
                                   / F.col("n_exact"), 6)
                            .alias("rel_error")))
+
+
+@op("agg_kmv_overlap", oracle=f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+    FROM events
+), types AS (SELECT DISTINCT event_type FROM hashed),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+), u AS (   -- distinct union hashes per pair
+    SELECT DISTINCT p.type_a, p.type_b, h.hv
+    FROM pairs p JOIN hashed h
+      ON h.event_type = p.type_a OR h.event_type = p.type_b
+), union_k AS (   -- k smallest of the union = merged KMV sketch
+    SELECT type_a, type_b, hv FROM (
+        SELECT type_a, type_b, hv,
+               row_number() OVER (PARTITION BY type_a, type_b
+                                  ORDER BY hv) AS r
+        FROM u) q WHERE r <= {_KMV_K}
+), marked AS (
+    SELECT k.type_a, k.type_b,
+           CASE WHEN ha.hv IS NOT NULL AND hb.hv IS NOT NULL
+                THEN 1 ELSE 0 END AS in_both
+    FROM union_k k
+    LEFT JOIN hashed ha ON ha.event_type = k.type_a AND ha.hv = k.hv
+    LEFT JOIN hashed hb ON hb.event_type = k.type_b AND hb.hv = k.hv
+), est AS (
+    SELECT type_a, type_b,
+           round(CAST(SUM(in_both) AS DOUBLE) / count(*), 6)
+               AS jaccard_est
+    FROM marked GROUP BY 1, 2
+), inter AS (
+    SELECT p.type_a, p.type_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN hashed ha ON ha.event_type = p.type_a
+    JOIN hashed hb ON hb.event_type = p.type_b AND hb.hv = ha.hv
+    GROUP BY 1, 2
+), uni AS (
+    SELECT type_a, type_b, count(*) AS n_union FROM u GROUP BY 1, 2
+), exact AS (
+    SELECT un.type_a, un.type_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / un.n_union, 6)
+               AS jaccard_exact
+    FROM uni un LEFT JOIN inter i USING (type_a, type_b)
+)
+SELECT e.type_a, e.type_b, e.jaccard_est, x.jaccard_exact,
+       round(abs(e.jaccard_est - x.jaccard_exact), 6) AS abs_err
+FROM est e JOIN exact x USING (type_a, type_b)
+""", tier=3, section="2.4")
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGED KMV sketches: for every
+    pair of event types, union the two per-type sketches (k smallest of
+    the union — exactly how KMV merges), count how many of those k
+    hashes appear in BOTH sets, and estimate Jaccard = hits/k
+    (Bar-Yossef et al. 2002; the theta-sketch set-operation recipe).
+    This demonstrates the property that makes sketches the 100 TB
+    answer: overlap of ARBITRARY set pairs from bounded per-set
+    summaries, no re-scan of the raw data. The portable md5 draw keeps
+    the whole computation — sketch, estimate, and its error vs the
+    exact Jaccard (computed alongside) — value-oracled cross-engine.
+    (This dense test corpus has every user active in every event type,
+    so every pair truthfully reports Jaccard 1.0 — the estimator's
+    arithmetic is still fully exercised and oracle-checked.)"""
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    hashed = ev.select("event_type", hv.alias("hv")).distinct()
+    types = hashed.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("type_a"))
+                  .join(types.select(F.col("event_type").alias("type_b")),
+                        F.col("type_a") < F.col("type_b")))
+    u = (pairs.join(hashed,
+                    (hashed.event_type == F.col("type_a"))
+                    | (hashed.event_type == F.col("type_b")))
+              .select("type_a", "type_b", "hv").distinct())
+    w = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    union_k = u.withColumn("r", F.row_number().over(w)) \
+               .filter(F.col("r") <= _KMV_K)
+    ha = hashed.select(F.col("event_type").alias("type_a"),
+                       F.col("hv").alias("hv"),
+                       F.lit(1).alias("in_a"))
+    hb = hashed.select(F.col("event_type").alias("type_b"),
+                       F.col("hv").alias("hv"),
+                       F.lit(1).alias("in_b"))
+    marked = (union_k.join(ha, ["type_a", "hv"], "left")
+                     .join(hb, ["type_b", "hv"], "left")
+                     .select("type_a", "type_b",
+                             ((F.col("in_a").isNotNull())
+                              & (F.col("in_b").isNotNull()))
+                             .cast("int").alias("in_both")))
+    est = marked.groupBy("type_a", "type_b").agg(
+        F.round(F.sum("in_both").cast("double") / F.count("*"), 6)
+         .alias("jaccard_est"))
+    both = (pairs.join(ha, "type_a").join(hb.drop("in_b"),
+                                          ["type_b", "hv"], "left_semi")
+                 .groupBy("type_a", "type_b")
+                 .agg(F.count_distinct("hv").alias("n_inter")))
+    ua = (pairs.join(hashed,
+                     (hashed.event_type == F.col("type_a"))
+                     | (hashed.event_type == F.col("type_b")))
+               .groupBy("type_a", "type_b")
+               .agg(F.count_distinct("hv").alias("n_union")))
+    exact = (ua.join(both, ["type_a", "type_b"], "left")
+               .select("type_a", "type_b",
+                       F.round(F.coalesce(F.col("n_inter"), F.lit(0))
+                               .cast("double") / F.col("n_union"), 6)
+                        .alias("jaccard_exact")))
+    out = (est.join(exact, ["type_a", "type_b"])
+              .select("type_a", "type_b", "jaccard_est", "jaccard_exact",
+                      F.round(F.abs(F.col("jaccard_est")
+                                    - F.col("jaccard_exact")), 6)
+                       .alias("abs_err")))
+    return out
