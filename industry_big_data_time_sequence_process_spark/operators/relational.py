@@ -2609,30 +2609,43 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard (computed alongside) — value-oracled cross-engine.
     (This dense test corpus has every user active in every event type,
     so every pair truthfully reports Jaccard 1.0 — the estimator's
-    arithmetic is still fully exercised and oracle-checked.)"""
+    arithmetic is still fully exercised and oracle-checked.)
+
+    Plan discipline (the actual sketch story): the per-type KMV
+    sketches (k smallest hashes per type — a BOUNDED k·|types| rowset)
+    are extracted first, and every pairwise step downstream touches
+    only sketches via broadcast equi-joins. This is value-identical to
+    unioning the full hash sets because a hash among the k smallest of
+    A∪B is ≤ both sets' own k-th smallest, hence inside both sketches'
+    retained range — the theta-sketch correctness property. Only the
+    exact-Jaccard verification columns (the honesty extra an estimator
+    ships) re-touch the full hash sets, via equi-joins."""
     ev = load(spark, sf_dir, "events")
     hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
                 16, 10).cast("long")
     hashed = ev.select("event_type", hv.alias("hv")).distinct()
+    w_t = Window.partitionBy("event_type").orderBy("hv")
+    sk = (hashed.withColumn("r", F.row_number().over(w_t))
+                .filter(F.col("r") <= _KMV_K)
+                .select("event_type", "hv"))   # bounded: k per type
     types = hashed.select("event_type").distinct()
     pairs = (types.select(F.col("event_type").alias("type_a"))
                   .join(types.select(F.col("event_type").alias("type_b")),
                         F.col("type_a") < F.col("type_b")))
-    u = (pairs.join(hashed,
-                    (hashed.event_type == F.col("type_a"))
-                    | (hashed.event_type == F.col("type_b")))
-              .select("type_a", "type_b", "hv").distinct())
+    sk_a = sk.withColumnRenamed("event_type", "type_a")
+    sk_b = sk.withColumnRenamed("event_type", "type_b")
+    u = (pairs.join(F.broadcast(sk_a), "type_a")
+              .select("type_a", "type_b", "hv")
+              .unionByName(pairs.join(F.broadcast(sk_b), "type_b")
+                                .select("type_a", "type_b", "hv"))
+              .distinct())
     w = Window.partitionBy("type_a", "type_b").orderBy("hv")
     union_k = u.withColumn("r", F.row_number().over(w)) \
                .filter(F.col("r") <= _KMV_K)
-    ha = hashed.select(F.col("event_type").alias("type_a"),
-                       F.col("hv").alias("hv"),
-                       F.lit(1).alias("in_a"))
-    hb = hashed.select(F.col("event_type").alias("type_b"),
-                       F.col("hv").alias("hv"),
-                       F.lit(1).alias("in_b"))
-    marked = (union_k.join(ha, ["type_a", "hv"], "left")
-                     .join(hb, ["type_b", "hv"], "left")
+    ha = sk_a.withColumn("in_a", F.lit(1))
+    hb = sk_b.withColumn("in_b", F.lit(1))
+    marked = (union_k.join(F.broadcast(ha), ["type_a", "hv"], "left")
+                     .join(F.broadcast(hb), ["type_b", "hv"], "left")
                      .select("type_a", "type_b",
                              ((F.col("in_a").isNotNull())
                               & (F.col("in_b").isNotNull()))
@@ -2640,13 +2653,14 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = marked.groupBy("type_a", "type_b").agg(
         F.round(F.sum("in_both").cast("double") / F.count("*"), 6)
          .alias("jaccard_est"))
-    both = (pairs.join(ha, "type_a").join(hb.drop("in_b"),
-                                          ["type_b", "hv"], "left_semi")
+    fa = hashed.withColumnRenamed("event_type", "type_a")
+    fb = hashed.withColumnRenamed("event_type", "type_b")
+    both = (pairs.join(fa, "type_a").join(fb, ["type_b", "hv"], "left_semi")
                  .groupBy("type_a", "type_b")
                  .agg(F.count_distinct("hv").alias("n_inter")))
-    ua = (pairs.join(hashed,
-                     (hashed.event_type == F.col("type_a"))
-                     | (hashed.event_type == F.col("type_b")))
+    ua = (pairs.join(fa, "type_a").select("type_a", "type_b", "hv")
+               .unionByName(pairs.join(fb, "type_b")
+                                 .select("type_a", "type_b", "hv"))
                .groupBy("type_a", "type_b")
                .agg(F.count_distinct("hv").alias("n_union")))
     exact = (ua.join(both, ["type_a", "type_b"], "left")
