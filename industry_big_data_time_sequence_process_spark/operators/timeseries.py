@@ -3368,3 +3368,76 @@ def ts_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + F.col("t_click").isNotNull().cast("int")
                       + F.col("t_purchase").isNotNull().cast("int"))
                      .alias("stage_reached")))
+
+
+#: Periodogram harmonics (hours) and the fixed-point grid for the
+#: cos/sin-weighted sums. 2*pi as an explicit double literal so both
+#: engines compute identical phases.
+_HARMONICS_H = [24, 12, 8, 6]
+_TWO_PI = 6.283185307179586
+_HARM_FX = 1_000_000
+
+
+@op("ts_harmonic_power", oracle=f"""
+WITH ph AS (
+    SELECT e.user_id, t.period_h, e.value,
+           {_TWO_PI!r} * (CAST(epoch_us(e.ts)
+                % (t.period_h * 3600000000) AS DOUBLE)
+                / (t.period_h * 3600000000)) AS theta
+    FROM events e, (SELECT unnest([{', '.join(map(str, _HARMONICS_H))}])
+                    AS period_h) t
+), fx AS (
+    SELECT user_id, period_h,
+           CAST(floor(value * cos(theta) * {_HARM_FX}) AS BIGINT) AS cfx,
+           CAST(floor(value * sin(theta) * {_HARM_FX}) AS BIGINT) AS sfx
+    FROM ph
+), agg AS (
+    SELECT user_id, period_h, count(*) AS n,
+           CAST(SUM(cfx) AS DOUBLE) AS sc,
+           CAST(SUM(sfx) AS DOUBLE) AS ss
+    FROM fx GROUP BY user_id, period_h
+)
+SELECT user_id, CAST(period_h AS INT) AS period_h,
+       round(sqrt((sc / {_HARM_FX}.0) * (sc / {_HARM_FX}.0)
+                  + (ss / {_HARM_FX}.0) * (ss / {_HARM_FX}.0)) / n, 6)
+           AS amplitude
+FROM agg
+""", tier=3, section="2.9")
+def ts_harmonic_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-harmonic periodogram: each user's signal amplitude at the
+    24 h / 12 h / 8 h / 6 h periods — the DFT evaluated at the handful
+    of physically meaningful frequencies (duty cycles, shift patterns),
+    which is how industrial telemetry actually uses spectral analysis;
+    a full FFT is neither needed nor SQL-shaped. Amplitude at period P
+    is √((Σv·cosθ)² + (Σv·sinθ)²)/n with θ = 2π·(t mod P)/P.
+
+    Pure aggregation — the frequency set explodes 4x (a constant), then
+    ONE groupBy: map-side combinable, single shuffle, no window, no
+    iteration. Cross-engine determinism: phases use an explicit 2π
+    double literal and integer-µs mod; each v·cosθ term floors onto the
+    1e-6 fixed-point grid so the big sums are exact longs
+    (order-invariant at any parallelism, immune to the engines' trig
+    libraries disagreeing beyond the grid)."""
+    ev = load(spark, sf_dir, "events")
+    periods = F.explode(F.array(
+        *[F.lit(p) for p in _HARMONICS_H])).alias("period_h")
+    ph = ev.select("user_id", "value", F.unix_micros("ts").alias("t_us")) \
+           .select("user_id", "value", "t_us", periods)
+    p_us = F.col("period_h").cast("long") * 3_600_000_000
+    theta = F.lit(_TWO_PI) * ((F.col("t_us") % p_us).cast("double")
+                              / p_us.cast("double"))
+    fx = ph.select(
+        "user_id", "period_h",
+        F.floor(F.col("value") * F.cos(theta) * _HARM_FX)
+         .cast("long").alias("cfx"),
+        F.floor(F.col("value") * F.sin(theta) * _HARM_FX)
+         .cast("long").alias("sfx"))
+    agg = fx.groupBy("user_id", "period_h").agg(
+        F.count("*").alias("n"),
+        F.sum("cfx").cast("double").alias("sc"),
+        F.sum("sfx").cast("double").alias("ss"))
+    amp = F.sqrt((F.col("sc") / _HARM_FX) * (F.col("sc") / _HARM_FX)
+                 + (F.col("ss") / _HARM_FX) * (F.col("ss") / _HARM_FX)) \
+        / F.col("n")
+    return agg.select("user_id", F.col("period_h").cast("int").alias("period_h"),
+                      F.round(amp, 6).alias("amplitude"))
