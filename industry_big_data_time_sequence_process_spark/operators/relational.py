@@ -2674,3 +2674,186 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     - F.col("jaccard_exact")), 6)
                        .alias("abs_err")))
     return out
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch + Poisson bootstrap (round 4) — like the KMV family
+# above, approximate/statistical machinery whose PORTABLE md5 randomness
+# makes the whole construction value-oracle-able cross-engine.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # buckets per row
+
+
+@op("agg_cms_heavy_hitters", oracle=f"""
+WITH uc AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+), cells AS (     -- the d x w sketch: every key folds into d cells
+    SELECT t.i AS row,
+           ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket,
+           CAST(sum(c) AS BIGINT) AS cell
+    FROM uc CROSS JOIN range(0, {_CMS_D}) t(i)
+    GROUP BY 1, 2
+), est AS (       -- point query: min over the key's d cells
+    SELECT uc.user_id, uc.c, min(cells.cell) AS est
+    FROM uc CROSS JOIN range(0, {_CMS_D}) t(i)
+    JOIN cells
+      ON cells.row = t.i
+     AND cells.bucket = ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                             || CAST(uc.user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % {_CMS_W}
+    GROUP BY 1, 2
+)
+SELECT user_id, c AS n_exact, est AS cms_est,
+       est - c AS overestimate
+FROM est
+QUALIFY row_number() OVER (ORDER BY est DESC, user_id) <= 15
+""", tier=3, section="2.4")
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min Sketch (Cormode & Muthukrishnan
+    2005, public): a {_CMS_D}x{_CMS_W} counter grid; every key adds its
+    count to one bucket per row (portable md5 bucket choice), a point
+    query reads the MIN of its d cells — an overestimate, never an
+    under-estimate (`overestimate` >= 0 by construction, asserted in
+    tests). Top-15 users by estimated event count, with the exact count
+    and the collision error alongside — the sketch-accuracy audit a
+    production rollout needs.
+
+    Scale shape: the sketch is a CONSTANT 256 cells regardless of key
+    cardinality, built with one hash aggregation (the per-key pre-agg IS
+    map-side combine; cells are mergeable by addition, so executors
+    combine locally and ship 256 partials). The point-query join
+    broadcasts those 256 cells — no shuffle of the key table. Because
+    the md5 bucket choice is engine-portable, sketch contents, estimates
+    AND errors are all exactly value-oracled (HLL/native CMS register
+    layouts never are)."""
+    ev = load(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+
+    def bucket(i):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{i}:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % _CMS_W)
+
+    folded = uc.select(
+        "user_id", "c",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"), bucket(i).alias("bucket"))
+            for i in range(_CMS_D)])).alias("cell_key")
+    ).select("user_id", "c", "cell_key.row", "cell_key.bucket")
+    cells = folded.groupBy("row", "bucket").agg(F.sum("c").alias("cell"))
+    est = (folded.join(F.broadcast(cells), ["row", "bucket"])
+                 .groupBy("user_id", "c")
+                 .agg(F.min("cell").alias("est")))
+    # Global top-15 via orderBy+limit -> TakeOrderedAndProject (each
+    # partition keeps 15, driver merges 15*P) — NOT a row_number over an
+    # unpartitioned window, which would sort every user in one task.
+    return (est.orderBy(F.col("est").desc(), "user_id").limit(15)
+               .select("user_id", F.col("c").alias("n_exact"),
+                       F.col("est").alias("cms_est"),
+                       (F.col("est") - F.col("c")).alias("overestimate")))
+
+
+#: Poisson(1) CDF thresholds on the 2^32 hash grid: u < _POIS_T[k] -> draw
+#: k (else 5). Integer literals, so the bootstrap weights are an exact
+#: integer function of the portable hash in BOTH engines — no float CDF.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+_BOOT_B = 32  # bootstrap replicas
+
+
+@op("agg_poisson_bootstrap_ci", oracle=f"""
+WITH hashed AS (  -- portable md5 draw per (row, replica)
+    SELECT event_type,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           b.b AS b,
+           ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+                || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS u
+    FROM events CROSS JOIN range(0, {_BOOT_B}) b(b)
+), w AS (         -- Poisson(1) weight by inverse-CDF on the hash grid
+    SELECT event_type, b, v,
+           CASE
+             WHEN u < {_POIS_T[0]} THEN 0 WHEN u < {_POIS_T[1]} THEN 1
+             WHEN u < {_POIS_T[2]} THEN 2 WHEN u < {_POIS_T[3]} THEN 3
+             WHEN u < {_POIS_T[4]} THEN 4 ELSE 5 END AS wt
+    FROM hashed
+), rep AS (       -- one weighted mean per (event_type, replica)
+    SELECT event_type, b,
+           CAST(sum(v * wt) AS DOUBLE) / sum(wt) AS m
+    FROM w GROUP BY 1, 2
+    HAVING sum(wt) > 0
+), ranked AS (
+    SELECT event_type, b, m,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY m, b) AS r,
+           count(*) OVER (PARTITION BY event_type) AS nb
+    FROM rep
+), pt AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS mean_v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n, round(p.mean_v, 6) AS mean_v,
+       round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi
+FROM pt p
+JOIN ranked lo ON lo.event_type = p.event_type AND lo.r = 2
+JOIN ranked hi ON hi.event_type = p.event_type AND hi.r = hi.nb - 1
+""", tier=3, section="2.4")
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value per type,
+    via the POISSON bootstrap (Hanley & MacGibbon 2006; the distributed
+    bootstrap used at scale because classic resampling needs global row
+    indexing): each row independently enters replica b with weight ~
+    Poisson(1), drawn by inverting the CDF on the portable md5 hash of
+    (replica, event_id). 32 replicas; the CI is the [2nd smallest, 2nd
+    largest] replica mean — pure order statistics, no interpolated
+    percentile semantics to disagree on cross-engine.
+
+    Determinism: weights are an integer function of integer hash
+    thresholds (no float CDF at query time); each replica mean is ONE
+    division of a decimal-exact weighted sum by an integer weight total,
+    so every replica mean is bit-identical in both engines and at any
+    parallelism. Scale shape: the replica explode is map-side (narrow),
+    partial aggregation combines (event_type, b) locally before the one
+    shuffle; B is a constant multiplier, never a data-sized join."""
+    ev = load(spark, sf_dir, "events")
+    rep0 = ev.select("event_type", "event_id",
+                     F.col("value").cast("decimal(18,2)").alias("v"),
+                     F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+                      .alias("b"))
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.col("b").cast("string"), F.lit(":"),
+        F.col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    wt = (F.when(u < _POIS_T[0], 0).when(u < _POIS_T[1], 1)
+           .when(u < _POIS_T[2], 2).when(u < _POIS_T[3], 3)
+           .when(u < _POIS_T[4], 4).otherwise(5))
+    rep = (rep0.select("event_type", "b", "v", wt.alias("wt"))
+               .groupBy("event_type", "b")
+               .agg(F.sum(F.col("v") * F.col("wt")).alias("sv"),
+                    F.sum("wt").alias("sw"))
+               .filter(F.col("sw") > 0)
+               .select("event_type", "b",
+                       (F.col("sv").cast("double") / F.col("sw"))
+                       .alias("m")))
+    wr = Window.partitionBy("event_type").orderBy("m", "b")
+    wn = Window.partitionBy("event_type")
+    ranked = rep.select("event_type", "b", "m",
+                        F.row_number().over(wr).alias("r"),
+                        F.count("*").over(wn).alias("nb"))
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         / F.count("*")).alias("mean_v"))
+    lo = ranked.filter(F.col("r") == 2).select(
+        "event_type", F.col("m").alias("lo_m"))
+    hi = ranked.filter(F.col("r") == F.col("nb") - 1).select(
+        "event_type", F.col("m").alias("hi_m"))
+    return (pt.join(lo, "event_type").join(hi, "event_type")
+              .select("event_type", "n", F.round("mean_v", 6).alias("mean_v"),
+                      F.round("lo_m", 6).alias("ci_lo"),
+                      F.round("hi_m", 6).alias("ci_hi")))
