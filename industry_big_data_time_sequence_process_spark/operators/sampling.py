@@ -149,3 +149,82 @@ def sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pop_share", 6).alias("pop_share"),
             F.round(share - F.col("pop_share"), 6).alias("deviation"),
         )
+
+
+#: Mixture temperature for source rebalancing (alpha=0.5, the multilingual
+#: -training convention): kept token volume per source ~ volume^alpha.
+_MIX_ALPHA_NUM = 1  # rate = sqrt(tok_min / tok_s) — sqrt is IEEE
+                    # correctly-rounded, so rates are bit-identical
+                    # cross-engine (no pow(x, 0.5) vs exp/log drift).
+_MIX_GRID = 1 << 20  # acceptance threshold grid (2^20)
+
+
+@op("sample_mix_temperature", oracle=f"""
+WITH vol AS (     -- token volume per source (whitespace tokens)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total
+    FROM documents GROUP BY source
+), rate AS (      -- downsample-only temperature rate: sqrt(min/vol)
+    SELECT source, n_docs, tok_total,
+           CAST(floor(sqrt(CAST((SELECT min(tok_total) FROM vol) AS DOUBLE)
+                           / tok_total) * {_MIX_GRID}) AS BIGINT) AS thr
+    FROM vol
+), kept AS (
+    SELECT d.source,
+           count(*) AS n_kept,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok_kept
+    FROM documents d JOIN rate r ON r.source = d.source
+    WHERE ({_DUCK_H32.format(c="'mix:' || CAST(d.doc_id AS VARCHAR)")})
+          % {_MIX_GRID} < r.thr
+    GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.tok_total,
+       round(CAST(r.thr AS DOUBLE) / {_MIX_GRID}, 6) AS accept_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.tok_kept, 0) AS BIGINT) AS tok_kept
+FROM rate r LEFT JOIN kept k ON k.source = r.source
+""", tier=3, section="2.11")
+def sample_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the alpha=0.5 mixture rule
+    from multilingual LM training, e.g. mC4/XLM-R, public): kept token
+    volume per source scales as volume^0.5, so over-represented sources
+    are down-sampled toward — but not all the way to — the smallest
+    source. Acceptance is downsample-only: rate_s = sqrt(tok_min /
+    tok_s) (=1 for the smallest source), and a document survives iff
+    hash32('mix:' || doc_id) mod 2^20 falls under floor(rate_s * 2^20)
+    — the same deterministic, append-stable coin as sample_hash_bucket,
+    so re-runs keep identical documents and the whole mixture is
+    value-oracled (rates, kept counts and kept token volumes).
+
+    Scale shape: one token-count aggregation by source (map-side
+    combinable), a ~sources-sized rate table BROADCAST back onto the
+    corpus, then a narrow filter — the full-corpus pass never shuffles.
+    Determinism: the only float ops are one division and one sqrt, both
+    IEEE correctly-rounded, floored onto the 2^20 integer grid before
+    the accept compare."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    vol = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(toks).alias("tok_total"))
+    tok_min = vol.agg(F.min("tok_total").alias("tok_min"))
+    rate = (vol.crossJoin(F.broadcast(tok_min))
+               .select("source", "n_docs", "tok_total",
+                       F.floor(F.sqrt(F.col("tok_min").cast("double")
+                                      / F.col("tok_total")) * _MIX_GRID)
+                        .cast("long").alias("thr")))
+    coin = _h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) \
+        % _MIX_GRID
+    kept = (d.join(F.broadcast(rate.select("source", "thr")), "source")
+             .filter(coin < F.col("thr"))
+             .groupBy("source")
+             .agg(F.count("*").alias("n_kept"),
+                  F.sum(toks).alias("tok_kept")))
+    return (rate.join(kept, "source", "left")
+                .select("source", "n_docs", "tok_total",
+                        F.round(F.col("thr").cast("double") / _MIX_GRID, 6)
+                         .alias("accept_rate"),
+                        F.coalesce("n_kept", F.lit(0)).cast("long")
+                         .alias("n_kept"),
+                        F.coalesce("tok_kept", F.lit(0)).cast("long")
+                         .alias("tok_kept")))

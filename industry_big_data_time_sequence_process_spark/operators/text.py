@@ -1552,3 +1552,93 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("n_shared") >= _DECONTAM_MIN_SHARED)
                   .cast("int").alias("contaminated"))
     )
+
+
+# ==========================================================================
+# Sequence packing (round 4) — the step between curation and the trainer:
+# concatenate documents into fixed token-budget training sequences.
+# ==========================================================================
+
+_PACK_BUDGET = 512  # whitespace tokens per training sequence
+_PACK_SHARDS = 4    # packing shards per language (parallelism knob)
+
+
+def _pack_pdf(pdf):
+    """Next-fit packing of one (lang, shard) group, docs in doc_id order."""
+    pdf = pdf.sort_values("doc_id")
+    pack, cum = 0, 0
+    packs = []
+    for t in pdf["n_tok"]:
+        if cum > 0 and cum + t > _PACK_BUDGET:
+            pack, cum = pack + 1, 0
+        cum += t
+        packs.append(pack)
+    out = pdf[["lang", "shard", "doc_id", "n_tok"]].copy()
+    out["pack_id"] = packs
+    return out
+
+
+@op("doc_pack_nextfit", oracle=f"""
+WITH RECURSIVE docs AS (
+    SELECT lang,
+           ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_PACK_SHARDS} AS shard,
+           doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           row_number() OVER (
+               PARTITION BY lang,
+                   ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % {_PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+    FROM documents
+), r AS (         -- walk each shard once: (pack, cum) carried forward
+    SELECT lang, shard, doc_id, n_tok, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tok AS cum
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tok, d.rn,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN r.pack_id + 1 ELSE r.pack_id END,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN d.n_tok ELSE r.cum + d.n_tok END
+    FROM r JOIN docs d ON d.lang = r.lang AND d.shard = r.shard
+                      AND d.rn = r.rn + 1
+)
+SELECT lang, shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       round(CAST(sum(n_tok) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill
+FROM r GROUP BY 1, 2, 3
+""", tier=3, section="2.11")
+def doc_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents into fixed-budget (512
+    whitespace-token) training sequences by the NEXT-FIT rule — walk the
+    docs of a (lang, shard) group in doc_id order, close the current
+    pack when the next doc would overflow it. Packing is what turns a
+    curated corpus into trainer input; next-fit is the rule production
+    packers use because it is one-pass and streaming (first-fit needs
+    random access to every open bin). Returns one row per pack with doc
+    count, token sum and fill ratio (a doc longer than the budget gets a
+    pack alone — fill > 1 is visible, not hidden).
+
+    Scale shape: the sequential walk is per (lang, shard) where shard =
+    hash32('pack:'||doc_id) mod 4 — the parallelism unit is bounded and
+    tunable (a real corpus shards to ~executor-count x 4; packing within
+    any partition of the corpus is still a valid global packing). One
+    shuffle to co-locate each shard, then an arrow-batched grouped-map
+    walk. VALUE-oracled: the walk state is all integers, and the DuckDB
+    oracle replays the identical recursion as a recursive CTE — pack
+    assignments match exactly, like the Kalman/Holt family."""
+    d = load(spark, sf_dir, "documents")
+    shard = _h32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) \
+        % _PACK_SHARDS
+    base = d.select("lang", shard.alias("shard"), "doc_id",
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    packed = base.groupBy("lang", "shard").applyInPandas(
+        _pack_pdf,
+        "lang string, shard long, doc_id long, n_tok long, pack_id long")
+    return (packed.groupBy("lang", "shard", "pack_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tok_sum"),
+                       F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
+                               6).alias("fill")))

@@ -45,6 +45,8 @@ GUARDED = [
     # single-event users; both must complete on the degenerate slices
     "ts_survival_km",
     "ts_backtest_seasonal_naive",
+    # replica means guard empty resamples (HAVING sum(wt)>0)
+    "agg_poisson_bootstrap_ci",
 ]
 
 

@@ -99,3 +99,49 @@ def test_funnel_stages_monotone(spark):
             assert r["t_view"] < r["t_click"]
         if s == 3:
             assert r["t_click"] < r["t_purchase"]
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min point queries are one-sided: est >= exact count, so the
+    reported overestimate is >= 0 on every returned heavy hitter."""
+    rows = relational.agg_cms_heavy_hitters(spark, SF_T2).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["cms_est"] >= r["n_exact"]
+        assert r["overestimate"] == r["cms_est"] - r["n_exact"] >= 0
+
+
+def test_bootstrap_ci_brackets(spark):
+    """Each bootstrap CI is a non-empty bracket and, with 32 Poisson
+    replicas on thousands of events, should straddle the point mean."""
+    rows = relational.agg_poisson_bootstrap_ci(spark, SF_T2).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["ci_hi"]
+        assert r["ci_lo"] <= r["mean_v"] <= r["ci_hi"], (
+            "point mean outside its bootstrap CI — resampling is broken")
+
+
+def test_mix_temperature_shape(spark):
+    """Temperature rebalancing is downsample-only (rate <= 1, exactly 1
+    for the smallest source) and keeps at most what each source has."""
+    from industry_big_data_time_sequence_process_spark.operators import sampling
+    rows = sampling.sample_mix_temperature(spark, SF_T2).collect()
+    assert rows
+    min_src = min(rows, key=lambda r: r["tok_total"])
+    assert min_src["accept_rate"] == 1.0
+    for r in rows:
+        assert 0.0 < r["accept_rate"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["tok_kept"] <= r["tok_total"]
+
+
+def test_pack_budget_respected(spark):
+    """Next-fit packs never exceed the 512-token budget unless the pack
+    is a single over-budget document (which must be visible, not split)."""
+    from industry_big_data_time_sequence_process_spark.operators import text
+    rows = text.doc_pack_nextfit(spark, SF_T2).collect()
+    assert rows
+    for r in rows:
+        assert r["tok_sum"] <= 512 or r["n_docs"] == 1
+        assert r["n_docs"] >= 1
