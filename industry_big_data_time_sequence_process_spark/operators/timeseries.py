@@ -3441,3 +3441,163 @@ def ts_harmonic_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n")
     return agg.select("user_id", F.col("period_h").cast("int").alias("period_h"),
                       F.round(amp, 6).alias("amplitude"))
+
+
+# --------------------------------------------------------------------------
+# Robust slope + irregular-gap smoothing (round 4 continuation)
+# --------------------------------------------------------------------------
+
+_TS_K = 20  # points per channel entering the Theil-Sen pair set
+
+
+@op("ts_theil_sen", oracle=f"""
+WITH pts AS (     -- deterministic K-point prefix per channel
+    SELECT user_id, epoch_us(ts) AS us, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+    QUALIFY rn <= {_TS_K}
+), slopes AS (    -- all pairs within the bounded prefix
+    SELECT a.user_id,
+           (b.value - a.value)
+               / (CAST(b.us - a.us AS DOUBLE) / 1000000.0) AS s
+    FROM pts a JOIN pts b
+      ON a.user_id = b.user_id AND a.rn < b.rn AND b.us > a.us
+), ranked AS (
+    SELECT user_id, s,
+           row_number() OVER (PARTITION BY user_id ORDER BY s) AS r,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM slopes
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       round(CASE WHEN n % 2 = 1 THEN max(CASE WHEN r = (n+1)//2 THEN s END)
+                  ELSE (max(CASE WHEN r = n//2 THEN s END)
+                        + max(CASE WHEN r = n//2 + 1 THEN s END)) / 2.0
+             END, 6) AS theil_sen_slope
+FROM ranked GROUP BY user_id, n
+""", tier=3, section="2.9")
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per channel (Theil 1950 / Sen 1968,
+    public): the median of all pairwise slopes over the first 20 points
+    of each user's series — the drift estimator that shrugs off up to
+    ~29% outliers, where OLS (agg_ols_two_feature) is dragged by a
+    single corrupted reading.
+
+    The quadratic pair set is made scale-safe the only honest way: a
+    BOUNDED deterministic prefix (K=20 -> at most 190 pairs per channel,
+    a constant), so cost is O(K^2 per channel), embarrassingly parallel
+    across channels — the same capped-sample discipline as the IVF
+    k-means trainer. Same-timestamp pairs are excluded (no 0-gap
+    division); the median is exact order statistics (odd: middle; even:
+    mean of the two middles — one correctly-rounded halving, portable),
+    never an interpolated-percentile call whose semantics differ by
+    engine."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.select("user_id", F.unix_micros("ts").alias("us"), "value",
+                     F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") <= _TS_K))
+    a = pts.select(F.col("user_id").alias("u"), F.col("us").alias("us1"),
+                   F.col("value").alias("v1"), F.col("rn").alias("rn1"))
+    b = pts.select(F.col("user_id").alias("u"), F.col("us").alias("us2"),
+                   F.col("value").alias("v2"), F.col("rn").alias("rn2"))
+    slopes = (a.join(b, "u")
+               .filter((F.col("rn1") < F.col("rn2"))
+                       & (F.col("us2") > F.col("us1")))
+               .select(F.col("u").alias("user_id"),
+                       ((F.col("v2") - F.col("v1"))
+                        / ((F.col("us2") - F.col("us1")).cast("double")
+                           / F.lit(1000000.0))).alias("s")))
+    wr = Window.partitionBy("user_id").orderBy("s")
+    wn = Window.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id", "s",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).alias("n"))
+    odd = F.max(F.when(F.col("r") == (F.col("n") + 1) / 2, F.col("s")))
+    lo = F.max(F.when(F.col("r") == F.floor(F.col("n") / 2), F.col("s")))
+    hi = F.max(F.when(F.col("r") == F.floor(F.col("n") / 2) + 1, F.col("s")))
+    med = F.when(F.col("n") % 2 == 1, odd).otherwise((lo + hi) / 2.0)
+    return (ranked.groupBy("user_id", "n")
+                  .agg(F.round(med, 6).alias("theil_sen_slope"))
+                  .select("user_id", F.col("n").cast("long").alias("n_pairs"),
+                          "theil_sen_slope"))
+
+
+#: Step-decay half-life: the smoothing weight halves per full 10-minute
+#: gap step. 2^-k with integer k is an EXACT power-of-two double (computed
+#: as 1.0 / (1 << k)), so unlike exp(-dt/tau) — whose libm rounding may
+#: differ between the JVM and DuckDB in the last ulp — the decay factor is
+#: bit-identical cross-engine by construction.
+_TDECAY_STEP_US = 600_000_000  # 10 min
+_TDECAY_MAXK = 62              # 2^-62 underflows to ~2.2e-19: effectively 0
+
+
+def _tdecay_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["us", "event_id"])
+    us = pdf["us"].to_numpy()
+    v = pdf["value"].to_numpy(dtype="float64")
+    num, den = 0.0, 0.0
+    out = []
+    prev = None
+    for i in range(len(v)):
+        if prev is None:
+            a = 0.0
+        else:
+            k = min(int((us[i] - prev) // _TDECAY_STEP_US), _TDECAY_MAXK)
+            a = 1.0 / (1 << k)
+        num = v[i] + a * num
+        den = 1.0 + a * den
+        out.append(num / den)
+        prev = us[i]
+    res = pdf[["user_id", "event_id"]].copy()
+    res["ewma_td"] = out
+    return res
+
+
+@op("ts_ewma_timedecay", oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn, us,
+           CAST(value AS DOUBLE) AS num, CAST(1.0 AS DOUBLE) AS den
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, s.us,
+           s.value + (1.0 / CAST(1::BIGINT << least(
+               (s.us - r.us) // {_TDECAY_STEP_US}, {_TDECAY_MAXK})
+               AS DOUBLE)) * r.num,
+           1.0 + (1.0 / CAST(1::BIGINT << least(
+               (s.us - r.us) // {_TDECAY_STEP_US}, {_TDECAY_MAXK})
+               AS DOUBLE)) * r.den
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, round(num / den, 6) AS ewma_td FROM r
+""", tier=3, section="2.9")
+def ts_ewma_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA for IRREGULARLY-sampled series: the smoothing weight decays
+    with ELAPSED TIME, not sample count — a sensor that goes quiet for
+    an hour mostly forgets its old state, where row-count EWMA
+    (ts_ewma) would blindly weight the stale reading the same as a
+    1-second-old one. Normalized form: num' = v + a*num, den' = 1 +
+    a*den, output num/den, with a = 2^-floor(gap / 10min) capped at
+    2^-62.
+
+    The decay base is deliberately a POWER OF TWO on a floored integer
+    step, not exp(-gap/tau): 1/(1<<k) is an exact IEEE double, so the
+    recursion is bit-identical in the JVM, pandas and DuckDB — exp's
+    last-ulp libm differences are the exact cross-engine flake class the
+    pagerank fixed-point fix removed. Sequential per channel ->
+    grouped-map Pandas UDF, parallel across channels; VALUE-oracled by
+    a recursive CTE replaying the identical arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    raw = (ev.select("user_id", "event_id",
+                     F.unix_micros("ts").alias("us"), "value")
+             .groupBy("user_id")
+             .applyInPandas(_tdecay_pdf,
+                            "user_id long, event_id long, ewma_td double"))
+    return raw.select("user_id", "event_id",
+                      F.round("ewma_td", 6).alias("ewma_td"))

