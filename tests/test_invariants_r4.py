@@ -172,3 +172,25 @@ def test_theil_sen_pair_bound(spark):
     assert rows
     for r in rows:
         assert 1 <= r["n_pairs"] <= 190
+
+
+def test_triangle_count_consistency(spark):
+    """Triangles close wedges, so 3*T <= W, and the clustering
+    coefficient is the reported ratio in [0, 1]."""
+    [r] = relational.agg_triangle_count(spark, SF_T2).collect()
+    assert r["n_edges"] > 0 and r["n_nodes"] > 0
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["clustering_coeff"] <= 1.0
+
+
+def test_pca_iterate_shape(spark):
+    """The fixed-point iterate is max-normalized (exactly one dim at
+    |weight| = 1.0, all others inside) and the self-reported
+    convergence cosine is a valid cosine."""
+    from industry_big_data_time_sequence_process_spark.operators import similarity
+    rows = similarity.emb_pca_power_iteration(spark, SF_T2).collect()
+    assert len(rows) == 16
+    assert sum(1 for r in rows if abs(r["weight"]) == 1.0) == 1
+    for r in rows:
+        assert abs(r["weight"]) <= 1.0
+        assert -1.0 <= r["iterate_cos"] <= 1.0
