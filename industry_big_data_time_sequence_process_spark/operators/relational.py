@@ -2942,3 +2942,147 @@ def agg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          3.0 * F.col("t") / F.col("w"))
                                    .otherwise(0.0), 6)
                            .alias("clustering_coeff")))
+
+
+_PAGE_SIZE = 50
+
+
+@op("page_keyset", oracle=f"""
+WITH anchor AS (  -- last row of page 2 = the keyset cursor
+    SELECT ts, event_id FROM events
+    ORDER BY ts, event_id LIMIT 1 OFFSET {2 * _PAGE_SIZE - 1}
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value
+FROM events e, anchor a
+WHERE (e.ts, e.event_id) > (a.ts, a.event_id)
+ORDER BY e.ts, e.event_id
+LIMIT {_PAGE_SIZE}
+""", tier=3, section="2.6")
+def page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: page 3 of the event log ordered by
+    (ts, event_id), fetched as WHERE (ts, id) > cursor ORDER BY ... 
+    LIMIT n — the scale-correct pagination pattern. OFFSET pagination
+    reads and discards every preceding row on every page (page 10^6 of
+    a 100 TB log scans half the log); the keyset predicate instead
+    PUSHES DOWN to the parquet scan (`PushedFilters: [GreaterThan(ts,
+    ...)]` once AQE resolves the scalar cursor), so each page is a
+    row-group-pruned point read no matter how deep the cursor sits.
+
+    Here the cursor (last row of page 2) is itself computed with a
+    bounded TakeOrdered; a real API caller carries it between requests.
+    The tuple comparison (ts, id) > (a, b) is the standard
+    lexicographic cursor — ties on ts cannot skip or duplicate rows
+    across page boundaries."""
+    ev = load(spark, sf_dir, "events")
+    anchor = (ev.select("ts", "event_id")
+                .orderBy("ts", "event_id")
+                .limit(2 * _PAGE_SIZE)
+                .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                .limit(1)
+                .select(F.col("ts").alias("a_ts"),
+                        F.col("event_id").alias("a_id")))
+    return (ev.crossJoin(F.broadcast(anchor))
+              .filter((F.col("ts") > F.col("a_ts"))
+                      | ((F.col("ts") == F.col("a_ts"))
+                         & (F.col("event_id") > F.col("a_id"))))
+              .orderBy("ts", "event_id").limit(_PAGE_SIZE)
+              .select("event_id", "user_id", "event_type", "value"))
+
+
+_SQ_K = 200  # bottom-k hash sample size
+
+
+@op("agg_sample_quantile_bounds", oracle=f"""
+WITH s AS (       -- deterministic k-uniform sample: bottom-k by md5 rank
+    SELECT event_type, value FROM (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5('sq:' || CAST(event_id AS VARCHAR)),
+                            event_id) AS hr
+        FROM events) WHERE hr <= {_SQ_K}
+), sq AS (        -- sample quantiles: LOWER order statistic at q
+    SELECT event_type, value, r, n FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, md5(CAST(value AS
+                                      VARCHAR))) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM s)
+), pick AS (
+    SELECT event_type,
+           max(CASE WHEN r = (n - 1) // 2 + 1 THEN value END) AS med_est,
+           max(CASE WHEN r = ((n - 1) * 9) // 10 + 1 THEN value END)
+               AS p90_est
+    FROM sq GROUP BY event_type
+), ex AS (        -- exact quantiles, same lower-order-statistic rule
+    SELECT event_type,
+           max(CASE WHEN r = (n - 1) // 2 + 1 THEN value END) AS med,
+           max(CASE WHEN r = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
+    FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    GROUP BY event_type
+)
+SELECT p.event_type,
+       round(p.med_est, 6) AS med_est, round(e.med, 6) AS med_exact,
+       round(abs(p.med_est - e.med), 6) AS med_abs_err,
+       round(p.p90_est, 6) AS p90_est, round(e.p90, 6) AS p90_exact,
+       round(abs(p.p90_est - e.p90), 6) AS p90_abs_err
+FROM pick p JOIN ex e ON e.event_type = p.event_type
+""", tier=3, section="2.4")
+def agg_sample_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a BOUNDED deterministic sample, with the
+    measured error alongside: a bottom-k (k=200) sample per event type
+    ranked by md5 of the event id — a uniform draw that is reproducible,
+    append-stable and engine-portable, the same KMV discipline as
+    agg_kmv_distinct — then the median/p90 read off the sample by the
+    LOWER order statistic (idx = floor(q*(n-1))+1; no interpolation
+    semantics to disagree on). The exact quantiles computed the same
+    rule give the honest per-type error the estimate carries.
+
+    Scale shape: the bottom-k sample is a constant-size, MERGEABLE
+    summary per group (k smallest hash ranks of a union = k smallest of
+    the merged sets), so a 100 TB scan reduces to k rows per type
+    before any sort; the exact side exists as the eval harness (and is
+    itself one shuffle + per-group window, the agg_percentile_exact
+    shape)."""
+    ev = load(spark, sf_dir, "events")
+    wh = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("sq:"), F.col("event_id").cast("string"))),
+        "event_id")
+    s = (ev.select("event_type", "value",
+                   F.row_number().over(wh).alias("hr"))
+           .filter(F.col("hr") <= _SQ_K))
+
+    def quantiles(df, order2, med_name, p90_name):
+        wr = Window.partitionBy("event_type").orderBy("value", order2)
+        wn = Window.partitionBy("event_type")
+        r = df.select("event_type", "value",
+                      F.row_number().over(wr).alias("r"),
+                      F.count("*").over(wn).alias("n"))
+        med_i = F.floor((F.col("n") - 1) / 2) + 1
+        p90_i = F.floor((F.col("n") - 1) * 9 / 10) + 1
+        return r.groupBy("event_type").agg(
+            F.max(F.when(F.col("r") == med_i, F.col("value")))
+             .alias(med_name),
+            F.max(F.when(F.col("r") == p90_i, F.col("value")))
+             .alias(p90_name))
+
+    est = quantiles(s, F.md5(F.col("value").cast("string")),
+                    "med_est", "p90_est")
+    ex = quantiles(ev.select("event_type", "value", "event_id"),
+                   F.col("event_id"), "med", "p90")
+    return (est.join(ex, "event_type")
+               .select("event_type",
+                       F.round("med_est", 6).alias("med_est"),
+                       F.round("med", 6).alias("med_exact"),
+                       F.round(F.abs(F.col("med_est") - F.col("med")), 6)
+                        .alias("med_abs_err"),
+                       F.round("p90_est", 6).alias("p90_est"),
+                       F.round("p90", 6).alias("p90_exact"),
+                       F.round(F.abs(F.col("p90_est") - F.col("p90")), 6)
+                        .alias("p90_abs_err")))

@@ -194,3 +194,27 @@ def test_pca_iterate_shape(spark):
     for r in rows:
         assert abs(r["weight"]) <= 1.0
         assert -1.0 <= r["iterate_cos"] <= 1.0
+
+
+def test_keyset_page_is_contiguous(spark):
+    """Page 3 has exactly PAGE_SIZE rows and equals rows 101-150 of the
+    globally ordered log — keyset pagination must not skip or repeat."""
+    page = relational.page_keyset(spark, SF_T2).collect()
+    assert len(page) == 50
+    ordered = (load(spark, SF_T2, "events")
+               .orderBy("ts", "event_id").limit(150)
+               .select("event_id").collect())
+    assert [r["event_id"] for r in page] == \
+        [r["event_id"] for r in ordered[100:150]]
+
+
+def test_sample_quantile_errors_bounded(spark):
+    """Sample quantile estimates stay within each type's value range and
+    report non-negative errors; with k=200 of ~2000 rows the median
+    error should be small relative to the spread."""
+    rows = relational.agg_sample_quantile_bounds(spark, SF_T2).collect()
+    assert rows
+    ex = {r["event_type"]: r for r in rows}
+    for r in rows:
+        assert r["med_abs_err"] >= 0 and r["p90_abs_err"] >= 0
+        assert r["med_est"] <= r["p90_est"] + 1e-9
