@@ -3086,3 +3086,88 @@ def agg_sample_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("p90", 6).alias("p90_exact"),
                        F.round(F.abs(F.col("p90_est") - F.col("p90")), 6)
                         .alias("p90_abs_err")))
+
+
+#: HLL-32 parameters: 5-bit bucket index, rho over the remaining 27 bits.
+#: alpha_32 = 0.697 (Flajolet et al. 2007). The register sum is rescaled
+#: onto the 2^28 integer grid (every term 2^(28-M_j) is an exact long) so
+#: the only float ops are one division per group — fully portable, unlike
+#: native HLL register layouts (agg_approx_distinct stays rows-only for
+#: exactly that reason).
+_HLL_M = 32
+_HLL_ALPHA_M2 = 713.728  # 0.697 * 32 * 32
+
+
+@op("agg_hll_portable", oracle=f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+    FROM events
+), reg AS (       -- per-bucket max rho (position of first set bit in the
+                  -- low 27 bits, scanning from bit 26 down; 28 if none)
+    SELECT event_type, hv // 134217728 AS bucket,
+           max(CASE WHEN (hv % 134217728) = 0 THEN 28
+               ELSE 27 - CAST(floor(log2(hv % 134217728)) AS BIGINT)
+               END) AS m_j
+    FROM h GROUP BY 1, 2
+), s AS (         -- exact integer register sum on the 2^28 grid
+    SELECT event_type,
+           CAST(sum(1::BIGINT << (28 - m_j)) AS BIGINT)
+               + CAST(({_HLL_M} - count(*)) AS BIGINT) * 268435456 AS z28,
+           count(*) AS n_buckets
+    FROM reg GROUP BY event_type
+), ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       round({_HLL_ALPHA_M2!r} * 268435456.0 / s.z28, 6) AS hll_est,
+       round(abs({_HLL_ALPHA_M2!r} * 268435456.0 / s.z28 - e.n_exact)
+             / e.n_exact, 6) AS rel_error
+FROM ex e JOIN s ON s.event_type = e.event_type
+""", tier=3, section="2.4")
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (Flajolet-Furet-Gandouet-Meunier 2007,
+    public), built on the PORTABLE md5 draw so — unlike every native HLL
+    whose register encoding is engine-private (``agg_approx_distinct``
+    is rows-only for that reason) — registers, estimate AND measured
+    relative error are exactly value-oracled cross-engine. 32 registers:
+    bucket = top 5 hash bits, rho = first-set-bit position of the low 27
+    (28 when zero), estimate = alpha*m^2 / sum(2^-M_j).
+
+    Determinism: the harmonic-sum terms are rescaled by 2^28 so every
+    term is an EXACT long (1 << (28 - M_j)); empty registers contribute
+    2^28 each via the bucket-count complement. The sum is exact integer
+    arithmetic — order-invariant at any parallelism — and the one
+    division per group is correctly rounded. (The raw-estimate formula
+    only — no small/large-range corrections; at 32 registers over
+    thousands of users the raw regime applies, and the op reports its
+    own rel_error precisely so the accuracy claim is measured, not
+    assumed.) Scale: registers are a constant 32-cell MERGEABLE summary
+    per group (merge = per-bucket max), the same map-side-combinable
+    architecture as the KMV/CMS family."""
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    low = F.col("hv") % 134217728
+    rho = (F.when(low == 0, 28)
+            .otherwise(27 - F.floor(F.log2(low)).cast("long")))
+    reg = (h.select("event_type",
+                    (F.col("hv") / 134217728).cast("long").alias("bucket"),
+                    rho.alias("r"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("m_j")))
+    s = (reg.groupBy("event_type")
+            .agg((F.sum(F.expr("shiftleft(1L, cast(28 - m_j as int))"))
+                  + (_HLL_M - F.count("*")) * F.lit(268435456).cast("long"))
+                 .alias("z28")))
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"))
+    est = _HLL_ALPHA_M2 * F.lit(268435456.0) / F.col("z28")
+    return (ex.join(s, "event_type")
+              .select("event_type", "n_exact",
+                      F.round(est, 6).alias("hll_est"),
+                      F.round(F.abs(est - F.col("n_exact"))
+                              / F.col("n_exact"), 6).alias("rel_error")))

@@ -3601,3 +3601,67 @@ def ts_ewma_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "user_id long, event_id long, ewma_td double"))
     return raw.select("user_id", "event_id",
                       F.round("ewma_td", 6).alias("ewma_td"))
+
+
+_HAMPEL_W = 3     # centered window: 3 before + current + 3 after
+_HAMPEL_NSD = 3.0 # flag threshold in scaled-MAD units
+
+
+@op("ts_hampel_filter", oracle=f"""
+WITH win AS (     -- the sorted 7-row neighborhood as a list
+    SELECT user_id, event_id, ts, value,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_HAMPEL_W} PRECEDING
+                        AND {_HAMPEL_W} FOLLOWING)) AS nb
+    FROM events
+), med AS (       -- lower-order-statistic median of the neighborhood
+    SELECT user_id, event_id, ts, value,
+           nb[(len(nb) - 1) // 2 + 1] AS med
+    FROM win
+), dev AS (       -- MAD around that median, same window shape & order
+    SELECT user_id, event_id, value, med,
+           list_sort(list(abs(value - med)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_HAMPEL_W} PRECEDING
+                        AND {_HAMPEL_W} FOLLOWING)) AS ad
+    FROM med
+)
+SELECT user_id, event_id, value,
+       round(med, 6) AS med,
+       CAST(abs(value - med) > {_HAMPEL_NSD!r} * 1.4826
+                * ad[(len(ad) - 1) // 2 + 1] AS INT) AS is_outlier
+FROM dev
+""", tier=3, section="2.9")
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter (Hampel 1974, public): flag a reading when
+    it sits more than 3 scaled MADs from the median of its centered
+    7-sample neighborhood — the robust despiker that, unlike the
+    rolling z-score (ts_anomaly_zscore), is not itself dragged by the
+    spike it is judging.
+
+    Both the window median and the window MAD are LOWER order
+    statistics of a sorted 7-element array (collect over a rows-frame,
+    sort, index) — exact, engine-portable, no percentile interpolation.
+    Scale shape: two window passes over the same (user_id, time) sort
+    order — ONE exchange + ONE sort feed both (the second window rides
+    the first's ordering); per-row state is a bounded 7-element array,
+    never a whole-partition buffer."""
+    ev = load(spark, sf_dir, "events")
+    frame = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-_HAMPEL_W, _HAMPEL_W))
+    nb = F.sort_array(F.collect_list("value").over(frame))
+    med = F.element_at(nb, (F.floor((F.size(nb) - 1) / 2) + 1).cast("int"))
+    with_med = ev.select("user_id", "event_id", "ts", "value",
+                         med.alias("med"))
+    frame2 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(-_HAMPEL_W, _HAMPEL_W))
+    ad = F.sort_array(
+        F.collect_list(F.abs(F.col("value") - F.col("med"))).over(frame2))
+    mad = F.element_at(ad, (F.floor((F.size(ad) - 1) / 2) + 1).cast("int"))
+    return (with_med
+            .select("user_id", "event_id", "value",
+                    F.round("med", 6).alias("med"),
+                    (F.abs(F.col("value") - F.col("med"))
+                     > _HAMPEL_NSD * 1.4826 * mad)
+                    .cast("int").alias("is_outlier")))

@@ -218,3 +218,23 @@ def test_sample_quantile_errors_bounded(spark):
     for r in rows:
         assert r["med_abs_err"] >= 0 and r["p90_abs_err"] >= 0
         assert r["med_est"] <= r["p90_est"] + 1e-9
+
+
+def test_hampel_flags_are_sparse_and_binary(spark):
+    """Hampel flags are 0/1 and rare on well-behaved data: the reported
+    median lies within the channel's global value range."""
+    rows = timeseries.ts_hampel_filter(spark, SF_T2).collect()
+    assert rows
+    n_flag = sum(r["is_outlier"] for r in rows)
+    assert all(r["is_outlier"] in (0, 1) for r in rows)
+    assert n_flag < 0.2 * len(rows), "Hampel flagging >20% is not a despiker"
+
+
+def test_hll_error_within_band(spark):
+    """With m=32 registers the raw HLL estimate must land within a few
+    standard errors (1.04/sqrt(32) ~ 18%) of the truth."""
+    rows = relational.agg_hll_portable(spark, SF_T2).collect()
+    assert rows
+    for r in rows:
+        assert r["hll_est"] > 0
+        assert r["rel_error"] < 0.55, (r["event_type"], r["rel_error"])

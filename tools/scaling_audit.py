@@ -62,6 +62,13 @@ OPS = [
     "sim_cosine_topk", "sim_ivf_topk", "sim_ivf_scalable_topk",
     "sim_lsh_bucketed", "emb_quantize_int8", "sim_pq_topk",
     "sim_doc_retrieval",
+    # late-round-4 additions (events / documents / embeddings; the
+    # lineitem-driven agg_triangle_count is excluded — the audit corpus
+    # does not scale lineitem, so its exponent would be meaningless)
+    "ts_theil_sen", "ts_ewma_timedecay", "agg_poisson_bootstrap_ci",
+    "agg_cms_heavy_hitters", "agg_sample_quantile_bounds",
+    "doc_pack_nextfit", "sample_mix_temperature",
+    "emb_pca_power_iteration",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
