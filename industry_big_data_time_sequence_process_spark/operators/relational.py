@@ -3171,3 +3171,149 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(est, 6).alias("hll_est"),
                       F.round(F.abs(est - F.col("n_exact"))
                               / F.col("n_exact"), 6).alias("rel_error")))
+
+
+@op("dim_snapshot_diff", oracle="""
+WITH snap_a AS (  -- yesterday's extract: everything booked before 2000-07
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '2000-07-01'
+), snap_b AS (    -- today's extract: window advanced + a deterministic
+                  -- re-price of every 7th order (the "changed" class);
+                  -- the re-price stays in DECIMAL (x 1.05 exact, no
+                  -- float rounding - engines round doubles differently)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     * CAST(1.05 AS DECIMAL(3,2))
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          AS DECIMAL(21,4)) END AS o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+), j AS (
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN CAST(CAST(a.o_totalprice AS DECIMAL(18,2))
+                          AS DECIMAL(21,4)) <> b.o_totalprice
+                    THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(b.o_totalprice,
+                    CAST(CAST(a.o_totalprice AS DECIMAL(18,2))
+                         AS DECIMAL(21,4))) AS price
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DECIMAL(38,4)) AS total_price
+FROM j GROUP BY status
+""", tier=3, section="2.3")
+def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the nightly diff every warehouse job
+    runs before publishing: FULL OUTER join of yesterday's and today's
+    extracts on the business key, each row classified added / removed /
+    changed / unchanged, with row counts and decimal-exact value totals
+    per class (the numbers an on-call engineer eyeballs before signing
+    off a load). Snapshots are synthesized deterministically from
+    orders: a shifted date window plus a 5% re-price of every 7th order.
+
+    Scale shape: ONE full-outer hash join on the business key — both
+    sides shuffle-partition on o_orderkey and every downstream
+    classification is narrow; the per-class aggregate is map-side
+    combinable. No collect, no driver diffing — the diff IS the
+    dataframe."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(21,4)")
+    snap_a = (o.filter(F.col("o_orderdate") < "2000-07-01")
+               .select(F.col("o_orderkey").alias("ka"), dec.alias("pa")))
+    snap_b = (o.filter(F.col("o_orderdate") >= "1995-07-01")
+               .select(F.col("o_orderkey").alias("kb"),
+                       F.when(F.col("o_orderkey") % 7 == 0,
+                              F.col("o_totalprice").cast("decimal(18,2)")
+                              * F.lit(1.05).cast("decimal(3,2)"))
+                        .otherwise(dec).alias("pb")))
+    j = snap_a.join(snap_b, snap_a.ka == snap_b.kb, "full_outer")
+    status = (F.when(F.col("ka").isNull(), "added")
+               .when(F.col("kb").isNull(), "removed")
+               .when(F.col("pa") != F.col("pb"), "changed")
+               .otherwise("unchanged"))
+    return (j.select(status.alias("status"),
+                     F.coalesce("pb", "pa").alias("price"))
+             .groupBy("status")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum("price").cast("decimal(38,4)")
+                   .alias("total_price")))
+
+
+@op("dq_expectation_report", oracle="""
+WITH base AS (SELECT * FROM orders),
+checks AS (
+    SELECT 'totalprice_positive' AS expectation,
+           count(*) AS n_checked,
+           count_if(o_totalprice <= 0) AS n_violations
+    FROM base
+    UNION ALL
+    SELECT 'orderdate_in_range', count(*),
+           count_if(o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2010-01-01')
+    FROM base
+    UNION ALL
+    SELECT 'custkey_not_null', count(*), count_if(o_custkey IS NULL)
+    FROM base
+    UNION ALL
+    SELECT 'orderkey_unique', count(*),
+           count(*) - count(DISTINCT o_orderkey)
+    FROM base
+    UNION ALL
+    SELECT 'custkey_references_customer', count(*),
+           count_if(c.c_custkey IS NULL)
+    FROM base LEFT JOIN customer c ON c.c_custkey = base.o_custkey
+)
+SELECT expectation, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS INT) AS passed
+FROM checks
+""", tier=3, section="2.4")
+def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report over the orders feed — the
+    contract gate a production pipeline runs before promoting a batch
+    (the Great-Expectations/dbt-test pattern, public): value-range,
+    not-null, primary-key-uniqueness and referential-integrity checks,
+    one row per expectation with checked/violation counts and a 0/1
+    pass flag. A failed batch is quarantined by reading `passed`, not
+    by a human reading logs.
+
+    Scale shape: the four column checks fold into ONE scan of the fact
+    (conditional-count aggregates, map-side combinable); the FK check
+    is an equi-join on the key — broadcast when the dim is small,
+    shuffle-hash otherwise, either way no row leaves the JVM. The
+    report is a handful of rows regardless of input size."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = F.count("*")
+    col_checks = o.agg(
+        n.alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price"),
+        F.count(F.when((F.col("o_orderdate") < "1990-01-01")
+                       | (F.col("o_orderdate") >= "2010-01-01"), 1))
+         .alias("v_date"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v_null"),
+        (n - F.count_distinct("o_orderkey")).alias("v_dup"))
+    fk = (o.join(c.select(F.col("c_custkey").alias("ck")),
+                 o.o_custkey == F.col("ck"), "left")
+           .agg(F.count("*").alias("n"),
+                F.count(F.when(F.col("ck").isNull(), 1)).alias("v_fk")))
+    rows = []
+    for name, src, col in [
+            ("totalprice_positive", col_checks, "v_price"),
+            ("orderdate_in_range", col_checks, "v_date"),
+            ("custkey_not_null", col_checks, "v_null"),
+            ("orderkey_unique", col_checks, "v_dup"),
+            ("custkey_references_customer", fk, "v_fk")]:
+        rows.append(src.select(
+            F.lit(name).alias("expectation"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col(col).cast("long").alias("n_violations"),
+            (F.col(col) == 0).cast("int").alias("passed")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

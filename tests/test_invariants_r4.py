@@ -238,3 +238,26 @@ def test_hll_error_within_band(spark):
     for r in rows:
         assert r["hll_est"] > 0
         assert r["rel_error"] < 0.55, (r["event_type"], r["rel_error"])
+
+
+def test_snapshot_diff_partitions_the_union(spark):
+    """The four diff classes partition the key union: counts must sum to
+    |A ∪ B| computed independently."""
+    rows = {r["status"]: r for r in
+            relational.dim_snapshot_diff(spark, SF_T2).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    o = load(spark, SF_T2, "orders")
+    a = o.filter(F.col("o_orderdate") < "2000-07-01").select("o_orderkey")
+    b = o.filter(F.col("o_orderdate") >= "1995-07-01").select("o_orderkey")
+    union = a.union(b).distinct().count()
+    assert sum(r["n_rows"] for r in rows.values()) == union
+
+
+def test_dq_report_passes_on_clean_corpus(spark):
+    """The generated corpus satisfies every expectation (5 rows, all
+    passed, violations consistent with the flag)."""
+    rows = relational.dq_expectation_report(spark, SF_T2).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["passed"] == (1 if r["n_violations"] == 0 else 0)
+        assert r["passed"] == 1, (r["expectation"], r["n_violations"])
