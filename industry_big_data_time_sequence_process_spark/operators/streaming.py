@@ -29,7 +29,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import op
-from ..sources.io import configure, decode_events_ts, events_read_schema
+from ..sources.io import (configure, decode_events_ts,
+                          events_read_schema, load)
 from .sources_sinks import SCRATCH
 
 
@@ -652,3 +653,85 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_s_pos", 6).alias("max_s_pos"),
         F.round("max_s_neg", 6).alias("max_s_neg"),
         "first_alarm_event_id")
+
+
+@op("stream_hll_distinct", oracle="""
+WITH h AS (
+    SELECT DISTINCT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+               AS window_start,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+    FROM events
+), reg AS (
+    SELECT window_start, hv // 134217728 AS bucket,
+           max(CASE WHEN (hv % 134217728) = 0 THEN 28
+               ELSE 27 - CAST(floor(log2(hv % 134217728)) AS BIGINT)
+               END) AS m_j
+    FROM h GROUP BY 1, 2
+), s AS (
+    SELECT window_start,
+           CAST(sum(1::BIGINT << (28 - m_j)) AS BIGINT)
+               + CAST((32 - count(*)) AS BIGINT) * 268435456 AS z28,
+           CAST(count(*) AS BIGINT) AS n_set
+    FROM reg GROUP BY window_start
+), ex AS (
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+               AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY 1
+)
+SELECT e.window_start, e.n_exact, s.n_set,
+       round(713.728 * 268435456.0 / s.z28, 6) AS hll_est
+FROM ex e JOIN s ON s.window_start = e.window_start
+""", tier=3, section="2.10")
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 10-min window, estimated IN THE STREAM by the
+    portable HyperLogLog of ``agg_hll_portable`` — the textbook
+    streaming sketch, and the reason HLL is built the way it is: the
+    register update (per-bucket MAX of rho) is an incremental,
+    merge-by-max aggregate, so streaming state is a bounded 32 registers
+    per open window instead of a per-user dedup set that grows with
+    cardinality (compare stream_dedup, whose state IS the seen-key set).
+    The estimate is finished batch-side from the drained registers; a
+    production job would finish it in the sink query the same way.
+
+    Because registers ride the portable md5 draw, the streamed sketch is
+    bit-identical to the batch oracle's — a STREAMING approximate
+    operator with an exact cross-engine value contract (native
+    approx_count_distinct offers neither).
+
+    Honesty note: 10-min windows on this corpus hold only a handful of
+    users, the SMALL-RANGE regime where the raw HLL formula
+    overestimates; production finishes small windows with linear
+    counting m*ln(m/V) off the zero-register count. That count ships
+    here as the exact `n_set` column (V = 32 - n_set), but the ln-based
+    estimate itself is NOT value-oracled on purpose — libm log differs
+    across engines in the last ulp, the exact flake class the
+    power-of-two decay in ts_ewma_timedecay avoids. The sketch is
+    exact; the finishing formula is the consumer's choice."""
+    key = "stream_hll_distinct"
+    ev = _events_stream(spark, sf_dir, key)
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    low = F.col("hv") % 134217728
+    rho = (F.when(low == 0, 28)
+            .otherwise(27 - F.floor(F.log2(low)).cast("long")))
+    reg = (ev.select(F.window("ts", "10 minutes").alias("w"),
+                     hv.alias("hv"))
+             .select("w", (F.col("hv") / 134217728).cast("long")
+                     .alias("bucket"), rho.alias("r"))
+             .groupBy("w", "bucket").agg(F.max("r").alias("m_j")))
+    drained = _drain(spark, key, reg, "complete")
+    s = (drained.groupBy(F.col("w.start").alias("window_start"))
+                .agg((F.sum(F.expr("shiftleft(1L, cast(28 - m_j as int))"))
+                      + (32 - F.count("*")) * F.lit(268435456).cast("long"))
+                     .alias("z28"),
+                     F.count("*").alias("n_set")))
+    ex = (load(spark, sf_dir, "events")
+          .groupBy(F.window("ts", "10 minutes").alias("w"))
+          .agg(F.count_distinct("user_id").alias("n_exact"))
+          .select(F.col("w.start").alias("window_start"), "n_exact"))
+    return (ex.join(s, "window_start")
+              .select("window_start", "n_exact", "n_set",
+                      F.round(713.728 * F.lit(268435456.0) / F.col("z28"),
+                              6).alias("hll_est")))
