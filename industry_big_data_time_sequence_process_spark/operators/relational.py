@@ -3317,3 +3317,69 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@op("join_point_in_time_scd2", oracle="""
+WITH changes AS (
+    SELECT o_custkey AS c_custkey,
+           max_by(o_totalprice, o_orderkey) AS new_acctbal,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS eff_ts
+    FROM orders GROUP BY o_custkey
+), changed AS (
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, ch.new_acctbal, ch.eff_ts
+    FROM customer c JOIN changes ch USING (c_custkey)
+    WHERE ch.new_acctbal <> c.c_acctbal
+), dim AS (       -- the SCD2 dim exactly as dim_scd2_upsert builds it
+    SELECT c_custkey, c_acctbal AS acctbal,
+           TIMESTAMP '1992-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, 1 AS is_current
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, TIMESTAMP '1992-01-01', eff_ts, 0
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, new_acctbal, eff_ts, CAST(NULL AS TIMESTAMP), 1
+    FROM changed
+)
+SELECT CASE WHEN d.is_current = 1 THEN 'current' ELSE 'historic' END
+           AS version_used,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS total_price
+FROM orders o JOIN dim d
+  ON d.c_custkey = o.o_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+GROUP BY 1
+""", tier=3, section="2.3")
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each order joined to the SCD2
+    customer version that was VALID AT its order date — the companion
+    to dim_scd2_upsert and the join every as-was report needs (joining
+    to the current version silently rewrites history). The dim is the
+    exact output of dim_scd2_upsert; the join predicate is the equi key
+    plus the half-open validity residual [valid_from, valid_to).
+
+    Scale shape: a hash join on the customer key with the validity
+    window as a cheap residual filter — never a range-only nested loop,
+    because every SCD2 row carries its business key (the same
+    equi-conjunct discipline as join_interval_overlap_pairs). Per-order
+    fan-out is the version count of one customer (here <= 2, generally
+    small), and the invariant that each order matches EXACTLY ONE
+    version is pinned in tests."""
+    o = load(spark, sf_dir, "orders")
+    dim = dim_scd2_upsert(spark, sf_dir).select(
+        "c_custkey", "valid_from", "valid_to", "is_current")
+    j = o.join(dim,
+               (o.o_custkey == dim.c_custkey)
+               & (o.o_orderdate >= dim.valid_from)
+               & (dim.valid_to.isNull()
+                  | (o.o_orderdate < dim.valid_to)))
+    version = (F.when(F.col("is_current") == 1, "current")
+                .otherwise("historic"))
+    return (j.groupBy(version.alias("version_used"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.count_distinct("o_custkey").alias("n_customers"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("decimal(38,2)").alias("total_price")))

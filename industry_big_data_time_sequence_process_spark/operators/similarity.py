@@ -1527,3 +1527,85 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("v").cast("double") / _PCA_VFX, 6)
                       .alias("weight"),
                      "iterate_cos"))
+
+
+_MRL_PREFIX = 16  # truncated-prefix dimensionality under evaluation
+
+
+@op("sim_matryoshka_recall", oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+truth AS (        -- top-5 by FULL-dimension cosine
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+), pref AS (      -- top-5 by the {_MRL_PREFIX}-dim PREFIX only
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos(f'q.embedding[1:{_MRL_PREFIX}]',
+                                       f'c.embedding[1:{_MRL_PREFIX}]')}
+                       DESC, c.vec_id) AS rnk
+        FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+)
+SELECT t.q_vec_id,
+       CAST(count(p.c_vec_id) AS BIGINT) AS n_hits,
+       round(CAST(count(p.c_vec_id) AS DOUBLE) / 5, 6) AS recall_at_5
+FROM truth t LEFT JOIN pref p
+  ON p.q_vec_id = t.q_vec_id AND p.c_vec_id = t.c_vec_id
+GROUP BY t.q_vec_id
+""", tier=3, section="2.11")
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022, public):
+    how much nearest-neighbor quality survives if the index stores only
+    the FIRST 16 of 64 embedding dims? Per query: top-5 by 16-dim
+    prefix cosine vs top-5 by full cosine -> recall@5. This is the
+    measurement that decides whether a 4x-cheaper prefix index is
+    shippable — the same ship-with-an-eval discipline as
+    sim_lsh_recall_eval / sim_ivf_recall_eval (these embeddings are not
+    MRL-trained, so measured recall is the honest baseline an untrained
+    truncation gives).
+
+    Scale shape: both ranking passes are the broadcast-query x streamed-
+    corpus brute-force shape of sim_cosine_topk (one corpus pass each);
+    at index scale the prefix pass IS the production index being
+    evaluated, and the full pass runs on the query sample only. Left-
+    fold dot products (`F.aggregate`/list_reduce) keep every cosine
+    bit-identical cross-engine."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("ce"))
+
+    def top5(score_col):
+        w = Window.partitionBy("q_vec_id").orderBy(
+            F.col(score_col).desc(), "c_vec_id")
+        return (F.broadcast(q).crossJoin(c)
+                 .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+                 .withColumn(score_col, scores[score_col])
+                 .withColumn("rnk", F.row_number().over(w))
+                 .filter("rnk <= 5").select("q_vec_id", "c_vec_id"))
+
+    scores = {
+        "s_full": _cos(F.col("qe"), F.col("ce")),
+        "s_pref": _cos(F.slice("qe", 1, _MRL_PREFIX),
+                       F.slice("ce", 1, _MRL_PREFIX)),
+    }
+    truth = top5("s_full")
+    pref = (top5("s_pref")
+            .withColumnRenamed("c_vec_id", "p_vec_id")
+            .withColumnRenamed("q_vec_id", "p_q"))
+    return (truth.join(pref, (truth.q_vec_id == pref.p_q)
+                       & (truth.c_vec_id == pref.p_vec_id), "left")
+                 .groupBy("q_vec_id")
+                 .agg(F.count("p_vec_id").alias("n_hits"),
+                      F.round(F.count("p_vec_id").cast("double") / 5, 6)
+                       .alias("recall_at_5")))

@@ -261,3 +261,22 @@ def test_dq_report_passes_on_clean_corpus(spark):
     for r in rows:
         assert r["passed"] == (1 if r["n_violations"] == 0 else 0)
         assert r["passed"] == 1, (r["expectation"], r["n_violations"])
+
+
+def test_point_in_time_join_is_exactly_one_version(spark):
+    """Every order matches exactly one SCD2 validity window: class
+    counts must sum to the full order count (no drop, no fan-out)."""
+    rows = relational.join_point_in_time_scd2(spark, SF_T2).collect()
+    total = sum(r["n_orders"] for r in rows)
+    assert total == load(spark, SF_T2, "orders").count()
+
+
+def test_matryoshka_recall_bounds(spark):
+    """Per-query recall@5 is n_hits/5 with 0 <= n_hits <= 5, one row
+    per query vector."""
+    from industry_big_data_time_sequence_process_spark.operators import similarity
+    rows = similarity.sim_matryoshka_recall(spark, SF_T2).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_at_5"] - r["n_hits"] / 5) < 1e-9
