@@ -3383,3 +3383,174 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count_distinct("o_custkey").alias("n_customers"),
                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                    .cast("decimal(38,2)").alias("total_price")))
+
+
+@op("agg_welch_t_test", oracle="""
+WITH lab AS (     -- weekend vs weekday arms, same split as the
+                  -- proportion test (dayofweek 1/7 = Sun/Sat)
+    SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                ELSE 'weekday' END AS arm,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), m AS (         -- decimal-exact moments per arm
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           sum(v) AS sx,
+           sum(CAST(v * v AS DECIMAL(38,4))) AS sxx
+    FROM lab GROUP BY arm
+), s AS (         -- unbiased variance from exact moments, ONE double op
+                  -- chain: (n*sxx - sx^2) exact decimal, then /(n(n-1))
+    SELECT arm, n,
+           CAST(sx AS DOUBLE) / n AS mean_v,
+           CAST(n * sxx - CAST(sx * sx AS DECIMAL(38,4)) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+    FROM m
+)
+SELECT a.n AS n_weekend, b.n AS n_weekday,
+       round(a.mean_v, 6) AS mean_weekend,
+       round(b.mean_v, 6) AS mean_weekday,
+       round((a.mean_v - b.mean_v)
+             / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS t_stat,
+       round(((a.s2 / a.n + b.s2 / b.n) * (a.s2 / a.n + b.s2 / b.n))
+             / ((a.s2 / a.n) * (a.s2 / a.n) / (a.n - 1)
+                + (b.s2 / b.n) * (b.s2 / b.n) / (b.n - 1)), 6)
+           AS welch_df
+FROM s a, s b
+WHERE a.arm = 'weekend' AND b.arm = 'weekday'
+""", tier=3, section="2.4")
+def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947, public) on mean
+    event value, weekend vs weekday — the continuous-metric sibling of
+    agg_ab_proportion_test and the workhorse of any experimentation
+    platform. Reports arm means, the t statistic and the
+    Welch-Satterthwaite degrees of freedom.
+
+    Determinism: arm moments (n, sum, sum-of-squares) are DECIMAL-exact
+    (2-dec values -> 4-dec squares, both sum exactly), so the variance
+    numerator n*sxx - sx^2 is one exact decimal before a single double
+    division — order-invariant at any parallelism, bit-identical both
+    engines; everything after is a fixed chain of correctly-rounded
+    double ops. Scale shape: one map-side-combinable aggregate over the
+    scan; the test itself is O(arms)."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(F.dayofweek("ts").isin(1, 7), "weekend") \
+           .otherwise("weekday")
+    v = F.col("value").cast("decimal(18,2)")
+    m = (ev.select(arm.alias("arm"), v.alias("v"))
+           .groupBy("arm")
+           .agg(F.count("*").alias("n"),
+                F.sum("v").alias("sx"),
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+                 .alias("sxx")))
+    s = m.select(
+        "arm", "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_v"),
+        ((F.col("n") * F.col("sxx")
+          - (F.col("sx") * F.col("sx")).cast("decimal(38,4)"))
+         .cast("double")
+         / (F.col("n").cast("double") * (F.col("n") - 1))).alias("s2"))
+    a = s.filter(F.col("arm") == "weekend").select(
+        F.col("n").alias("n_weekend"), F.col("mean_v").alias("ma"),
+        F.col("s2").alias("va"))
+    b = s.filter(F.col("arm") == "weekday").select(
+        F.col("n").alias("n_weekday"), F.col("mean_v").alias("mb"),
+        F.col("s2").alias("vb"))
+    sa = F.col("va") / F.col("n_weekend")
+    sb = F.col("vb") / F.col("n_weekday")
+    return (a.crossJoin(b)
+             .select("n_weekend", "n_weekday",
+                     F.round("ma", 6).alias("mean_weekend"),
+                     F.round("mb", 6).alias("mean_weekday"),
+                     F.round((F.col("ma") - F.col("mb"))
+                             / F.sqrt(sa + sb), 6).alias("t_stat"),
+                     F.round(((sa + sb) * (sa + sb))
+                             / (sa * sa / (F.col("n_weekend") - 1)
+                                + sb * sb / (F.col("n_weekday") - 1)),
+                             6).alias("welch_df")))
+
+
+@op("agg_mann_whitney_u", oracle="""
+WITH lab AS (
+    SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_we,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), ranked AS (    -- midranks: rank_min + (ties-1)/2, exact halves
+    SELECT is_we, v,
+           rank() OVER (ORDER BY v) AS rmin,
+           count(*) OVER (PARTITION BY v) AS t
+    FROM lab
+), stats AS (
+    SELECT CAST(sum(CASE WHEN is_we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+           CAST(sum(CASE WHEN is_we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+           sum(CASE WHEN is_we = 1
+               THEN CAST(2 * rmin + t - 1 AS DECIMAL(38,1)) / 2
+               ELSE CAST(0 AS DECIMAL(38,1)) END) AS r1
+    FROM ranked
+), ties AS (      -- tie correction term sum(t^3 - t) over tie groups
+    SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+    FROM (SELECT count(*) AS t FROM lab GROUP BY v)
+)
+SELECT s.n1, s.n2,
+       round(CAST(s.r1 AS DOUBLE)
+             - CAST(s.n1 AS DOUBLE) * (s.n1 + 1) / 2, 6) AS u1,
+       round((CAST(s.r1 AS DOUBLE)
+              - CAST(s.n1 AS DOUBLE) * (s.n1 + 1) / 2
+              - CAST(s.n1 AS DOUBLE) * s.n2 / 2)
+             / sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / 12
+                    * (CAST(s.n1 + s.n2 + 1 AS DOUBLE)
+                       - CAST(t.tie3 AS DOUBLE)
+                         / (CAST(s.n1 + s.n2 AS DOUBLE)
+                            * (s.n1 + s.n2 - 1)))), 6) AS z_stat
+FROM stats s, ties t
+""", tier=3, section="2.4")
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947, public) on
+    event value, weekend vs weekday — the distribution-free companion
+    to agg_welch_t_test for metrics too skewed for a t-test (latencies,
+    revenues). Midranks handle ties exactly (rank_min + (t-1)/2 —
+    half-integer, exact in DECIMAL(38,1)/2), the rank sum stays decimal
+    until ONE double conversion, and the normal approximation includes
+    the full tie-correction term sum(t^3-t), computed as exact longs.
+
+    Scale shape: NO row-level global sort — midranks are a pure
+    function of per-value counts (rmin(v) = 1 + cumulative count of
+    smaller values), so the data reduces to the DISTINCT-VALUE count
+    table in one hash aggregate before the only ordered window runs
+    over that (much smaller) table; r1 is then a weighted sum. For a
+    continuous metric with ~n distinct values, pre-bin — the rank test
+    is bin-stable. Everything after is a constant-size aggregate."""
+    ev = load(spark, sf_dir, "events")
+    lab = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_we"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+    vc = lab.groupBy("v").agg(
+        F.count("*").alias("t"),
+        F.sum("is_we").alias("c1"))
+    w_cum = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = vc.select(
+        "v", "t", "c1",
+        (F.coalesce(F.sum("t").over(w_cum), F.lit(0)) + 1).alias("rmin"))
+    midrank = (2 * F.col("rmin") + F.col("t") - 1) \
+        .cast("decimal(38,1)") / 2
+    stats = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).alias("n2"),
+        F.sum(midrank * F.col("c1")).alias("r1"))
+    ties = vc.agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                        - F.col("t")).alias("tie3"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = F.col("r1").cast("double") - n1d * (F.col("n1") + 1) / 2
+    n = F.col("n1") + F.col("n2")
+    var = (n1d * n2d / 12
+           * ((n + 1).cast("double")
+              - F.col("tie3").cast("double")
+                / (n.cast("double") * (n - 1))))
+    return (stats.crossJoin(ties)
+                 .select(F.col("n1").cast("long").alias("n1"),
+                         F.col("n2").cast("long").alias("n2"),
+                         F.round(u1, 6).alias("u1"),
+                         F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6)
+                          .alias("z_stat")))

@@ -280,3 +280,21 @@ def test_matryoshka_recall_bounds(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= 5
         assert abs(r["recall_at_5"] - r["n_hits"] / 5) < 1e-9
+
+
+def test_welch_t_shape(spark):
+    """Welch df lies in [min(n)-1, n1+n2-2] and the t sign follows the
+    mean difference."""
+    [r] = relational.agg_welch_t_test(spark, SF_T2).collect()
+    assert min(r["n_weekend"], r["n_weekday"]) - 1 <= r["welch_df"] \
+        <= r["n_weekend"] + r["n_weekday"] - 2
+    import math
+    assert math.copysign(1, r["t_stat"]) == math.copysign(
+        1, r["mean_weekend"] - r["mean_weekday"])
+
+
+def test_mann_whitney_u_bounds(spark):
+    """U1 lies in [0, n1*n2]; arm sizes cover the corpus."""
+    [r] = relational.agg_mann_whitney_u(spark, SF_T2).collect()
+    assert 0 <= r["u1"] <= r["n1"] * r["n2"]
+    assert r["n1"] + r["n2"] == load(spark, SF_T2, "events").count()
