@@ -3554,3 +3554,60 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(u1, 6).alias("u1"),
                          F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6)
                           .alias("z_stat")))
+
+
+@op("graph_neighbor_jaccard", oracle="""
+WITH pos AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sz AS (
+    SELECT event_type, count(*) AS s FROM pos GROUP BY event_type
+), inter AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_inter
+    FROM pos a JOIN pos b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT i.t1, i.t2, i.n_inter,
+       s1.s AS s1, s2.s AS s2,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (s1.s + s2.s - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz s1 ON s1.event_type = i.t1
+JOIN sz s2 ON s2.event_type = i.t2
+""", tier=3, section="2.3")
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between nodes of the small side of
+    a bipartite graph (event types, via their audiences of users):
+    ``J(a,b) = |U_a ∩ U_b| / |U_a ∪ U_b|`` with the union obtained by
+    inclusion-exclusion from the intersection counts — no union
+    materialization. The item-item collaborative-similarity primitive
+    (market-basket's lift cousin, set-overlap flavored).
+
+    Scale shape: dedup to the (user, type) incidence list (one shuffle),
+    self-join ON THE USER KEY so the fan-out per user is (types-per-user
+    choose 2) — bounded by the small axis's degree, never |users|² —
+    then count pairs; the per-type sizes are a tiny broadcast joined onto
+    the pair counts. For a fat small-axis (items in the millions) the
+    same plan holds with a per-user degree cap (drop power users, who
+    carry no signal), exactly the high-df discipline of the dedup joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    pos = ev.select("user_id", "event_type").distinct()
+    sz = pos.groupBy("event_type").agg(F.count("*").alias("s"))
+    a = pos.alias("a")
+    b = pos.alias("b")
+    inter = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("t1"),
+                       F.col("b.event_type").alias("t2"))
+              .agg(F.count("*").alias("n_inter")))
+    s1 = F.broadcast(sz.select(F.col("event_type").alias("t1"),
+                               F.col("s").alias("s1")))
+    s2 = F.broadcast(sz.select(F.col("event_type").alias("t2"),
+                               F.col("s").alias("s2")))
+    return (inter.join(s1, "t1").join(s2, "t2")
+                 .select("t1", "t2", "n_inter", "s1", "s2",
+                         F.round(F.col("n_inter").cast("double")
+                                 / (F.col("s1") + F.col("s2")
+                                    - F.col("n_inter")), 6)
+                          .alias("jaccard")))

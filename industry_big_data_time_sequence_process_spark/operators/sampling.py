@@ -228,3 +228,115 @@ def sample_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("n_kept"),
                         F.coalesce("tok_kept", F.lit(0)).cast("long")
                          .alias("tok_kept")))
+
+
+@op("sample_negative_pairs", oracle=f"""
+WITH pos AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), users AS (SELECT DISTINCT user_id FROM pos),
+days AS (SELECT DISTINCT d FROM pos),
+neg AS (
+    SELECT u.user_id, dy.d
+    FROM users u CROSS JOIN days dy
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.user_id = u.user_id AND p.d = dy.d)
+)
+SELECT user_id, d, rn FROM (
+    SELECT user_id, d,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(user_id AS VARCHAR) || '|'
+                            || CAST(d AS VARCHAR)), d) AS rn
+    FROM neg
+) WHERE rn <= 2
+""", tier=3, section="2.11")
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the implicit-feedback grid —
+    the contrastive-training staple: positives are the observed
+    (user, active-day) pairs; negatives are up to 2 grid cells per user
+    the user was NOT active on, chosen by ranking the anti-join remainder
+    on md5(user|day). No rand(): re-runs and both engines pick the same
+    negatives, and appending new days never re-picks old ones already
+    ranked ahead.
+
+    Scale shape: the day grid is calendar-sized (BROADCAST); positives
+    dedup in one shuffle; the anti-join streams the grid against the
+    positive set partitioned by user; the final per-user rank windows
+    over at most |days| rows per user — bounded by the grid, not the
+    fact table. This is the pattern for (user × item-bucket) negative
+    sampling at 100 TB: the grid axis must be the small one, the fact
+    table is touched exactly once.
+    """
+    ev = load(spark, sf_dir, "events")
+    pos = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    users = pos.select("user_id").distinct()
+    days = pos.select("d").distinct()
+    neg = (users.crossJoin(F.broadcast(days))
+                .join(pos, ["user_id", "d"], "left_anti"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|"),
+                       F.col("d").cast("string"))), "d")
+    return (neg.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 2))
+
+
+@op("sample_split_temporal", oracle="""
+WITH e AS (
+    SELECT user_id, ts,
+           row_number() OVER (ORDER BY ts, event_id) AS rn,
+           count(*) OVER () AS n
+    FROM events
+), cut AS (   -- exact order statistic: the floor(0.8 n)-th event time
+    SELECT ts AS cutoff FROM e WHERE rn = CAST(floor(0.8 * n) AS BIGINT)
+), labeled AS (
+    SELECT e.user_id, e.ts,
+           CASE WHEN e.ts <= c.cutoff THEN 'train' ELSE 'test' END AS split
+    FROM e CROSS JOIN cut c
+), shared AS (
+    SELECT count(*) AS n_shared FROM (
+        SELECT user_id FROM labeled GROUP BY user_id
+        HAVING count(DISTINCT split) = 2)
+)
+SELECT split,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       min(ts) AS min_ts, max(ts) AS max_ts,
+       (SELECT n_shared FROM shared) AS n_shared_users
+FROM labeled GROUP BY split
+""", tier=3, section="2.11")
+def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split + its audit row: cut at the
+    exact floor(0.8·n)-th event timestamp (an order statistic, not an
+    interpolated percentile — interpolation arithmetic can differ by an
+    ulp across engines; selecting a REAL data value cannot), label every
+    event, and report per-split row/user counts, time ranges, and how
+    many users appear on BOTH sides (fine for time-series models,
+    leakage for user-level ones — the audit a pipeline must print).
+
+    Scale note: the cutoff is ONE global order statistic — computed here
+    with a global row_number for exactness at test scale; a 100 TB run
+    would swap in approx_percentile for the cutoff and keep everything
+    else identical (the labeling is a broadcast compare either way).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    e = ev.select("user_id", "ts",
+                  F.row_number().over(w).alias("rn"),
+                  F.count("*").over(
+                      Window.partitionBy()).alias("n"))
+    cut = (e.filter(F.col("rn") == F.floor(0.8 * F.col("n")).cast("long"))
+            .select(F.col("ts").alias("cutoff")))
+    labeled = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id", "ts",
+        F.when(F.col("ts") <= F.col("cutoff"), "train")
+         .otherwise("test").alias("split"))
+    shared = (labeled.groupBy("user_id")
+                     .agg(F.countDistinct("split").alias("k"))
+                     .filter(F.col("k") == 2)
+                     .agg(F.count("*").alias("n_shared_users")))
+    return (labeled.groupBy("split")
+                   .agg(F.count("*").alias("n_rows"),
+                        F.countDistinct("user_id").alias("n_users"),
+                        F.min("ts").alias("min_ts"),
+                        F.max("ts").alias("max_ts"))
+                   .crossJoin(F.broadcast(shared)))

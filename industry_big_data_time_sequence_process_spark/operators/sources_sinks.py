@@ -343,3 +343,69 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("c_acctbal").alias("sum_bal"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+#: Morton (z-order) interleave of two 4-bit codes — pure integer
+#: arithmetic, identical in Spark SQL and DuckDB SQL.
+def _zorder_sql(ux: str, vx: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(f"((({ux}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({vx}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@op("layout_zorder_stats", oracle=f"""
+WITH coded AS (
+    SELECT CAST(user_id % 16 AS BIGINT) AS ux,
+           CAST(least(floor(value / 31.0), 15) AS BIGINT) AS vx
+    FROM events
+), z AS (
+    SELECT ux, vx, CAST({_zorder_sql("ux", "vx")} AS BIGINT) AS zval
+    FROM coded
+)
+SELECT CAST(zval // 8 AS BIGINT) AS zbucket,
+       count(*) AS n,
+       min(ux) AS ux_min, max(ux) AS ux_max,
+       min(vx) AS vx_min, max(vx) AS vx_max,
+       CAST(max(ux) - min(ux) + 1 AS BIGINT)
+           * (max(vx) - min(vx) + 1) AS box_area
+FROM z GROUP BY 1
+""", tier=3, section="2.1")
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the bits of two
+    query dimensions — a 4-bit user band and a 4-bit value band — into
+    one clustering key, then report, per 8-wide z-range "file", the
+    min/max of EACH dimension and the bounding-box area. Small boxes are
+    the whole point: a multi-dimensional predicate prunes a z-sorted
+    file when its per-column min/max footer stats miss the predicate,
+    so the z-curve is how ONE sort order serves range filters on BOTH
+    columns (the public Delta/Iceberg OPTIMIZE ZORDER idea, reduced to
+    its arithmetic).
+
+    At 100 TB the pipeline is ``repartitionByRange(zval).
+    sortWithinPartitions(zval)`` before the parquet write; this operator
+    is the audit that proves the layout clusters (every z-bucket's box
+    covers ≤ 1/16 of the 16×16 grid vs the full-grid boxes a
+    single-column sort leaves on the other column). The z-value is pure
+    integer bit arithmetic — no UDF, engine-portable, value-oracled.
+    """
+    ev = load(spark, sf_dir, "events")
+    ux = (F.col("user_id") % 16).cast("long")
+    vx = F.least(F.floor(F.col("value") / 31.0), F.lit(15)).cast("long")
+    coded = ev.select(ux.alias("ux"), vx.alias("vx"))
+    zval = F.lit(0)
+    for i in range(4):
+        zval = (zval
+                + (F.shiftright(F.col("ux"), i).bitwiseAND(1)
+                   * (1 << (2 * i + 1)))
+                + (F.shiftright(F.col("vx"), i).bitwiseAND(1)
+                   * (1 << (2 * i))))
+    z = coded.select("ux", "vx", zval.cast("long").alias("zval"))
+    return (z.groupBy(F.floor(F.col("zval") / 8).cast("long")
+                       .alias("zbucket"))
+             .agg(F.count("*").alias("n"),
+                  F.min("ux").alias("ux_min"), F.max("ux").alias("ux_max"),
+                  F.min("vx").alias("vx_min"), F.max("vx").alias("vx_max"),
+                  ((F.max("ux") - F.min("ux") + 1).cast("long")
+                   * (F.max("vx") - F.min("vx") + 1)).alias("box_area")))
