@@ -1642,3 +1642,132 @@ def doc_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("n_tok").alias("tok_sum"),
                        F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
                                6).alias("fill")))
+
+
+@op("dedup_lsh_tuning_curve", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+mh AS (
+    SELECT t.doc_id, g.i,
+           min({_DUCK_H32.format(c="g.i || ':' || t.s")}) AS mh
+    FROM sh t, generate_series(0, {_MINHASH_K - 1}) g(i)
+    GROUP BY 1, 2
+), cfg AS (SELECT unnest([2, 4, 8]) AS r),   -- rows per band
+bands AS (
+    SELECT c.r, m.doc_id, m.i // c.r AS band,
+           string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.i) AS sig
+    FROM mh m CROSS JOIN cfg c
+    GROUP BY 1, 2, 3
+), cand AS (
+    SELECT DISTINCT a.r, a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.r = b.r AND a.band = b.band AND a.sig = b.sig
+     AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairj AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS DOUBLE)
+               / (s1.n + s2.n - count(*)) AS j
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN sizes s1 ON s1.doc_id = a.doc_id
+    JOIN sizes s2 ON s2.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+), truth AS (SELECT count(*) AS n_truth FROM pairj WHERE j >= 0.7)
+SELECT c.r AS rows_per_band,
+       CAST({_MINHASH_K} // c.r AS BIGINT) AS n_bands,
+       CAST(count(cd.doc1) AS BIGINT) AS n_cand,
+       CAST(count(CASE WHEN p.j >= 0.7 THEN 1 END) AS BIGINT) AS n_true,
+       t.n_truth,
+       round(CASE WHEN count(cd.doc1) > 0
+             THEN CAST(count(CASE WHEN p.j >= 0.7 THEN 1 END) AS DOUBLE)
+                  / count(cd.doc1) END, 6) AS precision,
+       round(CAST(count(CASE WHEN p.j >= 0.7 THEN 1 END) AS DOUBLE)
+             / t.n_truth, 6) AS recall
+FROM cfg c
+LEFT JOIN cand cd ON cd.r = c.r
+LEFT JOIN pairj p ON p.doc1 = cd.doc1 AND p.doc2 = cd.doc2
+CROSS JOIN truth t
+GROUP BY c.r, t.n_truth
+""", tier=3, section="2.11")
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve, MEASURED: for three band configurations
+    over the same 16 minhashes — (2 bands × 8 rows), (4 × 4), (8 × 2) —
+    the candidate-pair count, and precision/recall against exact
+    Jaccard ≥ 0.7 ground truth. More, narrower bands move the collision
+    S-curve left (8×2 catches weak overlap, many candidates); fewer,
+    wider bands move it right (2×8 nearly exact-dup only). This is the
+    tuning table a dedup owner reads BEFORE picking (b, r) for a new
+    corpus — the production answer to "why 4×4?", shipped as an
+    operator like sim_lsh_recall_eval is for the embedding path.
+
+    Scale shape: minhashes are computed ONCE and re-banded per config (a
+    3-row broadcast cross join — re-grouping signatures is cheap; it's
+    the hashing that costs); candidates come from per-config band-bucket
+    equi-joins (never all-pairs); ground truth reuses the inverted-index
+    pair-Jaccard join (sub-quadratic, df-capped like every shingle
+    consumer). Evaluated at full corpus here; at 100 TB the identical
+    plan runs over a hash-bucket document sample.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    tok = sh.withColumnRenamed("s", "token")
+    mh = (tok.withColumn("i", F.explode(F.sequence(
+                F.lit(0), F.lit(_MINHASH_K - 1))))
+             .groupBy("doc_id", "i")
+             .agg(F.min(_h32(F.concat_ws(":", F.col("i"), F.col("token"))))
+                   .alias("mh")))
+    cfg = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("r"))
+    bands = (mh.crossJoin(F.broadcast(cfg))
+               .withColumn("band", F.expr("i div r"))
+               .groupBy("r", "doc_id", "band")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                       lambda s: s["mh"].cast("string")),
+                   ",").alias("sig")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.r") == F.col("b.r"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.r").alias("r"),
+                     F.col("a.doc_id").alias("doc1"),
+                     F.col("b.doc_id").alias("doc2"))
+             .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (sa.join(sb, (F.col("sa.s") == F.col("sb.s"))
+                      & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+                .groupBy(F.col("sa.doc_id").alias("doc1"),
+                         F.col("sb.doc_id").alias("doc2"))
+                .agg(F.count("*").alias("c")))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    pairj = (common.join(F.broadcast(s1), "doc1")
+                   .join(F.broadcast(s2), "doc2")
+                   .select("doc1", "doc2",
+                           (F.col("c").cast("double")
+                            / (F.col("n1") + F.col("n2") - F.col("c")))
+                           .alias("j")))
+    truth = pairj.filter(F.col("j") >= 0.7).agg(
+        F.count("*").alias("n_truth"))
+    scored = (cfg.join(cand, cfg.r == cand.r, "left")
+                 .drop(cand.r)
+                 .join(pairj, ["doc1", "doc2"], "left"))
+    n_true = F.count(F.when(F.col("j") >= 0.7, 1))
+    n_cand = F.count("doc1")
+    return (scored.groupBy("r")
+                  .agg(n_cand.alias("n_cand_l"), n_true.alias("n_true_l"))
+                  .crossJoin(F.broadcast(truth))
+                  .select(F.col("r").alias("rows_per_band"),
+                          (F.lit(_MINHASH_K) / F.col("r")).cast("long")
+                           .alias("n_bands"),
+                          F.col("n_cand_l").cast("long").alias("n_cand"),
+                          F.col("n_true_l").cast("long").alias("n_true"),
+                          "n_truth",
+                          F.round(F.when(F.col("n_cand_l") > 0,
+                                         F.col("n_true_l").cast("double")
+                                         / F.col("n_cand_l")), 6)
+                           .alias("precision"),
+                          F.round(F.col("n_true_l").cast("double")
+                                  / F.col("n_truth"), 6).alias("recall")))
