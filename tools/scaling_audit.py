@@ -69,6 +69,9 @@ OPS = [
     "agg_cms_heavy_hitters", "agg_sample_quantile_bounds",
     "doc_pack_nextfit", "sample_mix_temperature",
     "emb_pca_power_iteration",
+    # final-session additions (events / documents)
+    "sample_negative_pairs", "sample_split_temporal",
+    "graph_neighbor_jaccard", "dedup_lsh_tuning_curve",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
