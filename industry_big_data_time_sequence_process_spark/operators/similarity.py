@@ -1609,3 +1609,139 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("p_vec_id").alias("n_hits"),
                       F.round(F.count("p_vec_id").cast("double") / 5, 6)
                        .alias("recall_at_5")))
+
+
+#: RRF constant (the standard k=60 from the public Cormack/Clarke/Büttcher
+#: reciprocal-rank-fusion formulation).
+_RRF_K = 60
+_RRF_DEPTH = 20   # fuse the top-20 of each ranker
+_RRF_FX = 1e9     # same fixed-point discipline as the BM25 partials
+
+
+@op("sim_hybrid_rrf", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dlen AS (
+    SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+), corpus AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(len) AS DOUBLE) / count(*) AS avg_len FROM dlen
+), dfs AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), qterms AS (   -- query-by-example: doc 0's top-5 tf terms
+    SELECT token FROM (
+        SELECT token, row_number() OVER
+            (ORDER BY count(*) DESC, token) AS r
+        FROM toks WHERE doc_id = 0 GROUP BY token
+    ) WHERE r <= 5
+), tf AS (
+    SELECT t.doc_id, t.token, count(*) AS tf
+    FROM toks t JOIN qterms q ON q.token = t.token
+    WHERE t.doc_id <> 0
+    GROUP BY 1, 2
+), lex AS (
+    SELECT doc_id, row_number() OVER
+               (ORDER BY score_fx DESC, doc_id) AS lex_rnk
+    FROM (
+        SELECT tf.doc_id,
+               sum(CAST(floor(
+                   ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75
+                      + 0.75 * l.len / c.avg_len))
+                   * {_RRF_FX}) AS BIGINT)) AS score_fx
+        FROM tf
+        JOIN dfs d ON d.token = tf.token
+        JOIN dlen l ON l.doc_id = tf.doc_id
+        CROSS JOIN corpus c
+        GROUP BY tf.doc_id
+    ) QUALIFY lex_rnk <= {_RRF_DEPTH}
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+dense AS (
+    SELECT c.vec_id AS doc_id,
+           row_number() OVER (
+               ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                        c.vec_id) AS dense_rnk
+    FROM q, embeddings c WHERE c.vec_id <> 0
+    QUALIFY dense_rnk <= {_RRF_DEPTH}
+), fused AS (
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rnk, d.dense_rnk,
+           coalesce(1.0 / ({_RRF_K} + l.lex_rnk), 0)
+               + coalesce(1.0 / ({_RRF_K} + d.dense_rnk), 0) AS rrf
+    FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rnk, dense_rnk, round(rrf, 6) AS rrf, fused_rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rnk
+    FROM fused
+) WHERE fused_rnk <= 10
+""", tier=3, section="2.11")
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the production
+    "dense + lexical" pattern: a query-by-example on document 0 runs
+    BOTH as a BM25 query (doc 0's top-5 tf terms) and as a dense cosine
+    query (vector 0), and the two top-20 rankings fuse with
+    ``rrf = Σ 1/(60 + rank)`` (the public Cormack-Clarke-Büttcher
+    constant). RRF needs no score calibration between rankers — only
+    ranks — which is exactly why it is the default fusion for mixing a
+    BM25 index with an ANN index.
+
+    Scale shape: each ranker keeps its own scale story (BM25: broadcast
+    query terms, one token-stream aggregate; dense: broadcast query
+    vector over the streamed corpus — swap in the IVF cut at 100 TB),
+    and the fusion itself is a FULL OUTER JOIN of two ≤20-row lists —
+    driver-trivial by construction, whatever the corpus size. Lexical
+    partials use the 1e9 fixed-point grid; ranks, not raw scores, cross
+    the fusion boundary, so the fused ordering is engine-identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("token"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    corpus = dlen.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avg_len"))
+    dfs = (toks.distinct().groupBy("token").agg(F.count("*").alias("df")))
+    wq = Window.orderBy(F.col("tfq").desc(), "token")
+    qterms = (toks.filter(F.col("doc_id") == 0)
+                  .groupBy("token").agg(F.count("*").alias("tfq"))
+                  .withColumn("r", F.row_number().over(wq))
+                  .filter("r <= 5").select("token"))
+    tf = (toks.filter(F.col("doc_id") != 0)
+              .join(F.broadcast(qterms), "token")
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = (F.col("tf") + 1.2 * (1 - 0.75
+             + 0.75 * F.col("len") / F.col("avg_len")))
+    sfx = F.floor(idf * (F.col("tf") * (1.2 + 1)) / denom
+                  * _RRF_FX).cast("long")
+    wl = Window.orderBy(F.col("score_fx").desc(), "doc_id")
+    lex = (tf.join(F.broadcast(dfs), "token").join(dlen, "doc_id")
+             .crossJoin(F.broadcast(corpus))
+             .groupBy("doc_id").agg(F.sum(sfx).alias("score_fx"))
+             .withColumn("lex_rnk", F.row_number().over(wl))
+             .filter(F.col("lex_rnk") <= _RRF_DEPTH)
+             .select("doc_id", "lex_rnk"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    wd = Window.orderBy(F.col("_s").desc(), "doc_id")
+    dense = (e.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(qv))
+              .select(F.col("vec_id").alias("doc_id"),
+                      _cos(F.col("embedding"), F.col("q_emb")).alias("_s"))
+              .withColumn("dense_rnk", F.row_number().over(wd))
+              .filter(F.col("dense_rnk") <= _RRF_DEPTH)
+              .select("doc_id", "dense_rnk"))
+    fused = (lex.join(dense, "doc_id", "full_outer")
+                .select("doc_id", "lex_rnk", "dense_rnk",
+                        (F.coalesce(1.0 / (_RRF_K + F.col("lex_rnk")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (_RRF_K + F.col("dense_rnk")),
+                                      F.lit(0.0))).alias("rrf")))
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (fused.withColumn("fused_rnk", F.row_number().over(wf))
+                 .filter(F.col("fused_rnk") <= 10)
+                 .select("doc_id", "lex_rnk", "dense_rnk",
+                         F.round("rrf", 6).alias("rrf"), "fused_rnk"))

@@ -1771,3 +1771,118 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("precision"),
                           F.round(F.col("n_true_l").cast("double")
                                   / F.col("n_truth"), 6).alias("recall")))
+
+
+#: BM25 constants (the Robertson/Sparck-Jones defaults, public).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: Per-(doc, term) partial scores are floored onto a 1e9 fixed-point grid
+#: before the per-doc sum, so the sum over matched terms is an integer
+#: aggregate — order-insensitive, cross-engine identical (the HHI/pagerank
+#: determinism discipline).
+_BM25_FX = 1e9
+
+#: The query: mid-df corpus terms, df-ranked 20..24 (deterministic
+#: tiebreak by token) — frequent enough to match many docs, rare enough
+#: to carry idf signal, and corpus-derived so the op is sf-independent.
+_BM25_Q_LO, _BM25_Q_HI = 20, 24
+
+_DUCK_BM25 = f"""
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dlen AS (
+    SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+), corpus AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(len) AS DOUBLE) / count(*) AS avg_len
+    FROM dlen
+), dfs AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), qterms AS (
+    SELECT token, df FROM (
+        SELECT token, df,
+               row_number() OVER (ORDER BY df DESC, token) AS r
+        FROM dfs
+    ) WHERE r BETWEEN {_BM25_Q_LO} AND {_BM25_Q_HI}
+), tf AS (
+    SELECT t.doc_id, t.token, count(*) AS tf
+    FROM toks t JOIN qterms q ON q.token = t.token
+    GROUP BY 1, 2
+), parts AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+               ln(1 + (c.n - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * l.len / c.avg_len))
+               * {_BM25_FX}) AS BIGINT) AS sfx
+    FROM tf
+    JOIN qterms q ON q.token = tf.token
+    JOIN dlen l ON l.doc_id = tf.doc_id
+    CROSS JOIN corpus c
+), scored AS (
+    SELECT doc_id, count(*) AS n_terms_matched,
+           sum(sfx) AS score_fx
+    FROM parts GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched,
+       round(score_fx / {_BM25_FX}, 6) AS bm25,
+       rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY score_fx DESC, doc_id) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@op("text_bm25_retrieval", oracle=f"WITH {_DUCK_BM25}",
+    tier=3, section="2.11")
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): top-10 documents for a
+    5-term query, scored ``Σ_t idf(t) · tf(k1+1) / (tf + k1(1-b+b·len/
+    avg_len))`` with the standard ``ln(1+(N-df+.5)/(df+.5))`` idf. The
+    query is corpus-derived (df ranks 20-24) so the operator runs
+    unchanged at any scale factor.
+
+    Scale shape — the part that matters at 100 TB: document frequencies
+    and lengths are each ONE aggregate over the token stream; the query
+    terms are a 5-row BROADCAST, so the tf pass is a broadcast semi-join
+    that kills every non-matching token before any shuffle — the corpus
+    is never joined wide. Per-(doc, term) partials are floored onto a
+    1e9 fixed-point grid so the per-doc sum is an integer aggregate
+    (order-insensitive, engine-identical); ranking happens on the fixed-
+    point longs, so the top-10 cut is deterministic too.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    corpus = dlen.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avg_len"))
+    dfs = (toks.distinct().groupBy("token")
+               .agg(F.count("*").alias("df")))
+    wq = Window.orderBy(F.col("df").desc(), "token")
+    qterms = (dfs.withColumn("r", F.row_number().over(wq))
+                 .filter(F.col("r").between(_BM25_Q_LO, _BM25_Q_HI))
+                 .select("token", "df"))
+    tf = (toks.join(F.broadcast(qterms.select("token")), "token")
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = (F.col("tf") + _BM25_K1
+             * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avg_len")))
+    sfx = F.floor(idf * (F.col("tf") * (_BM25_K1 + 1)) / denom
+                  * _BM25_FX).cast("long")
+    parts = (tf.join(F.broadcast(qterms), ["token"])
+               .join(dlen, "doc_id")
+               .crossJoin(F.broadcast(corpus))
+               .select("doc_id", sfx.alias("sfx")))
+    scored = parts.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("sfx").alias("score_fx"))
+    wr = Window.orderBy(F.col("score_fx").desc(), "doc_id")
+    return (scored.withColumn("rnk", F.row_number().over(wr))
+                  .filter("rnk <= 10")
+                  .select("doc_id", "n_terms_matched",
+                          F.round(F.col("score_fx") / _BM25_FX, 6)
+                           .alias("bm25"),
+                          "rnk"))
