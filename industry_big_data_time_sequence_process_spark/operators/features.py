@@ -17,7 +17,7 @@ Design notes (100 TB posture):
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import op
 from ..sources.io import load
@@ -56,10 +56,13 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=20, shrinking rare categories toward the global mean
     (empirical-Bayes shrinkage).
 
-    Scale: one hash aggregate over the fact table (map-side partials),
-    then a 1-row global-mean broadcast cross join onto the per-key rows —
-    the encoding table itself is category-sized and is what a training
-    job would broadcast-join back onto the facts. Sums are decimal-exact
+    Scale: EXACTLY ONE aggregate pass over the fact table (map-side
+    partials, plan-pinned in tests/test_plans.py); the global mean is
+    then an unpartitioned window over the category-sized encoding table
+    — deriving it from a second ``per.agg(...)`` would re-compute the
+    whole lineage and scan the facts twice (the first version did; the
+    plan test caught it). The encoding table is what a training job
+    broadcast-joins back onto the facts. Sums are decimal-exact
     (order-insensitive), so the encoded values are reproducible at any
     parallelism; the only double ops are one add and one divide over
     exact operands, identical in both engines.
@@ -69,10 +72,10 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
     )
-    g = per.agg(
-        (F.sum("s").cast("double") / F.sum("n")).alias("gmean"))
+    w = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(g))
+        per.withColumn("gmean", F.sum("s").over(w).cast("double")
+                                / F.sum("n").over(w))
            .select(
                "event_type", "n",
                F.round(F.col("s").cast("double") / F.col("n"), 6)

@@ -278,3 +278,52 @@ def test_attribution_single_shuffle_no_join(spark):
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges == 1, f"attribution shuffled {n_exchanges}x"
     assert "Join" not in plan, "attribution grew a join"
+
+
+def test_bm25_query_terms_broadcast_fact_never_wide(spark):
+    """BM25's tf pass must be a broadcast semi-join of the 5 query terms
+    against the token stream — the corpus must not shuffle wide for the
+    query, and no plan node may degenerate to a nested loop."""
+    plan = _plan(spark, "text_bm25_retrieval")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "BM25 shuffled the token stream wide for a 5-term query")
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_joins_are_tiny(spark):
+    """The RRF fusion joins two <=20-row rank lists; the corpus-side work
+    (token aggregate, cosine scan) must feed them without a cartesian."""
+    plan = _plan(spark, "sim_hybrid_rrf")
+    assert "CartesianProduct" not in plan, (
+        "hybrid fusion planned a cartesian product")
+
+
+def test_target_encode_single_fact_aggregate(spark):
+    """Target encoding must be ONE aggregate over the fact table plus a
+    1-row broadcast — a second fact-table scan or shuffle would double
+    the cost of the encoding pass at 100 TB."""
+    plan = _plan(spark, "feat_target_encode", "simple")
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, (
+        f"target encode should scan events once, found {n_scans} scans")
+
+
+def test_negative_sampling_day_grid_broadcast(spark):
+    """The user x day grid must come from a broadcast of the (tiny)
+    day list — shuffling users against days would shuffle the big axis
+    for a calendar-sized one."""
+    plan = _plan(spark, "sample_negative_pairs")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "day grid not broadcast")
+
+
+def test_zorder_stats_no_join_one_aggregate(spark):
+    """The z-order audit is a pure narrow projection + one hash aggregate
+    on the z-bucket — any join or extra exchange is a plan regression."""
+    plan = _plan(spark, "layout_zorder_stats", "simple")
+    import re as _re
+    n_exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 1, (
+        f"zorder stats should shuffle once on zbucket, found {n_exchanges}")
+    assert "Join" not in plan
