@@ -1745,3 +1745,104 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("fused_rnk") <= 10)
                  .select("doc_id", "lex_rnk", "dense_rnk",
                          F.round("rrf", 6).alias("rrf"), "fused_rnk"))
+
+
+#: Johnson-Lindenstrauss projection: 64 -> 16 dims with a Rademacher ±1
+#: matrix from the portable md5 parity, scaled 1/sqrt(16) = 0.25 (exact
+#: in binary — the scale multiply introduces no rounding).
+_JL_OUT = 16
+_JL_SCALE = 0.25
+_JL_EVAL_N = 16   # distortion audited on all pairs of the first 16 vectors
+
+
+def _jl_sign(j: int, i: int) -> float:
+    h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8]
+    return 1.0 if int(h, 16) & 1 else -1.0
+
+
+def _jl_literal() -> str:
+    """The 16 x 64 Rademacher matrix as one constant-folded SQL literal
+    (the sim_lsh_bucketed plane-bank discipline — no per-row md5)."""
+    rows = []
+    for j in range(_JL_OUT):
+        comps = ",".join("1.0D" if _jl_sign(j, i) > 0 else "-1.0D"
+                         for i in range(_LSH_DIM))
+        rows.append(f"array({comps})")
+    return "array(" + ",".join(rows) + ")"
+
+
+_DUCK_JL_SIGN = ("(CASE WHEN ('0x' || substr(md5('jl:' || {j} || ':' || "
+                 "{i}), 1, 8))::BIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END)")
+
+#: squared L2 distance between two DuckDB lists, left-to-right fold.
+_DUCK_SQDIST = ("list_reduce(list_transform({a}, (x, i) -> "
+                "(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+                "* (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+                "(p, q) -> p + q)")
+
+
+@op("emb_random_projection", oracle=f"""
+WITH proj AS (
+    SELECT vec_id, embedding,
+           list_transform(range(0, {_JL_OUT}), j ->
+               list_reduce(list_transform(embedding, (x, i) ->
+                   CAST(x AS DOUBLE)
+                   * {_DUCK_JL_SIGN.format(j="j", i="(i - 1)")}),
+                   (p, q) -> p + q) * {_JL_SCALE}) AS p
+    FROM embeddings WHERE vec_id < {_JL_EVAL_N}
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(sqrt({_DUCK_SQDIST.format(a="a.embedding", b="b.embedding")}),
+             6) AS d_orig,
+       round(sqrt({_DUCK_SQDIST.format(a="a.p", b="b.p")}), 6) AS d_proj,
+       round(sqrt({_DUCK_SQDIST.format(a="a.p", b="b.p")})
+             / sqrt({_DUCK_SQDIST.format(a="a.embedding", b="b.embedding")}),
+             6) AS ratio
+FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+""", tier=3, section="2.11")
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with its
+    distortion audit: a Rademacher ±1 matrix (portable md5 parity,
+    constant-folded into a literal bank like the LSH planes) projects
+    every embedding with one narrow map, and all C(16,2)=120 pairs of
+    the first 16 vectors report original vs projected L2 distance and
+    their ratio — the JL lemma says the ratios concentrate near 1, and
+    this op MEASURES it, the same ship-the-eval discipline as
+    sim_lsh_recall_eval.
+
+    Why it matters at 100 TB: a 4x dimensionality cut is a 4x cut in
+    ANN scan bytes and index memory; JL projection is the cheapest
+    pre-index compression (no training, unlike PQ/IVF — one narrow
+    pass, no shuffle). Determinism: the scale 1/sqrt(16) = 0.25 is
+    exact in binary; folds are left-to-right on both engines, so even
+    the distance RATIOS are bit-identical before rounding.
+    """
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_EVAL_N)
+    proj = F.expr(f"""
+        transform(sequence(0, {_JL_OUT - 1}), j ->
+            aggregate(zip_with(embedding,
+                    element_at({_jl_literal()}, j + 1),
+                    (x, s) -> cast(x AS double) * s),
+                cast(0.0 AS double), (acc, x2) -> acc + x2)
+            * {_JL_SCALE}D)""")
+    p = e.select("vec_id", "embedding", proj.alias("p"))
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double")
+                                           - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    a = p.select(F.col("vec_id").alias("id1"),
+                 F.col("embedding").alias("e1"), F.col("p").alias("p1"))
+    b = p.select(F.col("vec_id").alias("id2"),
+                 F.col("embedding").alias("e2"), F.col("p").alias("p2"))
+    d_orig = F.sqrt(sqdist(F.col("e1"), F.col("e2")))
+    d_proj = F.sqrt(sqdist(F.col("p1"), F.col("p2")))
+    return (a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+             .select("id1", "id2",
+                     F.round(d_orig, 6).alias("d_orig"),
+                     F.round(d_proj, 6).alias("d_proj"),
+                     F.round(d_proj / d_orig, 6).alias("ratio")))
