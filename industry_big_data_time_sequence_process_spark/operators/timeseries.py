@@ -3665,3 +3665,107 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("value") - F.col("med"))
                      > _HAMPEL_NSD * 1.4826 * mad)
                     .cast("int").alias("is_outlier")))
+
+
+@op("ts_wavelet_haar", oracle="""
+WITH x AS (   -- dense 32-hour series per channel: exact-avg hourly value
+    SELECT event_type,
+           CAST((epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+                // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS v
+    FROM events
+    WHERE (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+          // 3600000000 < 32
+    GROUP BY 1, 2
+), l1 AS (
+    SELECT event_type, h // 2 AS k,
+           CAST(SUM(v) AS DOUBLE) / 2 AS a,
+           CAST(SUM(CASE WHEN h % 2 = 0 THEN v ELSE -v END) AS DOUBLE)
+               / 2 AS d
+    FROM x GROUP BY 1, 2
+), l2 AS (
+    SELECT event_type, k // 2 AS k,
+           CAST(SUM(a) AS DOUBLE) / 2 AS a,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN a ELSE -a END) AS DOUBLE)
+               / 2 AS d
+    FROM l1 GROUP BY 1, 2
+), l3 AS (
+    SELECT event_type, k // 2 AS k,
+           CAST(SUM(a) AS DOUBLE) / 2 AS a,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN a ELSE -a END) AS DOUBLE)
+               / 2 AS d
+    FROM l2 GROUP BY 1, 2
+)
+SELECT event_type, level, k, coef_type,
+       floor(coef * 1000000) / 1000000 AS coef
+FROM (
+    SELECT event_type, 1 AS level, k, 'detail' AS coef_type, d AS coef
+    FROM l1
+    UNION ALL
+    SELECT event_type, 2, k, 'detail', d FROM l2
+    UNION ALL
+    SELECT event_type, 3, k, 'detail', d FROM l3
+    UNION ALL
+    SELECT event_type, 3, k, 'approx', a FROM l3
+)
+""", tier=3, section="2.9")
+def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level Haar wavelet decomposition of each channel's 32-hour
+    series: level-by-level pairwise (average, half-difference) — the
+    classic multi-resolution transform behind time-series compression
+    and denoising (keep the approx + large details, drop the noise-sized
+    ones). Emitted: every detail coefficient per level plus the final
+    level-3 approximations.
+
+    Scale shape: the series materializes with ONE hash aggregate over
+    the facts ((channel, hour) key); each wavelet level is then an
+    aggregate over the PREVIOUS level — the data halves every step, so
+    levels 2+ are negligible next to the first pass, and everything
+    partitions on the channel key (no driver iteration: the 3 levels
+    are fixed plan depth, like the pagerank/k-means unrolled oracles).
+    Determinism: hourly means are decimal-exact sums / counts; each
+    (a, d) is one add/subtract + one halving (exact in binary) of
+    deterministic doubles — SUM over the 2-row pair groups is
+    order-insensitive because a pair has only one addend order that
+    survives (sum of exactly 2 values). Output coefficients land on the
+    1e-6 grid via floor, NOT round: these dyadic values can sit exactly
+    on a .5e-6 boundary where the engines' rounding modes disagree
+    (observed: 64.0746875 -> .074688 vs .074687), while floor of
+    identical doubles cannot split.
+    """
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    x = (ev.crossJoin(F.broadcast(t0))
+           .withColumn("h", F.floor((F.unix_micros("ts") - F.col("t0"))
+                                    / 3_600_000_000).cast("long"))
+           .filter(F.col("h") < 32)
+           .groupBy("event_type", "h")
+           .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double") / F.count("*")).alias("v")))
+
+    def level(df: DataFrame, key: str, val: str) -> DataFrame:
+        return (df.groupBy("event_type",
+                           F.floor(F.col(key) / 2).cast("long").alias("k"))
+                  .agg((F.sum(val).cast("double") / 2).alias("a"),
+                       (F.sum(F.when(F.col(key) % 2 == 0, F.col(val))
+                               .otherwise(-F.col(val)))
+                         .cast("double") / 2).alias("d")))
+
+    l1 = level(x, "h", "v")
+    l2 = level(l1.select("event_type", "k", F.col("a").alias("v"))
+                 .withColumnRenamed("k", "h"), "h", "v")
+    l3 = level(l2.select("event_type", "k", F.col("a").alias("v"))
+                 .withColumnRenamed("k", "h"), "h", "v")
+    out = (l1.select("event_type", F.lit(1).alias("level"), "k",
+                     F.lit("detail").alias("coef_type"),
+                     F.col("d").alias("coef"))
+             .unionAll(l2.select("event_type", F.lit(2), "k",
+                                 F.lit("detail"), "d"))
+             .unionAll(l3.select("event_type", F.lit(3), "k",
+                                 F.lit("detail"), "d"))
+             .unionAll(l3.select("event_type", F.lit(3), "k",
+                                 F.lit("approx"), "a")))
+    return out.select("event_type", "level", "k", "coef_type",
+                      (F.floor(F.col("coef") * 1_000_000) / 1_000_000)
+                      .alias("coef"))
