@@ -1886,3 +1886,55 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(F.col("score_fx") / _BM25_FX, 6)
                            .alias("bm25"),
                           "rnk"))
+
+
+#: Sliding-window chunking geometry (tokens): RAG-ingestion defaults.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@op("doc_chunk_sliding", oracle=f"""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+)
+SELECT doc_id,
+       s AS chunk_idx,
+       s * {_CHUNK_STRIDE} AS start_tok,
+       len(list_slice(t, s * {_CHUNK_STRIDE} + 1,
+                      s * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, s * {_CHUNK_STRIDE} + 1,
+                      s * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+           AS fingerprint
+FROM tk, unnest(range(0, (n - 1) // {_CHUNK_STRIDE} + 1)) g(s)
+""", tier=3, section="2.11")
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — step 1 of every RAG/embedding
+    ingestion pipeline: 32-token windows at stride 24 (8-token overlap so
+    no sentence is orphaned at a boundary), one row per chunk with its
+    position, actual length (the tail chunk is shorter), and a content
+    fingerprint (the key chunk-level dedup and the vector store both
+    use).
+
+    Scale shape: tokenize once per document, then a per-document
+    ``transform(sequence(...))`` + explode — a pure NARROW fan-out, no
+    shuffle anywhere, embarrassingly parallel over documents, output
+    size (n_tokens/stride) rows per doc by construction. The chunk
+    boundary math is integer, so the op is engine-exact including
+    fingerprints.
+    """
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("t"))
+    chunk = F.expr(f"slice(t, s * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})")
+    return (tk.withColumn(
+                "s", F.explode(F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("t") - 1) / _CHUNK_STRIDE)
+                     .cast("long"))))
+              .select("doc_id",
+                      F.col("s").alias("chunk_idx"),
+                      (F.col("s") * _CHUNK_STRIDE).alias("start_tok"),
+                      F.size(chunk).alias("n_tokens"),
+                      F.md5(F.array_join(chunk, " ")).alias("fingerprint")))

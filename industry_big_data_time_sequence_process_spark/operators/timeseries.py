@@ -3769,3 +3769,56 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "level", "k", "coef_type",
                       (F.floor(F.col("coef") * 1_000_000) / 1_000_000)
                       .alias("coef"))
+
+
+@op("ts_cohort_ltv_curve", oracle="""
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+    FROM events GROUP BY user_id
+), csize AS (
+    SELECT cohort, count(*) AS n_users FROM first GROUP BY cohort
+), daily AS (
+    SELECT f.cohort, CAST(e.ts AS DATE) - f.cohort AS age,
+           SUM(CAST(e.value AS DECIMAL(18,2))) AS s
+    FROM events e JOIN first f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+)
+SELECT d.cohort, d.age, c.n_users,
+       round(CAST(sum(d.s) OVER (
+                 PARTITION BY d.cohort ORDER BY d.age) AS DOUBLE)
+             / c.n_users, 6) AS ltv_per_user
+FROM daily d JOIN csize c ON c.cohort = d.cohort
+""", tier=3, section="2.9")
+def ts_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    day; for each cohort age the CUMULATIVE value generated per cohort
+    member — the money twin of the retention matrix
+    (``ts_retention_cohort`` counts who comes back; this measures what
+    they are worth as the cohort ages, the curve a growth team reads
+    payback periods off).
+
+    Scale shape: the first-touch table is one aggregate on user_id; the
+    fact table joins it ON THE SAME user_id key (a co-partitioned join,
+    and the first-touch side is users-sized — broadcastable when dims
+    fit); daily cohort value is a second aggregate onto the SMALL
+    (cohort × age) grid, and only that grid — never the facts — flows
+    into the cumulative window. Decimal-exact sums end-to-end; the one
+    double division happens after the cumulative sum, per output row.
+    """
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort"))
+    csize = first.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    daily = (ev.join(first, "user_id")
+               .groupBy("cohort",
+                        F.datediff(F.to_date("ts"), F.col("cohort"))
+                         .alias("age"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("s")))
+    w = (Window.partitionBy("cohort").orderBy("age")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.join(F.broadcast(csize), "cohort")
+                 .select("cohort", "age", "n_users",
+                         F.round(F.sum("s").over(w).cast("double")
+                                 / F.col("n_users"), 6)
+                          .alias("ltv_per_user")))
