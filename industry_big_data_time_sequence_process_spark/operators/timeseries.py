@@ -3822,3 +3822,120 @@ def ts_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(F.sum("s").over(w).cast("double")
                                  / F.col("n_users"), 6)
                           .alias("ltv_per_user")))
+
+
+#: DTW series length: the 24-hour hour-of-day profile per channel.
+_DTW_N = 24
+
+
+def _dtw_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """DTW over one (t1, t2) pair — the exact recursion the DuckDB
+    oracle's flat-index recursive CTE performs: row-major over the
+    24x24 matrix, d = |a_i - b_j| + min(left, up, diag), identical
+    operation order so the distance is bit-identical cross-engine."""
+    row = pdf.iloc[0]
+    a, b = row["pa"], row["pb"]
+    n = _DTW_N
+    D = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                D[i][j] = c
+            elif i == 0:
+                D[i][j] = c + D[0][j - 1]
+            elif j == 0:
+                D[i][j] = c + D[i - 1][0]
+            else:
+                D[i][j] = c + min(D[i][j - 1],
+                                  min(D[i - 1][j], D[i - 1][j - 1]))
+    return pd.DataFrame({"t1": [row["t1"]], "t2": [row["t2"]],
+                         "dtw": [D[n - 1][n - 1]]})
+
+
+@op("ts_dtw_pairs", oracle=f"""
+WITH RECURSIVE grid AS (
+    SELECT t.event_type, g.h FROM
+        (SELECT DISTINCT event_type FROM events) t,
+        range(0, {_DTW_N}) g(h)
+), prof AS (    -- dense hour-of-day profile, missing hours = 0.0
+    SELECT g.event_type, g.h,
+           coalesce(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(e.value), 0.0) AS v
+    FROM grid g
+    LEFT JOIN events e ON e.event_type = g.event_type
+         AND CAST(extract(hour FROM e.ts) AS BIGINT) = g.h
+    GROUP BY 1, 2
+), parr AS (
+    SELECT event_type, list(v ORDER BY h) AS p FROM prof GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           a.p AS pa, b.p AS pb
+    FROM parr a JOIN parr b ON a.event_type < b.event_type
+), r AS (       -- flat row-major DTW recursion; dl = D cells so far
+    SELECT t1, t2, pa, pb, 0 AS c,
+           [abs(pa[1] - pb[1])] AS dl
+    FROM pairs
+    UNION ALL
+    SELECT t1, t2, pa, pb, c + 1,
+           list_append(dl,
+               abs(pa[(c + 1) // {_DTW_N} + 1] - pb[(c + 1) % {_DTW_N} + 1])
+               + CASE
+                   WHEN (c + 1) // {_DTW_N} = 0
+                       THEN dl[c + 1]
+                   WHEN (c + 1) % {_DTW_N} = 0
+                       THEN dl[c + 2 - {_DTW_N}]
+                   ELSE least(dl[c + 1],
+                              least(dl[c + 2 - {_DTW_N}],
+                                    dl[c + 1 - {_DTW_N}]))
+                 END)
+    FROM r WHERE c < {_DTW_N * _DTW_N} - 1
+)
+SELECT t1, t2, round(dl[{_DTW_N * _DTW_N}], 6) AS dtw,
+       row_number() OVER (ORDER BY dl[{_DTW_N * _DTW_N}], t1, t2) AS rnk
+FROM r WHERE c = {_DTW_N * _DTW_N} - 1
+""", tier=3, section="2.9")
+def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of channel
+    hour-of-day profiles (24-point, L1 local cost, full window) — THE
+    classic elastic similarity for time sequences: channels whose daily
+    shapes match under small phase shifts score low where Euclidean
+    would not. Ranked output = the channel-similarity matrix.
+
+    Scale shape: profiles reduce the fact table with ONE hash aggregate
+    onto a (channels × 24) grid (densified against a generated grid so
+    missing hours are exact 0.0, identically in both engines); the DTW
+    recursion then runs per PAIR — sequential in the 576-cell matrix by
+    nature, so it lives in a grouped-map pandas UDF, parallel across
+    pairs, with cost ∝ pairs × 24², independent of corpus size.
+
+    VALUE-oracled (the repo's hardest oracle class): a DuckDB recursive
+    CTE walks the SAME row-major flat-index recursion, carrying the
+    growing cell list; |a-b|, +, and min() in identical order on
+    identical doubles -> bit-identical distances before round(·, 6).
+    """
+    ev = load(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(spark.range(_DTW_N).select(
+            F.col("id").cast("long").alias("h"))))
+    byh = (ev.groupBy("event_type",
+                      F.hour("ts").cast("long").alias("h"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+                  F.count("*").alias("n")))
+    prof = (grid.join(byh, ["event_type", "h"], "left")
+                .select("event_type", "h",
+                        F.coalesce(F.col("s").cast("double")
+                                   / F.col("n"), F.lit(0.0)).alias("v")))
+    parr = (prof.groupBy("event_type")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "v"))),
+                    lambda s: s["v"]).alias("p")))
+    a = parr.select(F.col("event_type").alias("t1"), F.col("p").alias("pa"))
+    b = parr.select(F.col("event_type").alias("t2"), F.col("p").alias("pb"))
+    pairs = a.join(b, F.col("t1") < F.col("t2"))
+    raw = pairs.groupBy("t1", "t2").applyInPandas(
+        _dtw_pdf, "t1 string, t2 string, dtw double")
+    w = Window.orderBy("dtw", "t1", "t2")
+    return raw.select("t1", "t2", F.round("dtw", 6).alias("dtw"),
+                      F.row_number().over(w).alias("rnk"))
