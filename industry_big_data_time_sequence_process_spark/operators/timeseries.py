@@ -3939,3 +3939,50 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("dtw", "t1", "t2")
     return raw.select("t1", "t2", F.round("dtw", 6).alias("dtw"),
                       F.row_number().over(w).alias("rnk"))
+
+
+@op("ts_max_drawdown", oracle="""
+WITH cum AS (
+    SELECT user_id, ts, event_id,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS c
+    FROM events
+), dd AS (
+    SELECT user_id, ts, event_id,
+           MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) - c
+               AS drawdown
+    FROM cum
+)
+SELECT user_id,
+       CAST(max(drawdown) AS DOUBLE) AS max_drawdown,
+       min(CASE WHEN drawdown = mdd THEN ts END) AS trough_ts
+FROM (SELECT *, MAX(drawdown) OVER (PARTITION BY user_id) AS mdd FROM dd)
+GROUP BY user_id
+""", tier=3, section="2.9")
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough fall of the
+    cumulative value series (the risk metric of any cumulative KPI —
+    equity curves, battery charge, queue backlog), with the timestamp of
+    the (first) trough that realizes it.
+
+    Three window passes over ONE (user_id) partitioning — running sum,
+    running max, per-user max — so the whole op is a single shuffle and
+    consecutive windows reuse one sort (the SCALE.md window-family
+    rule). Cumulative sums stay decimal(18,2)-exact to the end; the only
+    double appears in the final cast, so drawdowns are reproducible at
+    any parallelism.
+    """
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id")
+    cum = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(wo).alias("c"))
+    dd = cum.select(
+        "user_id", "ts",
+        (F.max("c").over(wo) - F.col("c")).alias("drawdown"))
+    dd = dd.withColumn("mdd", F.max("drawdown").over(wa))
+    return (dd.groupBy("user_id")
+              .agg(F.max("drawdown").cast("double").alias("max_drawdown"),
+                   F.min(F.when(F.col("drawdown") == F.col("mdd"),
+                                F.col("ts"))).alias("trough_ts")))
