@@ -60,3 +60,19 @@ def test_readme_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_ops, n_sql), (
         f"README claims {m.group(1)}/{m.group(2)}, registry has "
         f"{n_ops}/{n_sql}")
+
+
+def test_survey_registry_count_line_is_current():
+    """SURVEY.md §2.15 closes with 'Registry after round 4: N operators,
+    M oracled.' — pin it to the live registry so the binding contract
+    document can never go stale silently (VERDICT r3 doc-exactness)."""
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    m = re.search(r"Registry after round 4: (\d+) operators, (\d+) oracled",
+                  survey)
+    assert m, "SURVEY.md registry count line missing"
+    n_ops = len(REGISTRY)
+    n_sql = sum(1 for o in REGISTRY.values() if o.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (n_ops, n_sql), (
+        f"SURVEY.md claims {m.group(1)}/{m.group(2)}, registry has "
+        f"{n_ops}/{n_sql}")
