@@ -3986,3 +3986,101 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.max("drawdown").cast("double").alias("max_drawdown"),
                    F.min(F.when(F.col("drawdown") == F.col("mdd"),
                                 F.col("ts"))).alias("trough_ts")))
+
+
+#: Holt-Winters additive weights — identical literals both engines
+#: (derived forms like 1-alpha would parse to a different double).
+_HW_A, _HW_1A = 0.3, 0.7    # level
+_HW_B, _HW_1B = 0.1, 0.9    # trend
+_HW_G, _HW_1G = 0.2, 0.8    # season
+_HW_M = 24                  # positional season length (hour-of-day)
+
+
+def _hw_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("rn")
+    y = pdf["y"].to_numpy(dtype="float64")
+    n = len(y)
+    lev = [0.0] * n
+    tr = [0.0] * n
+    lev[0] = y[0]
+    s = [0.0] * _HW_M
+    for i in range(1, n):
+        sm = s[0]
+        lnew = _HW_A * (y[i] - sm) + _HW_1A * (lev[i - 1] + tr[i - 1])
+        tr[i] = _HW_B * (lnew - lev[i - 1]) + _HW_1B * tr[i - 1]
+        snew = _HW_G * (y[i] - lnew) + _HW_1G * sm
+        s = s[1:] + [snew]
+        lev[i] = lnew
+    out = pdf[["event_type", "rn"]].copy()
+    out["level"], out["trend"] = lev, tr
+    return out
+
+
+@op("ts_holt_winters", oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           y
+    FROM (
+        SELECT event_type,
+               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+                   // 3600000000 AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS y
+        FROM events GROUP BY 1, 2
+    )
+), r AS (
+    SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+           [CAST(0.0 AS DOUBLE) FOR x IN range({_HW_M})] AS s
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT q.event_type, q.rn, q.l2,
+           CAST({_HW_B!r} AS DOUBLE) * (q.l2 - q.l)
+               + CAST({_HW_1B!r} AS DOUBLE) * q.b,
+           list_append(q.s[2:],
+               CAST({_HW_G!r} AS DOUBLE) * (q.y - q.l2)
+                   + CAST({_HW_1G!r} AS DOUBLE) * q.s[1])
+    FROM (
+        SELECT sq.event_type, sq.rn, sq.y, r.l, r.b, r.s,
+               CAST({_HW_A!r} AS DOUBLE) * (sq.y - r.s[1])
+                   + CAST({_HW_1A!r} AS DOUBLE) * (r.l + r.b) AS l2
+        FROM r JOIN seq sq
+          ON sq.event_type = r.event_type AND sq.rn = r.rn + 1
+    ) q
+)
+SELECT event_type, rn, round(l, 6) AS level, round(b, 6) AS trend
+FROM r
+""", tier=3, section="2.9")
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per channel
+    (Winters 1960, public): level + trend + a 24-slot positional season
+    over the hourly series — the step above ``ts_holt_linear`` and the
+    classical forecaster for daily-seasonal telemetry (alpha=0.3,
+    beta=0.1, gamma=0.2; l0=y0, b0=0, s0=0 so early seasons warm up from
+    the data itself). Season indexing is positional over the OBSERVED
+    sequence, so gappy series behave identically in both engines.
+
+    Scale shape: the hourly series is one decimal-exact aggregate; the
+    recursion is sequential per channel by nature -> grouped-map pandas
+    UDF, parallel across channels, cost ∝ series length. VALUE-oracled
+    by the hardest recursive-CTE class in the repo: the DuckDB recursion
+    carries the full 24-slot seasonal STATE LIST per step (`s[2:]` +
+    append, exactly the pandas deque), with identical literals and
+    operation order -> bit-identical level/trend before round(·, 6).
+    """
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    hourly = (ev.crossJoin(F.broadcast(t0))
+                .groupBy("event_type",
+                         F.floor((F.unix_micros("ts") - F.col("t0"))
+                                 / 3_600_000_000).cast("long").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double") / F.count("*")).alias("y")))
+    wr = Window.partitionBy("event_type").orderBy("h")
+    seq = hourly.select("event_type",
+                        F.row_number().over(wr).alias("rn"), "y")
+    raw = seq.groupBy("event_type").applyInPandas(
+        _hw_pdf, "event_type string, rn long, level double, trend double")
+    return raw.select("event_type", "rn",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"))
