@@ -3611,3 +3611,90 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  / (F.col("s1") + F.col("s2")
                                     - F.col("n_inter")), 6)
                           .alias("jaccard")))
+
+
+#: Spatial grid-join geometry: synthetic deterministic coordinates in a
+#: 4-degree square, cell width = the search radius, so any pair within
+#: the radius shares a cell or touches an adjacent one (3x3 rule).
+_GEO_CELL = 0.05      # degrees; also the neighbor-distance threshold
+_GEO_SPAN = 4.0       # placement square: [40, 44) x [10, 14)
+
+
+@op("geo_grid_neighbor_join", oracle=f"""
+WITH pts AS (
+    SELECT user_id,
+           40.0 + (('0x' || substr(md5('lat:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT % 4000) / 1000.0 AS lat,
+           10.0 + (('0x' || substr(md5('lon:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT % 4000) / 1000.0 AS lon
+    FROM (SELECT DISTINCT user_id FROM events)
+), cells AS (
+    SELECT user_id, lat, lon,
+           CAST(floor(lat / {_GEO_CELL}) AS BIGINT) AS cx,
+           CAST(floor(lon / {_GEO_CELL}) AS BIGINT) AS cy
+    FROM pts
+), probe AS (   -- left side fans out to its 3x3 cell neighborhood
+    SELECT c.user_id, c.lat, c.lon,
+           c.cx + dx.d AS cx, c.cy + dy.d AS cy
+    FROM cells c,
+         (SELECT unnest([-1, 0, 1]) AS d) dx,
+         (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT p.user_id AS u1, c.user_id AS u2,
+       round((p.lat - c.lat) * (p.lat - c.lat)
+             + (p.lon - c.lon) * (p.lon - c.lon), 10) AS d2
+FROM probe p JOIN cells c ON c.cx = p.cx AND c.cy = p.cy
+     AND p.user_id < c.user_id
+WHERE (p.lat - c.lat) * (p.lat - c.lat)
+      + (p.lon - c.lon) * (p.lon - c.lon)
+      <= {_GEO_CELL} * {_GEO_CELL}
+""", tier=3, section="2.3")
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join by grid bucketing — the standard
+    plane-sweep-free distance join: place each entity at deterministic
+    (md5-derived) coordinates, snap to a grid whose cell width EQUALS
+    the search radius, fan the probe side out to its 3x3 cell
+    neighborhood (a constant 9x narrow explode), equi-join on the cell
+    key, and verify the exact distance only inside colliding cells —
+    candidates ~ density x 9 cells, NEVER all-pairs. This is the same
+    candidate-cut discipline as the LSH band joins, in 2D.
+
+    The coordinates are synthetic (this corpus ships no geo columns —
+    documented demo placement, like the multimodal stubs) and the metric
+    is squared degrees (pure multiply/add; haversine's trig is
+    libm-dependent and would break cross-engine bit-equality, and for a
+    radius this small the flat metric IS the production approximation).
+    Every arithmetic step is engine-identical, so even d2 value-hashes.
+    """
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    h = lambda p: F.conv(F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(p), uid)), 1, 8), 16, 10).cast("long")
+    pts = (ev.select("user_id").distinct()
+             .select("user_id",
+                     (40.0 + (h("lat:") % 4000) / 1000.0).alias("lat"),
+                     (10.0 + (h("lon:") % 4000) / 1000.0).alias("lon")))
+    cells = pts.select(
+        "user_id", "lat", "lon",
+        F.floor(F.col("lat") / _GEO_CELL).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _GEO_CELL).cast("long").alias("cy"))
+    off = spark.range(1).select(F.explode(
+        F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("d"))
+    probe = (cells.crossJoin(F.broadcast(off.select(F.col("d").alias("dx"))))
+                  .crossJoin(F.broadcast(off.select(F.col("d").alias("dy"))))
+                  .select(F.col("user_id").alias("u1"),
+                          F.col("lat").alias("lat1"),
+                          F.col("lon").alias("lon1"),
+                          (F.col("cx") + F.col("dx")).alias("cx"),
+                          (F.col("cy") + F.col("dy")).alias("cy")))
+    right = cells.select(F.col("user_id").alias("u2"),
+                         F.col("lat").alias("lat2"),
+                         F.col("lon").alias("lon2"), "cx", "cy")
+    d2 = ((F.col("lat1") - F.col("lat2"))
+          * (F.col("lat1") - F.col("lat2"))
+          + (F.col("lon1") - F.col("lon2"))
+          * (F.col("lon1") - F.col("lon2")))
+    return (probe.join(right, ["cx", "cy"])
+                 .filter(F.col("u1") < F.col("u2"))
+                 .filter(d2 <= _GEO_CELL * _GEO_CELL)
+                 .select("u1", "u2", F.round(d2, 10).alias("d2")))
