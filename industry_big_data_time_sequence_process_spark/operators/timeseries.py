@@ -4084,3 +4084,107 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("event_type", "rn",
                       F.round("level", 6).alias("level"),
                       F.round("trend", 6).alias("trend"))
+
+
+@op("ts_load_duration_curve", oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, pct,
+       value AS load_at_pct
+FROM (
+    SELECT event_type, value, rn, n,
+           CAST((rn - 1) * 10 // n AS BIGINT) AS decile_floor,
+           CAST((rn - 2) * 10 // n AS BIGINT) AS prev_floor,
+           (rn - 1) * 10 % n AS _m
+    FROM ranked
+), LATERAL (SELECT decile_floor * 10 AS pct) p
+WHERE rn = 1 OR decile_floor > prev_floor
+""", tier=3, section="2.9")
+def ts_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per channel — the power-engineering classic:
+    sort the channel's values descending and read off the load exceeded
+    for at least 0%, 10%, ..., 90% of the time (the first row at or past
+    each decile boundary of the descending order). Capacity planning
+    reads peak shaving and base load straight off this curve.
+
+    Exact order statistics with a deterministic tiebreak (value DESC,
+    event_id), selected by pure integer boundary arithmetic — a row is
+    emitted iff it is the first to enter a new decile, computed from its
+    own rank, so no second pass and no float percentile interpolation
+    (cross-engine exact by construction). One shuffle on the channel
+    key; the sort is per-channel, bounded by channel row counts.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"))
+    decile_floor = F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("long")
+    prev_floor = F.floor((F.col("rn") - 2) * 10 / F.col("n")).cast("long")
+    return (ranked
+            .withColumn("decile_floor", decile_floor)
+            .withColumn("prev_floor", prev_floor)
+            .filter((F.col("rn") == 1)
+                    | (F.col("decile_floor") > F.col("prev_floor")))
+            .select("event_type",
+                    (F.col("decile_floor") * 10).alias("pct"),
+                    F.col("value").alias("load_at_pct")))
+
+
+@op("ts_pareto_front", oracle="""
+WITH pts AS (
+    SELECT event_id, event_type, value, epoch_us(ts) AS t_us
+    FROM events
+), flagged AS (
+    SELECT event_id, event_type, value, t_us,
+           MAX(t_us) OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, t_us DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS best_t_before
+    FROM pts
+)
+SELECT event_type, event_id, value, t_us,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS rnk
+FROM flagged
+WHERE best_t_before IS NULL OR t_us > best_t_before
+""", tier=3, section="2.9")
+def ts_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) per channel over (value, recency): the
+    events not dominated by any other — no event is BOTH higher-valued
+    and more recent (strictly, on the recency axis). The classic
+    multi-criteria shortlist operator ("show me candidates where nothing
+    else beats them on every axis").
+
+    The 2-D skyline needs NO pairwise comparison: sort by value
+    descending and keep a running max of the other axis — a point
+    survives iff its timestamp beats every strictly-better-valued
+    point's (one window, `ROWS ... 1 PRECEDING`). Equal values sort
+    t_us DESC so a same-value-older point sees the newer one in its
+    prefix and is correctly dominated, while the newest of the tie
+    survives. One shuffle on the channel key, O(n log n) in the sort —
+    at 100 TB the same window runs per channel partition unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+               .orderBy(F.col("value").desc(), F.col("t_us").desc(),
+                        "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    pts = ev.select("event_id", "event_type", "value",
+                    F.unix_micros("ts").alias("t_us"))
+    flagged = pts.withColumn("best_t_before", F.max("t_us").over(w))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    return (flagged.filter(F.col("best_t_before").isNull()
+                           | (F.col("t_us") > F.col("best_t_before")))
+                   .select("event_type", "event_id", "value", "t_us",
+                           F.row_number().over(wr).alias("rnk")))
