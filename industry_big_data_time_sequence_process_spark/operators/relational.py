@@ -3698,3 +3698,165 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("u1") < F.col("u2"))
                  .filter(d2 <= _GEO_CELL * _GEO_CELL)
                  .select("u1", "u2", F.round(d2, 10).alias("d2")))
+
+
+@op("agg_raking_ipf", oracle="""
+WITH cells AS (
+    SELECT event_type AS t, CAST(isodow(ts) AS BIGINT) AS d,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_all,
+                  count(DISTINCT t) AS nt,
+                  count(DISTINCT d) AS nd FROM cells),
+-- target margins: uniform over both axes
+r1 AS (   -- scale rows (event types) to n_all/nt
+    SELECT c.t, c.d,
+           c.n * ((tot.n_all / tot.nt)
+                  / SUM(c.n) OVER (PARTITION BY c.t)) AS w
+    FROM cells c CROSS JOIN tot
+), c1 AS (   -- scale cols (isodow) to n_all/nd
+    SELECT r1.t, r1.d,
+           r1.w * ((tot.n_all / tot.nd)
+                   / SUM(r1.w) OVER (PARTITION BY r1.d)) AS w
+    FROM r1 CROSS JOIN tot
+), r2 AS (
+    SELECT c1.t, c1.d,
+           c1.w * ((tot.n_all / tot.nt)
+                   / SUM(c1.w) OVER (PARTITION BY c1.t)) AS w
+    FROM c1 CROSS JOIN tot
+), c2 AS (
+    SELECT r2.t, r2.d,
+           r2.w * ((tot.n_all / tot.nd)
+                   / SUM(r2.w) OVER (PARTITION BY r2.d)) AS w
+    FROM r2 CROSS JOIN tot
+)
+SELECT c2.t AS event_type, c2.d AS isodow,
+       CAST(cells.n AS BIGINT) AS n_raw,
+       round(c2.w, 6) AS weight_total,
+       round(c2.w / cells.n, 6) AS weight_per_row
+FROM c2 JOIN cells ON cells.t = c2.t AND cells.d = c2.d
+""", tier=3, section="2.4")
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey-weighting
+    classic: rescale the (event_type × weekday) cell counts so BOTH
+    margins match a target (uniform here), alternating row and column
+    scaling for 2 fixed rounds. The output per-row weight is what a
+    de-biasing pipeline multiplies into every record so weekday skew and
+    channel skew cancel simultaneously.
+
+    Scale shape: the fact table reduces to the margin-cell grid with ONE
+    aggregate; every IPF round is then a pair of unpartitioned-window
+    scalings over the GRID (types × 7 rows, never the facts) — fixed
+    plan depth, no driver iteration, same unrolled-iteration discipline
+    as pagerank/k-means. Cell sums within a round are over ≤ max(nt, nd)
+    doubles; the grid is small enough that each margin sum is a
+    single-partition fold, deterministic in both engines (and DuckDB's
+    window sum follows the same ORDER-less full-partition frame).
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.dayofweek("ts").alias("_dow"))
+               .agg(F.count("*").cast("double").alias("n")))
+    # dayofweek is 1=Sunday..7=Saturday; isodow is 1=Monday..7=Sunday
+    cells = cells.select(
+        "t", (((F.col("_dow") + 5) % 7) + 1).cast("long").alias("d"), "n")
+    wall = Window.partitionBy()
+    tot = (cells.withColumn("n_all", F.sum("n").over(wall))
+                .withColumn("nt", F.size(F.collect_set("t").over(wall)))
+                .withColumn("nd", F.size(F.collect_set("d").over(wall))))
+    wt = Window.partitionBy("t")
+    wd = Window.partitionBy("d")
+    cur = tot.withColumn("w", F.col("n"))
+    for axis_w, m in ((wt, "nt"), (wd, "nd"), (wt, "nt"), (wd, "nd")):
+        cur = cur.withColumn(
+            "w", F.col("w") * ((F.col("n_all") / F.col(m))
+                               / F.sum("w").over(axis_w)))
+    return cur.select(F.col("t").alias("event_type"),
+                      F.col("d").alias("isodow"),
+                      F.col("n").cast("long").alias("n_raw"),
+                      F.round("w", 6).alias("weight_total"),
+                      F.round(F.col("w") / F.col("n"), 6)
+                       .alias("weight_per_row"))
+
+
+@op("graph_hierarchy_rollup", oracle="""
+WITH RECURSIVE users AS (
+    SELECT DISTINCT user_id FROM events
+), tree AS (   -- synthetic binary org chart: parent(u) = u // 2
+    SELECT user_id, user_id // 2 AS parent
+    FROM users WHERE user_id > 1
+), chain AS (  -- transitive closure: every (ancestor, descendant) path
+    SELECT parent AS ancestor, user_id AS descendant, 1 AS depth
+    FROM tree
+    UNION ALL
+    SELECT t.parent, c.descendant, c.depth + 1
+    FROM chain c JOIN tree t ON t.user_id = c.ancestor
+), spend AS (
+    SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+           count(*) AS n
+    FROM events GROUP BY user_id
+)
+SELECT c.ancestor,
+       count(DISTINCT c.descendant) AS n_reports,
+       CAST(max(c.depth) AS BIGINT) AS max_depth,
+       CAST(coalesce(SUM(sp.n), 0) AS BIGINT) AS n_events_below,
+       CAST(coalesce(SUM(sp.s), 0) AS DOUBLE) AS value_below
+FROM chain c
+LEFT JOIN spend sp ON sp.user_id = c.descendant
+GROUP BY c.ancestor
+HAVING count(DISTINCT c.descendant) >= 4
+""", tier=3, section="2.3")
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup over a transitive closure — the org-chart /
+    bill-of-materials query: for every ancestor, the size and depth of
+    its subtree and the metrics aggregated over ALL descendants (not
+    just direct children). The hierarchy is synthetic (parent = id//2, a
+    documented demo tree like the geo placement) but the query shape is
+    the real one.
+
+    Spark has no recursive CTE, and the scale answer is NOT a driver
+    loop to a fixpoint: a binary tree over ~n users is log2(n) deep, so
+    the closure unrolls into a FIXED number of self-joins — here depth
+    doubling (closure_k+1 = closure_k ∪ closure_k ∘ closure_k), reaching
+    depth 2^4 = 16 (covers 2^16 = 65k users — every test sf) in 4
+    joins; the DuckDB oracle is a genuinely independent recursive CTE. Each
+    doubling round is a hash join on the frontier key, partitioned —
+    the pagerank/k-means unrolled-iteration discipline applied to
+    reachability.
+    """
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    tree = (users.filter(F.col("user_id") > 1)
+                 .select("user_id",
+                         F.floor(F.col("user_id") / 2).cast("long")
+                          .alias("parent")))
+    # depth-doubling closure: start with direct edges (depth 1)
+    closure = tree.select(F.col("parent").alias("ancestor"),
+                          F.col("user_id").alias("descendant"),
+                          F.lit(1).alias("depth"))
+    for _ in range(4):  # doubles max depth: 1 -> 2 -> 4 -> 8 -> 16
+        a = closure.select(F.col("ancestor"),
+                           F.col("descendant").alias("_mid"),
+                           F.col("depth").alias("_d1"))
+        b = closure.select(F.col("ancestor").alias("_mid"),
+                           F.col("descendant"),
+                           F.col("depth").alias("_d2"))
+        comp = a.join(b, "_mid").select(
+            "ancestor", "descendant",
+            (F.col("_d1") + F.col("_d2")).alias("depth"))
+        closure = (closure.unionAll(comp)
+                          .groupBy("ancestor", "descendant")
+                          .agg(F.min("depth").alias("depth")))
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"))
+    return (closure
+            .join(spend, closure.descendant == spend.user_id, "left")
+            .groupBy("ancestor")
+            .agg(F.countDistinct("descendant").alias("n_reports"),
+                 F.max("depth").cast("long").alias("max_depth"),
+                 F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                  .alias("n_events_below"),
+                 F.coalesce(F.sum("s"), F.lit(0)).cast("double")
+                  .alias("value_below"))
+            .filter(F.col("n_reports") >= 4))
