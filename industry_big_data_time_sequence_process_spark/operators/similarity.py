@@ -1846,3 +1846,137 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(d_orig, 6).alias("d_orig"),
                      F.round(d_proj, 6).alias("d_proj"),
                      F.round(d_proj / d_orig, 6).alias("ratio")))
+
+
+#: MMR re-ranking: lambda weight, candidate depth, picks.
+_MMR_L, _MMR_1L = 0.7, 0.3
+_MMR_DEPTH = 20
+_MMR_K = 5
+_MMR_NQ = 4      # queries = vec_id < 4
+
+
+def _duck_mmr_step(step: int) -> str:
+    """One greedy MMR pick as a DuckDB CTE: among candidates not yet
+    picked, maximize 0.7*sim(q,d) - 0.3*max(sim(d, picked))."""
+    prev = " UNION ALL ".join(f"SELECT q, d FROM p{i}"
+                              for i in range(1, step))
+    return f"""
+p{step} AS (
+    SELECT q, d, score, {step} AS k FROM (
+        SELECT c.q, c.d,
+               {_MMR_L} * c.simq - {_MMR_1L} * max(dd.sim) AS score,
+               row_number() OVER (
+                   PARTITION BY c.q
+                   ORDER BY {_MMR_L} * c.simq - {_MMR_1L} * max(dd.sim)
+                            DESC, c.d) AS rn
+        FROM cand c
+        JOIN ({prev}) sel ON sel.q = c.q
+        JOIN dd ON dd.q = c.q AND dd.d1 = c.d AND dd.d2 = sel.d
+        WHERE c.d NOT IN (SELECT d FROM ({prev}) x WHERE x.q = c.q)
+        GROUP BY c.q, c.d, c.simq
+    ) WHERE rn = 1
+)"""
+
+
+@op("sim_mmr_diversify", oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q, embedding FROM embeddings
+    WHERE vec_id < {_MMR_NQ}
+), cand AS (
+    SELECT q, d, simq FROM (
+        SELECT q.q, c.vec_id AS d,
+               {_duck_cos('q.embedding', 'c.embedding')} AS simq,
+               row_number() OVER (
+                   PARTITION BY q.q
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')}
+                            DESC, c.vec_id) AS rn
+        FROM q, embeddings c WHERE c.vec_id <> q.q
+    ) WHERE rn <= {_MMR_DEPTH}
+), dd AS (
+    SELECT a.q, a.d AS d1, b.d AS d2,
+           {_duck_cos('ea.embedding', 'eb.embedding')} AS sim
+    FROM cand a
+    JOIN cand b ON b.q = a.q AND b.d <> a.d
+    JOIN embeddings ea ON ea.vec_id = a.d
+    JOIN embeddings eb ON eb.vec_id = b.d
+), p1 AS (
+    SELECT q, d, simq AS score, 1 AS k FROM (
+        SELECT q, d, simq,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY simq DESC, d) AS rn
+        FROM cand
+    ) WHERE rn = 1
+), {",".join(_duck_mmr_step(i) for i in range(2, _MMR_K + 1))}
+SELECT q AS q_vec_id, k, d AS vec_id, round(score, 6) AS score
+FROM ({" UNION ALL ".join(f"SELECT * FROM p{i}"
+                          for i in range(1, _MMR_K + 1))})
+""", tier=3, section="2.11")
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998, public) — the diversity pass a retrieval stack runs AFTER
+    similarity search: from each query's top-20 cosine candidates,
+    greedily pick 5 maximizing ``0.7·sim(query, d) − 0.3·max sim(d,
+    already-picked)``, so near-duplicate hits stop crowding out
+    coverage. The missing piece between this engine's ANN search and
+    its dedup family.
+
+    The greedy recursion is 5 FIXED steps, so it unrolls into plan
+    depth — every step is a join of the candidate pool against the
+    picks so far plus one per-query row_number, entirely JVM-side (no
+    UDF, no driver loop). All sims come from the shared left-fold
+    cosine, and each step's score is one multiply-subtract over those
+    bit-identical doubles, so both engines pick identical vectors with
+    identical scores (DuckDB oracle: the same 5 chained CTEs).
+
+    Scale shape: candidate generation is the ANN path's job (broadcast
+    queries over the streamed corpus here); MMR itself touches only
+    queries × 20 rows and their 20 × 20 pairwise sims — constant per
+    query, whatever the corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("d"), F.col("embedding").alias("de"))
+    wq = Window.partitionBy("q").orderBy(F.col("simq").desc(), "d")
+    cand = (F.broadcast(q).crossJoin(c)
+             .filter(F.col("q") != F.col("d"))
+             .select("q", "d", _cos(F.col("qe"), F.col("de")).alias("simq"))
+             .withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= _MMR_DEPTH)
+             .select("q", "d", "simq"))
+    ea = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    eb = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    ca = cand.select("q", F.col("d").alias("d1"))
+    cb = cand.select(F.col("q").alias("_q2"), F.col("d").alias("d2"))
+    dd = (ca.join(cb, (F.col("q") == F.col("_q2"))
+                  & (F.col("d1") != F.col("d2")))
+            .join(F.broadcast(ea), "d1").join(F.broadcast(eb), "d2")
+            .select("q", "d1", "d2",
+                    _cos(F.col("e1"), F.col("e2")).alias("sim")))
+    w1 = Window.partitionBy("q").orderBy(F.col("simq").desc(), "d")
+    picks = (cand.withColumn("rn", F.row_number().over(w1))
+                 .filter("rn = 1")
+                 .select("q", "d", F.col("simq").alias("score"),
+                         F.lit(1).alias("k")))
+    for step in range(2, _MMR_K + 1):
+        sel = picks.select("q", F.col("d").alias("_sd"))
+        remaining = cand.join(sel.withColumnRenamed("_sd", "d"),
+                              ["q", "d"], "left_anti")
+        scored = (remaining
+                  .join(sel, "q")
+                  .join(dd, (dd.q == remaining.q) & (dd.d1 == remaining.d)
+                        & (dd.d2 == F.col("_sd")))
+                  .drop(dd.q)
+                  .groupBy("q", "d", "simq")
+                  .agg(F.max("sim").alias("maxsel"))
+                  .select("q", "d",
+                          (_MMR_L * F.col("simq")
+                           - _MMR_1L * F.col("maxsel")).alias("score")))
+        ws = Window.partitionBy("q").orderBy(F.col("score").desc(), "d")
+        nxt = (scored.withColumn("rn", F.row_number().over(ws))
+                     .filter("rn = 1")
+                     .select("q", "d", "score", F.lit(step).alias("k")))
+        picks = picks.unionAll(nxt)
+    return picks.select(F.col("q").alias("q_vec_id"), "k",
+                        F.col("d").alias("vec_id"),
+                        F.round("score", 6).alias("score"))

@@ -72,6 +72,10 @@ OPS = [
     # final-session additions (events / documents)
     "sample_negative_pairs", "sample_split_temporal",
     "graph_neighbor_jaccard", "dedup_lsh_tuning_curve",
+    "text_bm25_retrieval", "sim_hybrid_rrf", "doc_chunk_sliding",
+    "ts_holt_winters", "ts_wavelet_haar", "ts_max_drawdown",
+    "ts_cohort_ltv_curve", "ts_load_duration_curve", "ts_pareto_front",
+    "geo_grid_neighbor_join", "graph_hierarchy_rollup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
