@@ -3860,3 +3860,81 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum("s"), F.lit(0)).cast("double")
                   .alias("value_below"))
             .filter(F.col("n_reports") >= 4))
+
+
+@op("agg_diff_in_diff", oracle="""
+WITH cut AS (
+    SELECT make_timestamp((min(epoch_us(ts)) + max(epoch_us(ts))) // 2)
+        AS mid
+    FROM events
+), labeled AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+               AS grp,
+           CASE WHEN e.ts >= c.mid THEN 'post' ELSE 'pre' END AS period,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events e CROSS JOIN cut c
+), cell AS (
+    SELECT grp, period, count(*) AS n,
+           CAST(SUM(v) AS DOUBLE) / count(*) AS mean_v
+    FROM labeled GROUP BY 1, 2
+)
+SELECT t_post.mean_v - t_pre.mean_v AS treat_delta,
+       c_post.mean_v - c_pre.mean_v AS control_delta,
+       round((t_post.mean_v - t_pre.mean_v)
+             - (c_post.mean_v - c_pre.mean_v), 6) AS did_effect,
+       t_pre.n AS n_treat_pre, t_post.n AS n_treat_post,
+       c_pre.n AS n_control_pre, c_post.n AS n_control_post
+FROM (SELECT * FROM cell WHERE grp = 'treat' AND period = 'pre') t_pre,
+     (SELECT * FROM cell WHERE grp = 'treat' AND period = 'post') t_post,
+     (SELECT * FROM cell WHERE grp = 'control' AND period = 'pre') c_pre,
+     (SELECT * FROM cell WHERE grp = 'control' AND period = 'post') c_post
+""", tier=3, section="2.4")
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental workhorse when
+    you can't randomize: the treatment effect is (treated post−pre
+    change) minus (control post−pre change), cancelling both group-level
+    baseline differences and common time trends. Cohorts here are the
+    deterministic user_id parity split, the period cut is the corpus
+    time midpoint — the 2x2 cell shape is the real estimator.
+
+    One aggregate to the 4-cell grid (decimal-exact sums), then pure
+    cell arithmetic — joins the experiment-analysis family
+    (agg_ab_proportion_test, agg_welch_t_test) with the observational
+    panel-data estimator they hand over to when assignment isn't random.
+    The raw treat/control deltas ship un-rounded for the audit; only the
+    headline effect rounds.
+    """
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(F.floor((F.min(F.unix_micros("ts"))
+                          + F.max(F.unix_micros("ts"))) / 2)
+                  .cast("long").alias("mid"))
+    labeled = (ev.crossJoin(F.broadcast(cut))
+                 .select(F.when(F.col("user_id") % 2 == 0, "treat")
+                          .otherwise("control").alias("grp"),
+                         F.when(F.unix_micros("ts") >= F.col("mid"),
+                                "post").otherwise("pre").alias("period"),
+                         F.col("value").cast("decimal(18,2)").alias("v")))
+    cell = labeled.groupBy("grp", "period").agg(
+        F.count("*").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_v"))
+
+    def pick(g, p, pre):
+        return F.broadcast(cell.filter((F.col("grp") == g)
+                                       & (F.col("period") == p))
+                               .select(F.col("mean_v").alias(f"m_{pre}"),
+                                       F.col("n").alias(f"n_{pre}")))
+
+    j = (pick("treat", "pre", "tpre")
+         .crossJoin(pick("treat", "post", "tpost"))
+         .crossJoin(pick("control", "pre", "cpre"))
+         .crossJoin(pick("control", "post", "cpost")))
+    return j.select(
+        (F.col("m_tpost") - F.col("m_tpre")).alias("treat_delta"),
+        (F.col("m_cpost") - F.col("m_cpre")).alias("control_delta"),
+        F.round((F.col("m_tpost") - F.col("m_tpre"))
+                - (F.col("m_cpost") - F.col("m_cpre")), 6)
+         .alias("did_effect"),
+        F.col("n_tpre").alias("n_treat_pre"),
+        F.col("n_tpost").alias("n_treat_post"),
+        F.col("n_cpre").alias("n_control_pre"),
+        F.col("n_cpost").alias("n_control_post"))

@@ -4188,3 +4188,140 @@ def ts_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
                            | (F.col("t_us") > F.col("best_t_before")))
                    .select("event_type", "event_id", "value", "t_us",
                            F.row_number().over(wr).alias("rnk")))
+
+
+#: Granger moment fixed-point grid (products of hourly means ~<=1e5;
+#: 720 rows x 1e14 fits a long with 4 decades of headroom).
+_GR_FX = 1e9
+
+
+@op("ts_granger_lite", oracle=f"""
+WITH hourly AS (
+    SELECT event_type,
+           (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+               // 3600000000 AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS y
+    FROM events GROUP BY 1, 2
+), trip AS (   -- (effect B at t, B at t-1, cause A at t-1), gap-safe joins
+    SELECT a.event_type AS cause, b.event_type AS effect,
+           b.y AS yt, bp.y AS x1, a.y AS x2
+    FROM hourly b
+    JOIN hourly bp ON bp.event_type = b.event_type AND bp.h = b.h - 1
+    JOIN hourly a ON a.h = b.h - 1 AND a.event_type <> b.event_type
+), mom AS (
+    SELECT cause, effect,
+           CAST(count(*) AS DOUBLE) AS n,
+           SUM(CAST(floor(x1 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s1,
+           SUM(CAST(floor(x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s2,
+           SUM(CAST(floor(x1 * x1 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s11,
+           SUM(CAST(floor(x1 * x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s12,
+           SUM(CAST(floor(x2 * x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s22,
+           SUM(CAST(floor(yt * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS sy,
+           SUM(CAST(floor(x1 * yt * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s1y,
+           SUM(CAST(floor(x2 * yt * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s2y,
+           SUM(CAST(floor(yt * yt * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS syy
+    FROM trip GROUP BY 1, 2
+), sol AS (
+    SELECT cause, effect, n, sy, s1y, s2y, syy, s1, s11,
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM mom
+)
+SELECT cause, effect, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n * s11 - s1 * s1 > 0 AND syy - sy * sy / n > 0
+             THEN ((n * s1y - s1 * sy) * (n * s1y - s1 * sy))
+                  / ((n * s11 - s1 * s1) * (n * syy - sy * sy)) END,
+             6) AS r2_base,
+       round(CASE WHEN det <> 0 AND syy - sy * sy / n > 0
+             THEN 1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                             - (det2 / det) * s2y)
+                        / (syy - sy * sy / n) END, 6) AS r2_full
+FROM sol
+""", tier=3, section="2.9")
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag screen between channels: for every ordered
+    pair (cause A, effect B), compare the fit of ``B_t ~ B_{{t-1}}``
+    (r2_base) against ``B_t ~ B_{{t-1}} + A_{{t-1}}`` (r2_full) on the
+    hourly series — a material lift says A's past carries information
+    about B beyond B's own history, the screening version of the
+    Granger causality test (the F-statistic is a monotone function of
+    the same two R²s).
+
+    Everything is closed-form from ONE moment pass per pair, the
+    ``agg_ols_two_feature`` discipline adapted to double-valued
+    features: hourly means are deterministic doubles, so each moment
+    product is floored onto a 1e-9 fixed-point grid BEFORE the sum —
+    integer aggregates, order-invariant, engine-identical — and the
+    Cramer/R² polynomials run over the de-scaled moments identically in
+    both engines. Lags come from gap-safe equi-joins on (channel, h−1),
+    not positional lag(), so missing hours cannot misalign the series.
+    Scale: hourly reduce, one self-join keyed on the hour, one moment
+    aggregate per ordered pair — no iteration, no UDF.
+    """
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    hourly = (ev.crossJoin(F.broadcast(t0))
+                .groupBy("event_type",
+                         F.floor((F.unix_micros("ts") - F.col("t0"))
+                                 / 3_600_000_000).cast("long").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double") / F.count("*")).alias("y")))
+    b = hourly.select(F.col("event_type").alias("effect"),
+                      "h", F.col("y").alias("yt"))
+    bp = hourly.select(F.col("event_type").alias("effect"),
+                       (F.col("h") + 1).alias("h"), F.col("y").alias("x1"))
+    a = hourly.select(F.col("event_type").alias("cause"),
+                      (F.col("h") + 1).alias("h"), F.col("y").alias("x2"))
+    trip = (b.join(bp, ["effect", "h"])
+             .join(a, "h")
+             .filter(F.col("cause") != F.col("effect")))
+
+    def sfx(c):
+        return F.sum(F.floor(c * _GR_FX).cast("long")) / _GR_FX
+
+    x1, x2, yt = F.col("x1"), F.col("x2"), F.col("yt")
+    mom = trip.groupBy("cause", "effect").agg(
+        F.count("*").cast("double").alias("n"),
+        sfx(x1).alias("s1"), sfx(x2).alias("s2"),
+        sfx(x1 * x1).alias("s11"), sfx(x1 * x2).alias("s12"),
+        sfx(x2 * x2).alias("s22"), sfx(yt).alias("sy"),
+        sfx(x1 * yt).alias("s1y"), sfx(x2 * yt).alias("s2y"),
+        sfx(yt * yt).alias("syy"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = (F.col("sy"), F.col("s1y"), F.col("s2y"),
+                         F.col("syy"))
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    var_ok = syy - sy * sy / n > 0
+    r2_base = F.when((n * s11 - s1 * s1 > 0) & var_ok,
+                     ((n * s1y - s1 * sy) * (n * s1y - s1 * sy))
+                     / ((n * s11 - s1 * s1) * (n * syy - sy * sy)))
+    r2_full = F.when((det != 0) & var_ok,
+                     1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                            - (det2 / det) * s2y)
+                           / (syy - sy * sy / n))
+    return mom.select("cause", "effect", n.cast("long").alias("n"),
+                      F.round(r2_base, 6).alias("r2_base"),
+                      F.round(r2_full, 6).alias("r2_full"))
