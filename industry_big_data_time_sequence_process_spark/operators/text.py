@@ -1938,3 +1938,118 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("s") * _CHUNK_STRIDE).alias("start_tok"),
                       F.size(chunk).alias("n_tokens"),
                       F.md5(F.array_join(chunk, " ")).alias("fingerprint")))
+
+
+#: Mini-BPE: number of merge rules learned from the corpus.
+_BPE_MERGES = 5
+_BPE_TOP = 20   # report the segmentation of the top-20 corpus tokens
+
+
+@op("text_bpe_lite", oracle=f"""
+WITH tok AS (
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE len(token) >= 2
+    GROUP BY token
+), pairs AS (    -- adjacent char pairs, weighted by token frequency
+    SELECT pair, SUM(freq) AS w FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(token)),
+                   i -> substr(token, i, 2))) AS pair
+        FROM tok
+    ) GROUP BY pair
+), merges AS (
+    SELECT pair, rnk FROM (
+        SELECT pair, row_number() OVER (ORDER BY w DESC, pair) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {_BPE_MERGES}
+), spaced AS (   -- char-level segmentation: 'a b c ...'
+    SELECT token, freq,
+           array_to_string(list_transform(range(1, len(token) + 1),
+               i -> substr(token, i, 1)), ' ') AS seg
+    FROM tok
+), applied AS (  -- apply the 5 merges in rank order (all occurrences)
+    SELECT s.token, s.freq,
+           replace(replace(replace(replace(replace(s.seg,
+               m1.spair, m1.mpair), m2.spair, m2.mpair),
+               m3.spair, m3.mpair), m4.spair, m4.mpair),
+               m5.spair, m5.mpair) AS seg
+    FROM spaced s,
+         (SELECT substr(pair,1,1) || ' ' || substr(pair,2,1) AS spair,
+                 pair AS mpair FROM merges WHERE rnk = 1) m1,
+         (SELECT substr(pair,1,1) || ' ' || substr(pair,2,1) AS spair,
+                 pair AS mpair FROM merges WHERE rnk = 2) m2,
+         (SELECT substr(pair,1,1) || ' ' || substr(pair,2,1) AS spair,
+                 pair AS mpair FROM merges WHERE rnk = 3) m3,
+         (SELECT substr(pair,1,1) || ' ' || substr(pair,2,1) AS spair,
+                 pair AS mpair FROM merges WHERE rnk = 4) m4,
+         (SELECT substr(pair,1,1) || ' ' || substr(pair,2,1) AS spair,
+                 pair AS mpair FROM merges WHERE rnk = 5) m5
+)
+SELECT token, freq, seg,
+       CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_units,
+       CAST(len(token) AS BIGINT) AS n_chars,
+       rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+    FROM applied
+) WHERE rnk <= {_BPE_TOP}
+""", tier=3, section="2.11")
+def text_bpe_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding, the distributed miniature: LEARN the top-5
+    merge rules from corpus-weighted adjacent-character pair counts,
+    then APPLY them in rank order to segment the vocabulary — the exact
+    train-then-encode shape of production BPE (Sennrich et al. 2016,
+    public), scaled down to one merge round so the whole pipeline stays
+    declarative. Reported: the segmentation and unit count of the
+    top-20 corpus tokens (n_units < n_chars wherever a merge fired —
+    the compression BPE exists for).
+
+    Scale shape: training is ONE weighted aggregate over the (vocab x
+    token-length) char-pair stream — vocabulary-sized, not corpus-sized,
+    because tokens dedup with their frequencies first; application is 5
+    chained ``replace`` calls (a 5-row broadcast of the merge table
+    folded into the expression), narrow per token. Both engines scan
+    replace left-to-right non-overlapping, so segmentations are
+    byte-identical. A production tokenizer iterates the same two steps
+    to 32k merges with the pair counts re-aggregated each round.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = (d.select(F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.length("token") >= 2)
+             .groupBy("token").agg(F.count("*").alias("freq")))
+    pairs = (tok.select(
+                 "freq",
+                 F.explode(F.expr(
+                     "transform(sequence(1, length(token) - 1), "
+                     "i -> substring(token, i, 2))")).alias("pair"))
+                .groupBy("pair").agg(F.sum("freq").alias("w")))
+    wm = Window.orderBy(F.col("w").desc(), "pair")
+    merges = (pairs.withColumn("rnk", F.row_number().over(wm))
+                   .filter(F.col("rnk") <= _BPE_MERGES)
+                   .select("pair", "rnk"))
+    spaced = tok.select(
+        "token", "freq",
+        F.array_join(F.expr(
+            "transform(sequence(1, length(token)), "
+            "i -> substring(token, i, 1))"), " ").alias("seg"))
+    cur = spaced
+    for r in range(1, _BPE_MERGES + 1):
+        m = (merges.filter(F.col("rnk") == r)
+                   .select(F.concat(F.substring("pair", 1, 1), F.lit(" "),
+                                    F.substring("pair", 2, 1))
+                            .alias(f"spair{r}"),
+                           F.col("pair").alias(f"mpair{r}")))
+        cur = (cur.crossJoin(F.broadcast(m))
+                  .withColumn("seg", F.replace(F.col("seg"),
+                                               F.col(f"spair{r}"),
+                                               F.col(f"mpair{r}")))
+                  .drop(f"spair{r}", f"mpair{r}"))
+    wr = Window.orderBy(F.col("freq").desc(), "token")
+    return (cur.withColumn("rnk", F.row_number().over(wr))
+               .filter(F.col("rnk") <= _BPE_TOP)
+               .select("token", "freq", "seg",
+                       F.size(F.split("seg", " ")).cast("long")
+                        .alias("n_units"),
+                       F.length("token").cast("long").alias("n_chars"),
+                       "rnk"))
