@@ -198,3 +198,66 @@ def feat_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n", "n_pos", "n_neg",
         F.round("woe", 6).alias("woe"),
         F.round(F.sum("ivfx").over(wall) / _IV_FX, 6).alias("iv_total"))
+
+
+@op("feat_calibration_ece", oracle="""
+WITH scored AS (   -- pseudo-probability from the bounded value column
+    SELECT least(value / 500.0, 1.0) AS p,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+), binned AS (
+    SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+    FROM scored
+), per AS (
+    SELECT bin, count(*) AS n,
+           CAST(SUM(CAST(floor(p * 1000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000 / count(*) AS avg_p,
+           CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate
+    FROM binned GROUP BY bin
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_all FROM per)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(avg_p, 6) AS avg_score,
+       round(pos_rate, 6) AS pos_rate,
+       round(abs(avg_p - pos_rate), 6) AS gap,
+       round(SUM(CAST(floor(abs(avg_p - pos_rate) * n / t.n_all
+                            * 1000000000) AS BIGINT)) OVER ()
+             / 1000000000, 6) AS ece
+FROM per CROSS JOIN tot t
+""", tier=3, section="2.11")
+def feat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the model-eval staple: bin a score
+    column interpreted as P(positive) into 10 equal-width bins and
+    compare each bin's mean score against its realized positive rate;
+    ECE is the frequency-weighted mean absolute gap. (The score here is
+    the bounded ``value/500`` pseudo-probability against the purchase
+    label — the op's mechanics are what a training pipeline points at
+    its real model scores.)
+
+    Scale: one hash aggregate to 10 bins — map-side combinable, no
+    sort, no percentile pass (equal-WIDTH bins are the standard ECE
+    recipe, unlike the WOE op's equal-height deciles). Determinism:
+    per-bin score sums and the cross-bin ECE sum both ride the 1e-9
+    fixed-point grid; positive rates are exact count ratios.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    binned = ev.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bin"),
+        p.alias("p"), y.alias("y"))
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("p") * 1_000_000_000).cast("long"))
+          .cast("double") / 1_000_000_000 / F.count("*")).alias("avg_p"),
+        (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"))
+    wall = Window.partitionBy()
+    per = per.withColumn("n_all", F.sum("n").over(wall).cast("double"))
+    gap = F.abs(F.col("avg_p") - F.col("pos_rate"))
+    ece_fx = F.floor(gap * F.col("n") / F.col("n_all") * 1_000_000_000) \
+              .cast("long")
+    return per.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        F.round("avg_p", 6).alias("avg_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round(gap, 6).alias("gap"),
+        F.round(F.sum(ece_fx).over(wall) / 1_000_000_000, 6).alias("ece"))

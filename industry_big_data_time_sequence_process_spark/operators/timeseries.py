@@ -4325,3 +4325,78 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select("cause", "effect", n.cast("long").alias("n"),
                       F.round(r2_base, 6).alias("r2_base"),
                       F.round(r2_full, 6).alias("r2_full"))
+
+
+#: Synchrony window: events of two channels within this many seconds.
+_SYNC_TOL_US = 5_000_000
+_SYNC_BUCKET_US = 10_000_000   # bucket = 2x tolerance -> 2-cell probe
+
+
+@op("ts_event_synchrony", oracle=f"""
+WITH pts AS (
+    SELECT event_id, event_type, epoch_us(ts) AS t_us,
+           epoch_us(ts) // {_SYNC_BUCKET_US} AS b
+    FROM events
+), probe AS (   -- each left event probes its own and the next bucket
+    SELECT event_id, event_type, t_us, b + d.d AS b
+    FROM pts, (SELECT unnest([0, 1]) AS d) d
+), hits AS (
+    SELECT p.event_type AS t1, c.event_type AS t2
+    FROM probe p JOIN pts c ON c.b = p.b
+    WHERE p.event_type < c.event_type
+      AND c.t_us >= p.t_us AND c.t_us - p.t_us <= {_SYNC_TOL_US}
+), totals AS (
+    SELECT event_type, count(*) AS n FROM pts GROUP BY 1
+)
+SELECT h.t1, h.t2, count(*) AS n_sync,
+       n1.n AS n1, n2.n AS n2,
+       round(CAST(count(*) AS DOUBLE) / least(n1.n, n2.n), 6)
+           AS sync_rate
+FROM hits h
+JOIN totals n1 ON n1.event_type = h.t1
+JOIN totals n2 ON n2.event_type = h.t2
+GROUP BY h.t1, h.t2, n1.n, n2.n
+""", tier=3, section="2.9")
+def ts_event_synchrony(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process synchrony between channels: how often does an event
+    of type A have a type-B event within the next 5 seconds, per ordered
+    type pair (normalized by the smaller channel's volume) — the
+    co-firing measure behind alarm-correlation and sensor-causality
+    triage in industrial telemetry.
+
+    This is the geo grid-join discipline applied to the TIME axis: snap
+    events to 10 s buckets (2x the tolerance), probe only each event's
+    own and NEXT bucket (a constant 2x narrow fan-out — forward-only
+    because the pair is time-ordered), equi-join on the bucket key and
+    verify the exact µs distance inside colliding buckets. Candidates ~
+    events x local density, never the full |A| x |B| interval join.
+    Pure integer µs arithmetic end to end, so counts are engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select("event_type",
+                    F.unix_micros("ts").alias("t_us"),
+                    F.floor(F.unix_micros("ts") / _SYNC_BUCKET_US)
+                     .cast("long").alias("b"))
+    off = spark.range(1).select(F.explode(
+        F.array(F.lit(0), F.lit(1))).alias("d"))
+    probe = (pts.crossJoin(F.broadcast(off))
+                .select(F.col("event_type").alias("t1"),
+                        F.col("t_us").alias("tu1"),
+                        (F.col("b") + F.col("d")).alias("b")))
+    right = pts.select(F.col("event_type").alias("t2"),
+                       F.col("t_us").alias("tu2"), "b")
+    hits = (probe.join(right, "b")
+                 .filter((F.col("t1") < F.col("t2"))
+                         & (F.col("tu2") >= F.col("tu1"))
+                         & (F.col("tu2") - F.col("tu1") <= _SYNC_TOL_US))
+                 .groupBy("t1", "t2").agg(F.count("*").alias("n_sync")))
+    totals = pts.groupBy("event_type").agg(F.count("*").alias("n"))
+    n1 = F.broadcast(totals.select(F.col("event_type").alias("t1"),
+                                   F.col("n").alias("n1")))
+    n2 = F.broadcast(totals.select(F.col("event_type").alias("t2"),
+                                   F.col("n").alias("n2")))
+    return (hits.join(n1, "t1").join(n2, "t2")
+                .select("t1", "t2", "n_sync", "n1", "n2",
+                        F.round(F.col("n_sync").cast("double")
+                                / F.least("n1", "n2"), 6)
+                         .alias("sync_rate")))
