@@ -4400,3 +4400,158 @@ def ts_event_synchrony(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_sync").cast("double")
                                 / F.least("n1", "n2"), 6)
                          .alias("sync_rate")))
+
+
+@op("ts_oee_report", oracle="""
+WITH span AS (
+    SELECT CAST((max(epoch_us(ts)) - min(epoch_us(ts)))
+                // 3600000000 + 1 AS BIGINT) AS total_hours
+    FROM events
+), per AS (
+    SELECT event_type,
+           count(DISTINCT epoch_us(ts) // 3600000000) AS active_hours,
+           count(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good
+    FROM events GROUP BY event_type
+), best AS (
+    SELECT event_type,
+           max(n_h) AS best_rate
+    FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                 count(*) AS n_h
+          FROM events GROUP BY 1, 2)
+    GROUP BY event_type
+)
+SELECT p.event_type,
+       p.active_hours, s.total_hours, p.n_events, b.best_rate,
+       round(CAST(p.active_hours AS DOUBLE) / s.total_hours, 6)
+           AS availability,
+       round(CAST(p.n_events AS DOUBLE)
+             / (p.active_hours * b.best_rate), 6) AS performance,
+       round(CAST(p.n_good AS DOUBLE) / p.n_events, 6) AS quality,
+       round((CAST(p.active_hours AS DOUBLE) / s.total_hours)
+             * (CAST(p.n_events AS DOUBLE)
+                / (p.active_hours * b.best_rate))
+             * (CAST(p.n_good AS DOUBLE) / p.n_events), 6) AS oee
+FROM per p JOIN best b ON b.event_type = p.event_type
+CROSS JOIN span s
+""", tier=3, section="2.9")
+def ts_oee_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overall Equipment Effectiveness — THE industrial-telemetry KPI
+    (public SMED/TPM literature): per channel, availability (active
+    hours / calendar hours) x performance (actual throughput vs the
+    channel's own best demonstrated hourly rate) x quality (non-error
+    share), and their product, the OEE. Exactly the rollup a plant
+    dashboard runs over machine event streams.
+
+    Three aggregates — hourly activity, event/good counts, best hourly
+    rate — all map-side combinable over the channel key, joined at
+    channel cardinality with the 1-row calendar span broadcast. Every
+    factor is a ratio of exact integers, so the report value-hashes
+    cross-engine with no float discipline needed beyond the final
+    divisions.
+    """
+    ev = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long")
+    span = ev.agg((F.floor((F.max(F.unix_micros("ts"))
+                            - F.min(F.unix_micros("ts")))
+                           / 3_600_000_000) + 1).cast("long")
+                  .alias("total_hours"))
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct(hour).alias("active_hours"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+         .cast("long").alias("n_good"))
+    best = (ev.groupBy("event_type", hour.alias("h"))
+              .agg(F.count("*").alias("n_h"))
+              .groupBy("event_type").agg(F.max("n_h").alias("best_rate")))
+    avail = F.col("active_hours").cast("double") / F.col("total_hours")
+    perf = (F.col("n_events").cast("double")
+            / (F.col("active_hours") * F.col("best_rate")))
+    qual = F.col("n_good").cast("double") / F.col("n_events")
+    return (per.join(F.broadcast(best), "event_type")
+               .crossJoin(F.broadcast(span))
+               .select("event_type", "active_hours", "total_hours",
+                       "n_events", "best_rate",
+                       F.round(avail, 6).alias("availability"),
+                       F.round(perf, 6).alias("performance"),
+                       F.round(qual, 6).alias("quality"),
+                       F.round(avail * perf * qual, 6).alias("oee")))
+
+
+@op("ts_peak_over_threshold", oracle="""
+WITH thr AS (   -- exact P95 order statistic per channel
+    SELECT event_type, value AS u FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ) WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+), exc AS (     -- exceedances y = x - u > 0
+    SELECT e.event_type, t.u,
+           CAST(e.value AS DECIMAL(18,2)) - CAST(t.u AS DECIMAL(18,2))
+               AS y
+    FROM events e JOIN thr t ON t.event_type = e.event_type
+    WHERE e.value > t.u
+), mom AS (
+    SELECT event_type, u, count(*) AS n_exc,
+           CAST(SUM(y) AS DOUBLE) / count(*) AS m,
+           CAST(SUM(y * y) AS DOUBLE) / count(*) AS m2
+    FROM exc GROUP BY event_type, u
+)
+SELECT event_type, u AS threshold, CAST(n_exc AS BIGINT) AS n_exc,
+       round(m, 6) AS mean_excess,
+       round(CASE WHEN m2 - m * m > 0
+             THEN 0.5 * (m * m / (m2 - m * m) - 1) + 1 END, 6)
+           AS gpd_xi_mom,
+       round(CASE WHEN m2 - m * m > 0
+             THEN 0.5 * m * (m * m / (m2 - m * m) + 1) END, 6)
+           AS gpd_sigma_mom
+FROM mom
+""", tier=3, section="2.9")
+def ts_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value analysis per channel: take the
+    exact P95 order statistic as the threshold, and fit a generalized
+    Pareto distribution to the exceedances by the method of moments
+    (Hosking & Wallis 1987, public): ``xi = (m²/var − 1)/2 + 1``,
+    ``sigma = m(m²/var + 1)/2`` — the tail model behind "what does the
+    1-in-10,000-hours spike look like" capacity questions.
+
+    The threshold is a REAL data value (rank selection, no percentile
+    interpolation — the sample_split_temporal discipline), exceedance
+    moments are decimal-exact sums (y and y² stay decimal because the
+    corpus has 2-decimal values), and the MoM formulas are identical
+    IEEE polynomials over those exact moments in both engines. Shape:
+    one per-channel rank window + one aggregate over the ~5% exceedance
+    slice; zero-variance tails emit NULL fits rather than dividing by
+    zero.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    thr = (ev.select("event_type", "value",
+                     F.row_number().over(w).alias("rn"),
+                     F.count("*").over(wc).alias("n"))
+             .filter(F.col("rn")
+                     == F.ceil(0.95 * F.col("n")).cast("long"))
+             .select("event_type", F.col("value").alias("u")))
+    y = (F.col("value").cast("decimal(18,2)")
+         - F.col("u").cast("decimal(18,2)"))
+    exc = (ev.join(F.broadcast(thr), "event_type")
+             .filter(F.col("value") > F.col("u"))
+             .select("event_type", "u", y.alias("y")))
+    mom = exc.groupBy("event_type", "u").agg(
+        F.count("*").alias("n_exc"),
+        (F.sum("y").cast("double") / F.count("*")).alias("m"),
+        (F.sum(F.col("y") * F.col("y")).cast("double")
+         / F.count("*")).alias("m2"))
+    m, m2 = F.col("m"), F.col("m2")
+    var = m2 - m * m
+    xi = F.when(var > 0, 0.5 * (m * m / var - 1) + 1)
+    sigma = F.when(var > 0, 0.5 * m * (m * m / var + 1))
+    return mom.select("event_type", F.col("u").alias("threshold"),
+                      F.col("n_exc").cast("long").alias("n_exc"),
+                      F.round(m, 6).alias("mean_excess"),
+                      F.round(xi, 6).alias("gpd_xi_mom"),
+                      F.round(sigma, 6).alias("gpd_sigma_mom"))
