@@ -47,6 +47,15 @@ GUARDED = [
     "ts_backtest_seasonal_naive",
     # replica means guard empty resamples (HAVING sum(wt)>0)
     "agg_poisson_bootstrap_ci",
+    # final-wave round-4 ops with ratio/threshold denominators: must
+    # complete on the constant-channel / single-event / weekday slices
+    "feat_target_encode", "feat_woe_binning", "feat_calibration_ece",
+    "agg_raking_ipf", "agg_diff_in_diff", "graph_neighbor_jaccard",
+    "graph_hierarchy_rollup", "ts_granger_lite", "ts_dtw_pairs",
+    "ts_holt_winters", "ts_wavelet_haar", "ts_max_drawdown",
+    "ts_cohort_ltv_curve", "ts_load_duration_curve", "ts_pareto_front",
+    "ts_oee_report", "ts_peak_over_threshold", "ts_event_synchrony",
+    "sample_split_temporal", "geo_grid_neighbor_join",
 ]
 
 
@@ -110,7 +119,11 @@ def empty_events_dir(tmp_path_factory):
 EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "ts_ks_two_sample", "agg_ab_proportion_test",
                  "ts_survival_km", "ts_backtest_seasonal_naive",
-                 "ts_downsample_lttb"]
+                 "ts_downsample_lttb",
+                 # final-wave: global order statistics / min(ts) anchors
+                 "sample_split_temporal", "ts_dtw_pairs",
+                 "feat_woe_binning", "ts_wavelet_haar",
+                 "ts_peak_over_threshold"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
