@@ -3938,3 +3938,97 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tpost").alias("n_treat_post"),
         F.col("n_cpre").alias("n_control_pre"),
         F.col("n_cpost").alias("n_control_post"))
+
+
+@op("agg_propensity_stratified", oracle="""
+WITH labeled AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(least(floor(value / 100.0), 4) AS BIGINT) AS band,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), cells AS (
+    SELECT dow, band, count(*) AS n,
+           CAST(SUM(treat) AS DOUBLE) / count(*) AS e
+    FROM labeled GROUP BY dow, band
+), strata AS (
+    SELECT dow, band, ntile(5) OVER (ORDER BY e, dow, band) AS stratum
+    FROM cells
+), joined AS (
+    SELECT s.stratum, l.treat, l.v
+    FROM labeled l JOIN strata s ON s.dow = l.dow AND s.band = l.band
+), per AS (
+    SELECT stratum,
+           CAST(SUM(treat) AS BIGINT) AS n_treat,
+           CAST(count(*) - SUM(treat) AS BIGINT) AS n_control,
+           CAST(SUM(CASE WHEN treat = 1 THEN v END) AS DOUBLE)
+               / SUM(treat) AS mean_t,
+           CAST(SUM(CASE WHEN treat = 0 THEN v END) AS DOUBLE)
+               / (count(*) - SUM(treat)) AS mean_c
+    FROM joined GROUP BY stratum
+), att AS (
+    SELECT SUM(CAST(floor((mean_t - mean_c) * n_treat * 1000000000)
+                    AS BIGINT)) / 1000000000
+               / SUM(n_treat) AS att
+    FROM per
+)
+SELECT p.stratum, p.n_treat, p.n_control,
+       round(p.mean_t, 6) AS mean_treat,
+       round(p.mean_c, 6) AS mean_control,
+       round(p.mean_t - p.mean_c, 6) AS effect,
+       round(a.att, 6) AS att
+FROM per p CROSS JOIN att a
+""", tier=3, section="2.4")
+def agg_propensity_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified treatment effect (Rosenbaum & Rubin 1983,
+    public): estimate each covariate cell's treatment propensity from
+    the data, bin the cells into 5 propensity strata, compare treated
+    vs control means WITHIN each stratum, and weight the per-stratum
+    effects by treated mass into the ATT — the estimator that removes
+    confounding a raw mean comparison keeps, finishing the
+    observational-causal family (agg_diff_in_diff handles the temporal
+    axis; this handles covariate imbalance).
+
+    Scale shape: one aggregate to the (weekday × value-band) cell grid
+    estimates propensities; strata come from ntile over that tiny grid;
+    the fact table is touched twice — once for cells, once joined back
+    to the broadcastable stratum map for the within-stratum means
+    (decimal-exact sums). The ATT weighting rides the 1e-9 fixed-point
+    grid so the cross-stratum sum is an integer aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    iso = F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long")
+    labeled = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treat"),
+        iso.alias("dow"),
+        F.least(F.floor(F.col("value") / 100.0), F.lit(4)).cast("long")
+         .alias("band"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+    cells = labeled.groupBy("dow", "band").agg(
+        F.count("*").alias("n"),
+        (F.sum("treat").cast("double") / F.count("*")).alias("e"))
+    ws = Window.orderBy("e", "dow", "band")
+    strata = cells.select("dow", "band",
+                          F.ntile(5).over(ws).alias("stratum"))
+    joined = labeled.join(F.broadcast(strata), ["dow", "band"])
+    n_treat = F.sum("treat")
+    n_control = F.count("*") - F.sum("treat")
+    per = joined.groupBy("stratum").agg(
+        n_treat.cast("long").alias("n_treat"),
+        n_control.cast("long").alias("n_control"),
+        (F.sum(F.when(F.col("treat") == 1, F.col("v"))).cast("double")
+         / n_treat).alias("mean_t"),
+        (F.sum(F.when(F.col("treat") == 0, F.col("v"))).cast("double")
+         / n_control).alias("mean_c"))
+    wall = Window.partitionBy()
+    att_fx = F.floor((F.col("mean_t") - F.col("mean_c"))
+                     * F.col("n_treat") * 1_000_000_000).cast("long")
+    per = per.withColumn(
+        "att", F.sum(att_fx).over(wall) / 1_000_000_000
+               / F.sum("n_treat").over(wall))
+    return per.select("stratum", "n_treat", "n_control",
+                      F.round("mean_t", 6).alias("mean_treat"),
+                      F.round("mean_c", 6).alias("mean_control"),
+                      F.round(F.col("mean_t") - F.col("mean_c"), 6)
+                       .alias("effect"),
+                      F.round("att", 6).alias("att"))

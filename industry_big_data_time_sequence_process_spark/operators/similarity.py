@@ -1980,3 +1980,119 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picks.select(F.col("q").alias("q_vec_id"), "k",
                         F.col("d").alias("vec_id"),
                         F.round("score", 6).alias("score"))
+
+
+#: log2-discount table for NDCG@5 as LITERALS (1/log2(pos+1), pos=1..5).
+#: Hard-coded so no libm log enters the cross-engine comparison; the
+#: values are the IEEE-nearest doubles of the true constants.
+_NDCG_DISC = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+              0.38685280723454163]
+_NDCG_FX = 1e9   # per-position contributions floored before summing
+
+
+def _duck_ndcg_disc() -> str:
+    return "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
+
+
+@op("sim_jl_ndcg_eval", oracle=f"""
+WITH proj AS (
+    SELECT vec_id, embedding,
+           list_transform(range(0, {_JL_OUT}), j ->
+               list_reduce(list_transform(embedding, (x, i) ->
+                   CAST(x AS DOUBLE)
+                   * {_DUCK_JL_SIGN.format(j="j", i="(i - 1)")}),
+                   (p, q) -> p + q) * {_JL_SCALE}) AS p
+    FROM embeddings
+), truth AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+), approx AS (
+    SELECT q_vec_id, c_vec_id, rnk FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_duck_cos('q.p', 'c.p')} DESC,
+                            c.vec_id) AS rnk
+        FROM proj q, proj c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= 5
+), dcg AS (
+    SELECT a.q_vec_id,
+           SUM(CASE WHEN t.c_vec_id IS NOT NULL THEN
+               CAST(floor({_duck_ndcg_disc()}[a.rnk] * {_NDCG_FX})
+                    AS BIGINT) ELSE 0 END) AS dfx,
+           CAST(count(t.c_vec_id) AS BIGINT) AS n_hit
+    FROM approx a
+    LEFT JOIN truth t ON t.q_vec_id = a.q_vec_id
+                     AND t.c_vec_id = a.c_vec_id
+    GROUP BY a.q_vec_id
+), ideal AS (
+    SELECT CAST(SUM(CAST(floor(d * {_NDCG_FX}) AS BIGINT)) AS BIGINT)
+        AS ifx
+    FROM (SELECT unnest({_duck_ndcg_disc()}) AS d)
+)
+SELECT d.q_vec_id, d.n_hit,
+       round(CAST(d.dfx AS DOUBLE) / i.ifx, 6) AS ndcg5
+FROM dcg d CROSS JOIN ideal i
+""", tier=3, section="2.11")
+def sim_jl_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of retrieval in the Johnson-Lindenstrauss 16-dim space vs
+    the exact 64-dim cosine truth — the RANKED-quality eval that recall
+    can't see (recall counts hits; NDCG penalizes putting them low).
+    Binary relevance against the exact top-5; the log2 position
+    discounts are hard-coded IEEE literals shared by both engines (no
+    libm log crosses the comparison), and per-position contributions
+    floor onto the 1e-9 grid so the DCG sum is an integer aggregate.
+
+    Read with emb_random_projection's distortion audit: distortion says
+    distances survive the projection on average; this says the ORDER a
+    retriever actually serves survives too. The same ship-the-eval
+    discipline as sim_lsh_recall_eval / sim_pq_recall_eval, for the JL
+    compression path.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    proj = F.expr(f"""
+        transform(sequence(0, {_JL_OUT - 1}), j ->
+            aggregate(zip_with(embedding,
+                    element_at({_jl_literal()}, j + 1),
+                    (x, s) -> cast(x AS double) * s),
+                cast(0.0 AS double), (acc, x2) -> acc + x2)
+            * {_JL_SCALE}D)""")
+    p = e.select("vec_id", "embedding", proj.alias("p"))
+
+    def top5(df: DataFrame, col: str) -> DataFrame:
+        q = df.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_vec_id"), F.col(col).alias("qv"))
+        c = df.select(F.col("vec_id").alias("c_vec_id"),
+                      F.col(col).alias("cv"))
+        w = Window.partitionBy("q_vec_id").orderBy(
+            F.col("_s").desc(), "c_vec_id")
+        return (F.broadcast(q).crossJoin(c)
+                 .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+                 .withColumn("_s", _cos(F.col("qv"), F.col("cv")))
+                 .withColumn("rnk", F.row_number().over(w))
+                 .filter("rnk <= 5").select("q_vec_id", "c_vec_id", "rnk"))
+
+    truth = top5(p, "embedding").drop("rnk")
+    approx = top5(p, "p")
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    hit = F.col("t_c").isNotNull()
+    dfx = F.when(hit, F.floor(F.element_at(disc, F.col("rnk"))
+                              * _NDCG_FX).cast("long")).otherwise(F.lit(0))
+    joined = approx.join(
+        truth.select(F.col("q_vec_id").alias("t_q"),
+                     F.col("c_vec_id").alias("t_c")),
+        (F.col("q_vec_id") == F.col("t_q"))
+        & (F.col("c_vec_id") == F.col("t_c")), "left")
+    ifx = sum(int(d * _NDCG_FX) for d in _NDCG_DISC)
+    return (joined.groupBy("q_vec_id")
+                  .agg(F.sum(dfx).alias("dfx"),
+                       F.count(F.col("t_c")).cast("long").alias("n_hit"))
+                  .select("q_vec_id", "n_hit",
+                          F.round(F.col("dfx").cast("double") / ifx, 6)
+                           .alias("ndcg5")))
