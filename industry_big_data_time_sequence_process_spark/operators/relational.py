@@ -4032,3 +4032,79 @@ def agg_propensity_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("mean_t") - F.col("mean_c"), 6)
                        .alias("effect"),
                       F.round("att", 6).alias("att"))
+
+
+@op("agg_association_rules", oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+    FROM lineitem
+), n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+supp AS (
+    SELECT item, count(*) AS s FROM items GROUP BY item
+), pairs AS (
+    SELECT a.item AS ante, b.item AS cons, count(*) AS together
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+    GROUP BY 1, 2
+)
+, joined AS (
+    SELECT p.ante, p.cons, p.together, sa.s AS sa, sc.s AS sc, n.n
+    FROM pairs p
+    JOIN supp sa ON sa.item = p.ante
+    JOIN supp sc ON sc.item = p.cons
+    CROSS JOIN n_orders n
+    WHERE CAST(p.together AS DOUBLE) / sa.s >= 0.05 AND p.together >= 10
+)
+SELECT ante, cons, together,
+       round(CAST(together AS DOUBLE) / n, 6) AS support,
+       round(CAST(together AS DOUBLE) / sa, 6) AS confidence,
+       round(CAST(together AS DOUBLE) * n
+             / (CAST(sa AS DOUBLE) * sc), 6) AS lift,
+       row_number() OVER (ORDER BY CAST(together AS DOUBLE) / sa DESC,
+                          ante, cons) AS rnk
+FROM joined
+""", tier=3, section="2.4")
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from 2-item co-occurrence: for each DIRECTED
+    pair (antecedent → consequent), support, confidence
+    P(cons|ante) and lift, filtered to confidence ≥ 0.05 with minimum
+    absolute support — the Apriori output shape for k=2 (the step after
+    join_market_basket's undirected lift ranking: rules are directional,
+    which is what a recommender acts on).
+
+    The confidence threshold IS the Apriori pruning: at 100 TB the same
+    support aggregate feeds the candidate cut before any wider join.
+    Dedup to the incidence list first (fan-out bounded by basket size),
+    one pair aggregate, supports broadcast back. Counts and ratios are
+    exact integers/single divisions — engine-identical.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey",
+                      (F.col("l_partkey") % 100).alias("item")).distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    supp = items.groupBy("item").agg(F.count("*").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.item") != F.col("b.item")))
+              .groupBy(F.col("a.item").alias("ante"),
+                       F.col("b.item").alias("cons"))
+              .agg(F.count("*").alias("together")))
+    sa = F.broadcast(supp.select(F.col("item").alias("ante"),
+                                 F.col("s").alias("sa")))
+    sc = F.broadcast(supp.select(F.col("item").alias("cons"),
+                                 F.col("s").alias("sc")))
+    conf = F.col("together").cast("double") / F.col("sa")
+    out = (pairs.join(sa, "ante").join(sc, "cons")
+                .crossJoin(F.broadcast(n_orders))
+                .filter((conf >= 0.05) & (F.col("together") >= 10)))
+    w = Window.orderBy(conf.desc(), "ante", "cons")
+    return out.select(
+        "ante", "cons", "together",
+        F.round(F.col("together").cast("double") / F.col("n"), 6)
+         .alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(F.col("together").cast("double") * F.col("n")
+                / (F.col("sa").cast("double") * F.col("sc")), 6)
+         .alias("lift"),
+        F.row_number().over(w).alias("rnk"))
