@@ -340,3 +340,91 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.min("ts").alias("min_ts"),
                         F.max("ts").alias("max_ts"))
                    .crossJoin(F.broadcast(shared)))
+
+
+#: Block-bootstrap replicas (deterministic md5 draws, like every sampler
+#: here: no rand(), identical picks in both engines and across runs).
+_BB_REPLICAS = 8
+
+
+@op("sample_bootstrap_block", oracle=f"""
+WITH blocks AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS bid,
+           s, n
+    FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s,
+               count(*) AS n
+        FROM events GROUP BY 1
+    )
+), k AS (SELECT count(*) AS k FROM blocks),
+draws AS (   -- replica r re-draws K blocks: slot s picks hash(r:s) % K
+    SELECT r.r, b.bid AS slot,
+           ('0x' || substr(md5('bb:' || r.r || ':' || b.bid), 1, 8))
+               ::BIGINT % k.k AS pick
+    FROM (SELECT unnest(range({_BB_REPLICAS})) AS r) r,
+         blocks b, k
+), rep AS (
+    SELECT d.r AS replica,
+           round(CAST(SUM(b.s) AS DOUBLE) / SUM(b.n), 6) AS mean_value,
+           CAST(SUM(b.n) AS BIGINT) AS n_rows
+    FROM draws d JOIN blocks b ON b.bid = d.pick
+    GROUP BY d.r
+)
+SELECT replica, mean_value, n_rows,
+       (SELECT mean_value FROM rep ORDER BY mean_value, replica
+        LIMIT 1 OFFSET 1) AS ci_lo,
+       (SELECT mean_value FROM rep ORDER BY mean_value DESC, replica
+        LIMIT 1 OFFSET 1) AS ci_hi
+FROM rep
+""", tier=3, section="2.11")
+def sample_bootstrap_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-block bootstrap for time series (Künsch 1989, public):
+    resample whole DAYS (with replacement, deterministic md5 draws) so
+    within-day autocorrelation survives the resample — the row-level
+    Poisson bootstrap (agg_poisson_bootstrap_ci) is wrong for
+    autocorrelated series because it destroys the dependence structure;
+    this is the estimator that respects it. 8 replicas of the global
+    mean, with the 2nd-smallest / 2nd-largest replica means as the
+    ~75% CI band.
+
+    Scale shape: the fact table reduces ONCE to day blocks
+    (decimal-exact sums); replicas are a tiny (replicas × days) draw
+    grid joined back to block stats — resampling never touches raw
+    rows, which is the only way a bootstrap survives 100 TB. Every draw
+    is hash-deterministic, so the whole estimator value-hashes.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"))
+    wb = Window.orderBy("d")
+    blocks = daily.select(
+        (F.row_number().over(wb) - 1).cast("long").alias("bid"), "s", "n")
+    k = blocks.agg(F.count("*").alias("k"))
+    reps = spark.range(_BB_REPLICAS).select(F.col("id").alias("r"))
+    pick = _h32(F.concat(F.lit("bb:"), F.col("r"), F.lit(":"),
+                         F.col("slot"))) % F.col("k")
+    draws = (reps.crossJoin(blocks.select(F.col("bid").alias("slot")))
+                 .crossJoin(F.broadcast(k))
+                 .select("r", "slot", pick.alias("pick")))
+    rep = (draws.join(blocks, draws.pick == blocks.bid)
+                .groupBy("r")
+                .agg(F.round(F.sum("s").cast("double") / F.sum("n"), 6)
+                      .alias("mean_value"),
+                     F.sum("n").cast("long").alias("n_rows"))
+                .select(F.col("r").alias("replica"), "mean_value",
+                        "n_rows"))
+    wlo = Window.orderBy("mean_value", "replica")
+    whi = Window.orderBy(F.col("mean_value").desc(), "replica")
+    ranked = (rep.withColumn("_rl", F.row_number().over(wlo))
+                 .withColumn("_rh", F.row_number().over(whi)))
+    wall = Window.partitionBy()
+    return (ranked
+            .withColumn("ci_lo", F.max(F.when(F.col("_rl") == 2,
+                                              F.col("mean_value")))
+                                  .over(wall))
+            .withColumn("ci_hi", F.max(F.when(F.col("_rh") == 2,
+                                              F.col("mean_value")))
+                                  .over(wall))
+            .select("replica", "mean_value", "n_rows", "ci_lo", "ci_hi"))

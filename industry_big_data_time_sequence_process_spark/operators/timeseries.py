@@ -4555,3 +4555,60 @@ def ts_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(m, 6).alias("mean_excess"),
                       F.round(xi, 6).alias("gpd_xi_mom"),
                       F.round(sigma, 6).alias("gpd_sigma_mom"))
+
+
+@op("dq_volume_anomaly", oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events GROUP BY 1, 2
+), scored AS (
+    SELECT event_type, d, n,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_sum,
+           count(*) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_n
+    FROM daily
+)
+SELECT event_type, d, CAST(n AS BIGINT) AS n,
+       round(CAST(trail_sum AS DOUBLE) / trail_n, 6) AS expected,
+       round((n - CAST(trail_sum AS DOUBLE) / trail_n)
+             / sqrt(CAST(trail_sum AS DOUBLE) / trail_n), 6) AS z,
+       CASE WHEN abs((n - CAST(trail_sum AS DOUBLE) / trail_n)
+                 / sqrt(CAST(trail_sum AS DOUBLE) / trail_n)) > 3
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+WHERE trail_n >= 3
+""", tier=3, section="2.9")
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-volume monitoring — the data-quality alarm every
+    ingestion owner runs first: each channel's daily row count scored
+    against its trailing 7-day mean under a Poisson model
+    (z = (n − λ)/√λ), |z| > 3 flagged. Catches the silent
+    upstream-stopped-sending and the double-delivery duplicate surge
+    that value-level checks miss entirely.
+
+    One daily aggregate, one trailing window per channel (counts are
+    exact longs; the trailing sum is an integer window — the mean and
+    √λ are the only doubles, identical in both engines). Days with
+    under 3 history days are excluded rather than scored against noise.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")) \
+              .agg(F.count("*").alias("n"))
+    w = (Window.partitionBy("event_type").orderBy("d")
+               .rowsBetween(-7, -1))
+    scored = daily.select(
+        "event_type", "d", "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"))
+    lam = F.col("trail_sum").cast("double") / F.col("trail_n")
+    z = (F.col("n") - lam) / F.sqrt(lam)
+    return (scored.filter(F.col("trail_n") >= 3)
+                  .select("event_type", "d",
+                          F.col("n").cast("long").alias("n"),
+                          F.round(lam, 6).alias("expected"),
+                          F.round(z, 6).alias("z"),
+                          F.when(F.abs(z) > 3, 1).otherwise(0)
+                           .alias("is_anomaly")))
