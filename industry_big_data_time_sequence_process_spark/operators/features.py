@@ -261,3 +261,82 @@ def feat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pos_rate", 6).alias("pos_rate"),
         F.round(gap, 6).alias("gap"),
         F.round(F.sum(ece_fx).over(wall) / 1_000_000_000, 6).alias("ece"))
+
+
+@op("feat_time_split_encode", oracle=f"""
+WITH e AS (
+    SELECT event_type, value, ts,
+           row_number() OVER (ORDER BY ts, event_id) AS rn,
+           count(*) OVER () AS n
+    FROM events
+), cut AS (
+    SELECT ts AS cutoff FROM e WHERE rn = CAST(floor(0.8 * n) AS BIGINT)
+), train AS (
+    SELECT event_type, count(*) AS n_train,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s_train
+    FROM e CROSS JOIN cut WHERE e.ts <= cutoff GROUP BY event_type
+), gtrain AS (
+    SELECT CAST(SUM(s_train) AS DOUBLE) / SUM(n_train) AS gmean FROM train
+), full_enc AS (
+    SELECT event_type, count(*) AS n_full,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s_full
+    FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.n_train, f.n_full,
+       round((CAST(t.s_train AS DOUBLE) + {_TE_PRIOR_M} * g.gmean)
+             / (t.n_train + {_TE_PRIOR_M}), 6) AS encoded_train_only,
+       round((CAST(f.s_full AS DOUBLE) + {_TE_PRIOR_M} * g.gmean)
+             / (f.n_full + {_TE_PRIOR_M}), 6) AS encoded_leaky,
+       round((CAST(f.s_full AS DOUBLE) + {_TE_PRIOR_M} * g.gmean)
+             / (f.n_full + {_TE_PRIOR_M})
+             - (CAST(t.s_train AS DOUBLE) + {_TE_PRIOR_M} * g.gmean)
+             / (t.n_train + {_TE_PRIOR_M}), 6) AS leakage_bias
+FROM train t
+JOIN full_enc f ON f.event_type = t.event_type
+CROSS JOIN gtrain g
+""", tier=3, section="2.11")
+def feat_time_split_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding: the encoding table a model may
+    legally see is computed from the TRAIN period only (the same exact
+    order-statistic 80% cutoff as sample_split_temporal), side-by-side
+    with the leaky full-data encoding and their difference — the
+    leakage_bias column makes the train-serving skew VISIBLE instead of
+    silently inflating offline metrics. Closes the loop between
+    feat_target_encode (the encoder) and sample_split_temporal (the
+    split): this is how the two must be composed in a real pipeline.
+
+    Shape: one cutoff order statistic (broadcast), two category-sized
+    aggregates (train-slice and full), a 1-row train global mean —
+    decimal-exact sums everywhere, the same m=20 shrinkage as the
+    parent encoder.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    e = ev.select("event_type", "value", "ts",
+                  F.row_number().over(w).alias("rn"),
+                  F.count("*").over(Window.partitionBy()).alias("n"))
+    cut = (e.filter(F.col("rn") == F.floor(0.8 * F.col("n")).cast("long"))
+            .select(F.col("ts").alias("cutoff")))
+    train = (ev.crossJoin(F.broadcast(cut))
+               .filter(F.col("ts") <= F.col("cutoff"))
+               .groupBy("event_type")
+               .agg(F.count("*").alias("n_train"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("s_train")))
+    gtrain = train.agg((F.sum("s_train").cast("double")
+                        / F.sum("n_train")).alias("gmean"))
+    full_enc = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_full"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s_full"))
+    enc_t = ((F.col("s_train").cast("double")
+              + _TE_PRIOR_M * F.col("gmean"))
+             / (F.col("n_train") + _TE_PRIOR_M))
+    enc_f = ((F.col("s_full").cast("double")
+              + _TE_PRIOR_M * F.col("gmean"))
+             / (F.col("n_full") + _TE_PRIOR_M))
+    return (train.join(full_enc, "event_type")
+                 .crossJoin(F.broadcast(gtrain))
+                 .select("event_type", "n_train", "n_full",
+                         F.round(enc_t, 6).alias("encoded_train_only"),
+                         F.round(enc_f, 6).alias("encoded_leaky"),
+                         F.round(enc_f - enc_t, 6).alias("leakage_bias")))

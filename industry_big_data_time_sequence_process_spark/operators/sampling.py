@@ -428,3 +428,74 @@ def sample_bootstrap_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               F.col("mean_value")))
                                   .over(wall))
             .select("replica", "mean_value", "n_rows", "ci_lo", "ci_hi"))
+
+
+@op("sample_neyman_allocation", oracle="""
+WITH strata AS (
+    SELECT event_type,
+           count(*) AS nh,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS m,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS m2
+    FROM events GROUP BY event_type
+), sized AS (
+    SELECT event_type, nh, m,
+           sqrt(greatest(m2 - m * m, 0)
+                * nh / greatest(nh - 1, 1)) AS sh
+    FROM strata
+), tot AS (
+    SELECT SUM(CAST(floor(nh * sh * 1000000) AS BIGINT)) / 1000000
+        AS denom
+    FROM sized
+)
+SELECT s.event_type, CAST(s.nh AS BIGINT) AS stratum_size,
+       round(s.sh, 6) AS stratum_std,
+       round(s.nh * s.sh / t.denom, 6) AS alloc_share,
+       CAST(floor(1000 * s.nh * s.sh / t.denom) AS BIGINT)
+           AS alloc_of_1000,
+       round(CAST(s.nh AS DOUBLE)
+             / (SELECT SUM(nh) FROM sized), 6) AS proportional_share
+FROM sized s CROSS JOIN tot t
+""", tier=3, section="2.11")
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934,
+    public): for a fixed labeling/audit budget (1000 rows here), each
+    stratum gets ``n_h ∝ N_h·S_h`` — more budget where the stratum is
+    big AND internally variable — minimizing the variance of the
+    estimated mean. Shown against the naive proportional share so the
+    reallocation is visible (high-variance strata take budget from
+    homogeneous ones).
+
+    One moment aggregate per stratum (decimal-exact Σv, Σv²; the
+    Bessel-corrected std is one sqrt over exact operands); the N_h·S_h
+    normalizer crosses strata on the 1e-6 fixed-point grid. This op is
+    what decides HOW MANY rows per slice the human-eval/QA samplers
+    (sample_stratified etc.) should draw.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    strata = ev.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        (F.sum(v).cast("double") / F.count("*")).alias("m"),
+        (F.sum(v * v).cast("double") / F.count("*")).alias("m2"))
+    sh = F.sqrt(F.greatest(F.col("m2") - F.col("m") * F.col("m"),
+                           F.lit(0.0))
+                * F.col("nh") / F.greatest(F.col("nh") - 1, F.lit(1)))
+    sized = strata.select("event_type", "nh", "m", sh.alias("sh"))
+    wall = Window.partitionBy()
+    denom = (F.sum(F.floor(F.col("nh") * F.col("sh") * 1_000_000)
+                    .cast("long")).over(wall) / 1_000_000)
+    share = F.col("nh") * F.col("sh") / F.col("denom")
+    return (sized.withColumn("denom", denom)
+                 .withColumn("n_all", F.sum("nh").over(wall))
+                 .select("event_type",
+                         F.col("nh").cast("long").alias("stratum_size"),
+                         F.round("sh", 6).alias("stratum_std"),
+                         F.round(share, 6).alias("alloc_share"),
+                         F.floor(1000 * share).cast("long")
+                          .alias("alloc_of_1000"),
+                         F.round(F.col("nh").cast("double")
+                                 / F.col("n_all"), 6)
+                          .alias("proportional_share")))
