@@ -4108,3 +4108,77 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa").cast("double") * F.col("sc")), 6)
          .alias("lift"),
         F.row_number().over(w).alias("rnk"))
+
+
+@op("dq_referential_integrity", oracle="""
+WITH checks AS (
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphan
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+)
+SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       round(CAST(n_orphan AS DOUBLE) / n_child, 6) AS orphan_rate
+FROM checks
+""", tier=3, section="2.3")
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's four foreign
+    keys: child count, orphan count (children whose parent key does not
+    exist) and orphan rate per relationship — the join-quality check
+    that must run BEFORE any fact-dimension join is trusted, because a
+    silently growing orphan rate turns inner joins into row loss.
+
+    Each check is one LEFT ANTI join counted — the parent side is
+    dimension-sized (broadcast); the child side streams. Four checks
+    union into one report. On this corpus every rate is 0.0 — the value
+    the oracle pins; on a real lake this op is the canary.
+    """
+    def check(child: DataFrame, ckey: str, parent: DataFrame,
+              pkey: str, name: str) -> DataFrame:
+        # fully lazy: no driver-side .count() at plan-build time (the
+        # io.py tripwire lesson — nothing eager on the queries() path)
+        tot = child.agg(F.count("*").cast("long").alias("n_child"))
+        orph = (child.join(
+                    F.broadcast(parent.select(F.col(pkey).alias(ckey))),
+                    ckey, "left_anti")
+                .agg(F.count("*").cast("long").alias("n_orphan")))
+        return (tot.crossJoin(F.broadcast(orph))
+                   .select(F.lit(name).alias("fk"), "n_child", "n_orphan",
+                           F.round(F.col("n_orphan").cast("double")
+                                   / F.col("n_child"), 6)
+                            .alias("orphan_rate")))
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (check(li, "l_orderkey", o, "o_orderkey",
+                  "lineitem.l_orderkey -> orders")
+            .unionAll(check(o, "o_custkey", c, "c_custkey",
+                            "orders.o_custkey -> customer"))
+            .unionAll(check(c, "c_nationkey", n, "n_nationkey",
+                            "customer.c_nationkey -> nation"))
+            .unionAll(check(s, "s_nationkey", n, "n_nationkey",
+                            "supplier.s_nationkey -> nation")))

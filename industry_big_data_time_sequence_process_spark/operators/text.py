@@ -2053,3 +2053,84 @@ def text_bpe_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_units"),
                        F.length("token").cast("long").alias("n_chars"),
                        "rnk"))
+
+
+@op("text_lang_confusion", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), lang_top AS (
+    SELECT lang, token FROM (
+        SELECT d.lang, t.token,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY count(*) DESC, t.token) AS rnk
+        FROM tok t JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.token
+    ) WHERE rnk <= 10
+), scored AS (
+    SELECT t.doc_id, lt.lang AS cand, count(*) AS matches
+    FROM tok t JOIN lang_top lt USING (token)
+    GROUP BY 1, 2
+), pred AS (
+    SELECT doc_id, cand FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY matches DESC, cand) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+), cm AS (
+    SELECT d.lang AS true_lang,
+           coalesce(p.cand, '?') AS pred_lang,
+           count(*) AS n
+    FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY true_lang), 6) AS row_share,
+       round(CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+                  OVER () AS DOUBLE) / SUM(n) OVER (), 6) AS accuracy
+FROM cm
+""", tier=3, section="2.11")
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy for the token-profile language
+    classifier (``text_lang_id``) against the labeled ``lang`` column —
+    the eval that turns a heuristic into a measured component: per
+    (true, predicted) cell count, row-normalized share, and overall
+    accuracy. Unclassifiable docs (no profile hit) land in the '?'
+    column instead of vanishing.
+
+    Same training/classification plan as the classifier (profile table
+    broadcast, one aggregation over tokens); the confusion matrix is a
+    (langs+1)² aggregate on top. The ship-the-eval discipline the
+    similarity family established, applied to the text family.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    lang_top = (tok.join(d.select("doc_id", "lang"), "doc_id")
+                   .groupBy("lang", "token").agg(F.count("*").alias("n"))
+                   .withColumn("rnk", F.row_number().over(w_prof))
+                   .filter("rnk <= 10").select("lang", "token"))
+    scored = (tok.join(F.broadcast(
+                    lang_top.withColumnRenamed("lang", "cand")), "token")
+                 .groupBy("doc_id", "cand")
+                 .agg(F.count("*").alias("matches")))
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.col("matches").desc(), "cand")
+    pred = (scored.withColumn("rnk", F.row_number().over(w_pred))
+                  .filter("rnk = 1").select("doc_id", "cand"))
+    cm = (d.join(pred, "doc_id", "left")
+           .groupBy(F.col("lang").alias("true_lang"),
+                    F.coalesce(F.col("cand"), F.lit("?"))
+                     .alias("pred_lang"))
+           .agg(F.count("*").alias("n")))
+    wrow = Window.partitionBy("true_lang")
+    wall = Window.partitionBy()
+    correct = F.sum(F.when(F.col("true_lang") == F.col("pred_lang"),
+                           F.col("n")).otherwise(0)).over(wall)
+    return cm.select(
+        "true_lang", "pred_lang", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6)
+         .alias("row_share"),
+        F.round(correct.cast("double") / F.sum("n").over(wall), 6)
+         .alias("accuracy"))

@@ -4612,3 +4612,69 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(z, 6).alias("z"),
                           F.when(F.abs(z) > 3, 1).otherwise(0)
                            .alias("is_anomaly")))
+
+
+@op("ts_anomaly_seasonal_mad", oracle="""
+WITH base AS (
+    SELECT event_id, event_type, value,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hod
+    FROM events
+), season AS (   -- hour-of-day median per channel: the seasonal profile
+    SELECT event_type, hod,
+           median(value) AS med
+    FROM base GROUP BY 1, 2
+), resid AS (
+    SELECT b.event_id, b.event_type, b.value,
+           b.value - s.med AS r
+    FROM base b JOIN season s
+      ON s.event_type = b.event_type AND s.hod = b.hod
+), mad AS (
+    SELECT event_type,
+           median(abs(r - med_r)) AS mad_r, any_value(med_r) AS med_r
+    FROM (SELECT event_type, r,
+                 median(r) OVER (PARTITION BY event_type) AS med_r
+          FROM resid)
+    GROUP BY event_type
+)
+SELECT r.event_type, r.event_id, r.value,
+       round(r.r, 6) AS residual,
+       round((r.r - m.med_r) / (1.4826 * m.mad_r), 6) AS score
+FROM resid r JOIN mad m ON m.event_type = r.event_type
+WHERE m.mad_r > 0
+  AND abs((r.r - m.med_r) / (1.4826 * m.mad_r)) > 3.5
+""", tier=3, section="2.9")
+def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-robust anomaly detection (the S-H-ESD recipe reduced to
+    its core, public Twitter AnomalyDetection lineage): subtract each
+    channel's HOUR-OF-DAY MEDIAN profile, then flag residuals beyond
+    3.5 robust z (median/MAD with the 1.4826 consistency constant) —
+    robust versions of both steps, so a daily rhythm is not mistaken
+    for anomaly and the anomalies themselves cannot poison the
+    baseline (the two failure modes of plain ts_anomaly_zscore).
+
+    Medians are exact order statistics (both engines interpolate the
+    even-count midpoint identically on these 2-decimal values); the
+    profile and MAD tables are (channel x 24)- and channel-sized
+    broadcasts back onto the streamed facts — two aggregates plus one
+    per-channel median window, no iteration.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value",
+                     F.hour("ts").cast("long").alias("hod"))
+    season = base.groupBy("event_type", "hod").agg(
+        F.expr("median(value)").alias("med"))
+    resid = (base.join(F.broadcast(season), ["event_type", "hod"])
+                 .select("event_id", "event_type", "value",
+                         (F.col("value") - F.col("med")).alias("r")))
+    wmed = Window.partitionBy("event_type")
+    withmed = resid.withColumn("med_r", F.expr("median(r)").over(wmed))
+    mad = (withmed.groupBy("event_type")
+                  .agg(F.expr("median(abs(r - med_r))").alias("mad_r"),
+                       F.first("med_r").alias("med_r")))
+    score = ((F.col("r") - F.col("med_r"))
+             / (1.4826 * F.col("mad_r")))
+    return (resid.join(F.broadcast(mad), "event_type")
+                 .filter((F.col("mad_r") > 0) & (F.abs(score) > 3.5))
+                 .select("event_type", "event_id", "value",
+                         F.round("r", 6).alias("residual"),
+                         F.round(score, 6).alias("score")))
