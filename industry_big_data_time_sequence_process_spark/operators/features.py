@@ -340,3 +340,150 @@ def feat_time_split_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(enc_t, 6).alias("encoded_train_only"),
                          F.round(enc_f, 6).alias("encoded_leaky"),
                          F.round(enc_f - enc_t, 6).alias("leakage_bias")))
+
+
+@op("feat_psi_drift", oracle="""
+WITH e AS (
+    SELECT value, ts,
+           row_number() OVER (ORDER BY ts, event_id) AS rn,
+           count(*) OVER () AS n
+    FROM events
+), cut AS (
+    SELECT ts AS cutoff FROM e WHERE rn = CAST(floor(0.8 * n) AS BIGINT)
+), binned AS (
+    SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+           CASE WHEN e.ts <= c.cutoff THEN 1 ELSE 0 END AS is_ref
+    FROM e CROSS JOIN cut c
+), per AS (
+    SELECT bin,
+           CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+           CAST(count(*) - SUM(is_ref) AS BIGINT) AS n_cur
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT CAST(SUM(n_ref) AS DOUBLE) AS r_tot,
+           CAST(SUM(n_cur) AS DOUBLE) AS c_tot
+    FROM per
+), scored AS (
+    SELECT bin, n_ref, n_cur,
+           n_ref / t.r_tot AS p_ref,
+           n_cur / t.c_tot AS p_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST(floor((n_cur / t.c_tot - n_ref / t.r_tot)
+                    * ln((n_cur / t.c_tot) / (n_ref / t.r_tot))
+                    * 1000000000) AS BIGINT) ELSE 0 END AS psifx
+    FROM per CROSS JOIN tot t
+)
+SELECT bin, n_ref, n_cur,
+       round(p_ref, 6) AS p_ref,
+       round(p_cur, 6) AS p_cur,
+       round(SUM(psifx) OVER () / 1000000000, 6) AS psi_total
+FROM scored
+""", tier=3, section="2.11")
+def feat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE model-monitoring drift metric:
+    bin the feature into 10 fixed-width bins, compare the reference
+    (train-period, the sample_split_temporal 80% cutoff) distribution
+    against the current (post-cutoff) one, ``PSI = Σ (p_cur − p_ref)
+    ln(p_cur/p_ref)``. The conventional read: < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 retrain. Completes the monitoring trio with
+    feat_calibration_ece (is the model calibrated) and
+    feat_woe_binning (is the feature informative): this one says
+    whether the feature still LOOKS like what the model trained on.
+
+    One bin aggregate over the labeled stream; per-bin PSI terms floor
+    onto the 1e-9 grid so the total is an integer aggregate; bins empty
+    on either side contribute 0 rather than ±inf (the standard guarded
+    PSI).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    e = ev.select("value", "ts",
+                  F.row_number().over(w).alias("rn"),
+                  F.count("*").over(Window.partitionBy()).alias("n"))
+    cut = (e.filter(F.col("rn") == F.floor(0.8 * F.col("n")).cast("long"))
+            .select(F.col("ts").alias("cutoff")))
+    binned = (ev.crossJoin(F.broadcast(cut))
+                .select(F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+                         .cast("long").alias("bin"),
+                        F.when(F.col("ts") <= F.col("cutoff"), 1)
+                         .otherwise(0).alias("is_ref")))
+    per = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        (F.count("*") - F.sum("is_ref")).cast("long").alias("n_cur"))
+    wall = Window.partitionBy()
+    per = (per.withColumn("r_tot", F.sum("n_ref").over(wall)
+                                    .cast("double"))
+              .withColumn("c_tot", F.sum("n_cur").over(wall)
+                                    .cast("double")))
+    p_ref = F.col("n_ref") / F.col("r_tot")
+    p_cur = F.col("n_cur") / F.col("c_tot")
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    psifx = F.when(ok, F.floor((p_cur - p_ref) * F.log(p_cur / p_ref)
+                               * 1_000_000_000).cast("long")) \
+             .otherwise(F.lit(0))
+    return per.select(
+        "bin", "n_ref", "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(F.sum(psifx).over(wall) / 1_000_000_000, 6)
+         .alias("psi_total"))
+
+
+@op("feat_mutual_information", oracle="""
+WITH cells AS (
+    SELECT event_type AS x,
+           CAST(least(floor(value / 100.0), 4) AS BIGINT) AS y,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_all FROM cells),
+mx AS (SELECT x, SUM(n) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(n) AS ny FROM cells GROUP BY y),
+terms AS (
+    SELECT c.x, c.y, c.n,
+           CAST(floor((c.n / t.n_all)
+                * ln((c.n * t.n_all)
+                     / (CAST(mx.nx AS DOUBLE) * my.ny))
+                * 1000000000) AS BIGINT) AS mifx
+    FROM cells c
+    JOIN mx ON mx.x = c.x
+    JOIN my ON my.y = c.y
+    CROSS JOIN tot t
+)
+SELECT x AS event_type, y AS value_band, CAST(n AS BIGINT) AS n,
+       round(SUM(mifx) OVER () / 1000000000, 6) AS mi_nats
+FROM terms
+""", tier=3, section="2.11")
+def feat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a categorical feature (event type) and
+    the banded target (value quintile bands): ``I(X;Y) = Σ p(x,y)
+    ln(p(x,y)/(p(x)p(y)))`` — the model-free feature-relevance measure
+    that catches non-linear and non-monotone dependence WOE/correlation
+    miss. Reported per cell with the corpus MI in nats.
+
+    One aggregate to the (types × bands) cell grid; margins are grid
+    aggregates; every MI term is counts-only ratios with ONE ln, floored
+    onto the 1e-9 grid before the cross-cell sum — the repo's standard
+    order-invariant construction. At 100 TB the grid stays constant
+    size, so this costs one map-combinable pass regardless of corpus.
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 100.0), F.lit(4)).cast("long")
+         .alias("y")).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    cells = (cells.withColumn("n_all", F.sum("n").over(wall)
+                                        .cast("double"))
+                  .withColumn("nx", F.sum("n").over(wx))
+                  .withColumn("ny", F.sum("n").over(wy)))
+    mifx = F.floor((F.col("n") / F.col("n_all"))
+                   * F.log((F.col("n") * F.col("n_all"))
+                           / (F.col("nx").cast("double") * F.col("ny")))
+                   * 1_000_000_000).cast("long")
+    return cells.select(
+        F.col("x").alias("event_type"), F.col("y").alias("value_band"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sum(mifx).over(wall) / 1_000_000_000, 6)
+         .alias("mi_nats"))
