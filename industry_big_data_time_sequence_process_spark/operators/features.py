@@ -487,3 +487,64 @@ def feat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.sum(mifx).over(wall) / 1_000_000_000, 6)
          .alias("mi_nats"))
+
+
+@op("feat_gains_table", oracle="""
+WITH scored AS (
+    SELECT least(value / 500.0, 1.0) AS p,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           event_id
+    FROM events
+), ranked AS (
+    SELECT y, ntile(10) OVER (ORDER BY p DESC, event_id) AS decile
+    FROM scored
+), per AS (
+    SELECT decile, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM ranked GROUP BY decile
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS DOUBLE) AS pos_all,
+           CAST(SUM(n) AS DOUBLE) AS n_all
+    FROM per
+)
+SELECT p.decile, p.n, p.n_pos,
+       round(SUM(p.n_pos) OVER (ORDER BY p.decile) / t.pos_all, 6)
+           AS cum_capture,
+       round((CAST(p.n_pos AS DOUBLE) / p.n)
+             / (t.pos_all / t.n_all), 6) AS lift
+FROM per p CROSS JOIN tot t
+""", tier=3, section="2.11")
+def feat_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — how a scored model is actually USED: rank by
+    score descending, cut into deciles, and report each decile's
+    positive count, the cumulative share of all positives captured by
+    targeting down to that decile, and the decile's lift over the base
+    rate. The campaign-targeting read: "mail the top 3 deciles, get X%
+    of converters at Y× efficiency".
+
+    Same deterministic ntile discipline as feat_woe_binning (score
+    DESC with event_id tiebreak); cumulative capture is an integer
+    window sum over the 10-row decile table divided once — trivially
+    engine-exact. Completes the supervised-eval family: WOE/IV (is the
+    feature informative), ECE (is the score calibrated), PSI (has the
+    input drifted), gains (what does acting on the score buy).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    wb = Window.orderBy(p.desc(), "event_id")
+    ranked = ev.select(y.alias("y"), F.ntile(10).over(wb).alias("decile"))
+    per = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    per = (per.withColumn("pos_all", F.sum("n_pos").over(wall)
+                                      .cast("double"))
+              .withColumn("n_all", F.sum("n").over(wall).cast("double")))
+    return per.select(
+        "decile", "n", "n_pos",
+        F.round(F.sum("n_pos").over(wcum) / F.col("pos_all"), 6)
+         .alias("cum_capture"),
+        F.round((F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pos_all") / F.col("n_all")), 6).alias("lift"))

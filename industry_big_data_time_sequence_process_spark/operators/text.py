@@ -2134,3 +2134,56 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("row_share"),
         F.round(correct.cast("double") / F.sum("n").over(wall), 6)
          .alias("accuracy"))
+
+
+@op("text_ngram_novelty", oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+firsts AS (   -- the doc where each shingle first appears (doc_id order)
+    SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+), per AS (
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id
+), banded AS (
+    SELECT CAST(doc_id // 50 AS BIGINT) AS doc_band,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel
+    FROM per GROUP BY 1
+)
+SELECT doc_band, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty_rate
+FROM banded
+""", tier=3, section="2.11")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each ingestion band (50 docs in
+    doc_id order), the share of its 3-gram shingles never seen in any
+    earlier document — the diminishing-returns curve a data-curation
+    team reads to decide when one more crawl of the same sources stops
+    adding information (novelty falling toward the near-dup floor means
+    you're re-buying the same tokens).
+
+    "Seen earlier" needs NO ordered scan: a shingle is novel in exactly
+    the doc where it FIRST appears, so one ``min(doc_id) per shingle``
+    aggregate over the shared df-capped shingle stream labels every
+    occurrence, and the curve is a second aggregate onto bands. Same
+    inverted-index cost class as the dedup joins; counts exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (sh.join(firsts, "s")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_shingles"),
+                  F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                         .otherwise(0)).cast("long").alias("n_novel")))
+    banded = (per.groupBy(F.floor(F.col("doc_id") / 50).cast("long")
+                           .alias("doc_band"))
+                 .agg(F.sum("n_shingles").cast("long").alias("n_shingles"),
+                      F.sum("n_novel").cast("long").alias("n_novel")))
+    return banded.select(
+        "doc_band", "n_shingles", "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6)
+         .alias("novelty_rate"))
