@@ -4678,3 +4678,131 @@ def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("event_type", "event_id", "value",
                          F.round("r", 6).alias("residual"),
                          F.round(score, 6).alias("score")))
+
+
+#: Euler-Mascheroni constant as an IEEE literal (Gumbel MoM location).
+_EULER_GAMMA = 0.5772156649015329
+#: sqrt(6)/pi as an IEEE literal (Gumbel MoM scale), avoiding cross-
+#: engine pi/sqrt composition differences.
+_SQRT6_OVER_PI = 0.7796968012336793
+
+
+@op("ts_gumbel_block_maxima", oracle=f"""
+WITH blocks AS (   -- block maxima: the daily peak per channel
+    SELECT event_type, CAST(ts AS DATE) AS d, max(value) AS mx
+    FROM events GROUP BY 1, 2
+), mom AS (
+    SELECT event_type, count(*) AS n_blocks,
+           CAST(SUM(CAST(mx AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS m,
+           CAST(SUM(CAST(mx AS DECIMAL(18,2))
+                    * CAST(mx AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS m2
+    FROM blocks GROUP BY event_type
+)
+SELECT event_type, CAST(n_blocks AS BIGINT) AS n_blocks,
+       round(m, 6) AS mean_max,
+       round(CASE WHEN m2 - m * m > 0 THEN
+           sqrt(m2 - m * m) * {_SQRT6_OVER_PI!r} END, 6) AS gumbel_beta,
+       round(CASE WHEN m2 - m * m > 0 THEN
+           m - {_EULER_GAMMA!r}
+               * (sqrt(m2 - m * m) * {_SQRT6_OVER_PI!r}) END, 6)
+           AS gumbel_mu
+FROM mom
+""", tier=3, section="2.9")
+def ts_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-maxima extreme-value fit: each channel's DAILY peaks are
+    Gumbel-distributed under the Fisher-Tippett theorem, and the method
+    of moments gives ``beta = std·√6/π``, ``mu = mean − γ·beta`` (Euler's
+    γ) — the other half of extreme-value practice beside the
+    peaks-over-threshold GPD (POT models the tail above a level; block
+    maxima model the per-period PEAK, which is what capacity planning
+    asks: "the distribution of the daily worst case").
+
+    √6/π and γ enter as hard-coded IEEE literals so no cross-engine
+    pi/sqrt composition differs; block maxima and their moments are
+    decimal-exact aggregates (2-decimal corpus). Two map-combinable
+    aggregates, channel-sized output, NULL fit on zero-variance peaks.
+    """
+    ev = load(spark, sf_dir, "events")
+    blocks = ev.groupBy("event_type", F.to_date("ts").alias("d")) \
+               .agg(F.max("value").alias("mx"))
+    mxd = F.col("mx").cast("decimal(18,2)")
+    mom = blocks.groupBy("event_type").agg(
+        F.count("*").alias("n_blocks"),
+        (F.sum(mxd).cast("double") / F.count("*")).alias("m"),
+        (F.sum(mxd * mxd).cast("double") / F.count("*")).alias("m2"))
+    var = F.col("m2") - F.col("m") * F.col("m")
+    beta = F.sqrt(var) * _SQRT6_OVER_PI
+    return mom.select(
+        "event_type", F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round("m", 6).alias("mean_max"),
+        F.round(F.when(var > 0, beta), 6).alias("gumbel_beta"),
+        F.round(F.when(var > 0, F.col("m") - _EULER_GAMMA * beta), 6)
+         .alias("gumbel_mu"))
+
+
+@op("ts_session_paths", oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), tagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM seq
+), stepped AS (
+    SELECT user_id, session_seq, event_type,
+           row_number() OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts, event_id) AS step
+    FROM tagged
+), paths AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, ' > ' ORDER BY step) AS path
+    FROM stepped WHERE step <= 3
+    GROUP BY user_id, session_seq
+)
+SELECT path, n, rnk FROM (
+    SELECT path, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rnk
+    FROM paths GROUP BY path
+) WHERE rnk <= 15
+""", tier=3, section="2.9")
+def ts_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the 15 most common opening paths (first
+    3 event types, 30-min-gap sessions) — the product-analytics view a
+    funnel can't give, because funnels presuppose the path and this
+    DISCOVERS it ("what do sessions actually open with?").
+
+    Reuses the flagship sessionization (lag + cumsum over ONE user
+    shuffle); the path string is an order-keyed aggregation over the
+    first 3 steps only, so the wide string never materializes beyond 3
+    labels, and path cardinality is bounded by |types|³ regardless of
+    corpus size.
+    """
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+    tagged = ev.withColumn(
+        "session_seq",
+        F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+               .otherwise(0)).over(wo).cast("long"))
+    ws = Window.partitionBy("user_id", "session_seq") \
+               .orderBy("ts", "event_id")
+    stepped = tagged.withColumn("step", F.row_number().over(ws)) \
+                    .filter(F.col("step") <= 3)
+    paths = (stepped.groupBy("user_id", "session_seq")
+                    .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("step", "event_type"))),
+                            lambda s: s["event_type"]),
+                        " > ").alias("path")))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (paths.groupBy("path").agg(F.count("*").alias("n"))
+                 .withColumn("rnk", F.row_number().over(wr))
+                 .filter("rnk <= 15"))
