@@ -548,3 +548,71 @@ def feat_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("cum_capture"),
         F.round((F.col("n_pos").cast("double") / F.col("n"))
                 / (F.col("pos_all") / F.col("n_all")), 6).alias("lift"))
+
+
+@op("feat_auc_roc", oracle="""
+WITH scored AS (
+    SELECT least(value / 500.0, 1.0) AS p,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+), vc AS (   -- midranks via value groups (ties handled exactly)
+    SELECT p, count(*) AS t, CAST(SUM(y) AS BIGINT) AS t_pos
+    FROM scored GROUP BY p
+), ranked AS (
+    SELECT p, t, t_pos,
+           SUM(t) OVER (ORDER BY p) AS cum_t
+    FROM vc
+), mid AS (
+    SELECT t_pos,
+           (cum_t - t + 1 + cum_t) / 2.0 AS midrank
+    FROM ranked
+), agg AS (
+    SELECT CAST(SUM(t_pos) AS DOUBLE) AS n_pos,
+           (SELECT CAST(SUM(t) AS DOUBLE) FROM vc)
+               - CAST(SUM(t_pos) AS DOUBLE) AS n_neg,
+           SUM(CAST(floor(midrank * t_pos * 1000000) AS BIGINT))
+               / 1000000 AS r_pos
+    FROM mid
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
+           AS auc
+FROM agg
+""", tier=3, section="2.11")
+def feat_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC by the rank-sum identity (AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺n⁻), the Mann-Whitney connection) with EXACT midrank tie
+    handling — the definitive threshold-free score metric, computed
+    without materializing a single ROC point.
+
+    Scale shape: scores collapse to their distinct-value groups first
+    (one aggregate), so ranks are one cumulative window over the value
+    groups — the sort is over DISTINCT scores, not rows, which is what
+    makes exact AUC tractable on billions of rows with a bounded score
+    grid. Midrank x positive-count products ride the 1e-6 fixed-point
+    grid (midranks are integers or .5 — exactly representable, so the
+    floor loses nothing). Completes the eval family: gains (decile
+    view), ECE (calibration), AUC (ranking power).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = F.least(F.col("value") / 500.0, F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    vc = (ev.select(p.alias("p"), y.alias("y"))
+            .groupBy("p")
+            .agg(F.count("*").alias("t"),
+                 F.sum("y").cast("long").alias("t_pos")))
+    wo = Window.orderBy("p")
+    ranked = vc.withColumn("cum_t", F.sum("t").over(wo))
+    midrank = (F.col("cum_t") - F.col("t") + 1 + F.col("cum_t")) / 2.0
+    agg = ranked.select("t", "t_pos", midrank.alias("midrank")).agg(
+        F.sum("t_pos").cast("double").alias("n_pos"),
+        (F.sum("t").cast("double")
+         - F.sum("t_pos").cast("double")).alias("n_neg"),
+        (F.sum(F.floor(F.col("midrank") * F.col("t_pos") * 1_000_000)
+                .cast("long")) / 1_000_000).alias("r_pos"))
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round((F.col("r_pos")
+                 - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+                / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))

@@ -4806,3 +4806,59 @@ def ts_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (paths.groupBy("path").agg(F.count("*").alias("n"))
                  .withColumn("rnk", F.row_number().over(wr))
                  .filter("rnk <= 15"))
+
+
+@op("ts_activity_bitmap", oracle="""
+WITH days AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE)
+                - (SELECT min(CAST(ts AS DATE)) FROM events)
+                AS BIGINT) AS d
+    FROM events
+), bm AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << CAST(d % 31 AS INTEGER)) AS bitmap
+    FROM days GROUP BY user_id
+)
+SELECT user_id, bitmap,
+       CAST(bit_count(bitmap) AS BIGINT) AS active_days,
+       CAST(bit_count(bitmap & (bitmap << 1)) AS BIGINT)
+           AS consecutive_pairs,
+       CASE WHEN bitmap & 1 = 1 THEN 1 ELSE 0 END AS active_day0
+FROM bm
+""", tier=3, section="2.9")
+def ts_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity as a BITMAP: each user's month of activity packed into
+    one int64 (bit d = active on day d), with popcount-derived features
+    — active-day count, consecutive-day pairs (``popcount(b & b<<1)``,
+    the streak signal), day-0 flag. The bitmap-index trick public
+    engines (Druid/Pinot roaring bitmaps) build entire storage layers
+    on, shrunk to its SQL-expressible core: set algebra on activity
+    becomes AND/OR/POPCOUNT on longs — retention intersections
+    (``popcount(a & b)``) cost two CPU instructions instead of a
+    self-join.
+
+    One ``bit_or`` aggregate (map-side combinable like any OR), integer
+    end-to-end, engine-exact. At 100 TB the same column is the cheap
+    input to cohort/retention ops that would otherwise re-shuffle the
+    raw events per question.
+    """
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (ev.crossJoin(F.broadcast(d0))
+              .select("user_id",
+                      F.datediff(F.to_date("ts"), F.col("d0"))
+                       .cast("long").alias("d")))
+    bm = (days.select("user_id",
+                      F.expr("shiftleft(cast(1 AS bigint), "
+                             "cast(d % 31 AS int))").alias("bit"))
+              .groupBy("user_id")
+              .agg(F.bit_or("bit").alias("bitmap")))
+    return bm.select(
+        "user_id", "bitmap",
+        F.bit_count("bitmap").cast("long").alias("active_days"),
+        F.bit_count(F.col("bitmap")
+                    .bitwiseAND(F.shiftleft(F.col("bitmap"), 1)))
+         .cast("long").alias("consecutive_pairs"),
+        F.when(F.col("bitmap").bitwiseAND(1) == 1, 1).otherwise(0)
+         .alias("active_day0"))
