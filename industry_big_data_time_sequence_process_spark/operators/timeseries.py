@@ -4862,3 +4862,127 @@ def ts_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("consecutive_pairs"),
         F.when(F.col("bitmap").bitwiseAND(1) == 1, 1).otherwise(0)
          .alias("active_day0"))
+
+
+@op("ts_interrupted_series", oracle=f"""
+WITH hourly AS (
+    SELECT (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+               // 3600000000 AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS y
+    FROM events GROUP BY 1
+), span AS (SELECT max(h) AS hmax FROM hourly),
+feat AS (   -- x1 = hour index, x2 = post-intervention indicator
+    SELECT CAST(h AS DOUBLE) AS x1,
+           CASE WHEN h > s.hmax / 2 THEN 1.0 ELSE 0.0 END AS x2,
+           y
+    FROM hourly CROSS JOIN span s
+), mom AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           SUM(CAST(floor(x1 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s1,
+           SUM(CAST(floor(x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS s2,
+           SUM(CAST(floor(x1 * x1 * {_GR_FX}) AS BIGINT)) / {_GR_FX}
+               AS s11,
+           SUM(CAST(floor(x1 * x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX}
+               AS s12,
+           SUM(CAST(floor(x2 * x2 * {_GR_FX}) AS BIGINT)) / {_GR_FX}
+               AS s22,
+           SUM(CAST(floor(y * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS sy,
+           SUM(CAST(floor(x1 * y * {_GR_FX}) AS BIGINT)) / {_GR_FX}
+               AS s1y,
+           SUM(CAST(floor(x2 * y * {_GR_FX}) AS BIGINT)) / {_GR_FX}
+               AS s2y,
+           SUM(CAST(floor(y * y * {_GR_FX}) AS BIGINT)) / {_GR_FX} AS syy
+    FROM feat
+), sol AS (
+    SELECT n, sy, s1y, s2y, syy, s1, s11,
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       round(det0 / det, 6) AS baseline,
+       round(det1 / det, 6) AS trend_per_hour,
+       round(det2 / det, 6) AS level_shift,
+       round(CASE WHEN syy - sy * sy / n > 0 THEN
+           1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                      - (det2 / det) * s2y)
+                 / (syy - sy * sy / n) END, 6) AS r2
+FROM sol
+""", tier=3, section="2.9")
+def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented) regression — the
+    public-health / SRE incident-analysis standard: fit ``y_t = b0 +
+    b1·t + b2·post`` on the hourly series with the intervention at the
+    series midpoint, so b2 is the LEVEL SHIFT after the break net of
+    the pre-existing trend b1 (the trend a naive before/after mean
+    comparison mistakes for impact — agg_diff_in_diff removes a control
+    group's trend; this removes the series' OWN trend when there is no
+    control).
+
+    Same closed-form 3x3 Cramer solve as ts_granger_lite, same 1e-9
+    fixed-point moment discipline (hourly means are doubles); one
+    hourly aggregate, one moment pass, no iteration.
+    """
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    hourly = (ev.crossJoin(F.broadcast(t0))
+                .groupBy(F.floor((F.unix_micros("ts") - F.col("t0"))
+                                 / 3_600_000_000).cast("long").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double") / F.count("*")).alias("y")))
+    span = hourly.agg(F.max("h").alias("hmax"))
+    feat = (hourly.crossJoin(F.broadcast(span))
+                  .select(F.col("h").cast("double").alias("x1"),
+                          F.when(F.col("h") > F.col("hmax") / 2, 1.0)
+                           .otherwise(0.0).alias("x2"),
+                          "y"))
+
+    def sfx(c):
+        return F.sum(F.floor(c * _GR_FX).cast("long")) / _GR_FX
+
+    x1, x2, yv = F.col("x1"), F.col("x2"), F.col("y")
+    mom = feat.agg(
+        F.count("*").cast("double").alias("n"),
+        sfx(x1).alias("s1"), sfx(x2).alias("s2"),
+        sfx(x1 * x1).alias("s11"), sfx(x1 * x2).alias("s12"),
+        sfx(x2 * x2).alias("s22"), sfx(yv).alias("sy"),
+        sfx(x1 * yv).alias("s1y"), sfx(x2 * yv).alias("s2y"),
+        sfx(yv * yv).alias("syy"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = (F.col("sy"), F.col("s1y"), F.col("s2y"),
+                         F.col("syy"))
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    var_ok = syy - sy * sy / n > 0
+    return mom.select(
+        n.cast("long").alias("n_hours"),
+        F.round(det0 / det, 6).alias("baseline"),
+        F.round(det1 / det, 6).alias("trend_per_hour"),
+        F.round(det2 / det, 6).alias("level_shift"),
+        F.round(F.when(var_ok,
+                       1.0 - (syy - (det0 / det) * sy
+                              - (det1 / det) * s1y
+                              - (det2 / det) * s2y)
+                             / (syy - sy * sy / n)), 6).alias("r2"))
