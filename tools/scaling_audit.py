@@ -76,6 +76,11 @@ OPS = [
     "ts_holt_winters", "ts_wavelet_haar", "ts_max_drawdown",
     "ts_cohort_ltv_curve", "ts_load_duration_curve", "ts_pareto_front",
     "geo_grid_neighbor_join", "graph_hierarchy_rollup",
+    "ts_event_synchrony", "sim_mmr_diversify", "text_bpe_lite",
+    "emb_random_projection", "sim_jl_ndcg_eval", "ts_anomaly_seasonal_mad",
+    "agg_propensity_stratified", "ts_session_paths", "feat_auc_roc",
+    "text_ngram_novelty", "feat_psi_drift", "ts_peak_over_threshold",
+    "dq_referential_integrity", "ts_granger_lite", "ts_interrupted_series",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
