@@ -153,6 +153,122 @@ def resample(df: DataFrame, key: str, ts_col: str, every: str,
              .agg(*aggs)
 
 
+def bucketed_global_rank(df: DataFrame, bucket: Column,
+                         order_by: Sequence[Column],
+                         rank_name: str = "global_rank",
+                         total_name: str | None = None) -> DataFrame:
+    """Exact global ``row_number`` over ``order_by`` WITHOUT a
+    single-partition sort — the two-phase rank (the quantile/rank twin of
+    the bucketed-sessionize discipline):
+
+    1. one hash aggregate counts rows per ``bucket`` (map-side combinable);
+    2. a cumulative sum over the TINY bucket-count table turns counts into
+       per-bucket start offsets (the only ordered window runs over bucket
+       cardinality, never fact rows);
+    3. each row's global rank = its row_number within its bucket (a
+       bounded partition) + the bucket's offset, attached by a broadcast
+       join.
+
+    ``bucket`` MUST be a monotone non-decreasing function of the leading
+    ``order_by`` key(s) so bucket-major + within-bucket order equals the
+    global order. Bucket granularity is the scale dial: the largest
+    partition Spark ever sorts is one bucket, so pick hour vs day /
+    1.0 vs 0.1 value steps to bound it at your corpus size.
+
+    ``total_name`` additionally attaches the global row count (taken from
+    the bucket-count table, NOT from a window over the facts).
+    """
+    b = "__bgr_b"
+    tagged = df.withColumn(b, bucket)
+    counts = tagged.groupBy(b).agg(F.count("*").alias("__n"))
+    wo = Window.orderBy(b)  # bucket-cardinality table, not fact rows
+    offs = [(F.sum("__n").over(wo) - F.col("__n")).alias("__off")]
+    if total_name is not None:
+        offs.append(F.sum("__n").over(Window.partitionBy())
+                     .alias(total_name))
+    offsets = counts.select(b, *offs)
+    w = Window.partitionBy(b).orderBy(*order_by)
+    return (tagged.join(F.broadcast(offsets), b)
+                  .withColumn(rank_name, (F.row_number().over(w)
+                                          + F.col("__off")).cast("long"))
+                  .drop(b, "__off"))
+
+
+def bucketed_ntile(df: DataFrame, bucket: Column,
+                   order_by: Sequence[Column], n_tiles: int,
+                   tile_name: str = "tile") -> DataFrame:
+    """Exact SQL ``ntile(n_tiles)`` over a global order, built on
+    :func:`bucketed_global_rank` (so: no unpartitioned window over fact
+    rows). Tile arithmetic replicates ntile exactly: with n rows and k
+    tiles, ``q = n div k``, ``r = n mod k``; the first r tiles take q+1
+    rows each, the rest q — so the result is value-identical to the
+    engine's ntile at any parallelism."""
+    ranked = bucketed_global_rank(df, bucket, order_by,
+                                  rank_name="__grank", total_name="__tot")
+    q = F.floor(F.col("__tot") / n_tiles).cast("long")
+    r = F.col("__tot") % n_tiles
+    big = r * (q + 1)  # rows living in the first r (fat) tiles
+    tile = F.when(F.col("__grank") <= big,
+                  F.ceil(F.col("__grank") / (q + 1))) \
+            .otherwise(r + F.ceil((F.col("__grank") - big)
+                                  / F.greatest(q, F.lit(1))))
+    return ranked.withColumn(tile_name, tile.cast("int")) \
+                 .drop("__grank", "__tot")
+
+
+def bucketed_order_statistic(df: DataFrame, bucket: Column,
+                             order_by: Sequence[Column],
+                             frac: float) -> DataFrame:
+    """The single row at exact global rank ``floor(frac * n)`` under
+    ``order_by`` (the leakage-safe split-cutoff shape), without a global
+    sort: per-bucket counts -> cumulative offsets locate the ONE bucket
+    containing the target rank; a broadcast join PRUNES the fact side to
+    that bucket; one bounded within-bucket sort picks the row. Unlike an
+    approx_percentile cutoff this selects a real data value exactly, so
+    it is value-identical to the ``row_number() = floor(frac*n)``
+    formulation cross-engine."""
+    b = "__bos_b"
+    tagged = df.withColumn(b, bucket)
+    counts = tagged.groupBy(b).agg(F.count("*").alias("__n"))
+    wo = Window.orderBy(b)  # bucket-cardinality table, not fact rows
+    target = (counts
+              .withColumn("__cum", F.sum("__n").over(wo))
+              .withColumn("__k", F.floor(
+                  frac * F.sum("__n").over(Window.partitionBy()))
+                  .cast("long"))
+              .filter((F.col("__cum") - F.col("__n") < F.col("__k"))
+                      & (F.col("__k") <= F.col("__cum")))
+              .select(b, (F.col("__k") - F.col("__cum")
+                          + F.col("__n")).alias("__lk")))
+    w = Window.partitionBy(b).orderBy(*order_by)
+    return (tagged.join(F.broadcast(target), b)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == F.col("__lk"))
+                  .drop(b, "__lk", "__rn"))
+
+
+def bucketed_running_sum(df: DataFrame, bucket: Column,
+                         order_by: Sequence[Column], value: Column,
+                         out_name: str = "running_sum") -> DataFrame:
+    """Exact global running sum of ``value`` over ``order_by`` without a
+    single-partition window: per-bucket sums -> cumulative offsets over
+    the tiny bucket table -> within-bucket running sum (bounded
+    partition) + offset. Same monotone-bucket contract as
+    :func:`bucketed_global_rank`."""
+    b = "__brs_b"
+    tagged = df.withColumn(b, bucket).withColumn("__v", value)
+    sums = tagged.groupBy(b).agg(F.sum("__v").alias("__s"))
+    wo = Window.orderBy(b)  # bucket-cardinality table, not fact rows
+    offsets = sums.select(
+        b, (F.sum("__s").over(wo) - F.col("__s")).alias("__off"))
+    w = Window.partitionBy(b).orderBy(*order_by) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (tagged.join(F.broadcast(offsets), b)
+                  .withColumn(out_name,
+                              F.sum("__v").over(w) + F.col("__off"))
+                  .drop(b, "__off", "__v"))
+
+
 def zscore_flags(df: DataFrame, group_col: str, value_col: str,
                  n_sigma: float = 3.0) -> DataFrame:
     """Per-group z-scores + |z| > n_sigma anomaly flags. The per-group

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..registry import op
+from ..api import bucketed_order_statistic
+from ..registry import REGISTRY, op
 from ..sources.io import load
 
 #: DuckDB: first 8 hex digits of md5 as int64 (portable hash32).
@@ -326,6 +327,12 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       Window.partitionBy()).alias("n"))
     cut = (e.filter(F.col("rn") == F.floor(0.8 * F.col("n")).cast("long"))
             .select(F.col("ts").alias("cutoff")))
+    return _split_temporal_output(ev, cut)
+
+
+def _split_temporal_output(ev: DataFrame, cut: DataFrame) -> DataFrame:
+    """Given the 1-row ``cutoff`` frame, the labeled-split audit table —
+    shared by the exactness baseline and the scalable twin."""
     labeled = ev.crossJoin(F.broadcast(cut)).select(
         "user_id", "ts",
         F.when(F.col("ts") <= F.col("cutoff"), "train")
@@ -340,6 +347,27 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.min("ts").alias("min_ts"),
                         F.max("ts").alias("max_ts"))
                    .crossJoin(F.broadcast(shared)))
+
+
+@op("sample_split_temporal_scalable",
+    oracle=REGISTRY["sample_split_temporal"].oracle, tier=3,
+    section="2.11")
+def sample_split_temporal_scalable(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``sample_split_temporal`` (VERDICT r4 #1): the
+    cutoff is the SAME exact floor(0.8·n)-th order statistic, computed by
+    the two-phase rank (``api.bucketed_order_statistic`` over hour
+    buckets: per-bucket counts -> the one bucket holding the target rank
+    -> broadcast-pruned within-bucket sort) instead of a global
+    row_number over every event — the largest sorted partition is one
+    hour of events at any corpus size. Exact twin — reuses the
+    baseline's oracle verbatim."""
+    ev = load(spark, sf_dir, "events")
+    cut = bucketed_order_statistic(
+        ev.select("ts", "event_id"), F.date_trunc("hour", "ts"),
+        [F.col("ts"), F.col("event_id")], 0.8) \
+        .select(F.col("ts").alias("cutoff"))
+    return _split_temporal_output(ev, cut)
 
 
 #: Block-bootstrap replicas (deterministic md5 draws, like every sampler

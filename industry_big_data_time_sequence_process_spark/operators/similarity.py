@@ -1152,9 +1152,10 @@ def _duck_pq_dfx(a: str, b: str, m: str) -> str:
             f" * 1000000000.0) AS BIGINT)")
 
 
-#: Shared oracle prefix: md5-lowest-16 codebook, per-(vector, subspace)
-#: integer argmin codes, and the per-query ADC distance table.
-def _duck_pq_prefix(nq: int) -> str:
+#: Shared oracle core: md5-lowest-16 codebook, per-(vector, subspace)
+#: integer argmin codes, and the per-query ADC distance table (no scoring
+#: pass — the full-corpus and IVF-restricted scorers both build on this).
+def _duck_pq_core(nq: int) -> str:
     d_ec = _duck_pq_dfx("e.embedding", "s.embedding", "ms.m")
     d_qc = _duck_pq_dfx("q.embedding", "s.embedding", "ms.m")
     return f"""hvs AS (
@@ -1174,7 +1175,12 @@ codes AS (
     SELECT q.vec_id AS q_vec_id, ms.m, s.k, {d_qc} AS dfx
     FROM embeddings q, sample s, ms
     WHERE q.vec_id < {nq}
-), scored AS (
+)"""
+
+
+#: Full-corpus ADC scoring prefix (the PQ-alone ops).
+def _duck_pq_prefix(nq: int) -> str:
+    return f"""{_duck_pq_core(nq)}, scored AS (
     SELECT d.q_vec_id, c.vec_id AS c_vec_id,
            CAST(SUM(d.dfx) AS BIGINT) AS adfx
     FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.code
@@ -1227,20 +1233,26 @@ def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
                 .select("vec_id", "m", (F.col("mk") % _PQ_K).alias("code")))
 
 
+def _pq_dtab(e: DataFrame, cb: DataFrame, nq: int) -> DataFrame:
+    """(q_vec_id, qm, k, dfx): each query's 8x16 ADC distance table —
+    tiny by construction (nq x 128 rows), always broadcast."""
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm")
+    return (q.crossJoin(F.broadcast(cb))
+             .select("q_vec_id", "qemb", "k", "cw", m)
+             .select("q_vec_id", "qm", "k",
+                     _pq_d2fx(F.col("qemb"), F.col("cw"),
+                              F.col("qm")).alias("dfx")))
+
+
 def _pq_scored(e: DataFrame, nq: int) -> DataFrame:
     """(q_vec_id, c_vec_id, adfx): asymmetric-distance (ADC) scores —
     each query's 8x16 subspace distance table joins the corpus codes on
     (m, code); the per-pair total is a SUM of exact longs."""
     cb = _pq_codebook(e)
     codes = _pq_codes(e, cb)
-    q = e.filter(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
-    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm")
-    dtab = (q.crossJoin(F.broadcast(cb))
-             .select("q_vec_id", "qemb", "k", "cw", m)
-             .select("q_vec_id", "qm", "k",
-                     _pq_d2fx(F.col("qemb"), F.col("cw"),
-                              F.col("qm")).alias("dfx")))
+    dtab = _pq_dtab(e, cb, nq)
     return (codes.join(F.broadcast(dtab),
                        (F.col("m") == F.col("qm"))
                        & (F.col("code") == F.col("k")))
@@ -1286,9 +1298,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "rnk"))
 
 
-@op("sim_pq_recall_eval", oracle=f"""
-WITH {_duck_pq_prefix(_EVAL_QUERIES)},
-truth AS (
+def _duck_pq_truth(nq: int) -> str:
+    """`truth` CTE: brute-force exact-L2 fixed-point top-5 — shared by
+    the PQ-alone and IVF+PQ recall evals."""
+    return f"""truth AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1301,9 +1314,37 @@ truth AS (
                        (p, c2) -> p + c2) * 1000000000.0) AS BIGINT),
                    c.vec_id) AS rnk
         FROM embeddings q, embeddings c
-        WHERE q.vec_id < {_EVAL_QUERIES} AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {nq} AND q.vec_id <> c.vec_id
     ) WHERE rnk <= 5
-), pq AS (
+)"""
+
+
+def _pq_truth(e: DataFrame, nq: int) -> DataFrame:
+    """(q_vec_id, c_vec_id): brute-force exact-L2 top-5 truth for the
+    first ``nq`` queries — fixed-point distances so the truth itself is
+    value-checked cross-engine. Fixed-sample cost at any corpus size."""
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+    c = e.select(F.col("vec_id").alias("c_vec_id"),
+                 F.col("embedding").alias("cemb"))
+    d2full = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    tfx = F.floor(d2full * F.lit(_PQ_FX)).cast("long")
+    w_t = Window.partitionBy("q_vec_id").orderBy("tfx", "c_vec_id")
+    return (F.broadcast(q).crossJoin(c)
+             .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+             .withColumn("tfx", tfx)
+             .withColumn("rnk", F.row_number().over(w_t))
+             .filter("rnk <= 5")
+             .select("q_vec_id", "c_vec_id"))
+
+
+@op("sim_pq_recall_eval", oracle=f"""
+WITH {_duck_pq_prefix(_EVAL_QUERIES)},
+{_duck_pq_truth(_EVAL_QUERIES)}, pq AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q_vec_id, c_vec_id,
                row_number() OVER (PARTITION BY q_vec_id
@@ -1326,23 +1367,7 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked cross-engine, not just approximately reproduced). At
     corpus scale the truth side stays a fixed-sample computation."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
-    c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("cemb"))
-    d2full = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda x, y:
-                   (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, v: acc + v)
-    tfx = F.floor(d2full * F.lit(_PQ_FX)).cast("long")
-    w_t = Window.partitionBy("q_vec_id").orderBy("tfx", "c_vec_id")
-    truth = (F.broadcast(q).crossJoin(c)
-              .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-              .withColumn("tfx", tfx)
-              .withColumn("rnk", F.row_number().over(w_t))
-              .filter("rnk <= 5")
-              .select("q_vec_id", "c_vec_id"))
+    truth = _pq_truth(e, _EVAL_QUERIES)
     w_p = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
     pq = (_pq_scored(e, _EVAL_QUERIES)
           .filter(F.col("q_vec_id") != F.col("c_vec_id"))
@@ -1355,6 +1380,219 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("pq_c").alias("n_hits"),
                       F.round(F.count("pq_c") / F.lit(5.0), 6)
                        .alias("recall_at_5")))
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ composed (round 5, VERDICT r4 #2) — the production billion-vector
+# ANN stack (Jégou, Douze & Schmid 2011, public): the capped-training IVF
+# coarse quantizer prunes the corpus to the query's probed cells, PQ ADC
+# table lookups rank ONLY those candidates.
+# --------------------------------------------------------------------------
+
+
+def _duck_ivfpq_adc(nq: int, nprobe: int) -> str:
+    """``qprobe`` + ``adc`` CTEs: query-side cell probes over the trained
+    capped-IVF centroids (``u{_IVF_ITERS}``), then ADC scoring of ONLY the
+    vectors in probed cells — compose after ``_duck_ivf_capped_prefix``
+    and ``_duck_pq_core``."""
+    return f"""qprobe AS (
+    SELECT vec_id AS q_vec_id, cid, r AS pr FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.embedding', 'c.cemb')} DESC,
+                            c.cid) AS r
+        FROM embeddings e CROSS JOIN u{_IVF_ITERS} c
+        WHERE e.vec_id < {nq}
+    ) WHERE r <= {nprobe}
+), adc AS (
+    SELECT qp.q_vec_id, cl.vec_id AS c_vec_id,
+           CAST(min(qp.pr) AS INT) AS pr,
+           CAST(SUM(d.dfx) AS BIGINT) AS adfx
+    FROM qprobe qp
+    JOIN cells cl ON cl.cid = qp.cid AND cl.vec_id <> qp.q_vec_id
+    JOIN codes co ON co.vec_id = cl.vec_id
+    JOIN dtab d ON d.q_vec_id = qp.q_vec_id AND d.m = co.m
+               AND d.k = co.code
+    GROUP BY 1, 2
+)"""
+
+
+def _ivf_probe(q: DataFrame, centroids: DataFrame,
+               nprobe: int) -> DataFrame:
+    """(q_vec_id, cid, pr): each query's ``nprobe`` nearest trained cells
+    with their probe rank — the query-time recall dial of the composed
+    index (``_ivf_assign`` keeps the embedding and drops the rank; the
+    eval needs the rank to report nprobe=1 and nprobe=2 in one pass)."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
+    return (q.crossJoin(F.broadcast(centroids))
+             .withColumn("_c", _cos(F.col("embedding"), F.col("cemb")))
+             .withColumn("pr", F.row_number().over(w))
+             .filter(F.col("pr") <= nprobe)
+             .select(F.col("vec_id").alias("q_vec_id"), "cid", "pr"))
+
+
+def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, cid, m, code): PQ code assignment carrying the IVF cell
+    id through ONE corpus pass — computing codes and cells separately
+    and equi-joining them on vec_id would shuffle the corpus twice; the
+    cell id is functionally dependent on vec_id so it rides the
+    code-argmin groupBy for free."""
+    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    cand = (cells.crossJoin(F.broadcast(cb))
+                 .select("vec_id", "cid", "embedding", "k", "cw", m))
+    key = _pq_d2fx(F.col("embedding"), F.col("cw"), F.col("m")) \
+        * _PQ_K + F.col("k")
+    return (cand.select("vec_id", "cid", "m", key.alias("key"))
+                .groupBy("vec_id", "cid", "m")
+                .agg(F.min("key").alias("mk"))
+                .select("vec_id", "cid", "m",
+                        (F.col("mk") % _PQ_K).alias("code")))
+
+
+def _ivfpq_adc(e: DataFrame, nq: int, nprobe: int) -> DataFrame:
+    """(q_vec_id, c_vec_id, pr, adfx): the composed IVF+PQ scorer. The
+    corpus is coded ONCE (cell id + 8 PQ codes per vector, one narrow
+    pass + one map-combinable argmin aggregate); query probes and ADC
+    tables are tiny and broadcast, so candidate generation is a
+    broadcast hash join on cid — the corpus never shuffles to meet the
+    query, and ADC ranks only the probed cells' vectors (~nprobe/nlist
+    of the corpus) instead of all of it. Same fixed-point discipline as
+    the PQ-alone path: every ranking decision is exact-integer in both
+    engines."""
+    cent = _ivf_train_capped(e)
+    cells = _ivf_assign(e, cent)
+    cb = _pq_codebook(e)
+    corpus = _pq_codes_with_cid(cells, cb)
+    qprobe = _ivf_probe(e.filter(F.col("vec_id") < nq), cent, nprobe)
+    dtab = _pq_dtab(e, cb, nq).withColumnRenamed("q_vec_id", "dq")
+    cand = (corpus.join(F.broadcast(qprobe), "cid")
+                  .filter(F.col("vec_id") != F.col("q_vec_id")))
+    return (cand.join(F.broadcast(dtab),
+                      (F.col("q_vec_id") == F.col("dq"))
+                      & (F.col("m") == F.col("qm"))
+                      & (F.col("code") == F.col("k")))
+                .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"))
+                .agg(F.min("pr").alias("pr"),
+                     F.sum("dfx").alias("adfx")))
+
+
+@op("sim_ivfpq_topk", oracle=f"""
+WITH {_duck_ivf_capped_prefix()},
+{_duck_pq_core(_N_QUERIES)},
+{_duck_ivfpq_adc(_N_QUERIES, 2)}
+SELECT q_vec_id, c_vec_id,
+       round(adfx / 1000000000.0, 6) AS approx_dist,
+       pr AS probe_rank, rnk
+FROM (SELECT q_vec_id, c_vec_id, pr, adfx,
+             row_number() OVER (PARTITION BY q_vec_id
+                                ORDER BY adfx, c_vec_id) AS rnk
+      FROM adc)
+WHERE rnk <= 5
+""", tier=3, section="2.11")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed in one plan (VERDICT r4 #2) — the production ANN
+    stack: the capped-training IVF index (``sim_ivf_scalable_topk``'s
+    linear-cost trainer) prunes each query to its 2 nearest cells
+    (nprobe=2), and PQ ADC table lookups (``sim_pq_topk``'s 4-byte
+    codes) rank only those candidates — so per-query cost is
+    ~(nprobe/nlist)·n code lookups instead of n float-vector distances,
+    and the scanned vectors never materialize their embeddings.
+
+    Scale shape: ONE corpus pass assigns cell + codes together
+    (``_pq_codes_with_cid`` — a second vec_id join would shuffle the
+    corpus twice); probes and ADC tables broadcast; the only
+    corpus-sized aggregate is the candidate ADC sum. Fixed-point
+    everywhere, so the composed ranking is exact-integer cross-engine.
+    ``probe_rank`` reports which probe found each hit — the observable
+    trace of the nprobe dial."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = _ivfpq_adc(e, _N_QUERIES, 2)
+    w = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter("rnk <= 5")
+                  .select("q_vec_id", "c_vec_id",
+                          F.round(F.col("adfx") / F.lit(_PQ_FX), 6)
+                           .alias("approx_dist"),
+                          F.col("pr").alias("probe_rank"), "rnk"))
+
+
+@op("sim_ivfpq_recall_eval", oracle=f"""
+WITH {_duck_ivf_capped_prefix()},
+{_duck_pq_core(_EVAL_QUERIES)},
+{_duck_ivfpq_adc(_EVAL_QUERIES, 2)},
+{_duck_pq_truth(_EVAL_QUERIES)},
+top1 AS (SELECT q_vec_id, c_vec_id FROM (
+    SELECT q_vec_id, c_vec_id,
+           row_number() OVER (PARTITION BY q_vec_id
+                              ORDER BY adfx, c_vec_id) AS rnk
+    FROM adc WHERE pr = 1) WHERE rnk <= 5),
+top2 AS (SELECT q_vec_id, c_vec_id FROM (
+    SELECT q_vec_id, c_vec_id,
+           row_number() OVER (PARTITION BY q_vec_id
+                              ORDER BY adfx, c_vec_id) AS rnk
+    FROM adc) WHERE rnk <= 5),
+scan AS (
+    SELECT q_vec_id,
+           CAST(count_if(pr = 1) AS BIGINT) AS n_scanned_p1,
+           count(*) AS n_scanned_p2
+    FROM adc GROUP BY 1)
+SELECT t.q_vec_id,
+       CAST(count_if(t1.c_vec_id IS NOT NULL) AS BIGINT) AS n_hits_p1,
+       round(CAST(count_if(t1.c_vec_id IS NOT NULL) AS DOUBLE) / 5, 6)
+           AS recall_p1,
+       CAST(count_if(t2.c_vec_id IS NOT NULL) AS BIGINT) AS n_hits_p2,
+       round(CAST(count_if(t2.c_vec_id IS NOT NULL) AS DOUBLE) / 5, 6)
+           AS recall_p2,
+       COALESCE(CAST(min(s.n_scanned_p1) AS BIGINT), 0) AS n_scanned_p1,
+       COALESCE(CAST(min(s.n_scanned_p2) AS BIGINT), 0) AS n_scanned_p2
+FROM truth t
+LEFT JOIN top1 t1 ON t1.q_vec_id = t.q_vec_id
+                 AND t1.c_vec_id = t.c_vec_id
+LEFT JOIN top2 t2 ON t2.q_vec_id = t.q_vec_id
+                 AND t2.c_vec_id = t.c_vec_id
+LEFT JOIN scan s ON s.q_vec_id = t.q_vec_id
+GROUP BY t.q_vec_id
+""", tier=3, section="2.11")
+def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF+PQ stack vs brute-force exact-L2
+    truth, at BOTH nprobe=1 and nprobe=2 in one pass (the ``pr`` column
+    separates them: nprobe=1's candidates are exactly the pr=1 slice),
+    with the per-query scanned-vector counts — so the recall/cost point
+    of every dial setting is measured, not asserted (the quality ladder:
+    PQ-alone ranks n vectors; IVF+PQ at nprobe=k ranks ~k/nlist·n).
+    Same 64-query, fixed-point discipline as the LSH/IVF/PQ evals; the
+    cross-engine value check covers the measurement itself."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = _ivfpq_adc(e, _EVAL_QUERIES, 2)
+    w = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
+    top2 = (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter("rnk <= 5").select("q_vec_id", "c_vec_id")
+                  .withColumn("h2", F.lit(1)))
+    top1 = (scored.filter("pr = 1")
+                  .withColumn("rnk", F.row_number().over(w))
+                  .filter("rnk <= 5").select("q_vec_id", "c_vec_id")
+                  .withColumn("h1", F.lit(1)))
+    scan = scored.groupBy("q_vec_id").agg(
+        F.sum(F.when(F.col("pr") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_scanned_p1"),
+        F.count("*").cast("long").alias("n_scanned_p2"))
+    truth = _pq_truth(e, _EVAL_QUERIES)
+    return (truth.join(top1, ["q_vec_id", "c_vec_id"], "left")
+                 .join(top2, ["q_vec_id", "c_vec_id"], "left")
+                 .groupBy("q_vec_id")
+                 .agg(F.count("h1").alias("n_hits_p1"),
+                      F.round(F.count("h1") / F.lit(5.0), 6)
+                       .alias("recall_p1"),
+                      F.count("h2").alias("n_hits_p2"),
+                      F.round(F.count("h2") / F.lit(5.0), 6)
+                       .alias("recall_p2"))
+                 .join(scan, "q_vec_id", "left")
+                 .select("q_vec_id", "n_hits_p1", "recall_p1",
+                         "n_hits_p2", "recall_p2",
+                         F.coalesce("n_scanned_p1", F.lit(0))
+                          .cast("long").alias("n_scanned_p1"),
+                         F.coalesce("n_scanned_p2", F.lit(0))
+                          .cast("long").alias("n_scanned_p2")))
 
 
 @op("sim_doc_retrieval", oracle=f"""
