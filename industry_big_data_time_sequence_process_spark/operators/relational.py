@@ -1418,18 +1418,32 @@ def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column sort with explicit null placement. The order itself is
     materialized as sort_pos (the driver's hash is order-insensitive, so
     order must be data to be checked). Spark ASC default is NULLS FIRST,
-    DuckDB's is NULLS LAST — always explicit (SURVEY.md App. A.3)."""
+    DuckDB's is NULLS LAST — always explicit (SURVEY.md App. A.3).
+
+    Scale (round 5): sort_pos comes from the two-phase rank
+    (``api.bucketed_global_rank``), NOT an unpartitioned row_number —
+    the bucket is the null-safe (is_null, segment, -ceil(acctbal))
+    struct, monotone under exactly the demanded (seg NULLS LAST,
+    acctbal DESC) order, so the largest partition Spark sorts is one
+    ~1-acctbal-wide band of one segment."""
+    from ..api import bucketed_global_rank
+
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_null"),
         "c_acctbal",
     )
-    w = Window.orderBy(
-        F.col("seg_null").asc_nulls_last(),
-        F.col("c_acctbal").desc(),
-        F.col("c_custkey"),
-    )
-    return c.withColumn("sort_pos", F.row_number().over(w))
+    bucket = F.struct(
+        F.col("seg_null").isNull().cast("int").alias("nl"),
+        F.coalesce("seg_null", F.lit("")).alias("seg"),
+        (-F.ceil("c_acctbal")).cast("long").alias("nb"))
+    ranked = bucketed_global_rank(
+        c, bucket,
+        [F.col("seg_null").asc_nulls_last(), F.col("c_acctbal").desc(),
+         F.col("c_custkey")],
+        rank_name="sort_pos")
+    return ranked.select("c_custkey", "seg_null", "c_acctbal",
+                         F.col("sort_pos").cast("int").alias("sort_pos"))
 
 
 @op("limit_n", oracle=None, tier=1, section="2.6")

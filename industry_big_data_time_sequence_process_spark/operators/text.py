@@ -1158,14 +1158,30 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("new_tokens"))
     tokens_per_doc = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
     joined = tokens_per_doc.join(new_per_doc, "doc_id", "left")
-    return joined.select(
-        "doc_id",
-        F.sum("n_tokens").over(w).alias("corpus_tokens"),
-        F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).alias("vocab_size"),
-    )
+    # Two-phase running sums (round 5): the curve is doc-cardinality, so
+    # an unpartitioned cumulative window would funnel every document
+    # through one partition. Per-1000-doc bucket sums -> offset merge ->
+    # bounded within-bucket cumsum, both measures in one pass.
+    b = F.floor(F.col("doc_id") / 1000).cast("long")
+    tagged = joined.select(
+        "doc_id", "n_tokens",
+        F.coalesce("new_tokens", F.lit(0)).alias("nt"),
+        b.alias("__b"))
+    sums = tagged.groupBy("__b").agg(F.sum("n_tokens").alias("__s1"),
+                                     F.sum("nt").alias("__s2"))
+    wo = Window.orderBy("__b")  # bucket-count table, not doc rows
+    offsets = sums.select(
+        "__b", (F.sum("__s1").over(wo) - F.col("__s1")).alias("__o1"),
+        (F.sum("__s2").over(wo) - F.col("__s2")).alias("__o2"))
+    wc = Window.partitionBy("__b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (tagged.join(F.broadcast(offsets), "__b")
+                  .select("doc_id",
+                          (F.sum("n_tokens").over(wc) + F.col("__o1"))
+                          .alias("corpus_tokens"),
+                          (F.sum("nt").over(wc) + F.col("__o2"))
+                          .alias("vocab_size")))
 
 
 @op("text_zipf_fit", oracle="""
