@@ -26,7 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: bench name -> registry key
+#: bench name -> registry key (the round-1..4 comparable set; `value`
+#: stays the sum of THESE so round-over-round totals keep meaning)
 HEADLINE = {
     "q1_pricing_summary": "agg_groupby_multi",
     "q5_star_join": "join_multikey_chain",
@@ -41,6 +42,21 @@ HEADLINE = {
     "dedup_exact": "dedup_exact_text",
 }
 
+#: round 5 (VERDICT r4 #5): the heavy dedup/ANN family, timed per round
+#: so a regression there surfaces in the bench diff instead of living
+#: only in one-off SCALE.md audits. Reported inside `queries` (and as
+#: `heavy_total`) but EXCLUDED from `value` to keep it r1..r4-comparable.
+HEAVY = {
+    "ngram_jaccard": "dedup_ngram_jaccard",
+    "near_minhash": "dedup_near_minhash",
+    "lsh_bucketed": "sim_lsh_bucketed",
+    "ivf_scalable": "sim_ivf_scalable_topk",
+    "pq_topk": "sim_pq_topk",
+    "ivfpq_topk": "sim_ivfpq_topk",
+    "sessionize_bucketed": "ts_sessionize_bucketed",
+    "decontaminate": "text_decontaminate",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
@@ -50,18 +66,23 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    for name, key in HEADLINE.items():
-        if key not in REGISTRY:
-            continue
-        fn = REGISTRY[key].fn
-        fn(spark, sf_dir).collect()          # warm-up: codegen + IO cache
-        best = float("inf")
-        for _ in range(2):                   # best-of-2: de-jitter scheduling
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def run(names: dict[str, str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name, key in names.items():
+            if key not in REGISTRY:
+                continue
+            fn = REGISTRY[key].fn
+            fn(spark, sf_dir).collect()      # warm-up: codegen + IO cache
+            best = float("inf")
+            for _ in range(2):               # best-of-2: de-jitter scheduling
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = run(HEADLINE)
+    heavy = run(HEAVY)
 
     try:
         sf = float(os.path.basename(sf_dir).replace("sf", ""))
@@ -71,7 +92,9 @@ def main() -> None:
         "metric": "headline_queries_total_warm",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **heavy},
+        "headline_total": round(sum(timings.values()), 3),
+        "heavy_total": round(sum(heavy.values()), 3),
         "sf": sf,
     }))
     spark.stop()
