@@ -7,12 +7,115 @@ no driver-side loops, safe at any scale.
 
 Time semantics: ``ts_col`` is a TimestampType column; gap arithmetic is
 integer microseconds (``unix_micros``) end to end.
+
+Doctests run against a live session in ``tests/test_api.py`` (the
+``spark`` name in examples is injected there).
 """
 from __future__ import annotations
 
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def hash32(c: Column) -> Column:
+    """The engine's portable pseudo-random draw: first 8 hex digits of
+    md5 as a long — identical in DuckDB as
+    ``('0x' || substr(md5(c), 1, 8))::BIGINT``, which is what makes
+    every sampler/minhash/sketch in this repo value-verifiable
+    cross-engine (and stable under re-runs and appends, unlike rand()).
+
+    >>> df = spark.createDataFrame([("a",), ("b",)], "s string")
+    >>> [r.h for r in df.select(hash32("s").alias("h")).collect()]
+    [214005177, 2464899070]
+    """
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def fixed_point(c: Column, grid: float = 1e9) -> Column:
+    """Floor a double onto an integer grid — the repo-wide determinism
+    discipline: floats floored to exact longs make every downstream SUM
+    / min / rank order-invariant and engine-exact (floor, never round:
+    half-even vs half-up rounding flips values across engines).
+
+    >>> df = spark.createDataFrame([(0.1234567891,)], "x double")
+    >>> df.select(fixed_point("x").alias("fx")).first().fx
+    123456789
+    """
+    return F.floor(F.col(c) * F.lit(grid) if isinstance(c, str)
+                   else c * F.lit(grid)).cast("long")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  df_cap_floor: int = 1000,
+                  df_cap_frac: float = 0.005) -> DataFrame:
+    """(id, s): distinct n-gram word shingles per document, with
+    high-document-frequency shingles removed — the production guard that
+    keeps every shingle-join dedup sub-quadratic (a shingle shared by df
+    documents fans its inverted-index join out df²-fold; boilerplate
+    headers/footers carry no near-dup signal anyway). The cap is
+    ``max(df_cap_floor, ceil(df_cap_frac * n_docs))``, computed
+    distributively and applied via a broadcast anti-join — no collect.
+
+    The split is hoisted through a projection before the shingle
+    transform (inline ``split`` in the lambda re-splits the text per
+    element access — O(len²) per document, measured 3.5 s vs 0.6 s at
+    sf0.1).
+
+    >>> df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    >>> sorted(r.s for r in word_shingles(df, "doc_id", "text").collect())
+    ['a b c', 'b c d']
+    """
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.split(text_col, " ").alias("tk"))
+    sh = F.expr(
+        "transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {parts}))"
+        .format(n=n, parts=", ".join(f"tk[i+{j}]" for j in range(n))))
+    raw = toks.select("__id", F.explode(sh).alias("s")).distinct()
+    n_docs = df.agg(F.count("*").alias("__n_docs"))
+    cap = F.greatest(
+        F.lit(df_cap_floor).cast("long"),
+        F.ceil(F.lit(df_cap_frac) * F.col("__n_docs")).cast("long"))
+    hot = (raw.groupBy("s").agg(F.count("*").alias("__df"))
+              .crossJoin(F.broadcast(n_docs))
+              .filter(F.col("__df") > cap)
+              .select("s"))
+    return (raw.join(F.broadcast(hot), "s", "left_anti")
+               .select(F.col("__id").alias(id_col), "s"))
+
+
+def minhash_band_signatures(tok: DataFrame, id_col: str, token_col: str,
+                            k: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, sig): LSH band signatures — k portable minhashes per
+    document over a (id, token) stream, folded into ``bands`` bands of
+    k/bands rows (ordered concat). Two documents share a band signature
+    iff all of that band's minhashes agree, so an equi-join on
+    (band, sig) yields the near-dup candidate pairs without any
+    all-pairs comparison — the (k, bands) pair is the precision/recall
+    dial (4x4 catches Jaccard >= ~0.7).
+
+    >>> df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "x"), (2, "y")],
+    ...                            "doc_id long, token string")
+    >>> out = minhash_band_signatures(df, "doc_id", "token")
+    >>> sigs = {(r.doc_id, r.band): r.sig for r in out.collect()}
+    >>> len(sigs), sigs[(1, 0)] == sigs[(2, 0)]  # identical docs collide
+    (8, True)
+    """
+    rows_per_band = k // bands
+    mh = (tok.select(F.col(id_col).alias("__id"),
+                     F.col(token_col).alias("__t"))
+             .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+             .groupBy("__id", "i")
+             .agg(F.min(hash32(F.concat_ws(":", F.col("i"), F.col("__t"))))
+                   .alias("mh")))
+    return (mh.withColumn("band", F.expr(f"i div {rows_per_band}"))
+              .groupBy("__id", "band")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                      lambda s: s["mh"].cast("string")),
+                  ",").alias("sig"))
+              .select(F.col("__id").alias(id_col), "band", "sig"))
 
 
 def sessionize(df: DataFrame, key: str, ts_col: str, gap_minutes: float,

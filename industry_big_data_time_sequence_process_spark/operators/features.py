@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..api import (bucketed_ntile, bucketed_order_statistic,
-                   bucketed_running_sum)
+                   bucketed_running_sum, hash32)
 from ..registry import REGISTRY, op
 from ..sources.io import load
 
@@ -32,7 +32,7 @@ _TE_PRIOR_M = 20
 
 
 def _h32(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return hash32(c)  # promoted to api.py (round 5); kept as local alias
 
 
 @op("feat_target_encode", oracle=f"""

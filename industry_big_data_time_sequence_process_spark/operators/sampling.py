@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..api import bucketed_order_statistic
+from ..api import bucketed_order_statistic, hash32
 from ..registry import REGISTRY, op
 from ..sources.io import load
 
@@ -25,7 +25,7 @@ _DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
 
 
 def _h32(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return hash32(c)  # promoted to api.py (round 5); kept as local alias
 
 
 @op("sample_hash_bucket", oracle=f"""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..api import hash32, minhash_band_signatures, word_shingles
 from ..registry import op
 from ..sources.io import load
 
@@ -25,7 +26,7 @@ _DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
 
 
 def _h32(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return hash32(c)  # promoted to api.py (round 5); kept as local alias
 
 
 def _tokens(d: DataFrame) -> DataFrame:
@@ -325,26 +326,12 @@ def _shingles(d: DataFrame) -> DataFrame:
     practice a handful — is removed via a broadcast LEFT ANTI join. No
     driver-side collect anywhere.
 
-    The split is HOISTED through an explicit projection before the
-    shingle transform: with ``split(text)`` inline in the lambda, each
-    of the 3 element accesses per position re-splits the whole text —
-    O(len²) per document, measured 3.5 s vs 0.6 s for the projected form
-    at sf0.1 (5000 docs). The projection/Generate boundary keeps
-    CollapseProject from inlining it back."""
-    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
-    sh = F.expr("transform(sequence(0, size(tk) - 3), "
-                "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")
-    raw = toks.select("doc_id", F.explode(sh).alias("s")).distinct()
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    cap = F.greatest(
-        F.lit(_SHINGLE_DF_CAP_FLOOR).cast("long"),
-        F.ceil(F.lit(_SHINGLE_DF_CAP_FRAC) * F.col("n_docs")).cast("long"))
-    hot = (raw.groupBy("s").agg(F.count("*").alias("df"))
-              .crossJoin(F.broadcast(n_docs))
-              .filter(F.col("df") > cap)
-              .select("s"))
-    return (raw.join(F.broadcast(hot), "s", "left_anti")
-               .select("doc_id", "s"))
+    Implementation promoted to ``api.word_shingles`` (round 5 — the
+    split-hoisting and broadcast-anti-join mechanics live there); this
+    wrapper binds the documents-table column names and the repo cap
+    constants."""
+    return word_shingles(d, "doc_id", "text", 3,
+                         _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC)
 
 
 @op("dedup_ngram_jaccard", oracle=f"""
@@ -501,24 +488,11 @@ def _minhash_bands(tok: DataFrame) -> DataFrame:
     """(doc_id, band, sig): per-document LSH band signatures —
     16 portable minhashes over the capped shingle stream, folded into
     4 bands of 4 (ordered concat). Shared by the full self-join dedup
-    and the incremental batch-vs-corpus variant."""
-    rows_per_band = _MINHASH_K // _MINHASH_BANDS
-    mh = (
-        tok.withColumn("i", F.explode(F.sequence(F.lit(0),
-                                                 F.lit(_MINHASH_K - 1))))
-           .groupBy("doc_id", "i")
-           .agg(F.min(_h32(F.concat_ws(":", F.col("i"), F.col("token"))))
-                 .alias("mh"))
-    )
-    return (
-        mh.withColumn("band", F.expr(f"i div {rows_per_band}"))
-          .groupBy("doc_id", "band")
-          .agg(F.array_join(
-              F.transform(
-                  F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                  lambda s: s["mh"].cast("string")),
-              ",").alias("sig"))
-    )
+    and the incremental batch-vs-corpus variant. Implementation promoted
+    to ``api.minhash_band_signatures`` (round 5); this wrapper binds the
+    repo's (k, bands) dial."""
+    return minhash_band_signatures(tok, "doc_id", "token",
+                                   _MINHASH_K, _MINHASH_BANDS)
 
 
 @op("dedup_near_minhash", oracle=f"""
