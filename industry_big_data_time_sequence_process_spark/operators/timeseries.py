@@ -3936,6 +3936,8 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("t1") < F.col("t2"))
     raw = pairs.groupBy("t1", "t2").applyInPandas(
         _dtw_pdf, "t1 string, t2 string, dtw double")
+    # global rank is safe here: the input is the channel-pair matrix,
+    # bounded by |event_type|^2 (~10 rows) regardless of corpus size
     w = Window.orderBy("dtw", "t1", "t2")
     return raw.select("t1", "t2", F.round("dtw", 6).alias("dtw"),
                       F.row_number().over(w).alias("rnk"))
