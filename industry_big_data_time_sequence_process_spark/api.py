@@ -84,6 +84,59 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                .select(F.col("__id").alias(id_col), "s"))
 
 
+def strip_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                            sep: str = ". ", df_cap_floor: int = 2,
+                            df_cap_frac: float = 0.005) -> DataFrame:
+    """(id, n_lines, n_removed, cleaned): corpus-level boilerplate
+    removal, the C4-style line filter — a line (``sep``-split segment,
+    trimmed) present in more than ``max(df_cap_floor,
+    ceil(df_cap_frac * n_docs))`` DISTINCT documents is template
+    boilerplate (cookie banners, licence footers) and is dropped from
+    every document; survivors reassemble in original order. Same
+    distributive-cap + broadcast-anti-join shape as
+    :func:`word_shingles` — the hot-line set is tiny by construction
+    (each hot line needs cap·n_docs occurrences), no collect anywhere.
+
+    >>> df = spark.createDataFrame(
+    ...     [(i, f"unique {i}. SHARED FOOTER") for i in range(4)],
+    ...     "doc_id long, text string")
+    >>> out = strip_boilerplate_lines(df, "doc_id", "text").orderBy("doc_id")
+    >>> r = out.first()
+    >>> (r.n_lines, r.n_removed, r.cleaned)
+    (2, 1, 'unique 0')
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(text_col, _re.escape(sep)))
+         .alias("__pos", "__line"))
+    n_docs = df.agg(F.count("*").alias("__n_docs"))
+    cap = F.greatest(
+        F.lit(df_cap_floor).cast("long"),
+        F.ceil(F.lit(df_cap_frac) * F.col("__n_docs")).cast("long"))
+    hot = (lines.filter(F.length(F.trim("__line")) > 0)
+                .select(F.trim("__line").alias("__l"), "__id").distinct()
+                .groupBy("__l").agg(F.count("*").alias("__df"))
+                .crossJoin(F.broadcast(n_docs))
+                .filter(F.col("__df") > cap)
+                .select("__l"))
+    kept = lines.join(F.broadcast(hot),
+                      F.trim(F.col("__line")) == F.col("__l"), "left_anti")
+    agg = kept.groupBy("__id").agg(
+        F.count("*").alias("__n_kept"),
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+            lambda s: s["__line"])).alias("cleaned"))
+    tot = lines.groupBy("__id").agg(F.count("*").alias("n_lines"))
+    return (tot.join(agg, "__id", "left")
+               .select(F.col("__id").alias(id_col), "n_lines",
+                       (F.col("n_lines")
+                        - F.coalesce("__n_kept", F.lit(0))).cast("long")
+                       .alias("n_removed"),
+                       F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
 def minhash_band_signatures(tok: DataFrame, id_col: str, token_col: str,
                             k: int = 16, bands: int = 4) -> DataFrame:
     """(id, band, sig): LSH band signatures — k portable minhashes per

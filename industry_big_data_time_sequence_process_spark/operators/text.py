@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..api import hash32, minhash_band_signatures, word_shingles
+from ..api import (hash32, minhash_band_signatures, strip_boilerplate_lines,
+                   word_shingles)
 from ..registry import op
 from ..sources.io import load
 
@@ -1415,6 +1416,55 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(F.col("n_copies") == 1).cast("double")
                 / F.count("*"), 6).alias("unique_line_frac"),
     )
+
+
+@op("text_remove_boilerplate", oracle="""
+WITH lines AS (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS line,
+           generate_subscripts(string_split(text, '. '), 1) AS pos
+    FROM documents
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+hot AS (
+    SELECT l FROM (
+        SELECT trim(line) AS l, count(DISTINCT doc_id) AS df
+        FROM lines WHERE length(trim(line)) > 0 GROUP BY 1
+    ) CROSS JOIN nd
+    WHERE df > greatest(2, CAST(ceil(0.005 * n_docs) AS BIGINT))
+), kept AS (
+    SELECT doc_id, pos, line FROM lines
+    WHERE trim(line) NOT IN (SELECT l FROM hot)
+), agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, '. ' ORDER BY pos) AS cleaned
+    FROM kept GROUP BY doc_id
+), tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(length(coalesce(a.cleaned, '')) AS BIGINT) AS cleaned_n_chars,
+       md5(coalesce(a.cleaned, '')) AS cleaned_md5
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""", tier=3, section="2.11")
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate REMOVAL — where ``text_line_dedup``
+    audits duplicated lines, this op returns the CLEANED corpus (the
+    C4-style filter a training pipeline actually applies): sentence
+    lines present in more than max(2, 0.5%·n_docs) distinct documents
+    are template boilerplate and are dropped from every document;
+    survivors reassemble in original order, fingerprinted so the
+    rewrite is value-checked end to end (split -> corpus df -> anti-join
+    -> ordered reassembly). Implementation is the public
+    ``api.strip_boilerplate_lines`` (shingle-cap discipline: the
+    hot-line set is tiny by construction and broadcast — no collect).
+    On this corpus no line crosses the cap (measured: every sentence is
+    doc-unique), so removal is provably inert here — the REMOVING path
+    is pinned on an adversarial shared-footer fixture in
+    tests/test_api.py, the same treatment as the shingle cap."""
+    out = strip_boilerplate_lines(load(spark, sf_dir, "documents"),
+                                  "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.length("cleaned").cast("long").alias("cleaned_n_chars"),
+        F.md5("cleaned").alias("cleaned_md5"))
 
 
 @op("dedup_simhash_pairs", oracle=f"""

@@ -74,6 +74,31 @@ def test_bucketed_order_statistic_picks_exact_row(spark):
     assert len(got) == 1 and tuple(got[0]) == tuple(want)
 
 
+def test_strip_boilerplate_adversarial_footer(spark):
+    """The REMOVING path of text_remove_boilerplate (inert on the
+    natural corpus — every sentence there is doc-unique): a footer
+    shared by 3 of 5 docs crosses the max(2, ...) cap and is stripped
+    everywhere; a line shared by only 2 docs stays; a doc that was all
+    boilerplate cleans to the empty string."""
+    rows = [
+        (0, "alpha zero. THE FOOTER. tail zero"),
+        (1, "alpha one. THE FOOTER"),
+        (2, "THE FOOTER"),
+        (3, "twice shared. body three"),
+        (4, "twice shared. body four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in
+           api.strip_boilerplate_lines(df, "doc_id", "text").collect()}
+    assert out[0]["cleaned"] == "alpha zero. tail zero"
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (3, 1)
+    assert out[1]["cleaned"] == "alpha one"
+    assert out[2] == {"doc_id": 2, "n_lines": 1, "n_removed": 1,
+                      "cleaned": ""}
+    assert out[3]["cleaned"] == "twice shared. body three"  # df=2 <= cap
+    assert out[4]["n_removed"] == 0
+
+
 def test_bucketed_running_sum_equals_unpartitioned(spark):
     from pyspark.sql import Window
     df = spark.range(300).select(
