@@ -501,13 +501,15 @@ _IVF_TRAIN_CAP = 2000  # centroids train on the md5-lowest CAP vectors: a
                        # regardless of corpus size
 
 
-def _duck_ivf_capped_prefix() -> str:
+def _duck_ivf_capped_prefix(corpus: str = "embeddings") -> str:
     """WITH-chain for the SCALABLE index — mirrors ``_ivf_cells_scalable``:
     k-means runs only on the capped hash-sample (constant cost at any
-    corpus size), then ONE linear pass assigns the full corpus."""
+    corpus size), then ONE linear pass assigns the full ``corpus`` (a
+    table or earlier CTE — the incremental-ingest oracle trains/assigns
+    over the ``old`` slice)."""
     cos = _duck_cos("e.embedding", "c.cemb")
     parts = [f"""train AS (
-    SELECT vec_id, embedding FROM embeddings
+    SELECT vec_id, embedding FROM {corpus}
     ORDER BY {_DUCK_HV}, vec_id LIMIT {_IVF_TRAIN_CAP}
 ), seeds AS (
     SELECT cid, cemb FROM (
@@ -525,7 +527,7 @@ def _duck_ivf_capped_prefix() -> str:
         parts.append(_DUCK_IVF_UPDATE.format(i=i))
         cent = f"u{i}"
     parts.append(_DUCK_IVF_ASSIGN.format(name="cells", cent=cent, cos=cos,
-                                         src="embeddings"))
+                                         src=corpus))
     return ",\n".join(parts)
 
 
@@ -1593,6 +1595,61 @@ def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("long").alias("n_scanned_p1"),
                          F.coalesce("n_scanned_p2", F.lit(0))
                           .cast("long").alias("n_scanned_p2")))
+
+
+@op("sim_ivf_incremental_assign", oracle=f"""
+WITH cut AS (SELECT CAST(floor(0.9 * count(*)) AS BIGINT) AS c
+             FROM embeddings),
+old AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN cut
+        WHERE vec_id < c),
+batch AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN cut
+          WHERE vec_id >= c),
+{_duck_ivf_capped_prefix(corpus="old")},
+bassign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.embedding', 'c.cemb')} DESC,
+                            c.cid) AS r
+        FROM batch e CROSS JOIN u{_IVF_ITERS} c
+    ) WHERE r = 1
+),
+occ AS (SELECT cid, count(*) AS n_old FROM cells GROUP BY 1)
+SELECT b.vec_id, b.cid,
+       CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old_in_cell
+FROM bassign b LEFT JOIN occ o ON o.cid = b.cid
+""", tier=3, section="2.11")
+def sim_ivf_incremental_assign(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-ingest shape for
+    the ANN stack (the vector-side twin of ``dedup_incremental_minhash``):
+    a new batch of vectors (the md5-stable top-10% vec_id slice stands in
+    for today's arrivals) is assigned to the EXISTING trained index —
+    centroids trained on the old corpus only, never retrained — so
+    ingest cost is O(batch)·nlist, independent of corpus size, and old
+    vectors never move cells (cached-index stability, the property that
+    lets serving nodes keep their inverted lists immutable between
+    rebuilds). Output: each batch vector's cell plus the cell's prior
+    occupancy — the occupancy drift a real deployment monitors to decide
+    when a full retrain is due (cells fill unevenly as the distribution
+    shifts). Same capped trainer, fixed-point means and argmax
+    discipline as ``sim_ivf_scalable_topk``, so the whole ingest step is
+    value-checked cross-engine."""
+    e = load(spark, sf_dir, "embeddings")
+    cut = e.agg(F.floor(0.9 * F.count("*")).cast("long").alias("c"))
+    with_cut = e.crossJoin(F.broadcast(cut))
+    old = with_cut.filter(F.col("vec_id") < F.col("c")) \
+                  .select("vec_id", "embedding")
+    batch = with_cut.filter(F.col("vec_id") >= F.col("c")) \
+                    .select("vec_id", "embedding")
+    cent = _ivf_train_capped(old)
+    occ = (_ivf_assign(old, cent)
+           .groupBy("cid").agg(F.count("*").alias("n_old")))
+    bassign = _ivf_assign(batch, cent).select("vec_id", "cid")
+    return (bassign.join(F.broadcast(occ), "cid", "left")
+                   .select("vec_id", "cid",
+                           F.coalesce("n_old", F.lit(0)).cast("long")
+                            .alias("n_old_in_cell")))
 
 
 @op("sim_doc_retrieval", oracle=f"""

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.pipeline_demo import (  # noqa: E402
-    exact_dedup, near_dedup, quality_filter, split_train_val,
+    clean_boilerplate, exact_dedup, near_dedup, quality_filter,
+    split_train_val,
 )
 
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY  # noqa: E402
@@ -22,6 +23,9 @@ from .conftest import SF_T2
 def test_pipeline_composes_and_dedups(spark):
     d = load(spark, SF_T2, "documents")
     n0 = d.count()
+    d = clean_boilerplate(d)
+    nc = d.count()
+    assert n0 >= nc > 0   # inert on this corpus, but must not grow/crash
     d1 = exact_dedup(d)
     n1 = d1.count()
     d2 = near_dedup(d1).cache()

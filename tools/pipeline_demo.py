@@ -2,7 +2,7 @@
 
 Every stage below is the same machinery the registry exposes as graded
 operators — this script exists to show they compose into the pipeline a
-100 TB corpus actually runs: ingest -> exact dedup -> near-dedup (MinHash
+100 TB corpus actually runs: ingest -> boilerplate clean -> exact dedup -> near-dedup (MinHash
 LSH + connected components, keep one representative per cluster) ->
 quality filter -> deterministic train/val split -> partitioned parquet.
 
@@ -10,7 +10,9 @@ Scale posture per stage (see SCALE.md for the measured evidence):
 exact dedup is a hash-group; near-dedup is the banded LSH join (never
 all-pairs) with the high-df shingle cap; the quality filter is pure
 narrow row expressions; the split is a hash filter with zero shuffle
-and is stable under appends; the sink is partitioned parquet.
+and is stable under appends; the sink is partitioned parquet. Round 5
+prepends corpus-level boilerplate-line removal (broadcast anti-join of
+the tiny hot-line set) so dedup hashes cleaned content.
 
 Usage:  python tools/pipeline_demo.py [sf_dir] [out_dir]
         (defaults: /root/testdata/sf0.01, .scratch/pipeline_out)
@@ -27,11 +29,29 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
+from industry_big_data_time_sequence_process_spark.api import (  # noqa: E402
+    strip_boilerplate_lines,
+)
 from industry_big_data_time_sequence_process_spark.operators.text import (  # noqa: E402
     _h32, _minhash_bands, _shingles,
 )
 from industry_big_data_time_sequence_process_spark.session import get_session  # noqa: E402
 from industry_big_data_time_sequence_process_spark.sources.io import load  # noqa: E402
+
+
+def clean_boilerplate(d: DataFrame) -> DataFrame:
+    """Corpus-level boilerplate line removal (text_remove_boilerplate's
+    machinery, api.strip_boilerplate_lines) applied as a REWRITE: text
+    becomes the cleaned reassembly, n_chars is recomputed, documents
+    that clean to nothing are dropped. Runs FIRST so the dedup stages
+    hash cleaned content (shared footers otherwise glue unrelated docs
+    into near-dup clusters)."""
+    cleaned = strip_boilerplate_lines(d, "doc_id", "text")
+    return (d.drop("text", "n_chars")
+             .join(cleaned.filter(F.length("cleaned") > 0)
+                          .select("doc_id", F.col("cleaned").alias("text")),
+                   "doc_id")
+             .withColumn("n_chars", F.length("text").cast("long")))
 
 
 def exact_dedup(d: DataFrame) -> DataFrame:
@@ -127,6 +147,8 @@ def main() -> None:
 
     d = load(spark, sf_dir, "documents")
     n0 = d.count()
+    d = clean_boilerplate(d)
+    nc = d.count()
     d1 = exact_dedup(d)
     n1 = d1.count()
     # materialize the dedup result once — every later stage (and the
@@ -142,7 +164,8 @@ def main() -> None:
               (spark.read.parquet(out).groupBy("split")
                     .agg(F.count("*").alias("n")).collect())}
 
-    print(f"ingested={n0} exact_dedup={n1} near_dedup={n2} "
+    print(f"ingested={n0} boilerplate_clean={nc} exact_dedup={n1} "
+          f"near_dedup={n2} "
           f"quality={n3} train={splits.get('train', 0)} "
           f"val={splits.get('val', 0)} "
           f"out={out} wall={time.monotonic() - t0:.1f}s")
