@@ -56,6 +56,12 @@ GUARDED = [
     "ts_cohort_ltv_curve", "ts_load_duration_curve", "ts_pareto_front",
     "ts_oee_report", "ts_peak_over_threshold", "ts_event_synchrony",
     "sample_split_temporal", "geo_grid_neighbor_join",
+    # round-5 scalable twins: the two-phase rank must survive the same
+    # degenerate slices as its baseline (6-row corpus -> ntile(10) with
+    # n < tiles, single-row buckets, 80% cutoff on 6 rows)
+    "feat_woe_binning_scalable", "feat_gains_table_scalable",
+    "feat_auc_roc_scalable", "feat_psi_drift_scalable",
+    "feat_time_split_encode_scalable", "sample_split_temporal_scalable",
 ]
 
 
@@ -123,7 +129,11 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # final-wave: global order statistics / min(ts) anchors
                  "sample_split_temporal", "ts_dtw_pairs",
                  "feat_woe_binning", "ts_wavelet_haar",
-                 "ts_peak_over_threshold"]
+                 "ts_peak_over_threshold",
+                 # round-5 twins: empty bucket-count tables must yield
+                 # empty (not crashing) ranks/cutoffs
+                 "sample_split_temporal_scalable",
+                 "feat_woe_binning_scalable", "feat_auc_roc_scalable"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
