@@ -312,7 +312,8 @@ def resample(df: DataFrame, key: str, ts_col: str, every: str,
 def bucketed_global_rank(df: DataFrame, bucket: Column,
                          order_by: Sequence[Column],
                          rank_name: str = "global_rank",
-                         total_name: str | None = None) -> DataFrame:
+                         total_name: str | None = None,
+                         group_cols: Sequence[str] = ()) -> DataFrame:
     """Exact global ``row_number`` over ``order_by`` WITHOUT a
     single-partition sort — the two-phase rank (the quantile/rank twin of
     the bucketed-sessionize discipline):
@@ -333,18 +334,27 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
 
     ``total_name`` additionally attaches the global row count (taken from
     the bucket-count table, NOT from a window over the facts).
+
+    ``group_cols`` turns the rank into a per-group rank (the
+    ``PARTITION BY g ORDER BY ...`` shape): counts, offsets and totals
+    all scope to the group, so even a constant-corpus-fraction partition
+    key (an event_type-style channel) never sorts more than one
+    (group, bucket) cell at a time — the fix for the low-cardinality
+    window-key hazard class in SCALE.md.
     """
+    g = list(group_cols)
     b = "__bgr_b"
     tagged = df.withColumn(b, bucket)
-    counts = tagged.groupBy(b).agg(F.count("*").alias("__n"))
-    wo = Window.orderBy(b)  # bucket-cardinality table, not fact rows
+    counts = tagged.groupBy(*g, b).agg(F.count("*").alias("__n"))
+    # bucket-cardinality table, not fact rows:
+    wo = Window.partitionBy(*g).orderBy(b)
     offs = [(F.sum("__n").over(wo) - F.col("__n")).alias("__off")]
     if total_name is not None:
-        offs.append(F.sum("__n").over(Window.partitionBy())
+        offs.append(F.sum("__n").over(Window.partitionBy(*g))
                      .alias(total_name))
-    offsets = counts.select(b, *offs)
-    w = Window.partitionBy(b).orderBy(*order_by)
-    return (tagged.join(F.broadcast(offsets), b)
+    offsets = counts.select(*g, b, *offs)
+    w = Window.partitionBy(*g, b).orderBy(*order_by)
+    return (tagged.join(F.broadcast(offsets), [*g, b])
                   .withColumn(rank_name, (F.row_number().over(w)
                                           + F.col("__off")).cast("long"))
                   .drop(b, "__off"))
@@ -352,15 +362,19 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
 
 def bucketed_ntile(df: DataFrame, bucket: Column,
                    order_by: Sequence[Column], n_tiles: int,
-                   tile_name: str = "tile") -> DataFrame:
-    """Exact SQL ``ntile(n_tiles)`` over a global order, built on
+                   tile_name: str = "tile",
+                   group_cols: Sequence[str] = ()) -> DataFrame:
+    """Exact SQL ``ntile(n_tiles)`` over a global (or, with
+    ``group_cols``, per-group) order, built on
     :func:`bucketed_global_rank` (so: no unpartitioned window over fact
-    rows). Tile arithmetic replicates ntile exactly: with n rows and k
-    tiles, ``q = n div k``, ``r = n mod k``; the first r tiles take q+1
-    rows each, the rest q — so the result is value-identical to the
-    engine's ntile at any parallelism."""
+    rows, and no constant-corpus-fraction partitions either). Tile
+    arithmetic replicates ntile exactly: with n rows and k tiles,
+    ``q = n div k``, ``r = n mod k``; the first r tiles take q+1 rows
+    each, the rest q — so the result is value-identical to the engine's
+    ntile at any parallelism."""
     ranked = bucketed_global_rank(df, bucket, order_by,
-                                  rank_name="__grank", total_name="__tot")
+                                  rank_name="__grank", total_name="__tot",
+                                  group_cols=group_cols)
     q = F.floor(F.col("__tot") / n_tiles).cast("long")
     r = F.col("__tot") % n_tiles
     big = r * (q + 1)  # rows living in the first r (fat) tiles

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..exprs import dec2, r6
-from ..registry import op
+from ..registry import REGISTRY, op
 from ..sources.io import load
 
 
@@ -59,11 +59,39 @@ SELECT event_id, event_type, value,
 FROM events
 """, tier=2, section="2.5")
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing of event values per type."""
+    """Quartile bucketing of event values per type. SCALE note: the
+    partition key is ~5-valued, so each partition is a constant fraction
+    of the corpus — SCALE.md's low-cardinality hazard class;
+    ``win_ntile_scalable`` is the bounded-partition twin."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select("event_id", "event_type", "value",
                      F.ntile(4).over(w).alias("quartile"))
+
+
+@op("win_ntile_scalable",
+    oracle=REGISTRY["win_ntile"].oracle, tier=3, section="2.5")
+def win_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exemplar fix for SCALE.md's low-cardinality window-key hazard
+    class (round 5): ``win_ntile`` partitions by ~5 event types, so each
+    partition is ~20% of the corpus — at 100 TB one partition is 20 TB.
+    This twin runs the SAME per-type quartiles through
+    ``api.bucketed_ntile`` with ``group_cols=["event_type"]``: counts
+    aggregate per (type, unit-value bucket), offsets merge over the tiny
+    per-type bucket table, and the only sorted partitions are single
+    (type, bucket) cells. VALUE-IDENTICAL — reuses win_ntile's oracle
+    verbatim (exact ntile arithmetic from per-group rank and total).
+    The same one-line rewrite applies to the whole hazard family listed
+    in SCALE.md."""
+    from ..api import bucketed_ntile
+
+    ev = load(spark, sf_dir, "events")
+    out = bucketed_ntile(
+        ev.select("event_id", "event_type", "value"),
+        F.floor("value").cast("long"),
+        [F.col("value"), F.col("event_id")], 4,
+        tile_name="quartile", group_cols=["event_type"])
+    return out.select("event_id", "event_type", "value", "quartile")
 
 
 @op("win_lag_lead", oracle="""

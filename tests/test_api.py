@@ -60,6 +60,20 @@ def test_bucketed_ntile_equals_sql_ntile(spark):
             sorted(map(tuple, got.collect())), f"n={n}"
 
 
+def test_grouped_bucketed_ntile_equals_partitioned_ntile(spark):
+    from pyspark.sql import Window
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        (api.hash32(F.col("id").cast("string")) % 37).alias("v"))
+    want = df.withColumn(
+        "t", F.ntile(4).over(Window.partitionBy("g").orderBy("v", "id")))
+    got = api.bucketed_ntile(
+        df, (F.col("v") / 10).cast("long"), [F.col("v"), F.col("id")], 4,
+        tile_name="t", group_cols=["g"]).select("id", "g", "v", "t")
+    assert sorted(map(tuple, want.collect())) == \
+        sorted(map(tuple, got.collect()))
+
+
 def test_bucketed_order_statistic_picks_exact_row(spark):
     from pyspark.sql import Window
     df = spark.range(1000).select(
