@@ -3333,6 +3333,87 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@op("dq_load_anomaly", oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sd
+    FROM events GROUP BY 1
+), st AS (
+    SELECT count(*) AS cnt,
+           CAST(SUM(n) AS DOUBLE) / count(*) AS mn,
+           sqrt(greatest((CAST(SUM(n * n) AS DOUBLE)
+                          - CAST(SUM(n) AS DOUBLE) * SUM(n) / count(*))
+                         / greatest(count(*) - 1, 1), 0)) AS sdn,
+           CAST(SUM(sd) AS DOUBLE) / count(*) AS ms,
+           sqrt(greatest((CAST(SUM(sd * sd) AS DOUBLE)
+                          - CAST(SUM(sd) AS DOUBLE) * CAST(SUM(sd) AS DOUBLE)
+                            / count(*))
+                         / greatest(count(*) - 1, 1), 0)) AS sds
+    FROM daily
+)
+SELECT d AS day, CAST(n AS BIGINT) AS n_rows,
+       CAST(sd AS DOUBLE) AS total_value,
+       round((n - st.mn)
+             / (CASE WHEN st.sdn = 0 THEN 1 ELSE st.sdn END), 6) AS z_rows,
+       round((CAST(sd AS DOUBLE) - st.ms)
+             / (CASE WHEN st.sds = 0 THEN 1 ELSE st.sds END), 6) AS z_value,
+       CAST(abs((n - st.mn)
+                / (CASE WHEN st.sdn = 0 THEN 1 ELSE st.sdn END)) > 2
+            OR abs((CAST(sd AS DOUBLE) - st.ms)
+                   / (CASE WHEN st.sds = 0 THEN 1 ELSE st.sds END)) > 2
+            AS INT) AS anomalous
+FROM daily CROSS JOIN st
+""", tier=3, section="2.4")
+def dq_load_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly audit — the "did yesterday's load look
+    wrong" monitor every scheduled pipeline runs before promoting a
+    partition: per-day row count and value volume z-scored against the
+    corpus's own day distribution, with a |z| > 2 flag on either
+    measure (half-empty loads, duplicate-ingest doublings and upstream
+    outages all light up). Completes the dq_* trio: expectations (is
+    the data valid), referential integrity (is it consistent), load
+    anomaly (did we get the usual AMOUNT of it).
+
+    Determinism: day sums ride DECIMAL(18,2) (exact, order-invariant),
+    day counts and n·n products are exact longs (< 2^53 here; a 100 TB
+    deployment lifts the moment pass to decimal the same way the sums
+    already are), so mean/std derive from identical exact operands on
+    both engines and the z-division is the only float step. One hash
+    aggregate to ~30 day rows, a 1-row moment aggregate over those,
+    broadcast back — corpus touched once, map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sd"))
+    cnt = F.count("*")
+    bessel = F.greatest(cnt - 1, F.lit(1))
+    sdn = F.sqrt(F.greatest(
+        (F.sum(F.col("n") * F.col("n")).cast("double")
+         - F.sum("n").cast("double") * F.sum("n") / cnt) / bessel,
+        F.lit(0.0)))
+    sds = F.sqrt(F.greatest(
+        (F.sum(F.col("sd") * F.col("sd")).cast("double")
+         - F.sum("sd").cast("double") * F.sum("sd").cast("double") / cnt)
+        / bessel, F.lit(0.0)))
+    st = daily.agg(
+        (F.sum("n").cast("double") / cnt).alias("mn"),
+        sdn.alias("sdn"),
+        (F.sum("sd").cast("double") / cnt).alias("ms"),
+        sds.alias("sds"))
+    zn = (F.col("n") - F.col("mn")) \
+        / F.when(F.col("sdn") == 0, 1.0).otherwise(F.col("sdn"))
+    zv = (F.col("sd").cast("double") - F.col("ms")) \
+        / F.when(F.col("sds") == 0, 1.0).otherwise(F.col("sds"))
+    return (daily.crossJoin(F.broadcast(st))
+                 .select(F.col("d").alias("day"),
+                         F.col("n").cast("long").alias("n_rows"),
+                         F.col("sd").cast("double").alias("total_value"),
+                         F.round(zn, 6).alias("z_rows"),
+                         F.round(zv, 6).alias("z_value"),
+                         ((F.abs(zn) > 2) | (F.abs(zv) > 2)).cast("int")
+                          .alias("anomalous")))
+
+
 @op("join_point_in_time_scd2", oracle="""
 WITH changes AS (
     SELECT o_custkey AS c_custkey,
