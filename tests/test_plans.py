@@ -327,3 +327,32 @@ def test_zorder_stats_no_join_one_aggregate(spark):
     assert n_exchanges == 1, (
         f"zorder stats should shuffle once on zbucket, found {n_exchanges}")
     assert "Join" not in plan
+
+
+def test_ivfpq_probes_and_adc_tables_broadcast(spark):
+    """The composed IVF+PQ stack: query probes and ADC distance tables
+    are tiny by construction and must broadcast; the corpus must never
+    sort-merge or cartesian against them (that would shuffle the coded
+    corpus wide for an 8-query batch)."""
+    plan = _plan(spark, "sim_ivfpq_topk", "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cid probe + ADC lookup
+
+
+def test_incremental_ivf_assign_no_wide_join(spark):
+    """Incremental ingest must stay batch-shaped: centroid argmax is a
+    broadcast of the tiny trained bank, never a sort-merge of the batch
+    against anything corpus-sized."""
+    plan = _plan(spark, "sim_ivf_incremental_assign", "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_hot_line_set_broadcast(spark):
+    """strip_boilerplate_lines: the hot-line set is tiny by construction
+    (each member needs cap x n_docs occurrences) and the corpus-side
+    anti-join must broadcast it — shuffling every line against a
+    handful of footers would be the 100x regression."""
+    plan = _plan(spark, "text_remove_boilerplate", "simple")
+    assert "SortMergeJoin" not in plan
