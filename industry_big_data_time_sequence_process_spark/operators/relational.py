@@ -1251,18 +1251,23 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the value distribution per event type — the
     concentration metric ('do a few events carry most of the value?')
     that flags whale-dominated segments. Rank-formula form
-    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over value-sorted rows: one
-    partition sort shared by rank and count, DECIMAL-exact weighted sums
-    (i·xᵢ is a 2-decimal times an integer), single float division."""
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over value-sorted rows, with
+    DECIMAL-exact weighted sums (i·xᵢ is a 2-decimal times an integer)
+    and a single float division. Ranks come from the grouped two-phase
+    rank (round 5 — the per-type partition is a constant fraction of
+    the corpus, SCALE.md's low-cardinality hazard class), so the only
+    sorted partitions are single (type, unit-value) cells."""
+    from ..api import bucketed_global_rank
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        F.col("value").cast("decimal(18,2)").alias("v"),
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(wc).alias("n"),
-    )
+    ranked = bucketed_global_rank(
+        ev.select("event_type", "event_id", "value"),
+        F.floor("value").cast("long"),
+        [F.col("value"), F.col("event_id")],
+        rank_name="i", total_name="n", group_cols=["event_type"]) \
+        .select("event_type",
+                F.col("value").cast("decimal(18,2)").alias("v"),
+                "i", "n")
     gini = (2.0 * F.sum(F.col("i") * F.col("v"))
             / (F.col("n") * F.sum("v")) - (F.col("n") + 1.0) / F.col("n"))
     return ranked.groupBy("event_type", "n").agg(
@@ -3064,32 +3069,46 @@ def agg_sample_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any sort; the exact side exists as the eval harness (and is
     itself one shuffle + per-group window, the agg_percentile_exact
     shape)."""
-    ev = load(spark, sf_dir, "events")
-    wh = Window.partitionBy("event_type").orderBy(
-        F.md5(F.concat(F.lit("sq:"), F.col("event_id").cast("string"))),
-        "event_id")
-    s = (ev.select("event_type", "value",
-                   F.row_number().over(wh).alias("hr"))
-           .filter(F.col("hr") <= _SQ_K))
+    from ..api import bucketed_global_rank
 
-    def quantiles(df, order2, med_name, p90_name):
-        wr = Window.partitionBy("event_type").orderBy("value", order2)
-        wn = Window.partitionBy("event_type")
-        r = df.select("event_type", "value",
-                      F.row_number().over(wr).alias("r"),
-                      F.count("*").over(wn).alias("n"))
+    ev = load(spark, sf_dir, "events")
+    # bottom-k hash sample via the grouped two-phase rank (round 5): the
+    # md5 hex prefix is the bucket (a prefix IS monotone under the full
+    # string order), so no per-type fact partition is ever sorted whole
+    h = F.md5(F.concat(F.lit("sq:"), F.col("event_id").cast("string")))
+    s = (bucketed_global_rank(
+            ev.select("event_type", "value", "event_id", h.alias("__h")),
+            F.substring(F.col("__h"), 1, 2),
+            [F.col("__h"), F.col("event_id")],
+            rank_name="hr", group_cols=["event_type"])
+         .filter(F.col("hr") <= _SQ_K)
+         .select("event_type", "value"))
+
+    def pick(r_df, med_name, p90_name):
         med_i = F.floor((F.col("n") - 1) / 2) + 1
         p90_i = F.floor((F.col("n") - 1) * 9 / 10) + 1
-        return r.groupBy("event_type").agg(
+        return r_df.groupBy("event_type").agg(
             F.max(F.when(F.col("r") == med_i, F.col("value")))
              .alias(med_name),
             F.max(F.when(F.col("r") == p90_i, F.col("value")))
              .alias(p90_name))
 
-    est = quantiles(s, F.md5(F.col("value").cast("string")),
-                    "med_est", "p90_est")
-    ex = quantiles(ev.select("event_type", "value", "event_id"),
-                   F.col("event_id"), "med", "p90")
+    # est side: <= _SQ_K rows per type by construction — a BOUNDED
+    # partition, so a plain window is the right tool here
+    wr = Window.partitionBy("event_type").orderBy(
+        "value", F.md5(F.col("value").cast("string")))
+    wn = Window.partitionBy("event_type")
+    est = pick(s.select("event_type", "value",
+                        F.row_number().over(wr).alias("r"),
+                        F.count("*").over(wn).alias("n")),
+               "med_est", "p90_est")
+    # exact side: fact rows — grouped two-phase rank (unit-value bucket)
+    ex = pick(bucketed_global_rank(
+        ev.select("event_type", "value", "event_id"),
+        F.floor("value").cast("long"),
+        [F.col("value"), F.col("event_id")],
+        rank_name="r", total_name="n", group_cols=["event_type"]),
+        "med", "p90")
     return (est.join(ex, "event_type")
                .select("event_type",
                        F.round("med_est", 6).alias("med_est"),

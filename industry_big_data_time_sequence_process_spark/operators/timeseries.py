@@ -4118,17 +4118,20 @@ def ts_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id), selected by pure integer boundary arithmetic — a row is
     emitted iff it is the first to enter a new decile, computed from its
     own rank, so no second pass and no float percentile interpolation
-    (cross-engine exact by construction). One shuffle on the channel
-    key; the sort is per-channel, bounded by channel row counts.
+    (cross-engine exact by construction). Ranks come from the grouped
+    two-phase rank (round 5): the per-channel partition is a constant
+    fraction of the corpus (SCALE.md's low-cardinality hazard class),
+    so the descending order rides a ``-floor(value)`` bucket and only
+    single (channel, unit-value) cells are ever sorted.
     """
+    from ..api import bucketed_global_rank
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type", "value", "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"))
+    ranked = bucketed_global_rank(
+        ev.select("event_type", "value", "event_id"),
+        (-F.floor("value")).cast("long"),
+        [F.col("value").desc(), F.col("event_id")],
+        rank_name="rn", total_name="n", group_cols=["event_type"])
     decile_floor = F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("long")
     prev_floor = F.floor((F.col("rn") - 2) * 10 / F.col("n")).cast("long")
     return (ranked
@@ -4525,19 +4528,22 @@ def ts_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are decimal-exact sums (y and y² stay decimal because the
     corpus has 2-decimal values), and the MoM formulas are identical
     IEEE polynomials over those exact moments in both engines. Shape:
-    one per-channel rank window + one aggregate over the ~5% exceedance
-    slice; zero-variance tails emit NULL fits rather than dividing by
-    zero.
+    the P95 rank comes from the grouped two-phase rank (round 5 — the
+    per-channel partition is a constant corpus fraction, SCALE.md's
+    hazard class), then one aggregate over the ~5% exceedance slice;
+    zero-variance tails emit NULL fits rather than dividing by zero.
     """
+    from ..api import bucketed_global_rank
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    thr = (ev.select("event_type", "value",
-                     F.row_number().over(w).alias("rn"),
-                     F.count("*").over(wc).alias("n"))
-             .filter(F.col("rn")
-                     == F.ceil(0.95 * F.col("n")).cast("long"))
-             .select("event_type", F.col("value").alias("u")))
+    thr = (bucketed_global_rank(
+              ev.select("event_type", "value", "event_id"),
+              F.floor("value").cast("long"),
+              [F.col("value"), F.col("event_id")],
+              rank_name="rn", total_name="n", group_cols=["event_type"])
+           .filter(F.col("rn")
+                   == F.ceil(0.95 * F.col("n")).cast("long"))
+           .select("event_type", F.col("value").alias("u")))
     y = (F.col("value").cast("decimal(18,2)")
          - F.col("u").cast("decimal(18,2)"))
     exc = (ev.join(F.broadcast(thr), "event_type")
@@ -4657,9 +4663,16 @@ def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Medians are exact order statistics (both engines interpolate the
     even-count midpoint identically on these 2-decimal values); the
     profile and MAD tables are (channel x 24)- and channel-sized
-    broadcasts back onto the streamed facts — two aggregates plus one
-    per-channel median window, no iteration.
+    broadcasts back onto the streamed facts — two aggregates plus the
+    per-channel residual median, no iteration. Round 5: that residual
+    median no longer rides a per-channel window over the facts (the
+    low-cardinality hazard class) — it is read off the grouped
+    two-phase rank as the midpoint order statistic(s), reproducing
+    ``median()``'s even-count average exactly ((v+v)/2 = v when the
+    indices coincide on odd counts).
     """
+    from ..api import bucketed_global_rank
+
     ev = load(spark, sf_dir, "events")
     base = ev.select("event_id", "event_type", "value",
                      F.hour("ts").cast("long").alias("hod"))
@@ -4668,11 +4681,19 @@ def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = (base.join(F.broadcast(season), ["event_type", "hod"])
                  .select("event_id", "event_type", "value",
                          (F.col("value") - F.col("med")).alias("r")))
-    wmed = Window.partitionBy("event_type")
-    withmed = resid.withColumn("med_r", F.expr("median(r)").over(wmed))
-    mad = (withmed.groupBy("event_type")
-                  .agg(F.expr("median(abs(r - med_r))").alias("mad_r"),
-                       F.first("med_r").alias("med_r")))
+    ranked = bucketed_global_rank(
+        resid, F.floor("r").cast("long"), [F.col("r"), F.col("event_id")],
+        rank_name="rr", total_name="nn", group_cols=["event_type"])
+    i1 = F.floor((F.col("nn") + 1) / 2).cast("long")
+    i2 = (F.floor(F.col("nn") / 2) + 1).cast("long")
+    med_tbl = ranked.groupBy("event_type").agg(
+        ((F.max(F.when(F.col("rr") == i1, F.col("r")))
+          + F.max(F.when(F.col("rr") == i2, F.col("r")))) / 2)
+        .alias("med_r"))
+    mad = (resid.join(F.broadcast(med_tbl), "event_type")
+                .groupBy("event_type")
+                .agg(F.expr("median(abs(r - med_r))").alias("mad_r"),
+                     F.first("med_r").alias("med_r")))
     score = ((F.col("r") - F.col("med_r"))
              / (1.4826 * F.col("mad_r")))
     return (resid.join(F.broadcast(mad), "event_type")
