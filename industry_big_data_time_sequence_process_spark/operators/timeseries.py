@@ -4170,29 +4170,54 @@ def ts_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-criteria shortlist operator ("show me candidates where nothing
     else beats them on every axis").
 
-    The 2-D skyline needs NO pairwise comparison: sort by value
+    The 2-D skyline needs NO pairwise comparison: order by value
     descending and keep a running max of the other axis — a point
     survives iff its timestamp beats every strictly-better-valued
-    point's (one window, `ROWS ... 1 PRECEDING`). Equal values sort
-    t_us DESC so a same-value-older point sees the newer one in its
-    prefix and is correctly dominated, while the newest of the tie
-    survives. One shuffle on the channel key, O(n log n) in the sort —
-    at 100 TB the same window runs per channel partition unchanged.
+    point's. Equal values order t_us DESC so a same-value-older point
+    sees the newer one in its prefix and is correctly dominated, while
+    the newest of the tie survives.
+
+    Round 5: the exclusive prefix max is TWO-PHASE (the per-channel
+    partition is a constant corpus fraction — SCALE.md's hazard class):
+    per-(channel, unit-value-bucket) maxima reduce in one hash
+    aggregate; an exclusive cumulative max over the tiny bucket table
+    gives each bucket its better-buckets-so-far max; within a single
+    bucket cell a bounded window supplies the same-bucket exclusive
+    prefix; a row's `best_t_before` is the greater of the two (greatest
+    skips the NULLs at the open ends). The survivor rank reuses the
+    grouped two-phase rank. Value-identical, same oracle.
     """
+    from ..api import bucketed_global_rank
+
     ev = load(spark, sf_dir, "events")
-    w = (Window.partitionBy("event_type")
-               .orderBy(F.col("value").desc(), F.col("t_us").desc(),
-                        "event_id")
-               .rowsBetween(Window.unboundedPreceding, -1))
     pts = ev.select("event_id", "event_type", "value",
-                    F.unix_micros("ts").alias("t_us"))
-    flagged = pts.withColumn("best_t_before", F.max("t_us").over(w))
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), "event_id")
-    return (flagged.filter(F.col("best_t_before").isNull()
+                    F.unix_micros("ts").alias("t_us"),
+                    (-F.floor("value")).cast("long").alias("__b"))
+    bmax = pts.groupBy("event_type", "__b").agg(
+        F.max("t_us").alias("__bm"))
+    # exclusive running max over the per-channel BUCKET table (tiny)
+    wo = (Window.partitionBy("event_type").orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    prior = bmax.select("event_type", "__b",
+                        F.max("__bm").over(wo).alias("__prior"))
+    # exclusive prefix max INSIDE one bucket cell (bounded partition)
+    win_b = (Window.partitionBy("event_type", "__b")
+                   .orderBy(F.col("value").desc(), F.col("t_us").desc(),
+                            "event_id")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (pts.join(F.broadcast(prior), ["event_type", "__b"])
+                  .withColumn("__wm", F.max("t_us").over(win_b))
+                  .withColumn("best_t_before",
+                              F.greatest("__prior", "__wm")))
+    surv = (flagged.filter(F.col("best_t_before").isNull()
                            | (F.col("t_us") > F.col("best_t_before")))
-                   .select("event_type", "event_id", "value", "t_us",
-                           F.row_number().over(wr).alias("rnk")))
+                   .select("event_type", "event_id", "value", "t_us"))
+    return bucketed_global_rank(
+        surv, (-F.floor("value")).cast("long"),
+        [F.col("value").desc(), F.col("event_id")],
+        rank_name="rnk", group_cols=["event_type"]) \
+        .select("event_type", "event_id", "value", "t_us",
+                F.col("rnk").cast("int").alias("rnk"))
 
 
 #: Granger moment fixed-point grid (products of hourly means ~<=1e5;
