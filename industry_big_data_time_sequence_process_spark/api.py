@@ -330,7 +330,13 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
     ``order_by`` key(s) so bucket-major + within-bucket order equals the
     global order. Bucket granularity is the scale dial: the largest
     partition Spark ever sorts is one bucket, so pick hour vs day /
-    1.0 vs 0.1 value steps to bound it at your corpus size.
+    1.0 vs 0.1 value steps to bound it at your corpus size. A HOT single
+    value (one value = 50% of the corpus) defeats any value-derived
+    bucket; the treatment is a composite ``struct(value, id div B)``
+    bucket — lexicographically monotone under the (value, id) order —
+    which splits the hot value across id-bands
+    (tests/test_api.py::test_bucketed_rank_hot_value_corpus proves
+    value-identity on exactly that corpus).
 
     ``total_name`` additionally attaches the global row count (taken from
     the bucket-count table, NOT from a window over the facts).

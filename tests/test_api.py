@@ -88,6 +88,36 @@ def test_bucketed_order_statistic_picks_exact_row(spark):
     assert len(got) == 1 and tuple(got[0]) == tuple(want)
 
 
+def test_bucketed_rank_hot_value_corpus(spark):
+    """The bucket expression is the skew dial: a corpus where 50% of
+    rows share ONE value would collapse a floor(value) bucket into a
+    single partition (the original problem). The documented treatment —
+    bucket on (exact value, id-band), lexicographically monotone under
+    the (value, id) order — splits the hot value across bands and stays
+    value-identical to the unpartitioned rank."""
+    from pyspark.sql import Window
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 42.0)   # 50% hot value
+         .otherwise((api.hash32(F.col("id").cast("string")) % 97)
+                    .cast("double")).alias("v"))
+    bucket = F.struct(F.col("v").alias("bv"),
+                      (F.col("id") / 100).cast("long").alias("band"))
+    want = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id")))
+    got = api.bucketed_global_rank(df, bucket, [F.col("v"), F.col("id")],
+                                   rank_name="rk").select("id", "v", "rk")
+    assert sorted(map(tuple, want.collect())) == \
+        sorted(map(tuple, got.collect()))
+    # and the ntile arithmetic on top of it
+    want_t = df.withColumn(
+        "t", F.ntile(10).over(Window.orderBy("v", "id")))
+    got_t = api.bucketed_ntile(df, bucket, [F.col("v"), F.col("id")], 10,
+                               tile_name="t").select("id", "v", "t")
+    assert sorted(map(tuple, want_t.collect())) == \
+        sorted(map(tuple, got_t.collect()))
+
+
 def test_strip_boilerplate_adversarial_footer(spark):
     """The REMOVING path of text_remove_boilerplate (inert on the
     natural corpus — every sentence there is doc-unique): a footer
