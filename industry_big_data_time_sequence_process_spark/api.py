@@ -425,21 +425,24 @@ def bucketed_order_statistic(df: DataFrame, bucket: Column,
 
 def bucketed_running_sum(df: DataFrame, bucket: Column,
                          order_by: Sequence[Column], value: Column,
-                         out_name: str = "running_sum") -> DataFrame:
-    """Exact global running sum of ``value`` over ``order_by`` without a
-    single-partition window: per-bucket sums -> cumulative offsets over
-    the tiny bucket table -> within-bucket running sum (bounded
-    partition) + offset. Same monotone-bucket contract as
-    :func:`bucketed_global_rank`."""
+                         out_name: str = "running_sum",
+                         group_cols: Sequence[str] = ()) -> DataFrame:
+    """Exact global (or, with ``group_cols``, per-group) running sum of
+    ``value`` over ``order_by`` without a single-partition window:
+    per-bucket sums -> cumulative offsets over the tiny bucket table ->
+    within-bucket running sum (bounded partition) + offset. Same
+    monotone-bucket contract as :func:`bucketed_global_rank`."""
+    g = list(group_cols)
     b = "__brs_b"
     tagged = df.withColumn(b, bucket).withColumn("__v", value)
-    sums = tagged.groupBy(b).agg(F.sum("__v").alias("__s"))
-    wo = Window.orderBy(b)  # bucket-cardinality table, not fact rows
+    sums = tagged.groupBy(*g, b).agg(F.sum("__v").alias("__s"))
+    # bucket-cardinality table, not fact rows:
+    wo = Window.partitionBy(*g).orderBy(b)
     offsets = sums.select(
-        b, (F.sum("__s").over(wo) - F.col("__s")).alias("__off"))
-    w = Window.partitionBy(b).orderBy(*order_by) \
+        *g, b, (F.sum("__s").over(wo) - F.col("__s")).alias("__off"))
+    w = Window.partitionBy(*g, b).orderBy(*order_by) \
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (tagged.join(F.broadcast(offsets), b)
+    return (tagged.join(F.broadcast(offsets), [*g, b])
                   .withColumn(out_name,
                               F.sum("__v").over(w) + F.col("__off"))
                   .drop(b, "__off", "__v"))

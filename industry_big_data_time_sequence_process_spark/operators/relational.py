@@ -2151,19 +2151,27 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     median misses when rows carry different weights. Decimal-exact
     cumulative and total weights make the crossing threshold identical;
     min(price) over the crossed region picks the boundary row
-    deterministically."""
+    deterministically.
+
+    Round 5: the cumulative weight rides the grouped two-phase running
+    sum (3 return flags make each per-flag partition a third of the
+    table — the SCALE.md low-cardinality hazard class), and the total
+    weight is a 3-row broadcast aggregate instead of an unordered
+    partition window (which buffers the whole partition). Same oracle,
+    value-identical."""
+    from ..api import bucketed_running_sum
+
     li = load(spark, sf_dir, "lineitem")
     wdec = F.col("l_quantity").cast("decimal(18,2)")
-    w_cum = (Window.partitionBy("l_returnflag")
-                   .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag", F.col("l_extendedprice").alias("price"),
-        F.sum(wdec).over(w_cum).alias("cum_w"),
-        F.sum(wdec).over(w_all).alias("tot_w"),
-    )
-    return (ranked.filter(F.col("cum_w").cast("double")
+    tot = li.groupBy("l_returnflag").agg(F.sum(wdec).alias("tot_w"))
+    ranked = bucketed_running_sum(
+        li.select("l_returnflag", F.col("l_extendedprice").alias("price"),
+                  "l_orderkey", "l_linenumber", wdec.alias("wd")),
+        F.floor(F.col("price") / 100).cast("long"),
+        [F.col("price"), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.col("wd"), out_name="cum_w", group_cols=["l_returnflag"])
+    return (ranked.join(F.broadcast(tot), "l_returnflag")
+                  .filter(F.col("cum_w").cast("double")
                           >= F.col("tot_w").cast("double") / 2)
                   .groupBy("l_returnflag")
                   .agg(F.min("price").alias("weighted_median_price")))

@@ -83,20 +83,26 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-random order — so the sample is unbiased w.r.t. any real
     attribute, yet reproducible. Unlike ``df.sampleBy`` (Bernoulli,
     approximate counts, seed-dependent across partitionings) this
-    guarantees the exact per-stratum quota. One shuffle on the stratum.
-    """
+    guarantees the exact per-stratum quota.
+
+    Round 5: the per-stratum rank rides the grouped two-phase rank —
+    with a handful of languages each stratum is a constant fraction of
+    the corpus (SCALE.md's low-cardinality hazard class), so the hash's
+    hex prefix buckets the sort into 256 cells per stratum. Same
+    oracle, value-identical."""
+    from ..api import bucketed_global_rank
+
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id")
-    wc = Window.partitionBy("lang")
-    return (
-        d.select(
-            "doc_id", "lang",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wc).alias("n_lang"),
-        )
-        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
-    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = bucketed_global_rank(
+        d.select("doc_id", "lang", h.alias("__h")),
+        F.substring(F.col("__h"), 1, 2),
+        [F.col("__h"), F.col("doc_id")],
+        rank_name="rn", total_name="n_lang", group_cols=["lang"])
+    return (ranked
+            .filter(F.col("rn")
+                    <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
+            .select("doc_id", "lang", "rn", "n_lang"))
 
 
 @op("sample_representativeness", oracle=f"""

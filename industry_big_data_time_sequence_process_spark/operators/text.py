@@ -1402,14 +1402,19 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     how often each normalized line occurs ACROSS the whole corpus, and
     score every document by its duplicated-line share — boilerplate
     (nav bars, license headers) lights up as n_copies > 1. Explode ->
-    one hash-keyed window on the line hash -> per-doc reaggregate; the
-    line-hash key space is what shuffles, never the documents."""
+    line-hash counts -> co-partitioned join back -> per-doc reaggregate;
+    the line-hash key space is what shuffles, never the documents.
+    (Round 5: the per-hash COUNT is a groupBy + equi-join rather than an
+    unordered window over the line stream — an unordered window still
+    buffers each partition, and a hot boilerplate line is exactly the
+    corpus-fraction partition the window would buffer.)"""
     d = load(spark, sf_dir, "documents")
     lines = d.select(
         "doc_id", F.explode(F.split("text", r"\. ")).alias("line"))
     lines = lines.filter(F.length(F.trim("line")) > 0)
-    w = Window.partitionBy(F.md5(F.trim("line")))
-    tagged = lines.select("doc_id", F.count("*").over(w).alias("n_copies"))
+    keyed = lines.select("doc_id", F.md5(F.trim("line")).alias("__k"))
+    counts = keyed.groupBy("__k").agg(F.count("*").alias("n_copies"))
+    tagged = keyed.join(counts, "__k").select("doc_id", "n_copies")
     return tagged.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
         F.count_if(F.col("n_copies") > 1).alias("n_dup_lines"),
