@@ -235,3 +235,74 @@ def test_incremental_minhash_is_the_crossing_slice(spark):
            for r in REGISTRY["dedup_incremental_minhash"].fn(spark, SF_T2)
            .collect()}
     assert inc == crossing, (inc ^ crossing)
+
+
+# ---- round 5: two-phase rank primitives vs unpartitioned windows ------
+
+ranked_rows = st.lists(
+    st.tuples(st.integers(0, 2),          # group
+              st.integers(-50, 50)),      # value (heavy duplicates)
+    min_size=1, max_size=25,
+)
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(g=g, id=i, v=float(v)) for i, (g, v) in enumerate(rows)],
+        "g long, id long, v double")
+
+
+@given(rows=ranked_rows, k=st.integers(1, 5))
+@SET
+def test_bucketed_ntile_matches_sql_ntile(spark, rows, k):
+    """Exact ntile arithmetic from (rank, n) must equal SQL ntile for
+    ANY (n, k) pair — including n < k, heavy value duplicates, and
+    negative values (negative floor buckets)."""
+    from pyspark.sql import Window
+    df = _rank_df(spark, rows)
+    want = df.withColumn(
+        "t", F.ntile(k).over(Window.orderBy("v", "id"))) \
+        .select("id", "t")
+    got = api.bucketed_ntile(
+        df, F.floor(F.col("v") / 7).cast("long"),
+        [F.col("v"), F.col("id")], k, tile_name="t").select("id", "t")
+    assert sorted(map(tuple, want.collect())) == \
+        sorted(map(tuple, got.collect()))
+
+
+@given(rows=ranked_rows)
+@SET
+def test_grouped_bucketed_rank_matches_window(spark, rows):
+    from pyspark.sql import Window
+    df = _rank_df(spark, rows)
+    want = df.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy("g").orderBy("v", "id"))) \
+        .select("g", "id", "r")
+    got = api.bucketed_global_rank(
+        df, F.floor(F.col("v") / 7).cast("long"),
+        [F.col("v"), F.col("id")], rank_name="r",
+        group_cols=["g"]).select("g", "id", "r")
+    assert sorted(map(tuple, want.collect())) == \
+        sorted(map(tuple, got.collect()))
+
+
+@given(rows=ranked_rows, frac=st.sampled_from([0.25, 0.5, 0.8, 0.95]))
+@SET
+def test_bucketed_order_statistic_matches_rank_pick(spark, rows, frac):
+    """The two-phase cutoff must pick exactly the floor(frac*n)-th row
+    (or nothing when that index is 0)."""
+    from pyspark.sql import Window
+    df = _rank_df(spark, rows)
+    n = len(rows)
+    want_k = int(frac * n)
+    got = api.bucketed_order_statistic(
+        df, F.floor(F.col("v") / 7).cast("long"),
+        [F.col("v"), F.col("id")], frac).select("id").collect()
+    if want_k == 0:
+        assert got == []
+    else:
+        want = (df.withColumn("r", F.row_number().over(
+                    Window.orderBy("v", "id")))
+                  .filter(F.col("r") == want_k).select("id").first())
+        assert len(got) == 1 and got[0].id == want.id
