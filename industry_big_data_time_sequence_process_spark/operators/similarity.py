@@ -1235,17 +1235,24 @@ def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
                 .select("vec_id", "m", (F.col("mk") % _PQ_K).alias("code")))
 
 
-def _pq_dtab(e: DataFrame, cb: DataFrame, nq: int) -> DataFrame:
-    """(q_vec_id, qm, k, dfx): each query's 8x16 ADC distance table —
-    tiny by construction (nq x 128 rows), always broadcast."""
-    q = e.filter(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+def _pq_dtab_frame(q: DataFrame, cb: DataFrame) -> DataFrame:
+    """(q_vec_id, qm, k, dfx): ADC distance tables for an arbitrary
+    (q_vec_id, qemb) query frame — tiny by construction (nq x 128
+    rows), always broadcast. The streaming server feeds micro-batches
+    through this; the batch ops feed the vec_id < nq slice."""
     m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm")
     return (q.crossJoin(F.broadcast(cb))
              .select("q_vec_id", "qemb", "k", "cw", m)
              .select("q_vec_id", "qm", "k",
                      _pq_d2fx(F.col("qemb"), F.col("cw"),
                               F.col("qm")).alias("dfx")))
+
+
+def _pq_dtab(e: DataFrame, cb: DataFrame, nq: int) -> DataFrame:
+    """(q_vec_id, qm, k, dfx): each query's 8x16 ADC distance table."""
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+    return _pq_dtab_frame(q, cb)
 
 
 def _pq_scored(e: DataFrame, nq: int) -> DataFrame:
@@ -1451,6 +1458,28 @@ def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
                         (F.col("mk") % _PQ_K).alias("code")))
 
 
+def _ivfpq_adc_frame(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
+                     cb: DataFrame, nprobe: int) -> DataFrame:
+    """(q_vec_id, c_vec_id, pr, adfx): score an arbitrary query frame
+    ((vec_id, embedding) rows) against a PREBUILT coded index — the
+    serving half of the composed stack, shared by the batch ops and the
+    streaming server (which calls it per micro-batch with the static
+    index frames)."""
+    qprobe = _ivf_probe(qdf, cent, nprobe)
+    q = qdf.select(F.col("vec_id").alias("q_vec_id"),
+                   F.col("embedding").alias("qemb"))
+    dtab = _pq_dtab_frame(q, cb).withColumnRenamed("q_vec_id", "dq")
+    cand = (corpus.join(F.broadcast(qprobe), "cid")
+                  .filter(F.col("vec_id") != F.col("q_vec_id")))
+    return (cand.join(F.broadcast(dtab),
+                      (F.col("q_vec_id") == F.col("dq"))
+                      & (F.col("m") == F.col("qm"))
+                      & (F.col("code") == F.col("k")))
+                .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"))
+                .agg(F.min("pr").alias("pr"),
+                     F.sum("dfx").alias("adfx")))
+
+
 def _ivfpq_adc(e: DataFrame, nq: int, nprobe: int) -> DataFrame:
     """(q_vec_id, c_vec_id, pr, adfx): the composed IVF+PQ scorer. The
     corpus is coded ONCE (cell id + 8 PQ codes per vector, one narrow
@@ -1462,20 +1491,9 @@ def _ivfpq_adc(e: DataFrame, nq: int, nprobe: int) -> DataFrame:
     the PQ-alone path: every ranking decision is exact-integer in both
     engines."""
     cent = _ivf_train_capped(e)
-    cells = _ivf_assign(e, cent)
-    cb = _pq_codebook(e)
-    corpus = _pq_codes_with_cid(cells, cb)
-    qprobe = _ivf_probe(e.filter(F.col("vec_id") < nq), cent, nprobe)
-    dtab = _pq_dtab(e, cb, nq).withColumnRenamed("q_vec_id", "dq")
-    cand = (corpus.join(F.broadcast(qprobe), "cid")
-                  .filter(F.col("vec_id") != F.col("q_vec_id")))
-    return (cand.join(F.broadcast(dtab),
-                      (F.col("q_vec_id") == F.col("dq"))
-                      & (F.col("m") == F.col("qm"))
-                      & (F.col("code") == F.col("k")))
-                .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"))
-                .agg(F.min("pr").alias("pr"),
-                     F.sum("dfx").alias("adfx")))
+    corpus = _pq_codes_with_cid(_ivf_assign(e, cent), _pq_codebook(e))
+    return _ivfpq_adc_frame(e.filter(F.col("vec_id") < nq), corpus, cent,
+                            _pq_codebook(e), nprobe)
 
 
 @op("sim_ivfpq_topk", oracle=f"""

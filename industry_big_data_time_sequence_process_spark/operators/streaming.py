@@ -28,7 +28,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import op
+from ..registry import REGISTRY, op
 from ..sources.io import (configure, decode_events_ts,
                           events_read_schema, load)
 from .sources_sinks import SCRATCH
@@ -371,6 +371,85 @@ def stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("start_us")).alias("session_start"),
         F.timestamp_micros(F.col("end_us")).alias("session_end"),
         "n_events")
+
+
+@op("stream_ann_serving", oracle=REGISTRY["sim_ivfpq_topk"].oracle,
+    tier=3, section="2.10")
+def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE vector search: a STREAM of query vectors served against
+    the static composed IVF+PQ index (round 5) — the production ANN
+    serving loop as a Structured Streaming job. The index (trained
+    centroids + per-vector cell/PQ codes) is built once from the batch
+    machinery; each query micro-batch runs the shared serving scorer
+    (``similarity._ivfpq_adc_frame``: broadcast probes + broadcast ADC
+    tables against the coded corpus) inside ``foreachBatch`` — window
+    ranking isn't expressible on a streaming frame, and foreachBatch is
+    exactly the production escape hatch — writing per-batch_id parquet
+    (the exactly-once sink recipe tests/test_recovery.py crash-tests).
+
+    The 8 query vectors stage as TWO files (4 queries per micro-batch),
+    so the drained union proves incremental serving; it must equal the
+    batch ``sim_ivfpq_topk`` answer row-for-row — this op REUSES that
+    oracle verbatim, making it a batch/stream twin across the whole
+    composed index. At scale the index frames are what a serving
+    cluster pins in memory; per-batch cost is queries x (nlist probes +
+    candidate-cells ADC), independent of stream length."""
+    from .similarity import (_N_QUERIES, _PQ_FX, _ivf_assign,
+                             _ivf_train_capped, _ivfpq_adc_frame,
+                             _pq_codebook, _pq_codes_with_cid)
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_  # noqa: N813  (pq = shadowed by op arg)
+
+    configure(spark)
+    key = "stream_ann_serving"
+    base = os.path.join(SCRATCH, "stream", key)
+    indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    t = pq_.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], _N_QUERIES))
+    half = _N_QUERIES // 2
+    for i, tab in enumerate((t.filter(pc.less(t["vec_id"], half)),
+                             t.filter(pc.greater_equal(t["vec_id"],
+                                                       half)))):
+        dst = os.path.join(indir, f"queries_{i}.parquet")
+        pq_.write_table(tab, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = _ivf_train_capped(e)
+    corpus = _pq_codes_with_cid(_ivf_assign(e, cent), _pq_codebook(e))
+    cb = _pq_codebook(e)
+
+    from pyspark.sql import Window
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        scored = _ivfpq_adc_frame(
+            batch_df.select("vec_id", "embedding"), corpus, cent, cb,
+            nprobe=2)
+        w = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
+        top5 = (scored.withColumn("rnk", F.row_number().over(w))
+                      .filter("rnk <= 5")
+                      .select("q_vec_id", "c_vec_id",
+                              F.round(F.col("adfx") / F.lit(_PQ_FX), 6)
+                               .alias("approx_dist"),
+                              F.col("pr").alias("probe_rank"), "rnk"))
+        top5.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    from ..sources.io import SCHEMAS
+
+    raw = (spark.readStream.schema(SCHEMAS["embeddings"])
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (raw.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return (spark.read.option("basePath", out).parquet(out)
+                 .select("q_vec_id", "c_vec_id", "approx_dist",
+                         "probe_rank", "rnk"))
 
 
 @op("stream_dedup", oracle="""
