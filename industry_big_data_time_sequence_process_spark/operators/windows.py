@@ -35,6 +35,26 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(w).alias("rn"))
 
 
+@op("win_row_number_scalable",
+    oracle=REGISTRY["win_row_number"].oracle, tier=3, section="2.5")
+def win_row_number_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``win_row_number`` (round 5): the per-type
+    DESC rank through ``api.bucketed_global_rank`` with the
+    ``-floor(value)`` descending bucket — only single (type, unit-value)
+    cells are sorted instead of 20%-of-corpus partitions. Exact twin,
+    verbatim oracle."""
+    from ..api import bucketed_global_rank
+
+    ev = load(spark, sf_dir, "events")
+    return bucketed_global_rank(
+        ev.select("event_id", "event_type", "value"),
+        (-F.floor("value")).cast("long"),
+        [F.col("value").desc(), F.col("event_id")],
+        rank_name="rn", group_cols=["event_type"]) \
+        .select("event_id", "event_type", "value",
+                F.col("rn").cast("int").alias("rn"))
+
+
 @op("win_rank_dense", oracle="""
 SELECT c_custkey, c_nationkey, c_acctbal,
        rank() OVER w AS rnk,
@@ -50,6 +70,36 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_nationkey", "c_acctbal",
                     F.rank().over(w).alias("rnk"),
                     F.dense_rank().over(w).alias("drnk"))
+
+
+@op("win_rank_dense_scalable",
+    oracle=REGISTRY["win_rank_dense"].oracle, tier=3, section="2.5")
+def win_rank_dense_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``win_rank_dense`` (round 5): rank and
+    dense_rank are functions of the TIE GROUP, so the facts reduce to
+    the per-(nation, acctbal) count table (an aggregate); dense_rank is
+    the grouped two-phase row_number over those distinct-value groups,
+    rank is the exclusive cumulative count + 1 (grouped two-phase
+    running sum), and the facts equi-join the result back. Exact twin,
+    verbatim oracle."""
+    from ..api import bucketed_global_rank, bucketed_running_sum
+
+    c = load(spark, sf_dir, "customer")
+    vc = c.groupBy("c_nationkey", "c_acctbal").agg(F.count("*").alias("t"))
+    b = (-F.ceil("c_acctbal")).cast("long")
+    g = bucketed_global_rank(
+        vc, b, [F.col("c_acctbal").desc()], rank_name="drnk",
+        group_cols=["c_nationkey"])
+    gc = bucketed_running_sum(
+        g, b, [F.col("c_acctbal").desc()], F.col("t"),
+        out_name="cum", group_cols=["c_nationkey"])
+    stats = gc.select("c_nationkey", "c_acctbal",
+                      (F.col("cum") - F.col("t") + 1).alias("rnk"),
+                      "drnk")
+    return (c.join(stats, ["c_nationkey", "c_acctbal"])
+             .select("c_custkey", "c_nationkey", "c_acctbal",
+                     F.col("rnk").cast("int").alias("rnk"),
+                     F.col("drnk").cast("int").alias("drnk")))
 
 
 @op("win_ntile", oracle="""
@@ -221,6 +271,39 @@ def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("win_cume_pct_scalable",
+    oracle=REGISTRY["win_cume_pct"].oracle, tier=3, section="2.5")
+def win_cume_pct_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``win_cume_pct`` (round 5): both statistics
+    are functions of the TIE GROUP, so the facts first reduce to the
+    per-(type, value) count table (an aggregate — bounded by the value
+    grid, not the corpus); a grouped two-phase running sum turns counts
+    into the inclusive cumulative count, from which
+    ``cume_dist = cum/n`` and ``percent_rank = (min_rank-1)/(n-1)``
+    (min_rank = cum - t + 1) follow exactly; the fact table just
+    broadcast/equi-joins the tiny result back on (type, value).
+    Single-row partitions define percent_rank = 0 (both engines).
+    Exact twin, verbatim oracle."""
+    from ..api import bucketed_running_sum
+
+    ev = load(spark, sf_dir, "events")
+    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("t"))
+    cum = bucketed_running_sum(
+        vc, F.floor("value").cast("long"), [F.col("value")], F.col("t"),
+        out_name="cum", group_cols=["event_type"])
+    n_tbl = vc.groupBy("event_type").agg(F.sum("t").alias("n"))
+    stats = (cum.join(F.broadcast(n_tbl), "event_type")
+                .select("event_type", "value",
+                        (F.col("cum") / F.col("n")).alias("cd_raw"),
+                        F.when(F.col("n") == 1, F.lit(0.0))
+                         .otherwise((F.col("cum") - F.col("t"))
+                                    / (F.col("n") - 1)).alias("pr_raw")))
+    return (ev.join(F.broadcast(stats), ["event_type", "value"])
+              .select("event_id", "event_type", "value",
+                      r6(F.col("cd_raw")).alias("cd"),
+                      r6(F.col("pr_raw")).alias("pr")))
+
+
 @op("win_moving_median", oracle="""
 SELECT event_id, user_id, value,
        round(median(value) OVER (
@@ -297,6 +380,45 @@ def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("win_range_numeric_scalable",
+    oracle=REGISTRY["win_range_numeric"].oracle, tier=3, section="2.5")
+def win_range_numeric_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``win_range_numeric`` (round 5): the ±10-unit
+    value frame depends only on the VALUE, so the facts reduce to the
+    per-(type, value) count/sum table (an aggregate, bounded by the
+    value grid); each value group then sums its neighbors via a BANDED
+    self-join — bucket width 20 ≥ 2x the radius guarantees every
+    neighbor lives in the adjacent bucket, so the join is an equi-join
+    on (type, bucket±1) over the tiny group table, never a range scan
+    of facts — and the fact table equi-joins the result back. Decimal
+    sums of decimal group sums keep the frame total exact. Exact twin,
+    verbatim oracle."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    vc = (ev.groupBy("event_type", "value")
+            .agg(F.count("*").alias("t"), F.sum(vdec).alias("s"))
+            .withColumn("b", F.floor(F.col("value") / 20).cast("long")))
+    probe = vc.select(
+        "event_type", F.col("value").alias("v2"),
+        F.col("t").alias("t2"), F.col("s").alias("s2"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+         .alias("b"))
+    # the frame bound is computed as (value ± 10) FIRST, then compared —
+    # abs(v2 - value) <= 10 differs by an ulp at e.g. 12.82 vs 2.82
+    # (12.82 - 10 = 2.8200000000000003 > 2.82) and flips boundary rows
+    frame = (vc.join(probe, ["event_type", "b"])
+               .filter((F.col("v2") >= F.col("value") - 10)
+                       & (F.col("v2") <= F.col("value") + 10))
+               .groupBy("event_type", "value")
+               .agg(F.sum("t2").alias("n_similar"),
+                    F.sum("s2").alias("sum_dec")))
+    return (ev.join(F.broadcast(frame), ["event_type", "value"])
+              .select("event_id", "event_type", "value",
+                      "n_similar",
+                      F.col("sum_dec").cast("double")
+                       .alias("sum_similar")))
+
+
 @op("win_pct_of_total", oracle="""
 SELECT event_id, user_id, event_type, value,
        round(value / CAST(SUM(CAST(value AS DECIMAL(18,2)))
@@ -323,6 +445,30 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v / tot_user, 6).alias("pct_of_user"),
         F.round(v / tot_type, 6).alias("pct_of_type"),
     )
+
+
+@op("win_pct_of_total_scalable",
+    oracle=REGISTRY["win_pct_of_total"].oracle, tier=3, section="2.5")
+def win_pct_of_total_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``win_pct_of_total`` (round 5): frameless
+    partition totals ARE group aggregates, so the window form (which
+    buffers each partition — 20% of the corpus for the 5-valued type
+    key) rewrites to two groupBy totals joined back: the type totals
+    broadcast (5 rows), the user totals co-partition with the facts.
+    Exact twin, verbatim oracle — identical decimal denominators,
+    identical single float division."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    tu = ev.groupBy("user_id").agg(F.sum(vdec).alias("tu"))
+    tt = ev.groupBy("event_type").agg(F.sum(vdec).alias("tt"))
+    v = F.col("value")
+    return (ev.join(F.broadcast(tt), "event_type")
+              .join(tu, "user_id")
+              .select("event_id", "user_id", "event_type", "value",
+                      F.round(v / F.col("tu").cast("double"), 6)
+                       .alias("pct_of_user"),
+                      F.round(v / F.col("tt").cast("double"), 6)
+                       .alias("pct_of_type")))
 
 
 @op("win_remaining_total", oracle="""
