@@ -141,3 +141,20 @@ def test_every_exempt_baseline_has_a_scalable_twin(key):
     assert twin in REGISTRY, f"{key} is exempt but ships no {twin}"
     assert REGISTRY[twin].oracle == REGISTRY[key].oracle, (
         f"{twin} must be an exact twin (same oracle verbatim)")
+
+
+#: §2.5 SQL-surface demos whose PARTITIONED window key is
+#: low-cardinality (a constant corpus fraction per partition — the
+#: OTHER hazard class, SCALE.md). They stay as the SQL-surface
+#: reference; each must ship a value-identical bounded-partition twin.
+LOW_CARD_DEMOS = ["win_ntile", "win_row_number", "win_cume_pct",
+                  "win_pct_of_total", "win_range_numeric",
+                  "win_rank_dense"]
+
+
+@pytest.mark.parametrize("key", LOW_CARD_DEMOS)
+def test_every_low_cardinality_window_demo_has_a_twin(key):
+    twin = f"{key}_scalable"
+    assert twin in REGISTRY, f"{key} ships no {twin}"
+    assert REGISTRY[twin].oracle == REGISTRY[key].oracle, (
+        f"{twin} must be an exact twin (same oracle verbatim)")
