@@ -81,6 +81,14 @@ OPS = [
     "agg_propensity_stratified", "ts_session_paths", "feat_auc_roc",
     "text_ngram_novelty", "feat_psi_drift", "ts_peak_over_threshold",
     "dq_referential_integrity", "ts_granger_lite", "ts_interrupted_series",
+    # round-5 additions: composed ANN stack, incremental ingest, the
+    # scale-safe rank/quantile twins, and the cleaning/monitoring ops
+    "sim_ivfpq_topk", "sim_ivf_incremental_assign",
+    "text_remove_boilerplate", "dq_load_anomaly",
+    "feat_woe_binning_scalable", "feat_gains_table_scalable",
+    "feat_auc_roc_scalable", "sample_split_temporal_scalable",
+    "win_ntile_scalable", "win_range_numeric_scalable",
+    "win_rank_dense_scalable",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
