@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import REGISTRY, op
 from ..sources.io import (configure, decode_events_ts,
                           events_read_schema, load)
+from . import text as _text_ops  # noqa: F401  (registers text ops FIRST:
+#                                 stream_ingest_dedup reuses an oracle
+#                                 from there at decoration time)
 from .sources_sinks import SCRATCH
 
 
@@ -450,6 +453,101 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.option("basePath", out).parquet(out)
                  .select("q_vec_id", "c_vec_id", "approx_dist",
                          "probe_rank", "rnk"))
+
+
+@op("stream_ingest_dedup",
+    oracle=REGISTRY["dedup_incremental_minhash"].oracle,
+    tier=3, section="2.10")
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup (round 5): the daily-crawl kill-list as a
+    Structured Streaming job — new documents ARRIVE as a stream, and
+    each micro-batch shingles its own text, minhashes it, probes the
+    STATIC corpus band index, and exact-Jaccard-verifies the collisions
+    inside ``foreachBatch`` (the per-batch_id exactly-once sink the
+    recovery suite crash-tests). The batch/stream twin of
+    ``dedup_incremental_minhash`` — it reuses that oracle VERBATIM, so
+    the streamed kill-list is value-checked against the batch answer.
+
+    The ``doc_id % 4 = 3`` arrival slice stages as TWO files (two
+    micro-batches), proving incremental serving. The hot-shingle df cap
+    is an index-build artifact in deployment (shipped with the corpus
+    index, applied to arriving batches); at every test SF the cap floor
+    provably removes nothing on either side, so the per-batch shingle
+    stream equals the corpus-wide one for those documents and the twin
+    is exact. Per-batch cost is O(batch) signatures + broadcast/equi
+    probes of the persisted index — the historical corpus is never
+    re-paired."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from ..api import minhash_band_signatures, word_shingles
+    from .text import _minhash_bands, _shingles
+
+    configure(spark)
+    key = "stream_ingest_dedup"
+    base = os.path.join(SCRATCH, "stream", key)
+    indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    t = pq_.read_table(f"{sf_dir.rstrip('/')}/documents.parquet")
+    # doc_id % 4 == 3  <=>  (doc_id & 3) == 3; halves split on bit 2
+    arrivals = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), 3))
+    splitter = pc.equal(pc.bit_wise_and(arrivals["doc_id"], 4), 0)
+    for i, tab in enumerate((arrivals.filter(splitter),
+                             arrivals.filter(pc.invert(splitter)))):
+        dst = os.path.join(indir, f"docs_{i}.parquet")
+        pq_.write_table(tab, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # static index frames (written once per corpus build in deployment)
+    d = load(spark, sf_dir, "documents")
+    tok_corp = _shingles(d.filter(F.col("doc_id") % 4 != 3)) \
+        .withColumnRenamed("s", "token")
+    corp = _minhash_bands(tok_corp).select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("band").alias("band2"), F.col("sig").alias("sig2"))
+    sizes2 = tok_corp.groupBy("doc_id").agg(F.count("*").alias("n2")) \
+        .withColumnRenamed("doc_id", "dup_of")
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        tok_b = word_shingles(batch_df, "doc_id", "text") \
+            .withColumnRenamed("s", "token")
+        newb = minhash_band_signatures(tok_b, "doc_id", "token") \
+            .select(F.col("doc_id").alias("new_doc"), "band", "sig")
+        cand = (newb.join(corp, (F.col("band") == F.col("band2"))
+                          & (F.col("sig") == F.col("sig2")))
+                    .select("new_doc", "dup_of").distinct())
+        ta = tok_b.select(F.col("doc_id").alias("new_doc"), "token")
+        tb = tok_corp.select(F.col("doc_id").alias("_d2"),
+                             F.col("token").alias("token2"))
+        verified = (cand.join(ta, "new_doc")
+                        .join(tb, (F.col("dup_of") == F.col("_d2"))
+                              & (F.col("token") == F.col("token2")))
+                        .groupBy("new_doc", "dup_of")
+                        .agg(F.count("*").alias("common")))
+        s1 = tok_b.groupBy("doc_id").agg(F.count("*").alias("n1")) \
+            .withColumnRenamed("doc_id", "new_doc")
+        jac = (F.col("common").cast("double")
+               / (F.col("n1") + F.col("n2") - F.col("common")))
+        kill = (verified.join(F.broadcast(s1), "new_doc")
+                        .join(F.broadcast(sizes2), "dup_of")
+                        .filter(jac >= 0.5)
+                        .select("new_doc", "dup_of",
+                                F.round(jac, 6).alias("jaccard")))
+        kill.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    from ..sources.io import SCHEMAS
+
+    raw = (spark.readStream.schema(SCHEMAS["documents"])
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (raw.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return (spark.read.option("basePath", out).parquet(out)
+                 .select("new_doc", "dup_of", "jaccard"))
 
 
 @op("stream_dedup", oracle="""
