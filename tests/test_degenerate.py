@@ -140,3 +140,42 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
 def test_no_crash_on_empty_events(spark, empty_events_dir, key):
     rows = REGISTRY[key].fn(spark, empty_events_dir).collect()
     assert isinstance(rows, list)  # completed without raising
+
+
+@pytest.fixture(scope="module")
+def empty_documents_dir(tmp_path_factory):
+    """A corpus whose documents table has ZERO rows — the text/dedup
+    pipeline's n_docs caps, tf-idf denominators and shingle streams all
+    see an empty corpus (round 5: the events-empty fixture never
+    exercised the documents side)."""
+    d = tmp_path_factory.mktemp("empty_docs_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+    pq.write_table(pa.table({n: [] for n in schema.names}, schema=schema),
+                   d / "documents.parquet")
+    return str(d)
+
+
+#: documents-driven ops that must survive an empty corpus (measured
+#: green round 5; pinned so a future cap/denominator change can't
+#: regress them)
+EMPTY_DOCS_GUARDED = [
+    "text_remove_boilerplate", "text_word_freq", "text_vocab_growth",
+    "dedup_near_minhash", "dedup_exact_text", "sample_hash_bucket",
+    "feat_hashing_vectorize", "doc_chunk_sliding", "text_line_dedup",
+    "text_tfidf_topterms", "dedup_ngram_jaccard", "text_zipf_fit",
+    "sample_mix_temperature", "text_lang_id", "dedup_cluster_cc",
+    "text_bm25_retrieval", "mm_image_decode",
+]
+
+
+@pytest.mark.parametrize("key", EMPTY_DOCS_GUARDED)
+def test_no_crash_on_empty_documents(spark, empty_documents_dir, key):
+    rows = REGISTRY[key].fn(spark, empty_documents_dir).collect()
+    assert isinstance(rows, list)  # completed without raising
