@@ -179,3 +179,35 @@ EMPTY_DOCS_GUARDED = [
 def test_no_crash_on_empty_documents(spark, empty_documents_dir, key):
     rows = REGISTRY[key].fn(spark, empty_documents_dir).collect()
     assert isinstance(rows, list)  # completed without raising
+
+
+@pytest.fixture(scope="module")
+def empty_embeddings_dir(tmp_path_factory):
+    """Zero vectors: k-means training, PQ codebook sampling, LSH plane
+    projections and every recall eval see an empty corpus."""
+    d = tmp_path_factory.mktemp("empty_emb_sf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ])
+    pq.write_table(pa.table({n: [] for n in schema.names}, schema=schema),
+                   d / "embeddings.parquet")
+    return str(d)
+
+
+EMPTY_EMB_GUARDED = [
+    "sim_cosine_topk", "emb_quantize_int8", "sim_lsh_bucketed",
+    "sim_ivf_scalable_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivf_incremental_assign", "emb_random_projection",
+    "sim_matryoshka_recall", "dedup_embedding_cosine",
+]
+
+
+@pytest.mark.parametrize("key", EMPTY_EMB_GUARDED)
+def test_no_crash_on_empty_embeddings(spark, empty_embeddings_dir, key):
+    rows = REGISTRY[key].fn(spark, empty_embeddings_dir).collect()
+    assert isinstance(rows, list)  # completed without raising
