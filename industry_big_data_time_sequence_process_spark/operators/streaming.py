@@ -384,7 +384,7 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving loop as a Structured Streaming job. The index (trained
     centroids + per-vector cell/PQ codes) is built once from the batch
     machinery; each query micro-batch runs the shared serving scorer
-    (``similarity._ivfpq_adc_frame``: broadcast probes + broadcast ADC
+    (``similarity._ivfpq_serve_topk``: broadcast probes + broadcast ADC
     tables against the coded corpus) inside ``foreachBatch`` — window
     ranking isn't expressible on a streaming frame, and foreachBatch is
     exactly the production escape hatch — writing per-batch_id parquet
@@ -394,12 +394,13 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the drained union proves incremental serving; it must equal the
     batch ``sim_ivfpq_topk`` answer row-for-row — this op REUSES that
     oracle verbatim, making it a batch/stream twin across the whole
-    composed index. At scale the index frames are what a serving
-    cluster pins in memory; per-batch cost is queries x (nlist probes +
-    candidate-cells ADC), independent of stream length."""
-    from .similarity import (_N_QUERIES, _PQ_FX, _ivf_assign,
-                             _ivf_train_capped, _ivfpq_adc_frame,
-                             _pq_codebook, _pq_codes_with_cid)
+    composed index (round 6: including the trained codebooks, the 3x
+    multi-assigned inverted lists and the exact re-rank tail — the
+    shared ``_ivfpq_serve_topk`` cascade runs per micro-batch). At
+    scale the index frames are what a serving cluster pins in memory;
+    per-batch cost is queries x (nlist probes + candidate-cells ADC +
+    shortlist re-rank), independent of stream length."""
+    from .similarity import (_N_QUERIES, _ivfpq_index, _ivfpq_serve_topk)
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_  # noqa: N813  (pq = shadowed by op arg)
@@ -421,23 +422,11 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     e = load(spark, sf_dir, "embeddings")
-    cent = _ivf_train_capped(e)
-    corpus = _pq_codes_with_cid(_ivf_assign(e, cent), _pq_codebook(e))
-    cb = _pq_codebook(e)
-
-    from pyspark.sql import Window
+    corpus, cent, cb = _ivfpq_index(e)
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
-        scored = _ivfpq_adc_frame(
-            batch_df.select("vec_id", "embedding"), corpus, cent, cb,
-            nprobe=2)
-        w = Window.partitionBy("q_vec_id").orderBy("adfx", "c_vec_id")
-        top5 = (scored.withColumn("rnk", F.row_number().over(w))
-                      .filter("rnk <= 5")
-                      .select("q_vec_id", "c_vec_id",
-                              F.round(F.col("adfx") / F.lit(_PQ_FX), 6)
-                               .alias("approx_dist"),
-                              F.col("pr").alias("probe_rank"), "rnk"))
+        top5 = _ivfpq_serve_topk(batch_df.select("vec_id", "embedding"),
+                                 corpus, cent, cb, e, nprobe=2)
         top5.write.mode("overwrite").parquet(
             os.path.join(out, f"batch_id={batch_id}"))
 
@@ -451,7 +440,7 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return (spark.read.option("basePath", out).parquet(out)
-                 .select("q_vec_id", "c_vec_id", "approx_dist",
+                 .select("q_vec_id", "c_vec_id", "dist",
                          "probe_rank", "rnk"))
 
 

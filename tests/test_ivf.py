@@ -132,3 +132,19 @@ def test_scalable_topk_scores_sane(spark):
     for k, s in ann.items():
         if k in bf:
             assert s <= bf[k] + 1e-9, (k, s, bf[k])
+
+
+def test_recall_operating_point_production_credible(spark):
+    """VERDICT r5 #1 done-criterion: the shipped ANN operating points
+    must be production-credible, not just value-oracled. Composed IVF+PQ
+    cascade (trained codebooks, 3x multi-assign, exact re-rank tail)
+    recall@5 >= 0.5 at nprobe=2; PQ-alone cascade recall@5 >= 0.7.
+    (Round-5 shipped 0.150 / 0.113 — near-random retrieval.)"""
+    rows = REGISTRY["sim_ivfpq_recall_eval"].fn(spark, SF_T2).collect()
+    r2 = sum(r["recall_p2"] for r in rows) / len(rows)
+    r1 = sum(r["recall_p1"] for r in rows) / len(rows)
+    assert r2 >= 0.5, f"composed recall@5 at nprobe=2 = {r2}"
+    assert r2 >= r1, (r1, r2)   # the nprobe dial must buy recall
+    rows = REGISTRY["sim_pq_recall_eval"].fn(spark, SF_T2).collect()
+    rp = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert rp >= 0.7, f"PQ cascade recall@5 = {rp}"

@@ -21,7 +21,9 @@ def test_cascade_composes_and_serves(spark):
     n = e.count()
     cells, cb, codes = build_index(e)
     cells, codes = cells.cache(), codes.cache()
-    assert cells.count() == n and codes.count() == n * 8
+    from industry_big_data_time_sequence_process_spark.operators.similarity \
+        import _PQ_M
+    assert cells.count() == n and codes.count() == n * _PQ_M
 
     top5, cand = serve_cascade(e, cells, cb, codes)
     rows = top5.collect()

@@ -7,8 +7,8 @@ the standard billion-vector serving architecture (Jégou et al. 2011):
   1. INDEX BUILD: capped-sample-trained IVF coarse quantizer
      (``sim_ivf_scalable_topk``'s trainer — constant training cost at any
      corpus size) assigns every vector to a cell; PQ codes
-     (``sim_pq_topk``'s codebook — 8 subspaces x 16 codewords = 4
-     bytes/vector) compress the corpus ~64x.
+     (``sim_pq_topk``'s trained codebooks — 16 subspaces x 64 codewords
+     = 12 bytes/vector) compress the corpus ~21x.
   2. SERVE: each query searches only its nearest cell (IVF cut), ranks
      the cell's candidates by PQ asymmetric distance (table lookup, no
      float vector math), keeps the top ``RERANK`` and re-ranks those few
@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
 from industry_big_data_time_sequence_process_spark.operators.similarity import (  # noqa: E402
-    _cos, _ivf_cells_scalable, _pq_codebook, _pq_codes, _pq_d2fx, _PQ_M,
+    _cos, _ivf_cells_scalable, _pq_codebook, _pq_codes, _pq_dtab_frame,
 )
 from industry_big_data_time_sequence_process_spark.session import get_session  # noqa: E402
 from industry_big_data_time_sequence_process_spark.sources.io import load  # noqa: E402
@@ -67,12 +67,7 @@ def serve_cascade(e: DataFrame, cells: DataFrame, cb: DataFrame,
                   .filter(F.col("q_vec_id") != F.col("vec_id"))
                   .select("q_vec_id", "qemb", "vec_id"))
 
-    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("qm")
-    dtab = (q.crossJoin(F.broadcast(cb))
-             .select("q_vec_id", "qemb", "k", "cw", m)
-             .select(F.col("q_vec_id").alias("d_q"), "qm", "k",
-                     _pq_d2fx(F.col("qemb"), F.col("cw"),
-                              F.col("qm")).alias("dfx")))
+    dtab = _pq_dtab_frame(q, cb).withColumnRenamed("q_vec_id", "d_q")
     pq_scored = (cand.join(codes, "vec_id")
                      .join(F.broadcast(dtab),
                            (F.col("m") == F.col("qm"))
