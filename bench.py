@@ -3,9 +3,17 @@
 
 Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line. Protocol mirrors BASELINE.md: one shared warm session, ``collect()``
-latency, one untimed warm-up pass (codegen + parquet footer cache) then one
-timed pass per query.
+line. Protocol (round 6, VERDICT r5 #4): one shared warm session,
+``collect()`` latency, one untimed warm-up pass (codegen + parquet footer
+cache) then THREE timed passes per query — ``value`` and the per-query
+maps report the MIN (identical semantics to every prior round's
+best-of-N, so totals stay round-comparable), and ``queries_median`` /
+``heavy_median`` report the median so jitter is visible in the artifact
+instead of adjudicated by eye.
+
+Output contract (ADVICE r5: consumers recompute ``value`` from
+``queries``): ``value == sum(queries.values())`` again — the heavy
+dedup/ANN family moved to its own ``heavy_queries`` map.
 
 Baseline mapping (BASELINE.md "Measured baseline — sf0.1"):
   q1_pricing_summary   <-> Q1-like pricing summary        (7.38 s)
@@ -21,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,8 +53,9 @@ HEADLINE = {
 
 #: round 5 (VERDICT r4 #5): the heavy dedup/ANN family, timed per round
 #: so a regression there surfaces in the bench diff instead of living
-#: only in one-off SCALE.md audits. Reported inside `queries` (and as
-#: `heavy_total`) but EXCLUDED from `value` to keep it r1..r4-comparable.
+#: only in one-off SCALE.md audits. Reported under `heavy_queries` (and
+#: summed as `heavy_total`) — EXCLUDED from `value`/`queries` so those
+#: keep their r1..r4 meaning (ADVICE r5).
 HEAVY = {
     "ngram_jaccard": "dedup_ngram_jaccard",
     "near_minhash": "dedup_near_minhash",
@@ -57,32 +67,75 @@ HEAVY = {
     "decontaminate": "text_decontaminate",
 }
 
+N_TIMED = 3  # timed passes per query (after one untimed warm-up)
+
+
+def _timed_passes(thunk) -> tuple[float, float]:
+    """(min, median) over N_TIMED runs of an already-warm thunk."""
+    ts = []
+    for _ in range(N_TIMED):
+        t0 = time.perf_counter()
+        thunk()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3), round(statistics.median(ts), 3)
+
+
+def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """VERDICT r5 #7: time the composed ANN index BUILD (train + code the
+    corpus, materialized once) separately from SERVING queries against
+    the prebuilt frames — production runs them on different cadences, so
+    one fused number hides where the time goes."""
+    from pyspark.sql import functions as F
+
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _N_QUERIES, _ivfpq_index, _ivfpq_serve_topk)
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+
+    e = load(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    corpus, cent, cb = _ivfpq_index(e)
+    corpus = corpus.cache()
+    corpus.count()  # materialize the coded inverted lists
+    build = round(time.perf_counter() - t0, 3)
+    qdf = e.filter(F.col("vec_id") < _N_QUERIES)
+
+    def serve() -> None:
+        _ivfpq_serve_topk(qdf, corpus, cent, cb, e, nprobe=2).collect()
+
+    serve()  # warm-up
+    s_min, s_med = _timed_passes(serve)
+    corpus.unpersist()
+    return {"min": {"ivfpq_build": build, "ivfpq_serve": s_min},
+            "median": {"ivfpq_build": build, "ivfpq_serve": s_med}}
+
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
-    from industry_big_data_time_sequence_process_spark.session import get_session
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1").rstrip("/")
     from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+    from industry_big_data_time_sequence_process_spark.session import get_session
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(names: dict[str, str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+    def run(names: dict[str, str]) -> tuple[dict[str, float],
+                                            dict[str, float]]:
+        mins: dict[str, float] = {}
+        meds: dict[str, float] = {}
         for name, key in names.items():
             if key not in REGISTRY:
                 continue
             fn = REGISTRY[key].fn
             fn(spark, sf_dir).collect()      # warm-up: codegen + IO cache
-            best = float("inf")
-            for _ in range(2):               # best-of-2: de-jitter scheduling
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
-        return out
+            mins[name], meds[name] = _timed_passes(
+                lambda: fn(spark, sf_dir).collect())
+        return mins, meds
 
-    timings = run(HEADLINE)
-    heavy = run(HEAVY)
+    timings, timings_med = run(HEADLINE)
+    heavy, heavy_med = run(HEAVY)
+    split = _bench_ivfpq_split(spark, sf_dir)
+    heavy.update(split["min"])
+    heavy_med.update(split["median"])
 
     try:
         sf = float(os.path.basename(sf_dir).replace("sf", ""))
@@ -92,9 +145,13 @@ def main() -> None:
         "metric": "headline_queries_total_warm",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {**timings, **heavy},
+        "queries": timings,
+        "queries_median": timings_med,
+        "heavy_queries": heavy,
+        "heavy_median": heavy_med,
         "headline_total": round(sum(timings.values()), 3),
         "heavy_total": round(sum(heavy.values()), 3),
+        "n_timed_passes": N_TIMED,
         "sf": sf,
     }))
     spark.stop()

@@ -66,22 +66,53 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     >>> sorted(r.s for r in word_shingles(df, "doc_id", "text").collect())
     ['a b c', 'b c d']
     """
+    raw = word_shingles_raw(df, id_col, text_col, n)
+    n_docs = df.agg(F.count("*").alias("__n_docs"))
+    hot = hot_shingles(raw, n_docs, df_cap_floor, df_cap_frac)
+    return (raw.join(F.broadcast(hot), "s", "left_anti")
+               .select(id_col, "s"))
+
+
+def word_shingles_raw(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    """(id, s): distinct n-gram word shingles per document, UNCAPPED —
+    the raw stream :func:`word_shingles` filters. Exposed separately so
+    an incremental-ingest pipeline can shingle arriving batches and
+    anti-join them against a hot-shingle set computed ONCE from the full
+    corpus (the artifact shipped with the corpus index) instead of
+    re-deriving caps per batch — re-derived per-batch caps silently
+    diverge from the corpus-wide cap the moment any shingle crosses it.
+
+    >>> df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    >>> sorted(r.s for r in word_shingles_raw(df, "doc_id", "text").collect())
+    ['a b c', 'b c d']
+    """
     toks = df.select(F.col(id_col).alias("__id"),
                      F.split(text_col, " ").alias("tk"))
     sh = F.expr(
         "transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {parts}))"
         .format(n=n, parts=", ".join(f"tk[i+{j}]" for j in range(n))))
-    raw = toks.select("__id", F.explode(sh).alias("s")).distinct()
-    n_docs = df.agg(F.count("*").alias("__n_docs"))
+    return (toks.select("__id", F.explode(sh).alias("s")).distinct()
+                .select(F.col("__id").alias(id_col), "s"))
+
+
+def hot_shingles(raw: DataFrame, n_docs: DataFrame,
+                 df_cap_floor: int = 1000,
+                 df_cap_frac: float = 0.005) -> DataFrame:
+    """(s): the high-document-frequency shingle kill set — shingles
+    present in more than ``max(df_cap_floor, ceil(df_cap_frac * n_docs))``
+    documents of ``raw`` (a :func:`word_shingles_raw` frame). ``n_docs``
+    is a 1-row ``(__n_docs)`` aggregate of the SOURCE document frame (not
+    of ``raw`` — empty documents still count toward the corpus size).
+    Tiny by construction (each hot shingle needs cap·n_docs rows), so
+    callers broadcast it into a LEFT ANTI join. No collect anywhere."""
     cap = F.greatest(
         F.lit(df_cap_floor).cast("long"),
         F.ceil(F.lit(df_cap_frac) * F.col("__n_docs")).cast("long"))
-    hot = (raw.groupBy("s").agg(F.count("*").alias("__df"))
-              .crossJoin(F.broadcast(n_docs))
-              .filter(F.col("__df") > cap)
-              .select("s"))
-    return (raw.join(F.broadcast(hot), "s", "left_anti")
-               .select(F.col("__id").alias(id_col), "s"))
+    return (raw.groupBy("s").agg(F.count("*").alias("__df"))
+               .crossJoin(F.broadcast(n_docs))
+               .filter(F.col("__df") > cap)
+               .select("s"))
 
 
 def strip_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
@@ -313,7 +344,8 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
                          order_by: Sequence[Column],
                          rank_name: str = "global_rank",
                          total_name: str | None = None,
-                         group_cols: Sequence[str] = ()) -> DataFrame:
+                         group_cols: Sequence[str] = (),
+                         broadcast_offsets: bool = True) -> DataFrame:
     """Exact global ``row_number`` over ``order_by`` WITHOUT a
     single-partition sort — the two-phase rank (the quantile/rank twin of
     the bucketed-sessionize discipline):
@@ -347,6 +379,19 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
     key (an event_type-style channel) never sorts more than one
     (group, bucket) cell at a time — the fix for the low-cardinality
     window-key hazard class in SCALE.md.
+
+    BUCKET-CARDINALITY CONTRACT (ADVICE r5): the offsets table holds one
+    row per distinct (group, bucket) pair and is broadcast by default —
+    it must stay broadcast-sized. Time- or value-granularity buckets
+    hold that by construction; the hot-value composite bucket
+    ``struct(value, id div B)`` does NOT in the worst case (a continuous
+    value column drives distinct (value, id-band) pairs toward the row
+    count). When the bucket function cannot guarantee a bounded bucket
+    count, pass ``broadcast_offsets=False``: the offsets attach by a
+    plain shuffle equi-join on the bucket key (the fact side shuffles
+    once on a key it is already partitioned by for the within-bucket
+    window — no extra exchange in practice), and the offsets window
+    still runs over bucket cardinality, never fact rows.
     """
     g = list(group_cols)
     b = "__bgr_b"
@@ -359,8 +404,10 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
         offs.append(F.sum("__n").over(Window.partitionBy(*g))
                      .alias(total_name))
     offsets = counts.select(*g, b, *offs)
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     w = Window.partitionBy(*g, b).orderBy(*order_by)
-    return (tagged.join(F.broadcast(offsets), [*g, b])
+    return (tagged.join(offsets, [*g, b])
                   .withColumn(rank_name, (F.row_number().over(w)
                                           + F.col("__off")).cast("long"))
                   .drop(b, "__off"))

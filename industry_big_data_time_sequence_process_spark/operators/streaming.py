@@ -280,8 +280,12 @@ def _sessionize_timeout_fn(ev: DataFrame) -> DataFrame:
                 cur = (cur[0], t_us, cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            # event-time timer (ms): fires when wm passes session end
-            state.setTimeoutTimestamp((cur[1] + _SESS_GAP_US) // 1000)
+            # event-time timer (ms granularity): CEIL to the next ms so
+            # the timer never fires before the oracle's microsecond-exact
+            # emission bound (last_us + gap <= wm_us) — floor-truncation
+            # widened the boundary flip window from the documented
+            # exact-equality tie to ~1 ms (ADVICE r5).
+            state.setTimeoutTimestamp((cur[1] + _SESS_GAP_US + 999) // 1000)
         if closed:
             yield pd.DataFrame({
                 "user_id": [key[0]] * len(closed),
@@ -459,18 +463,22 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ``doc_id % 4 = 3`` arrival slice stages as TWO files (two
     micro-batches), proving incremental serving. The hot-shingle df cap
-    is an index-build artifact in deployment (shipped with the corpus
-    index, applied to arriving batches); at every test SF the cap floor
-    provably removes nothing on either side, so the per-batch shingle
-    stream equals the corpus-wide one for those documents and the twin
-    is exact. Per-batch cost is O(batch) signatures + broadcast/equi
-    probes of the persisted index — the historical corpus is never
-    re-paired."""
+    is an index-build artifact: computed ONCE from the full corpus (the
+    frame a deployment ships with the corpus index) and applied — the
+    SAME broadcast anti-join set — to both the corpus index build and
+    each arriving micro-batch, so the streamed kill-list equals the
+    batch oracle exactly even when shingles cross the cap (r6, ADVICE
+    r5: per-side re-derived caps silently diverge on any corpus with
+    real boilerplate shingles). Per-batch cost is O(batch) signatures +
+    broadcast/equi probes of the persisted index — the historical
+    corpus is never re-paired."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
 
-    from ..api import minhash_band_signatures, word_shingles
-    from .text import _minhash_bands, _shingles
+    from ..api import hot_shingles, minhash_band_signatures, \
+        word_shingles_raw
+    from .text import (_SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC,
+                       _minhash_bands)
 
     configure(spark)
     key = "stream_ingest_dedup"
@@ -490,8 +498,16 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # static index frames (written once per corpus build in deployment)
     d = load(spark, sf_dir, "documents")
-    tok_corp = _shingles(d.filter(F.col("doc_id") % 4 != 3)) \
-        .withColumnRenamed("s", "token")
+    # The hot-shingle kill set is computed ONCE over the FULL corpus
+    # (arrivals included — exactly the oracle's cap base) and shipped
+    # alongside the band index; both the corpus build below and every
+    # arriving micro-batch anti-join against THIS frame.
+    raw_full = word_shingles_raw(d, "doc_id", "text")
+    hot = hot_shingles(raw_full, d.agg(F.count("*").alias("__n_docs")),
+                       _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC)
+    tok_corp = (raw_full.filter(F.col("doc_id") % 4 != 3)
+                        .join(F.broadcast(hot), "s", "left_anti")
+                        .withColumnRenamed("s", "token"))
     corp = _minhash_bands(tok_corp).select(
         F.col("doc_id").alias("dup_of"),
         F.col("band").alias("band2"), F.col("sig").alias("sig2"))
@@ -499,8 +515,9 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "dup_of")
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
-        tok_b = word_shingles(batch_df, "doc_id", "text") \
-            .withColumnRenamed("s", "token")
+        tok_b = (word_shingles_raw(batch_df, "doc_id", "text")
+                 .join(F.broadcast(hot), "s", "left_anti")
+                 .withColumnRenamed("s", "token"))
         newb = minhash_band_signatures(tok_b, "doc_id", "token") \
             .select(F.col("doc_id").alias("new_doc"), "band", "sig")
         cand = (newb.join(corp, (F.col("band") == F.col("band2"))

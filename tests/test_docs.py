@@ -76,3 +76,28 @@ def test_survey_registry_count_line_is_current():
     assert (int(m.group(1)), int(m.group(2))) == (n_ops, n_sql), (
         f"SURVEY.md claims {m.group(1)}/{m.group(2)}, registry has "
         f"{n_ops}/{n_sql}")
+
+
+def test_correctness_full_artifact_matches_registry():
+    """VERDICT r5 #3: the committed full-registry correctness artifact
+    (tools/gen_correctness_full.py) must cover EXACTLY the live registry
+    key set — a key added without regenerating the artifact, or an
+    artifact row whose key no longer exists, both fail here. (Values are
+    produced by the generator run, which exits nonzero on any mismatch;
+    this pin keeps the committed file from going stale against the
+    code.)"""
+    import glob
+    import json
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r*.json")))
+    assert files, "no CORRECTNESS_FULL_r*.json committed"
+    with open(files[-1]) as f:
+        data = json.load(f)
+    assert set(data) == set(REGISTRY), (
+        f"artifact {os.path.basename(files[-1])} out of sync: "
+        f"missing={sorted(set(REGISTRY) - set(data))[:5]} "
+        f"extra={sorted(set(data) - set(REGISTRY))[:5]} — rerun "
+        f"tools/gen_correctness_full.py")
+    bad = {k: r for k, r in data.items()
+           if r["hash_match"] is False
+           or (r["err"] and r["err"] != "no_oracle")}
+    assert not bad, f"artifact records failures: {sorted(bad)[:10]}"

@@ -35,8 +35,16 @@ FACT_MARKER_COLUMNS = {
 }
 
 #: Nodes whose output cardinality is bounded regardless of input size —
-#: a window above one of these is not a window over fact rows.
-SHRINKING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+#: a window above one of these is not a window over fact rows. Aggregate
+#: and Deduplicate are handled separately (ADVICE r5): they bound
+#: cardinality ONLY when their keys exclude the fact-unique marker
+#: columns — ``groupBy(event_id)`` / ``dropDuplicates(doc_id, ...)``
+#: emit one row per fact row and must propagate reachability.
+SHRINKING_NODES = {"GlobalLimit", "LocalLimit"}
+
+#: Catalyst node -> JSON field holding its keys, for the key-aware check.
+KEYED_SHRINKING_NODES = {"Aggregate": "groupingExpressions",
+                         "Deduplicate": "keys"}
 
 #: Documented exactness-first baselines: each carries ONE deliberate
 #: global-order window, names the hazard in its docstring, and ships a
@@ -86,12 +94,41 @@ def _relation_fact(node: dict):
     return None
 
 
+def _expr_names(obj) -> set:
+    """All attribute names referenced anywhere in an expression JSON."""
+    names = set()
+
+    def walk(o):
+        if isinstance(o, dict):
+            if o.get("name"):
+                names.add(o["name"])
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(obj)
+    return names
+
+
 def _fact_reach(tree):
-    """Fact tables reachable without crossing a shrinking node."""
+    """Fact tables reachable without crossing a shrinking node.
+
+    Aggregate/Deduplicate shrink ONLY when keyed off the fact-unique
+    marker columns (ADVICE r5): a groupBy/dropDuplicates keyed on
+    event_id / doc_id / vec_id / ... emits one row per fact row — an
+    unpartitioned window above it is still a window over fact
+    cardinality and must stay flagged."""
     node, children = tree
     cls = node["class"].split(".")[-1]
     if cls in SHRINKING_NODES:
         return set()
+    if cls in KEYED_SHRINKING_NODES:
+        keys = _expr_names(node.get(KEYED_SHRINKING_NODES[cls]) or [])
+        if not keys & set(FACT_MARKER_COLUMNS):
+            return set()
+        # fact-keyed: cardinality not bounded — fall through to children
     if cls.endswith("Relation"):
         t = _relation_fact(node)
         return {t} if t else set()

@@ -87,3 +87,20 @@ def test_dedup_on_boilerplate_corpus(spark, boiler_dir, key):
     # exactly the planted pair; 719,400 boilerplate pairs would appear
     # here if the cap regressed
     assert [(r["doc1"], r["doc2"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_stream_ingest_dedup_cap_matches_oracle_on_boiler(spark, boiler_dir):
+    """ADVICE r5 (medium): the streamed kill-list must equal the batch
+    oracle even when shingles CROSS the df cap. Pre-r6 the stream
+    re-derived caps per side (arrival batches ~150 docs, corpus 900 —
+    both under the 1000 floor, so neither side dropped the boilerplate
+    the full-corpus oracle drops): boilerplate-dominated signatures
+    collided band-wide and the streamed kill-list exploded to ~270k
+    spurious pairs. r6 computes ONE hot-shingle set from the full corpus
+    (the index-build artifact) and anti-joins it on both sides, so the
+    twin is exact by construction, not by cap-inertness."""
+    op = REGISTRY["stream_ingest_dedup"]
+    t0 = time.monotonic()
+    assert_parity(spark, op.fn, op.oracle, boiler_dir,
+                  key="stream_ingest_dedup@boiler")
+    assert time.monotonic() - t0 < TIME_CAP_S
