@@ -17,3 +17,11 @@ def spark():
     """One shared session for the whole run (cold JVM start is ~15-50 s)."""
     s = get_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     yield s
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast edit-loop subset (one op per family + the flagship; "
+        "`pytest -m smoke` targets < 60 s) — the full suite remains the "
+        "gate")
