@@ -63,12 +63,13 @@ def test_readme_counts_match_registry():
 
 
 def test_survey_registry_count_line_is_current():
-    """SURVEY.md §2.15 closes with 'Registry after round 5: N operators,
-    M oracled.' — pin it to the live registry so the binding contract
-    document can never go stale silently (VERDICT r3 doc-exactness)."""
+    """SURVEY.md §2's newest wave closes with 'Registry after this wave:
+    N operators, M oracled.' — pin it to the live registry so the binding
+    contract document can never go stale silently (VERDICT r3
+    doc-exactness)."""
     with open(os.path.join(REPO, "SURVEY.md")) as f:
         survey = f.read()
-    m = re.search(r"Registry after round 5: (\d+) operators, (\d+) oracled",
+    m = re.search(r"Registry after this wave: (\d+) operators, (\d+) oracled",
                   survey)
     assert m, "SURVEY.md registry count line missing"
     n_ops = len(REGISTRY)
