@@ -591,3 +591,85 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("n_match"),
                      frac.alias("match_frac"))
                 .filter(F.col("match_frac") >= _AFP_FRAC))
+
+
+_SCENE_FRAME = 32    # bytes per "frame" (the fallback decode granularity)
+_SCENE_THR = 2500    # cut threshold on the x1000 fixed-point frame means
+
+
+@op("mm_video_scene_cuts", oracle=f"""
+WITH blobs AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents WHERE octet_length(encode(text)) >= {2 * _SCENE_FRAME}
+), bytes AS (
+    SELECT doc_id, i // {_SCENE_FRAME} AS frame,
+           CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS b
+    FROM blobs,
+         LATERAL (SELECT unnest(range(0, (nb // {_SCENE_FRAME})
+                                         * {_SCENE_FRAME})) AS i)
+), sigs AS (
+    SELECT doc_id, frame, (SUM(b) * 1000) // {_SCENE_FRAME} AS sig
+    FROM bytes GROUP BY 1, 2
+), cuts AS (
+    SELECT doc_id, frame,
+           CASE WHEN lag(sig) OVER w IS NULL THEN 0
+                WHEN abs(sig - lag(sig) OVER w) > {_SCENE_THR} THEN 1
+                ELSE 0 END AS cut
+    FROM sigs WINDOW w AS (PARTITION BY doc_id ORDER BY frame)
+), scenes AS (
+    SELECT doc_id, frame,
+           SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame) AS scene_id
+    FROM cuts
+)
+SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+       CAST(min(frame) AS BIGINT) AS start_frame,
+       count(*) AS n_frames
+FROM scenes GROUP BY 1, 2
+""", tier=3, section="2.11")
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a 'video' blob column — the video leg of
+    the content-level multimodal triple (image: ``mm_phash_dedup``,
+    audio: ``mm_audio_fingerprint_dedup``): fixed-size byte blocks stand
+    in for decoded frames (fallback decode, same contract as the rest of
+    the family — a codec cluster swaps real frame luma in behind the
+    identical plan), each frame reduces to an exact fixed-point mean
+    signature, a cut fires where consecutive signatures jump more than
+    the threshold, and a running sum of cut flags labels scenes — the
+    sessionize recipe applied to frames. Output: one row per
+    (asset, scene) with its start frame and length, the shape a
+    keyframe-extraction or clip-splitting stage consumes.
+
+    Scale shape: frame pooling is the family's linear byte-explode +
+    map-combinable sum; the lag/running-sum windows partition BY ASSET
+    (bounded by per-asset frame count — never a global window); no
+    joins at all. Everything exact-integer, value-checked cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "utf-8")
+    blobs = (d.select("doc_id", F.hex(bin_col).alias("hx"),
+                      F.length(bin_col).cast("long").alias("nb"))
+              .filter(F.col("nb") >= 2 * _SCENE_FRAME))
+    i = F.explode(F.sequence(
+        F.lit(0),
+        ((F.col("nb") / _SCENE_FRAME).cast("int") * _SCENE_FRAME) - 1)) \
+        .alias("i")
+    byts = (blobs.select("doc_id", "hx", i)
+                 .select("doc_id",
+                         (F.col("i") / _SCENE_FRAME).cast("long")
+                         .alias("frame"),
+                         F.conv(F.expr("substring(hx, i * 2 + 1, 2)"),
+                                16, 10).cast("long").alias("b")))
+    sigs = (byts.groupBy("doc_id", "frame")
+                .agg(F.expr(f"SUM(b) * 1000 DIV {_SCENE_FRAME}")
+                      .alias("sig")))
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    cut = F.when(F.lag("sig").over(w).isNull(), 0) \
+           .when(F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_THR, 1) \
+           .otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scenes = (sigs.withColumn("cut", cut)
+                  .withColumn("scene_id",
+                              F.sum("cut").over(w_run).cast("long")))
+    return (scenes.groupBy("doc_id", "scene_id")
+                  .agg(F.min("frame").cast("long").alias("start_frame"),
+                       F.count("*").alias("n_frames")))

@@ -228,3 +228,21 @@ def test_audio_fingerprint_finds_prefix_dups(spark):
     known = {(152, 178), (61, 185), (8, 245), (98, 290), (285, 301)}
     assert known <= got, known - got
     assert all(r["match_frac"] >= 0.9 for r in rows)
+
+
+def test_scene_cuts_partition_frames(spark):
+    """Scenes must PARTITION each asset's frames: contiguous, starting at
+    frame 0 / scene 0, lengths summing to the full frame count."""
+    rows = REGISTRY["mm_video_scene_cuts"].fn(spark, SF_T2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, scenes in by_doc.items():
+        scenes.sort(key=lambda r: r["scene_id"])
+        assert scenes[0]["scene_id"] == 0 and scenes[0]["start_frame"] == 0
+        nxt = 0
+        for i, s in enumerate(scenes):
+            assert s["scene_id"] == i, (doc, scenes)
+            assert s["start_frame"] == nxt, (doc, scenes)
+            nxt = s["start_frame"] + s["n_frames"]
