@@ -2625,18 +2625,21 @@ def _index_scratch(key: str) -> str:
     return os.path.join(SCRATCH, "ann_index", key)
 
 
-def _write_index(e: DataFrame, base: str) -> None:
+def _write_index(e: DataFrame, base: str) -> tuple:
     """Write the composed index's three frames: centroids and codebook as
     plain parquet (tiny, broadcast at serve time), the coded corpus
     PARTITIONED BY cid — the on-disk inverted-list layout, so a serving
     scan of nprobe cells reads only those cells' files (partition
     pruning; at cluster scale each cell is its own directory of
-    row-group-sized files)."""
+    row-group-sized files). Returns the three frames' SCHEMAS — readers
+    must pass them explicitly (an empty corpus writes a fileless
+    directory, and schema inference cannot read one back)."""
     corpus, cent, cb = _ivfpq_index(e)
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
     cb.write.mode("overwrite").parquet(f"{base}/codebook")
     corpus.write.mode("overwrite").partitionBy("cid") \
           .parquet(f"{base}/corpus")
+    return corpus.schema, cent.schema, cb.schema
 
 
 @op("sim_index_persist", oracle=f"""
@@ -2674,10 +2677,11 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     base = _index_scratch("persist")
     shutil.rmtree(base, ignore_errors=True)
-    _write_index(e, base)
-    sizes = [("centroids", spark.read.parquet(f"{base}/centroids").count()),
-             ("codebook", spark.read.parquet(f"{base}/codebook").count()),
-             ("corpus", spark.read.parquet(f"{base}/corpus").count())]
+    corpus_s, cent_s, cb_s = _write_index(e, base)
+    rd = lambda name, sch: spark.read.schema(sch).parquet(f"{base}/{name}")
+    sizes = [("centroids", rd("centroids", cent_s).count()),
+             ("codebook", rd("codebook", cb_s).count()),
+             ("corpus", rd("corpus", corpus_s).count())]
     return spark.createDataFrame(sizes, "frame string, n_rows long") \
                 .orderBy("frame")
 
@@ -2704,10 +2708,10 @@ def sim_ann_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     base = _index_scratch("serve")
     shutil.rmtree(base, ignore_errors=True)
-    _write_index(e, base)
-    cent = spark.read.parquet(f"{base}/centroids")
-    cb = spark.read.parquet(f"{base}/codebook")
-    corpus = spark.read.parquet(f"{base}/corpus") \
+    corpus_s, cent_s, cb_s = _write_index(e, base)
+    cent = spark.read.schema(cent_s).parquet(f"{base}/centroids")
+    cb = spark.read.schema(cb_s).parquet(f"{base}/codebook")
+    corpus = spark.read.schema(corpus_s).parquet(f"{base}/corpus") \
         .select("vec_id", "cid", "m", "code")
     return _ivfpq_serve_topk(e.filter(F.col("vec_id") < _N_QUERIES),
                              corpus, cent, cb, e, nprobe=2)

@@ -172,6 +172,8 @@ EMPTY_DOCS_GUARDED = [
     "text_tfidf_topterms", "dedup_ngram_jaccard", "text_zipf_fit",
     "sample_mix_temperature", "text_lang_id", "dedup_cluster_cc",
     "text_bm25_retrieval", "mm_image_decode",
+    # round-6 content-level multimodal
+    "mm_phash_dedup", "mm_audio_fingerprint_dedup", "mm_video_scene_cuts",
 ]
 
 
@@ -204,6 +206,9 @@ EMPTY_EMB_GUARDED = [
     "sim_ivf_scalable_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivf_incremental_assign", "emb_random_projection",
     "sim_matryoshka_recall", "dedup_embedding_cosine",
+    # round-6 index persistence (empty corpus -> fileless parquet dirs;
+    # readers pass explicit schemas)
+    "sim_index_persist", "sim_ann_serve_persisted",
 ]
 
 
