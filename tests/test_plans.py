@@ -356,3 +356,17 @@ def test_boilerplate_hot_line_set_broadcast(spark):
     handful of footers would be the 100x regression."""
     plan = _plan(spark, "text_remove_boilerplate", "simple")
     assert "SortMergeJoin" not in plan
+
+
+def test_persisted_serve_scans_index_not_recompute(spark):
+    """sim_ann_serve_persisted must SERVE from the persisted artifacts:
+    its plan scans the scratch index parquet (centroids, codebook,
+    cid-partitioned corpus) rather than re-deriving codes from
+    embeddings, and the probe/ADC joins stay broadcast (no SMJ, no
+    cartesian) — the corpus inverted lists never shuffle to meet an
+    8-query batch."""
+    plan = _plan(spark, "sim_ann_serve_persisted", "simple")
+    assert plan.count("ann_index") >= 3, (
+        "serve plan does not scan the three persisted index frames")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
