@@ -376,13 +376,20 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length(bin_col).cast("long").alias("nb"))
               .filter(F.col("nb") > 0))
     n2 = _PHASH_POOL * _PHASH_POOL
-    i = F.explode(F.sequence(F.lit(0), F.col("nb").cast("int") - 1)) \
-        .alias("i")
+    # seg arithmetic stays in BIGINT end-to-end (ADVICE r6): `i` as a
+    # 32-bit int would wrap at i*1024 for blobs > ~2 MB while the DuckDB
+    # oracle's range() is BIGINT — a silent cross-engine divergence at
+    # exactly the large-asset sizes this op targets.  The byte-explode
+    # fallback itself is bounded by Spark's 2^31-1 array-element cap on
+    # sequence(); blobs beyond ~2 GB must take the codec-UDF pooling
+    # path (mm_image_decode contract), not this explode.
+    i = F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("nb") - 1)).alias("i")
     byts = (blobs.select("doc_id", "hx", "nb", i)
                  .select("doc_id",
                          ((F.col("i") * n2) / F.col("nb")).cast("long")
                          .alias("seg"),
-                         F.conv(F.expr("substring(hx, i * 2 + 1, 2)"),
+                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
                                 16, 10).cast("long").alias("b")))
     grid = (byts.groupBy("doc_id", "seg")
                 .agg(F.expr("SUM(b) * 1000 DIV COUNT(*)").alias("g"))
@@ -533,11 +540,12 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = (d.select("doc_id", F.hex(bin_col).alias("hx"),
                       F.length(bin_col).cast("long").alias("nb"))
               .filter(F.col("nb") >= _AFP_WIN))
-    i = F.explode(F.sequence(F.lit(0), F.col("nb").cast("int") - 1)) \
-        .alias("i")
+    # BIGINT `i` throughout (ADVICE r6, same wrap hazard as mm_phash_dedup)
+    i = F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("nb") - 1)).alias("i")
     byts = (blobs.select("doc_id", "nb", "hx", i)
                  .select("doc_id", "nb", "i",
-                         F.conv(F.expr("substring(hx, i * 2 + 1, 2)"),
+                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
                                 16, 10).cast("long").alias("b")))
     w = F.explode(F.array(
         (F.col("i") / _AFP_HOP).cast("long"),
@@ -649,15 +657,17 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = (d.select("doc_id", F.hex(bin_col).alias("hx"),
                       F.length(bin_col).cast("long").alias("nb"))
               .filter(F.col("nb") >= 2 * _SCENE_FRAME))
+    # BIGINT frame arithmetic (ADVICE r6): a 32-bit truncation here wraps
+    # for multi-GB video assets while the oracle stays BIGINT.
     i = F.explode(F.sequence(
-        F.lit(0),
-        ((F.col("nb") / _SCENE_FRAME).cast("int") * _SCENE_FRAME) - 1)) \
+        F.lit(0).cast("long"),
+        (F.floor(F.col("nb") / _SCENE_FRAME) * _SCENE_FRAME) - 1)) \
         .alias("i")
     byts = (blobs.select("doc_id", "hx", i)
                  .select("doc_id",
                          (F.col("i") / _SCENE_FRAME).cast("long")
                          .alias("frame"),
-                         F.conv(F.expr("substring(hx, i * 2 + 1, 2)"),
+                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
                                 16, 10).cast("long").alias("b")))
     sigs = (byts.groupBy("doc_id", "frame")
                 .agg(F.expr(f"SUM(b) * 1000 DIV {_SCENE_FRAME}")

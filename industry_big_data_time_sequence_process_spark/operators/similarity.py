@@ -534,9 +534,19 @@ def _duck_ivf_capped_prefix(corpus: str = "embeddings") -> str:
 def _ivf_assign(e: DataFrame, centroids: DataFrame,
                 nprobe: int = 1) -> DataFrame:
     """(vec_id, embedding, cid) — each vector paired with its ``nprobe``
-    nearest trained centroids (nprobe=1 is the index assignment; >1 is
-    the query-side recall dial: probed cells are disjoint because every
-    vector INDEXES under exactly one cell)."""
+    nearest trained centroids. Three call shapes (ADVICE r6 — the old
+    "every vector indexes under exactly one cell" claim no longer holds
+    unconditionally):
+
+    - nprobe=1: the classic single-assignment index build (disjoint
+      cells, no downstream dedup needed);
+    - nprobe>1 on the QUERY side: the recall dial — a query probes its
+      n nearest cells;
+    - nprobe=``_IVF_NASSIGN`` on the INDEX side (the round-6 composed
+      stack): index-side multi-assignment, where one vector lands in
+      several cells ON PURPOSE, so (query, candidate) pairs can surface
+      through more than one cell and callers MUST dedup candidates
+      downstream (the per-(q, c, m) pre-aggregate in the ADC path)."""
     w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
     return (e.crossJoin(F.broadcast(centroids))
              .withColumn("_c", _cos(F.col("embedding"), F.col("cemb")))
@@ -2618,11 +2628,16 @@ def sim_jl_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _index_scratch(key: str) -> str:
+def _index_scratch(spark: SparkSession, key: str) -> str:
+    """Per-application scratch root for index artifacts (ADVICE r6): the
+    path incorporates the Spark applicationId so two concurrent sessions
+    (bench.py alongside pytest, say) never rmtree/rewrite the same
+    directory and read each other's half-deleted frames."""
     import os
 
     from .sources_sinks import SCRATCH
-    return os.path.join(SCRATCH, "ann_index", key)
+    app = spark.sparkContext.applicationId
+    return os.path.join(SCRATCH, "ann_index", app, key)
 
 
 def _write_index(e: DataFrame, base: str) -> tuple:
@@ -2675,7 +2690,7 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     e = load(spark, sf_dir, "embeddings")
-    base = _index_scratch("persist")
+    base = _index_scratch(spark, "persist")
     shutil.rmtree(base, ignore_errors=True)
     corpus_s, cent_s, cb_s = _write_index(e, base)
     rd = lambda name, sch: spark.read.schema(sch).parquet(f"{base}/{name}")
@@ -2706,7 +2721,7 @@ def sim_ann_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     e = load(spark, sf_dir, "embeddings")
-    base = _index_scratch("serve")
+    base = _index_scratch(spark, "serve")
     shutil.rmtree(base, ignore_errors=True)
     corpus_s, cent_s, cb_s = _write_index(e, base)
     cent = spark.read.schema(cent_s).parquet(f"{base}/centroids")

@@ -89,7 +89,14 @@ def test_correctness_full_artifact_matches_registry():
     code.)"""
     import glob
     import json
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r*.json")))
+    import re
+
+    # Sort by the PARSED round number (ADVICE r6): lexicographic sorting
+    # would put 'r10' before 'r6' and keep validating a stale artifact.
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p))
+                          .group(1)))
     assert files, "no CORRECTNESS_FULL_r*.json committed"
     with open(files[-1]) as f:
         data = json.load(f)
