@@ -80,6 +80,73 @@ def _timed_passes(thunk) -> tuple[float, float]:
     return round(min(ts), 3), round(statistics.median(ts), 3)
 
 
+def _bench_family_splits(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """VERDICT r6 #3: build/serve rows for the REST of the heavy ANN/dedup
+    family (pq_topk, ivf_scalable, lsh_bucketed, near_minhash), same
+    protocol as ``_bench_ivfpq_split`` — build = materialize the index
+    artifact once (cache + count), serve = min/median of N_TIMED query
+    passes against the cached frames. Keeps round-over-round serve diffs
+    meaningful: a constant retraining cost can no longer hide a per-row
+    serve regression (or fake one)."""
+    from pyspark.sql import functions as F
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        similarity as S, text as T)
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+
+    mins: dict[str, float] = {}
+    meds: dict[str, float] = {}
+
+    def split(name: str, build, serve) -> None:
+        t0 = time.perf_counter()
+        frames = build()                  # cached + materialized frames
+        b = round(time.perf_counter() - t0, 3)
+        thunk = lambda: serve(*frames).collect()
+        thunk()                           # warm-up
+        mins[f"{name}_build"] = meds[f"{name}_build"] = b
+        mins[f"{name}_serve"], meds[f"{name}_serve"] = _timed_passes(thunk)
+        for f in frames:
+            f.unpersist()
+
+    e = load(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < S._N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qemb"))
+
+    def build_pq():
+        cb = S._pq_codebook(e).cache()
+        codes = S._pq_codes(e, cb).cache()
+        codes.count()
+        return cb, codes
+
+    split("pq_topk", build_pq,
+          lambda cb, codes: S._pq_serve_topk(qdf, codes, cb, e))
+
+    def build_ivf():
+        cells = S._ivf_cells_scalable(e).cache()
+        cells.count()
+        return (cells,)
+
+    split("ivf_scalable", build_ivf, S._ivf_cell_topk)
+
+    def build_lsh():
+        b = S._lsh_bands(e).select("vec_id", "band", "bucket").cache()
+        b.count()
+        return (b,)
+
+    split("lsh_bucketed", build_lsh, lambda b: S._lsh_pairs(b, e))
+
+    d = load(spark, sf_dir, "documents")
+
+    def build_minhash():
+        tok = T._shingles(d).withColumnRenamed("s", "token").cache()
+        bands = T._minhash_bands(tok).cache()
+        bands.count()
+        return tok, bands
+
+    split("near_minhash", build_minhash, T._minhash_pairs)
+    return {"min": mins, "median": meds}
+
+
 def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     """VERDICT r5 #7: time the composed ANN index BUILD (train + code the
     corpus, materialized once) separately from SERVING queries against
@@ -133,9 +200,10 @@ def main() -> None:
 
     timings, timings_med = run(HEADLINE)
     heavy, heavy_med = run(HEAVY)
-    split = _bench_ivfpq_split(spark, sf_dir)
-    heavy.update(split["min"])
-    heavy_med.update(split["median"])
+    for split in (_bench_ivfpq_split(spark, sf_dir),
+                  _bench_family_splits(spark, sf_dir)):
+        heavy.update(split["min"])
+        heavy_med.update(split["median"])
 
     try:
         sf = float(os.path.basename(sf_dir).replace("sf", ""))

@@ -543,7 +543,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tok = _shingles(d).withColumnRenamed("s", "token")
-    bands = _minhash_bands(tok)
+    return _minhash_pairs(tok, _minhash_bands(tok))
+
+
+def _minhash_pairs(tok: DataFrame, bands: DataFrame) -> DataFrame:
+    """Band-collision candidates + exact-Jaccard verify over PREBUILT
+    shingle and band-signature frames — the serve-side core shared by
+    ``dedup_near_minhash`` and the bench build/serve split (VERDICT
+    r6 #3: the band index is the build artifact; pair generation is the
+    per-ingest serve cost)."""
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

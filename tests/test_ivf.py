@@ -4,7 +4,7 @@ r5 #2).
 ``sim_ivf_topk`` round 3 used a stride-97 sample as "centroids"; round 4
 trains them (portable hash-bucket seeds + 3 fixed-point Lloyd iterations).
 Round 6 ported ``sim_ivf_recall_eval`` / ``sim_ivf_topk_nprobe2`` onto the
-CAPPED trainer (constant ``_IVF_NLIST`` cells, capped training sample — the
+CAPPED trainer (``_ivf_nlist(n)`` ~ √n cells, capped training sample — the
 index users deploy), so the yardstick here is the untrained hash-bucket
 quantizer at the SAME cell count: k-means cells must beat random cells at
 identical search cost. The untrained baseline is recomputed in DuckDB so
@@ -13,15 +13,18 @@ the comparison survives the operator's replacement.
 import duckdb
 
 from industry_big_data_time_sequence_process_spark.operators.similarity import (
-    _EVAL_QUERIES, _IVF_NLIST, _IVF_STRIDE, _DUCK_HV, _duck_cos,
+    _EVAL_QUERIES, _IVF_NASSIGN, _IVF_STRIDE, _DUCK_HV, _duck_cos,
+    _ivf_nlist,
 )
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 
 from .conftest import SF_T2
 
+# nlist is n-derived now (r7: clamp(⌊√n⌋, 32, 65536)); the untrained
+# yardstick must use the SAME cell count the trained index uses at this sf.
 _HASHCELL_RECALL_SQL = f"""
 WITH assign AS (
-    SELECT vec_id, ({_DUCK_HV} % {_IVF_NLIST}) AS cid FROM embeddings
+    SELECT vec_id, ({_DUCK_HV} % {{nlist}}) AS cid FROM embeddings
 ), topk AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
@@ -39,18 +42,28 @@ JOIN assign ac ON ac.vec_id = t.c_vec_id
 """
 
 
+def _corpus_nlist(sf_dir: str) -> int:
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM "
+                    f"read_parquet('{sf_dir}/embeddings.parquet')") \
+           .fetchone()[0]
+    con.close()
+    return _ivf_nlist(n)
+
+
 def _hashcell_recall(sf_dir: str) -> float:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/embeddings.parquet')")
-    r = con.execute(_HASHCELL_RECALL_SQL).fetchone()[0]
+    r = con.execute(_HASHCELL_RECALL_SQL.format(
+        nlist=_corpus_nlist(sf_dir))).fetchone()[0]
     con.close()
     return float(r)
 
 
 def test_trained_recall_beats_untrained_same_cells(spark):
     """k-means-trained cells must beat the untrained hash-bucket
-    quantizer at the SAME cell count (_IVF_NLIST) — i.e. the training
+    quantizer at the SAME cell count (_ivf_nlist(n)) — i.e. the training
     buys recall at identical search cost."""
     rows = REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_T2).collect()
     assert len(rows) == _EVAL_QUERIES
@@ -58,9 +71,10 @@ def test_trained_recall_beats_untrained_same_cells(spark):
                / sum(r["n_true"] for r in rows))
     untrained = _hashcell_recall(SF_T2)
     assert trained >= untrained, (trained, untrained)
-    # random 32-cell assignment puts a neighbor with the query ~1/32 of
-    # the time; data-adaptive cells must clear that by a wide margin
-    assert trained > 2.0 / _IVF_NLIST, trained
+    # random nlist-cell assignment puts a neighbor with the query
+    # ~1/nlist of the time; data-adaptive cells must clear that by a
+    # wide margin
+    assert trained > 2.0 / _corpus_nlist(SF_T2), trained
 
 
 def test_nprobe2_recall_dominates_nprobe1(spark):
@@ -103,19 +117,37 @@ def test_trained_cells_cover_corpus_once(spark):
     assert 1 <= n_cells <= -(-n // _IVF_STRIDE)     # at most ceil(n/97)
 
 
-def test_scalable_cells_capacity_constant(spark):
+def test_scalable_cells_capacity_bounded(spark):
     """The scalable index (linear-training fix from the 10x audit): every
-    vector assigned exactly once, to one of at most _IVF_NLIST cells —
-    nlist is a capacity constant, never derived from n."""
+    vector assigned exactly once, to one of at most _ivf_nlist(n) cells —
+    nlist grows ~√n (r7), never as n/stride."""
     from industry_big_data_time_sequence_process_spark.operators.similarity \
-        import _IVF_NLIST, _ivf_cells_scalable
+        import _ivf_cells_scalable
     from industry_big_data_time_sequence_process_spark.sources.io import load
     e = load(spark, SF_T2, "embeddings")
     cells = _ivf_cells_scalable(e)
     n = e.count()
     assert cells.count() == n
     assert cells.select("vec_id").distinct().count() == n
-    assert cells.select("cid").distinct().count() <= _IVF_NLIST
+    assert cells.select("cid").distinct().count() <= _ivf_nlist(n)
+
+
+def test_scanned_fraction_falls_with_corpus_size():
+    """VERDICT r6 #1 done-criterion: with nlist = clamp(⌊√n⌋, 32, 65536)
+    the composed stack's per-query scanned fraction
+    nprobe·_IVF_NASSIGN/nlist must FALL as the corpus grows (the round-6
+    constant-32 pinned it at ~18% forever). Pure arithmetic on the
+    sizing function — the measured per-sf fractions live in
+    tests/test_ivf.py::test_recall_operating_point_production_credible
+    and SCALE.md."""
+    frac = lambda n: 2 * _IVF_NASSIGN / _ivf_nlist(n)
+    # the three audited scales: sf0.01 (500), sf0.1 (2000), 100x (200k)
+    f1, f2, f3 = frac(500), frac(2_000), frac(200_000)
+    assert f1 >= f2 > f3, (f1, f2, f3)
+    assert f3 < 0.02                      # ~1.3% at the 100x corpus
+    # monotone non-increasing across decades up to the nlist ceiling
+    decades = [frac(10 ** k) for k in range(3, 12)]
+    assert all(a >= b for a, b in zip(decades, decades[1:])), decades
 
 
 def test_scalable_topk_scores_sane(spark):
@@ -145,6 +177,16 @@ def test_recall_operating_point_production_credible(spark):
     r1 = sum(r["recall_p1"] for r in rows) / len(rows)
     assert r2 >= 0.5, f"composed recall@5 at nprobe=2 = {r2}"
     assert r2 >= r1, (r1, r2)   # the nprobe dial must buy recall
+    # r7: the MEASURED per-query candidate set must respect the sizing
+    # arithmetic — mean scanned fraction <= nprobe·nassign/nlist (plus
+    # assignment-imbalance slack); the fraction falls as nlist grows ~√n
+    nlist = _corpus_nlist(SF_T2)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM read_parquet("
+                    f"'{SF_T2}/embeddings.parquet')").fetchone()[0]
+    con.close()
+    scanned = sum(r["n_scanned_p2"] for r in rows) / len(rows) / n
+    assert scanned <= 2 * _IVF_NASSIGN / nlist * 1.5, (scanned, nlist)
     rows = REGISTRY["sim_pq_recall_eval"].fn(spark, SF_T2).collect()
     rp = sum(r["recall_at_5"] for r in rows) / len(rows)
     assert rp >= 0.7, f"PQ cascade recall@5 = {rp}"
