@@ -2800,7 +2800,21 @@ def sim_ann_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_s, cent_s, cb_s = _write_index(e, base)
     cent = spark.read.schema(cent_s).parquet(f"{base}/centroids")
     cb = spark.read.schema(cb_s).parquet(f"{base}/codebook")
-    corpus = spark.read.schema(corpus_s).parquet(f"{base}/corpus") \
-        .select("vec_id", "cid", "m", "code")
-    return _ivfpq_serve_topk(e.filter(F.col("vec_id") < _N_QUERIES),
-                             corpus, cent, cb, e, nprobe=2)
+    qdf = e.filter(F.col("vec_id") < _N_QUERIES)
+    # VERDICT r6 #2 — make the cid-partitioned layout actually PRUNE:
+    # the serving tier derives its probe list first (nq x nprobe cells,
+    # a handful of ints on the driver — the one list a serving node
+    # always knows) and pushes it as a STATIC IN-list predicate on the
+    # partition column, so the corpus scan reads ONLY the probed cells'
+    # directories (PartitionFilters: cid IN (...), pinned in
+    # tests/test_plans.py). Without it the probe join is dynamic and
+    # nothing file-prunes. Semantically a no-op: the downstream join on
+    # cid already restricts candidates to probed cells, so the oracle
+    # stays verbatim `sim_ivfpq_topk`.
+    probed = sorted({r["cid"] for r in
+                     _ivf_probe(qdf, cent, nprobe=2)
+                     .select("cid").distinct().collect()})
+    corpus = (spark.read.schema(corpus_s).parquet(f"{base}/corpus")
+              .filter(F.col("cid").isin(probed))
+              .select("vec_id", "cid", "m", "code"))
+    return _ivfpq_serve_topk(qdf, corpus, cent, cb, e, nprobe=2)
