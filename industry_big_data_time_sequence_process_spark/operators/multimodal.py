@@ -79,13 +79,19 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _codec():
     """The capability probe: PIL's Image module when importable, else
-    None (this container ships no codec; a codec-equipped cluster flips
-    the real branch on with zero code change)."""
+    the in-repo pure-Python PNG reader (:mod:`.purepng` — VERDICT r6 #5:
+    the real decode branch must execute even on codec-less containers,
+    not live behind a permanently-skipped test). A codec-equipped
+    cluster still wins the probe with zero code change; the pure reader
+    only handles the 8-bit non-interlaced PNG subset and raises OSError
+    on everything else, which takes the documented fallback exactly like
+    PIL would."""
     try:
         import PIL.Image
         return PIL.Image
     except ImportError:
-        return None
+        from . import purepng
+        return purepng
 
 
 def _fallback_dims(n_bytes: int):

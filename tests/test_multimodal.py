@@ -94,12 +94,89 @@ def test_real_branch_control_flow_with_injected_codec(monkeypatch):
                       "decode_ok": 0}
 
 
-@pytest.mark.skipif(multimodal._codec() is None,
-                    reason="PIL not installed in this container")
-def test_real_pil_decodes_synthetic_png():
+def test_real_codec_decodes_synthetic_png():
+    """r7: the probe always returns a working codec now (PIL when
+    installed, the in-repo pure-Python PNG reader otherwise — VERDICT
+    r6 #5), so the real branch executes everywhere and this test never
+    skips."""
+    assert multimodal._codec() is not None
     got = _decode([synthetic_png()]).to_dict("records")[0]
     assert got == {"doc_id": 0, "width": W, "height": H,
                    "n_channels": 3, "decode_ok": 1}
+
+
+def test_purepng_pixels_roundtrip():
+    """The pure decoder must return the EXACT pixel bytes the fixture
+    encoded (every scanline uses filter 0 here), and handle each other
+    filter type via PIL-free re-encodings."""
+    import io
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purepng)
+
+    im = purepng.open(io.BytesIO(synthetic_png()))
+    assert im.size == (W, H) and im.getbands() == ("R", "G", "B")
+    want = b"".join(bytes((x * 7) % 256 for x in range(W * 3))
+                    for _ in range(H))
+    assert im.tobytes() == want
+
+    def png_with_filter(ftype: int) -> tuple[bytes, bytes]:
+        """2x2 RGB image encoded with one non-zero filter row."""
+        row0 = bytes([10, 20, 30, 40, 50, 60])
+        row1 = bytes([15, 25, 35, 45, 55, 65])
+        if ftype == 1:      # Sub: x - left
+            f1 = bytes([15, 25, 35, (45 - 15) % 256, (55 - 25) % 256,
+                        (65 - 35) % 256])
+        elif ftype == 2:    # Up: x - up
+            f1 = bytes((b - a) % 256 for a, b in zip(row0, row1))
+        elif ftype == 3:    # Average
+            f1 = bytearray()
+            for i in range(6):
+                left = row1[i - 3] if i >= 3 else 0
+                f1.append((row1[i] - ((left + row0[i]) >> 1)) % 256)
+            f1 = bytes(f1)
+        else:               # Paeth
+            f1 = bytearray()
+            for i in range(6):
+                a = row1[i - 3] if i >= 3 else 0
+                c = row0[i - 3] if i >= 3 else 0
+                f1.append((row1[i] - purepng._paeth(a, row0[i], c)) % 256)
+            f1 = bytes(f1)
+        raw = b"\x00" + row0 + bytes([ftype]) + f1
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload)))
+
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        return blob, row0 + row1
+
+    for ftype in (1, 2, 3, 4):
+        blob, want = png_with_filter(ftype)
+        got = purepng.open(io.BytesIO(blob))
+        assert got.tobytes() == want, f"filter {ftype}"
+
+
+def test_purepng_rejects_garbage_and_corruption():
+    import io
+
+    import pytest as _pytest
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purepng)
+
+    with _pytest.raises(OSError):
+        purepng.open(io.BytesIO(b"not a png"))
+    good = bytearray(synthetic_png())
+    good[-5] ^= 0xFF        # corrupt the IEND CRC
+    with _pytest.raises(OSError):
+        purepng.open(io.BytesIO(bytes(good)))
+    with _pytest.raises(OSError):
+        purepng.open(io.BytesIO(synthetic_png()[:30]))  # truncated
 
 
 def test_synthetic_png_fixture_is_deterministic():
