@@ -4304,3 +4304,90 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "customer.c_nationkey -> nation"))
             .unionAll(check(s, "s_nationkey", n, "n_nationkey",
                             "supplier.s_nationkey -> nation")))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave (SURVEY.md §2.18)
+# --------------------------------------------------------------------------
+
+
+@op("agg_entropy_by_key", oracle="""
+WITH dist AS (
+    SELECT user_id, event_type, count(*) AS c,
+           sum(count(*)) OVER (PARTITION BY user_id) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(min(n) AS BIGINT) AS n_events,
+       count(*) AS n_types,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+             6) AS type_entropy
+FROM dist GROUP BY user_id
+""", tier=3, section="2.4")
+def agg_entropy_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity feature (bots pin near 0, organic traffic
+    spreads) and the direct grouped twin of ``text_char_entropy``'s
+    per-doc form. Exact counts; the ≤5-term p·ln p sum is far inside
+    the 6dp rounding in both engines.
+
+    Two hash aggregates keyed by user (the second over the ≤5-row
+    per-user distribution) — map-side combinable, no joins."""
+    ev = load(spark, sf_dir, "events")
+    dist = (ev.groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("c"))
+              .withColumn("n", F.sum("c").over(
+                  Window.partitionBy("user_id"))))
+    p = F.col("c").cast("double") / F.col("n")
+    return (dist.groupBy("user_id")
+                .agg(F.min("n").cast("long").alias("n_events"),
+                     F.count("*").alias("n_types"),
+                     F.round(-F.sum(p * F.log(p)), 6)
+                      .alias("type_entropy")))
+
+
+@op("dq_null_profile", oracle="""
+SELECT 'event_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_null,
+       count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts),
+       count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+       count(DISTINCT props) FROM events
+""", tier=3, section="2.4")
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality profile of the events table —
+    the first screen of any data-quality audit (a column whose null rate
+    or distinct count jumps between loads is the classic silent-breakage
+    signal; `dq_load_anomaly` is the per-load twin).
+
+    ONE pass over the table: all 18 aggregates (3 per column) compute in
+    a single global hash aggregate, then a 1-row x 18-col frame unpivots
+    JVM-side via stack() — the oracle's 6 UNION ALL scans state the same
+    values declaratively. count(DISTINCT) at this arity is exact;
+    at extreme cardinality a production profile would swap in
+    approx_count_distinct per the documented `agg_approx_distinct`
+    trade."""
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count("*").alias(f"{c}__rows"),
+                 (F.count("*") - F.count(c)).alias(f"{c}__null"),
+                 F.countDistinct(c).alias(f"{c}__dist")]
+    one = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__dist" for c in cols)
+    return one.select(F.expr(
+        f"stack({len(cols)}, {stack}) AS "
+        f"(col_name, n_rows, n_null, n_distinct)"))

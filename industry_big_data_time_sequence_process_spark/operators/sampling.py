@@ -533,3 +533,33 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(F.col("nh").cast("double")
                                  / F.col("n_all"), 6)
                           .alias("proportional_share")))
+
+
+@op("sample_reservoir_per_key", oracle=f"""
+SELECT user_id, event_id, draw_rank FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS draw_rank
+    FROM events
+) WHERE draw_rank <= 5
+""", tier=3, section="2.11")
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key 'reservoir' sample: exactly min(5, n_k)
+    events per user, drawn by md5-hash order — the distributed
+    replacement for sequential reservoir sampling (Vitter's algorithm
+    is inherently serial per key; ranking a uniform deterministic hash
+    draws the same uniform sample, is order/partition-independent,
+    reproducible under re-runs, and stable under appends in the same
+    way as every md5 draw in this repo).
+
+    One user-keyed window, bounded by per-user row count. At skewed
+    keys the two-phase `api.bucketed_topk` shape applies unchanged —
+    rank-by-hash IS a top-k."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id")
+    return (ev.select("user_id", "event_id",
+                      F.row_number().over(w).alias("draw_rank"))
+              .filter(F.col("draw_rank") <= 5))

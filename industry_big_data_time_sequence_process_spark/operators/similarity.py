@@ -2818,3 +2818,83 @@ def sim_ann_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("cid").isin(probed))
               .select("vec_id", "cid", "m", "code"))
     return _ivfpq_serve_topk(qdf, corpus, cent, cb, e, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave (SURVEY.md §2.18)
+# --------------------------------------------------------------------------
+
+
+@op("sim_centroid_drift", oracle=f"""
+WITH cut AS (SELECT CAST(floor(count(*) / 2) AS BIGINT) AS c
+             FROM embeddings),
+halves AS (
+    SELECT CASE WHEN vec_id < c THEN 'a' ELSE 'b' END AS half,
+           label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings CROSS JOIN cut
+), cent AS (
+    SELECT half, label, dim,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000000)
+                         AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000000 AS comp,
+           count(*) AS n
+    FROM halves GROUP BY 1, 2, 3
+), paired AS (
+    SELECT a.label, a.dim, a.comp AS ca, b.comp AS cb,
+           a.n AS na, b.n AS nb
+    FROM cent a JOIN cent b
+      ON b.label = a.label AND b.dim = a.dim
+     AND a.half = 'a' AND b.half = 'b'
+)
+SELECT label,
+       CAST(min(na) AS BIGINT) AS n_first,
+       CAST(min(nb) AS BIGINT) AS n_second,
+       round(sum(ca * cb)
+             / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+           AS centroid_cosine
+FROM paired GROUP BY label
+""", tier=3, section="2.11")
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split the corpus into first/second half
+    by vec_id (the stand-in for yesterday's vs today's embedding batch),
+    compute each label's centroid in both halves on the 1e-9 fixed-point
+    grid (exact long sums, one divide-back — the `_ivf_train`
+    discipline), and report the cosine between the two centroids per
+    label. A production pipeline alerts when an embedding-model or
+    upstream-data change drops this toward 0 — the vector-side twin of
+    `feat_psi_drift`.
+
+    Shapes: one narrow posexplode pass, one (half, label, dim) hash
+    aggregate, a label+dim self-join of the tiny centroid frame, one
+    64-term cosine aggregate per label — everything past the first
+    aggregate is centroid-sized (labels x dims), broadcast-trivial."""
+    e = load(spark, sf_dir, "embeddings")
+    cut = e.agg(F.floor(F.count("*") / 2).cast("long").alias("c"))
+    halves = (e.crossJoin(F.broadcast(cut))
+               .select(F.when(F.col("vec_id") < F.col("c"), "a")
+                        .otherwise("b").alias("half"),
+                       "label",
+                       F.posexplode("embedding").alias("pos", "x"))
+               .select("half", "label", (F.col("pos") + 1).alias("dim"),
+                       F.floor(F.col("x").cast("double") * F.lit(1e9))
+                        .alias("fx")))
+    cent = (halves.groupBy("half", "label", "dim")
+                  .agg((F.sum("fx").cast("double") / F.count("*") / 1e9)
+                        .alias("comp"),
+                       F.count("*").alias("n")))
+    a = cent.filter("half = 'a'").select(
+        "label", "dim", F.col("comp").alias("ca"), F.col("n").alias("na"))
+    b = cent.filter("half = 'b'").select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"),
+        F.col("comp").alias("cb"), F.col("n").alias("nb"))
+    paired = a.join(b, (F.col("lb") == F.col("label"))
+                    & (F.col("db") == F.col("dim")))
+    return (paired.groupBy("label")
+                  .agg(F.min("na").cast("long").alias("n_first"),
+                       F.min("nb").cast("long").alias("n_second"),
+                       F.round(F.sum(F.col("ca") * F.col("cb"))
+                               / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                                  * F.sqrt(F.sum(F.col("cb")
+                                                 * F.col("cb")))), 6)
+                        .alias("centroid_cosine")))

@@ -2240,3 +2240,128 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_band", "n_shingles", "n_novel",
         F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6)
          .alias("novelty_rate"))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave (SURVEY.md §2.18)
+# --------------------------------------------------------------------------
+
+
+@op("text_rake_keywords", oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS t,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), stops AS (   -- self-trained stopword list: the corpus's top-10 tokens
+    SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+        FROM tok GROUP BY t
+    ) WHERE rnk <= 10
+), marked AS (
+    SELECT tok.doc_id, tok.pos, tok.t,
+           CASE WHEN s.t IS NULL THEN 0 ELSE 1 END AS is_stop,
+           sum(CASE WHEN s.t IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY tok.doc_id ORDER BY tok.pos) AS pid
+    FROM tok LEFT JOIN stops s ON s.t = tok.t
+), words AS (
+    SELECT doc_id, pos, t, pid FROM marked WHERE is_stop = 0
+), plen AS (
+    SELECT doc_id, pid, count(*) AS n_words
+    FROM words GROUP BY 1, 2
+), wstat AS (
+    SELECT w.doc_id, w.t,
+           count(*) AS freq,
+           sum(p.n_words) AS deg
+    FROM words w JOIN plen p
+      ON p.doc_id = w.doc_id AND p.pid = w.pid
+    GROUP BY 1, 2
+), pscore AS (
+    SELECT w.doc_id, w.pid,
+           string_agg(w.t, ' ' ORDER BY w.pos) AS phrase,
+           count(*) AS n_words,
+           sum((s.deg * 1000000) // s.freq) AS score_fx
+    FROM words w JOIN wstat s
+      ON s.doc_id = w.doc_id AND s.t = w.t
+    GROUP BY 1, 2
+)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(score_fx AS DOUBLE) / 1000000, 6) AS rake_score,
+       rnk
+FROM (
+    SELECT doc_id, phrase, n_words, score_fx,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_fx DESC, phrase) AS rnk
+    FROM pscore
+) WHERE rnk <= 2
+""", tier=3, section="2.11")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency over the document's phrases (degree = summed
+    length of phrases containing the word — favors words that live in
+    long collocations); a phrase scores the sum of its words' scores;
+    emit each document's top-2 phrases. The stopword list is
+    SELF-TRAINED (corpus top-10 tokens — the `text_stopword_density`
+    convention), so no hand-carried lexicon.
+
+    Exactness: word scores are the exact integer floor of
+    deg·1e6 / freq (BIGINT floor-division in both engines) and phrase
+    scores are exact long sums of those — ranking is an integer
+    decision, immune to float summation order.
+
+    Scale shape: token fan-out is linear; the stop list is 10 rows
+    (broadcast); phrase grouping and ranking windows partition BY DOC
+    (bounded by doc length); word stats join tokens to the per-doc
+    phrase-length frame on (doc, pid) — doc-keyed shuffles only."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    stops = (tok.groupBy("t").agg(F.count("*").alias("c"))
+                .select("t", F.row_number().over(
+                    Window.orderBy(F.col("c").desc(), "t")).alias("rnk"))
+                .filter("rnk <= 10")
+                .select(F.col("t").alias("stop_t")))
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (tok.join(F.broadcast(stops),
+                       tok["t"] == F.col("stop_t"), "left")
+                 .withColumn("is_stop",
+                             F.when(F.col("stop_t").isNull(), 0)
+                              .otherwise(1))
+                 .withColumn("pid", F.sum("is_stop").over(w_run)))
+    words = marked.filter("is_stop = 0") \
+                  .select("doc_id", "pos", "t", "pid")
+    plen = words.groupBy("doc_id", "pid") \
+                .agg(F.count("*").alias("n_words"))
+    wstat = (words.join(plen.withColumnRenamed("doc_id", "pd")
+                            .withColumnRenamed("pid", "pp"),
+                        (F.col("pd") == F.col("doc_id"))
+                        & (F.col("pp") == F.col("pid")))
+                  .groupBy("doc_id", "t")
+                  .agg(F.count("*").alias("freq"),
+                       F.sum("n_words").alias("deg")))
+    score_w = F.expr("(deg * 1000000) div freq")
+    pscore = (words.join(wstat.withColumnRenamed("doc_id", "sd")
+                              .withColumnRenamed("t", "st"),
+                         (F.col("sd") == F.col("doc_id"))
+                         & (F.col("st") == F.col("t")))
+                   .withColumn("wfx", score_w)
+                   .groupBy("doc_id", "pid")
+                   .agg(F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("pos", F.col("t")))),
+                                lambda s: s["t"]), " ").alias("phrase"),
+                        F.count("*").alias("n_words"),
+                        F.sum("wfx").alias("score_fx")))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fx").desc(), "phrase")
+    return (pscore.withColumn("rnk", F.row_number().over(w_rank))
+                  .filter("rnk <= 2")
+                  .select("doc_id", "phrase",
+                          F.col("n_words").cast("long").alias("n_words"),
+                          F.round(F.col("score_fx").cast("double")
+                                  / 1_000_000, 6).alias("rake_score"),
+                          "rnk"))

@@ -5034,3 +5034,365 @@ def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - (det1 / det) * s1y
                               - (det2 / det) * s2y)
                              / (syy - sy * sy / n)), 6).alias("r2"))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave (SURVEY.md §2.18): classical series diagnostics — ACF,
+# peak detection, seasonal profiling, offline changepoint — all over the
+# per-user hourly frame, every window partitioned BY USER (bounded by
+# per-user hour count), exact fixed-point sums wherever an aggregate
+# feeds a cross-engine comparison.
+# --------------------------------------------------------------------------
+
+#: Fixed-point grid for hourly-mean features: means are sums of exact
+#: 2-decimal cents over <= dozens of rows divided once (IEEE-identical
+#: in both engines), floored onto 1e-4 so downstream sums/products stay
+#: exact longs well inside int64 (mean <= ~1e2 -> grid value <= 1e6,
+#: square <= 1e12, x 1e3 pairs <= 1e15).
+_ACF_FX = 10_000
+
+#: DuckDB twin of the hourly fixed-point frame: (user_id, h = hour
+#: index, mfx = floor(hourly_mean * 1e4) as BIGINT).
+_DUCK_HOURLY_MFX = """hourly AS (
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+           CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) * 10000) AS BIGINT) AS mfx
+    FROM events GROUP BY 1, 2
+)"""
+
+
+def _hourly_mfx(ev: DataFrame) -> DataFrame:
+    """(user_id, h, mfx): the per-user hourly series on the exact
+    fixed-point grid — one hash aggregate, map-side combinable."""
+    from ..exprs import dec2
+    return (ev.groupBy(
+                "user_id",
+                (F.unix_micros(F.date_trunc("hour", "ts"))
+                 / F.lit(3_600_000_000)).cast("long").alias("h"))
+              .agg(F.floor(F.sum(dec2("value")).cast("double")
+                           / F.count("*") * _ACF_FX)
+                    .cast("long").alias("mfx")))
+
+
+@op("ts_acf_lags", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+pairs AS (
+    SELECT a.user_id, k.lag AS lag,
+           a.mfx AS x, b.mfx AS y
+    FROM hourly a
+    JOIN (SELECT unnest([1, 2, 3]) AS lag) k ON TRUE
+    JOIN hourly b ON b.user_id = a.user_id AND b.h = a.h + k.lag
+), mom AS (
+    SELECT user_id, lag, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT user_id, lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS acf
+FROM mom WHERE n >= 2
+""", tier=3, section="2.9")
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel autocorrelation at lags 1–3 hours — the stationarity /
+    seasonality diagnostic every forecasting pipeline computes before
+    model choice. Series = the per-user HOURLY mean frame; a lag-k pair
+    exists when both hour h and h+k are present (gaps drop pairs rather
+    than fabricating them — calendar-lag semantics, not row-lag).
+
+    Exactness: hourly means floor onto the 1e-4 grid (``_ACF_FX``), so
+    the five correlation moments are order-invariant BIGINT sums; the
+    single Pearson expression at the end converts each exact integer to
+    a double once — bit-identical cross-engine. Zero-variance series
+    (constant hours) yield NULL, not a crash.
+
+    Scale shape: one hash aggregate to the hourly frame (map-side
+    combinable), one self-equi-join on (user, h+k) after a 3-row lag
+    fan-out, one (user, lag) aggregate — all shuffles keyed by user.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = hourly.select("user_id", "h", F.col("mfx").alias("x"))
+    b = hourly.select(F.col("user_id").alias("u2"),
+                      F.col("h").alias("h2"), F.col("mfx").alias("y"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+              .join(b, (F.col("u2") == F.col("user_id"))
+                    & (F.col("h2") == F.col("h") + F.col("lag"))))
+    mom = (pairs.groupBy("user_id", "lag")
+                .agg(F.count("*").alias("n"),
+                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                     F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                     F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    acf = F.when(
+        (vx > 0) & (vy > 0),
+        (n.cast("double") * sxy - sx.cast("double") * sy)
+        / (F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+           * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)))
+    return (mom.filter(n >= 2)
+               .select("user_id", "lag", n.cast("long").alias("n_pairs"),
+                       F.round(acf, 6).alias("acf")))
+
+
+@op("ts_peak_hourly", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+marked AS (
+    SELECT user_id, h, mfx,
+           lag(mfx) OVER w AS prv, lead(mfx) OVER w AS nxt
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY h)
+)
+SELECT user_id,
+       make_timestamp(h * 3600000000) AS bucket,
+       round(CAST(mfx AS DOUBLE) / 10000, 6) AS peak_value,
+       CAST(mfx - prv AS BIGINT) AS rise_fx,
+       CAST(mfx - nxt AS BIGINT) AS fall_fx
+FROM marked
+WHERE prv IS NOT NULL AND nxt IS NOT NULL
+  AND mfx > prv AND mfx > nxt
+""", tier=3, section="2.9")
+def ts_peak_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection over each channel's HOURLY series (the
+    series-level twin of the raw-event ``ts_peak_detect``) — a peak =
+    strictly above both neighboring series points; endpoints never
+    qualify; rise/fall prominence reported on the exact grid.
+    Comparisons run on the exact fixed-point grid, so peak membership is
+    an integer decision in both engines; rise/fall report the prominence
+    on the same grid.
+
+    lag/lead windows partition BY USER — bounded by per-user hour
+    count, never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    w = Window.partitionBy("user_id").orderBy("h")
+    prv, nxt = F.lag("mfx").over(w), F.lead("mfx").over(w)
+    return (hourly
+            .withColumn("prv", prv).withColumn("nxt", nxt)
+            .filter(F.col("prv").isNotNull() & F.col("nxt").isNotNull()
+                    & (F.col("mfx") > F.col("prv"))
+                    & (F.col("mfx") > F.col("nxt")))
+            .select("user_id",
+                    F.timestamp_micros(F.col("h") * 3_600_000_000)
+                     .alias("bucket"),
+                    F.round(F.col("mfx").cast("double") / _ACF_FX, 6)
+                     .alias("peak_value"),
+                    (F.col("mfx") - F.col("prv")).cast("long")
+                     .alias("rise_fx"),
+                    (F.col("mfx") - F.col("nxt")).cast("long")
+                     .alias("fall_fx")))
+
+
+@op("ts_seasonal_profile", oracle="""
+WITH by_hod AS (
+    SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT user_id, sum(n) AS nt, sum(CAST(s AS DECIMAL(18,2))) AS st
+    FROM by_hod GROUP BY 1
+)
+SELECT b.user_id, b.hod, CAST(b.n AS BIGINT) AS n_events,
+       round(b.s / b.n, 6) AS hod_mean,
+       round((b.s / b.n) / (CAST(t.st AS DOUBLE) / t.nt), 6)
+           AS seasonal_index
+FROM by_hod b JOIN tot t ON t.user_id = b.user_id
+WHERE CAST(t.st AS DOUBLE) / t.nt <> 0
+""", tier=3, section="2.9")
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per channel: mean value by hod and
+    the seasonal index (hod mean / channel mean) — the multiplicative
+    seasonality table a capacity planner reads. Exact decimal sums
+    (2-decimal corpus) divided once keep both ratios bit-identical
+    cross-engine.
+
+    Two hash aggregates keyed by user; the per-user totals re-aggregate
+    the 24-row hod frame instead of rescanning events, and the final
+    join is user-keyed — broadcast-sized at any realistic channel
+    count."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    by_hod = (ev.groupBy("user_id",
+                         F.hour("ts").cast("int").alias("hod"))
+                .agg(F.count("*").alias("n"),
+                     F.sum(dec2("value")).cast("double").alias("s")))
+    tot = (by_hod.groupBy("user_id")
+                 .agg(F.sum("n").alias("nt"),
+                      F.sum(F.col("s").cast("decimal(18,2)"))
+                       .alias("st")))
+    user_mean = F.col("st").cast("double") / F.col("nt")
+    return (by_hod.join(F.broadcast(tot), "user_id")
+                  .filter(user_mean != 0)
+                  .select("user_id", "hod",
+                          F.col("n").cast("long").alias("n_events"),
+                          F.round(F.col("s") / F.col("n"), 6)
+                           .alias("hod_mean"),
+                          F.round((F.col("s") / F.col("n")) / user_mean, 6)
+                           .alias("seasonal_index")))
+
+
+@op("ts_changepoint_sse", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+seq AS (
+    SELECT user_id, h, mfx,
+           row_number() OVER w AS i,
+           sum(mfx) OVER w AS l1,
+           sum(mfx * mfx) OVER w AS l2,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           sum(mfx) OVER (PARTITION BY user_id) AS t1,
+           sum(mfx * mfx) OVER (PARTITION BY user_id) AS t2
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+    SELECT user_id, h, i, n,
+           (CAST(l2 AS DOUBLE) - CAST(l1 AS DOUBLE) * l1 / i)
+           + (CAST(t2 - l2 AS DOUBLE)
+              - CAST(t1 - l1 AS DOUBLE) * (t1 - l1) / (n - i)) AS sse,
+           CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / n AS sse0
+    FROM seq WHERE i < n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_points,
+       make_timestamp(cp_h * 3600000000) AS cp_bucket,
+       round(sse_min / 100000000, 6) AS sse_split,
+       round(sse0 / 100000000, 6) AS sse_total
+FROM (
+    SELECT user_id, n, h AS cp_h, sse AS sse_min, sse0,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY round(sse, 4), h) AS r
+    FROM scored
+) WHERE r = 1
+""", tier=3, section="2.9")
+def ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint detection per channel (binary
+    segmentation's first split): over the hourly series, pick the split
+    AFTER hour h minimizing total within-segment sum of squares
+    SSE(i) = (L2_i − L1_i²/i) + ((T2−L2_i) − (T1−L1_i)²/(n−i)) — the
+    classic variance-reduction changepoint. Output: the best split
+    bucket, its SSE, and the unsplit SSE (their gap is the step-change
+    evidence a monitor thresholds on).
+
+    Exactness: all prefix/total moments are BIGINT sums of the 1e-4
+    fixed-point hourly means (running windows partitioned BY USER); the
+    SSE expression converts each exact integer once — IEEE-identical —
+    and the argmin compares SSE rounded to 4dp with the hour as
+    tiebreak, so the winner is deterministic cross-engine even at exact
+    SSE ties. SSEs report in value² units (grid² / 1e8).
+
+    Scale shape: two window passes per user (running + total) and one
+    per-user top-1 — no joins, no global windows."""
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    w = Window.partitionBy("user_id").orderBy("h") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    sq = F.col("mfx") * F.col("mfx")
+    seq = hourly.select(
+        "user_id", "h", "mfx",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("h"))
+         .alias("i"),
+        F.sum("mfx").over(w).alias("l1"),
+        F.sum(sq).over(w).alias("l2"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("mfx").over(wp).alias("t1"),
+        F.sum(sq).over(wp).alias("t2"))
+    i, n = F.col("i"), F.col("n")
+    l1, l2 = F.col("l1"), F.col("l2")
+    t1, t2 = F.col("t1"), F.col("t2")
+    sse = ((l2.cast("double") - l1.cast("double") * l1 / i)
+           + ((t2 - l2).cast("double")
+              - (t1 - l1).cast("double") * (t1 - l1) / (n - i)))
+    sse0 = t2.cast("double") - t1.cast("double") * t1 / n
+    scored = seq.filter(i < n).select(
+        "user_id", "h", n, sse.alias("sse"), sse0.alias("sse0"))
+    w_min = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("sse"), 4), "h")
+    return (scored.withColumn("r", F.row_number().over(w_min))
+                  .filter("r = 1")
+                  .select("user_id", n.cast("long").alias("n_points"),
+                          F.timestamp_micros(F.col("h") * 3_600_000_000)
+                           .alias("cp_bucket"),
+                          F.round(F.col("sse") / (_ACF_FX * _ACF_FX), 6)
+                           .alias("sse_split"),
+                          F.round(F.col("sse0") / (_ACF_FX * _ACF_FX), 6)
+                           .alias("sse_total")))
+
+
+@op("ts_kpi_daily_rollup", oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events,
+           count(DISTINCT date_trunc('hour', ts)) AS active_hours,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           sum(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type IN ('click', 'view')) AS s_engage,
+           count(*) FILTER (WHERE event_type IN ('click', 'view'))
+               AS n_engage
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(active_hours AS DOUBLE) / 24, 6) AS availability,
+       round(CASE WHEN n_engage > 0
+                  THEN CAST(s_engage AS DOUBLE) / n_engage END, 6)
+           AS engage_mean,
+       round(CASE WHEN n_purchase + n_error > 0
+                  THEN CAST(n_purchase AS DOUBLE)
+                       / (n_purchase + n_error) END, 6) AS quality,
+       round(CASE WHEN n_purchase + n_error > 0
+                  THEN (CAST(active_hours AS DOUBLE) / 24)
+                       * (CAST(n_purchase AS DOUBLE)
+                          / (n_purchase + n_error)) END, 6)
+           AS composite_kpi
+FROM daily
+""", tier=3, section="2.9")
+def ts_kpi_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-channel KPI rollup in the OEE shape industrial
+    monitoring reports: availability (fraction of hours with signal),
+    an engagement mean (exact decimal sum over click/view), a quality
+    ratio (purchase / (purchase + error)), and the availability×quality
+    composite — NULL (not 0, not a crash) where a day has no
+    denominator. The whole row set is ONE hash aggregate keyed by
+    (user, day): conditional aggregates instead of per-KPI scans, and
+    the hour-distinct runs inside the same shuffle.
+
+    All ratios are single divisions of exact counts/decimal sums —
+    bit-identical cross-engine."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    is_e = F.col("event_type") == "error"
+    is_g = F.col("event_type").isin("click", "view")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", "ts").alias("day"))
+               .agg(F.count("*").alias("n_events"),
+                    F.countDistinct(F.date_trunc("hour", "ts"))
+                     .alias("active_hours"),
+                    F.count_if(is_p).alias("n_purchase"),
+                    F.count_if(is_e).alias("n_error"),
+                    F.sum(F.when(is_g, dec2("value"))).alias("s_engage"),
+                    F.count_if(is_g).alias("n_engage")))
+    avail = F.col("active_hours").cast("double") / 24
+    pe = F.col("n_purchase") + F.col("n_error")
+    quality = F.when(pe > 0,
+                     F.col("n_purchase").cast("double") / pe)
+    return daily.select(
+        "user_id", "day", F.col("n_events").cast("long").alias("n_events"),
+        F.round(avail, 6).alias("availability"),
+        F.round(F.when(F.col("n_engage") > 0,
+                       F.col("s_engage").cast("double")
+                       / F.col("n_engage")), 6).alias("engage_mean"),
+        F.round(quality, 6).alias("quality"),
+        F.round(F.when(pe > 0, avail * quality), 6)
+         .alias("composite_kpi"))

@@ -77,8 +77,16 @@ def check_key(spark, key: str, sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "CORRECTNESS_FULL_r6.json"))
+    # Default: one round past the newest committed artifact (sorted by
+    # PARSED round number — ADVICE r6: lexicographic puts r10 before r6).
+    import glob
+    import re as _re
+    rounds = [int(_re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+              for p in glob.glob(os.path.join(REPO,
+                                              "CORRECTNESS_FULL_r*.json"))]
+    nxt = (max(rounds) + 1) if rounds else 1
+    ap.add_argument("--out", default=os.path.join(
+        REPO, f"CORRECTNESS_FULL_r{nxt}.json"))
     args = ap.parse_args()
     spark = get_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     out: dict[str, dict] = {}
