@@ -589,13 +589,27 @@ def _ivf_assign(e: DataFrame, centroids: DataFrame,
       stack): index-side multi-assignment, where one vector lands in
       several cells ON PURPOSE, so (query, candidate) pairs can surface
       through more than one cell and callers MUST dedup candidates
-      downstream (the per-(q, c, m) pre-aggregate in the ADC path)."""
+      downstream (the per-(q, c, m) pre-aggregate in the ADC path).
+
+    r7 cost fix: the pair score factors the two norms OUT of the n×nlist
+    join — ``dot(v,c) / (|v|·|c|)`` with each norm computed ONCE per
+    side instead of per pair (the inline ``_cos`` re-folded both
+    self-dots for every pair: 3 64-wide folds → 1 on the dominant ANN
+    cost). Bit-identical to the oracle's per-pair formula: the hoisted
+    ``sqrt(dot(x,x))`` is the same IEEE expression over the same
+    operands, and the final divide keeps the identical
+    ``dot / (na * nc)`` association."""
+    norm_e = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm_c = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+    ev = e.select("vec_id", "embedding", norm_e.alias("_nv"))
+    cv = centroids.select("cid", "cemb", norm_c.alias("_nc"))
     w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
-    return (e.crossJoin(F.broadcast(centroids))
-             .withColumn("_c", _cos(F.col("embedding"), F.col("cemb")))
-             .withColumn("r", F.row_number().over(w))
-             .filter(F.col("r") <= nprobe)
-             .select("vec_id", "embedding", "cid"))
+    return (ev.crossJoin(F.broadcast(cv))
+              .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
+                          / (F.col("_nv") * F.col("_nc")))
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= nprobe)
+              .select("vec_id", "embedding", "cid"))
 
 
 def _ivf_train(e: DataFrame) -> DataFrame:
@@ -1709,13 +1723,20 @@ def _ivf_probe(q: DataFrame, centroids: DataFrame,
     """(q_vec_id, cid, pr): each query's ``nprobe`` nearest trained cells
     with their probe rank — the query-time recall dial of the composed
     index (``_ivf_assign`` keeps the embedding and drops the rank; the
-    eval needs the rank to report nprobe=1 and nprobe=2 in one pass)."""
+    eval needs the rank to report nprobe=1 and nprobe=2 in one pass).
+    Same hoisted-norms scoring as ``_ivf_assign`` (bit-identical, 3x
+    fewer folds)."""
+    norm_q = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm_c = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+    qv = q.select("vec_id", "embedding", norm_q.alias("_nv"))
+    cv = centroids.select("cid", "cemb", norm_c.alias("_nc"))
     w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
-    return (q.crossJoin(F.broadcast(centroids))
-             .withColumn("_c", _cos(F.col("embedding"), F.col("cemb")))
-             .withColumn("pr", F.row_number().over(w))
-             .filter(F.col("pr") <= nprobe)
-             .select(F.col("vec_id").alias("q_vec_id"), "cid", "pr"))
+    return (qv.crossJoin(F.broadcast(cv))
+              .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
+                          / (F.col("_nv") * F.col("_nc")))
+              .withColumn("pr", F.row_number().over(w))
+              .filter(F.col("pr") <= nprobe)
+              .select(F.col("vec_id").alias("q_vec_id"), "cid", "pr"))
 
 
 def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
