@@ -761,3 +761,59 @@ def feat_auc_roc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         vc, F.floor(F.col("p") * 100).cast("long"), [F.col("p")],
         F.col("t"), out_name="cum_t")
     return _auc_from_ranked(ranked)
+
+
+@op("feat_pit_features", oracle="""
+WITH feat AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           count(*) OVER w - 1 AS prior_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                - CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS prior_sum,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER w
+                - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                AS BIGINT) AS prior_errors
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS label_event_id, user_id, ts AS label_ts,
+       round(value, 2) AS label_value, prior_n, prior_sum,
+       round(CASE WHEN prior_n > 0 THEN prior_sum / prior_n END, 6)
+           AS prior_mean,
+       prior_errors
+FROM feat WHERE event_type = 'purchase'
+""", tier=3, section="2.15")
+def feat_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time training features: every purchase
+    event becomes a label row carrying the channel's history STRICTLY
+    BEFORE it — prior event count, exact-decimal prior spend sum/mean,
+    prior error count. The feature-store "as-of the label timestamp"
+    join shape, done as one running window minus the current row so no
+    future (or concurrent) information leaks into a feature.
+
+    Scale shape: ONE user-keyed running window over the fact table
+    (bounded partitions, no self-join, no per-label scan); the
+    strictly-before semantics come from subtracting the current row
+    from the inclusive frame — one pass regardless of label density."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    feat = (ev.withColumn("prior_n", F.count("*").over(w) - 1)
+              .withColumn("prior_sum",
+                          (F.sum(dec2("value")).over(w) - dec2("value"))
+                          .cast("double"))
+              .withColumn("prior_errors",
+                          (F.sum(is_err).over(w) - is_err).cast("long")))
+    return (feat.filter(F.col("event_type") == "purchase")
+                .select(F.col("event_id").alias("label_event_id"),
+                        "user_id", F.col("ts").alias("label_ts"),
+                        F.round("value", 2).alias("label_value"),
+                        "prior_n", "prior_sum",
+                        F.round(F.when(F.col("prior_n") > 0,
+                                       F.col("prior_sum")
+                                       / F.col("prior_n")), 6)
+                         .alias("prior_mean"),
+                        "prior_errors"))

@@ -4391,3 +4391,131 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.expr(
         f"stack({len(cols)}, {stack}) AS "
         f"(col_name, n_rows, n_null, n_distinct)"))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave §2.19 — CDC merge, referential audit, co-purchase graph.
+# --------------------------------------------------------------------------
+
+
+@op("cdc_apply_changes", oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+    FROM events
+)
+SELECT user_id, round(value, 2) AS current_value,
+       ts AS last_change_ts, n_changes, n_deletes
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""", tier=3, section="2.13")
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (the MERGE-into-snapshot shape next to
+    `dim_scd2_upsert`): events are a keyed change stream — `error` rows
+    are DELETEs, everything else an UPSERT of the key's value. Replay in
+    (ts, event_id) order and return the final snapshot: keys whose LAST
+    change was a delete vanish; survivors carry the last value, the
+    change timestamp, and apply-audit counts.
+
+    Determinism: the winner per key is picked by row_number with the
+    event_id tiebreak — replaying the same changelog always yields the
+    byte-identical snapshot (idempotent re-runs, the CDC contract).
+
+    Scale shape: one key-partitioned window pass (bounded by per-key
+    change count); counts ride the same partition — one shuffle total,
+    no joins, no state."""
+    ev = load(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id")
+    wo = wk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    is_del = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ranked = (ev.withColumn("rn", F.row_number().over(wo))
+                .withColumn("n_changes", F.count("*").over(wk))
+                .withColumn("n_deletes",
+                            F.sum(is_del).over(wk).cast("long")))
+    return (ranked.filter((F.col("rn") == 1)
+                          & (F.col("event_type") != "error"))
+                  .select("user_id",
+                          F.round("value", 2).alias("current_value"),
+                          F.col("ts").alias("last_change_ts"),
+                          "n_changes", "n_deletes"))
+
+
+@op("graph_copurchase_triangles", oracle="""
+WITH op_pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+    SELECT a.p AS pa, b.p AS pb
+    FROM op_pairs a JOIN op_pairs b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), deg AS (
+    SELECT p, count(*) AS d FROM (
+        SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e
+    ) GROUP BY 1
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+              JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       round(CASE WHEN (SELECT sum(d * (d - 1)) FROM deg) > 0 THEN
+             CAST(3 * (SELECT n_triangles FROM tri) * 2 AS DOUBLE)
+             / (SELECT sum(d * (d - 1)) FROM deg) END, 6)
+           AS global_clustering
+""", tier=3, section="2.15")
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Triangle census of the co-purchase graph: parts are nodes, an
+    edge = two parts co-occurring in >= 2 distinct orders (the support
+    floor that keeps edge density sane at scale), plus the global
+    clustering coefficient 3*triangles/wedges — the graph-structure
+    summary behind recommendation and community features, sibling of
+    `graph_neighbor_jaccard`.
+
+    Triangle counting uses the ordered-edge identity (pa < pb < pc):
+    each triangle is generated exactly once by joining e1=(a,b),
+    e2=(b,c), e3=(a,c) — no division by 6, no orientation dedup.
+
+    Scale shape: edge generation fans out per order bounded by order
+    size (distinct parts per order, <= ~tens), aggregated map-side;
+    the support filter prunes the edge set BEFORE the triangle
+    self-joins, which shuffle on edge endpoints — the standard
+    distributed triangle recipe. All downstream frames are edge-sized,
+    never fact-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    op_pairs = li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct()
+    b = op_pairs.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    e = (op_pairs.join(b, (F.col("o2") == F.col("o"))
+                       & (F.col("p") < F.col("pb")))
+                 .groupBy(F.col("p").alias("pa"), "pb")
+                 .agg(F.count("*").alias("support"))
+                 .filter(F.col("support") >= 2)
+                 .select("pa", "pb")
+                 .cache())  # edge-sized; referenced by 5 subtrees (deg,
+    # edge count, e1/e2/e3) — without the cache each reference re-runs
+    # the per-order pair fan-out + support aggregate (5 fact scans,
+    # verified in the physical plan); the cluster_cc precedent
+    deg = (e.select(F.col("pa").alias("p"))
+            .unionAll(e.select(F.col("pb").alias("p")))
+            .groupBy("p").agg(F.count("*").alias("d")))
+    e2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("pc"))
+    e3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (e.join(e2, F.col("b2") == F.col("pb"))
+            .join(e3, (F.col("a3") == F.col("pa"))
+                  & (F.col("c3") == F.col("pc")))
+            .agg(F.count("*").alias("n_triangles")))
+    nodes = deg.agg(F.count("*").alias("n_nodes"),
+                    F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"))
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (nodes.crossJoin(edges).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_triangles",
+                    F.round(F.when(
+                        F.col("wedges2") > 0,
+                        (3 * F.col("n_triangles") * 2).cast("double")
+                        / F.col("wedges2")), 6)
+                     .alias("global_clustering")))

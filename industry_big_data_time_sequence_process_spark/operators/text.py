@@ -2365,3 +2365,49 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(F.col("score_fx").cast("double")
                                   / 1_000_000, 6).alias("rake_score"),
                           "rnk"))
+
+
+@op("text_prefix_dedup", oracle="""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                      1, 200)) AS prefix_hash
+    FROM documents
+), ranked AS (
+    SELECT doc_id, prefix_hash,
+           row_number() OVER (PARTITION BY prefix_hash
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY prefix_hash) AS n_group
+    FROM keyed
+)
+SELECT prefix_hash, doc_id AS keep_doc_id, n_group AS n_docs
+FROM ranked WHERE rn = 1 AND n_group >= 2
+""", tier=3, section="2.11")
+def text_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix dedup: documents sharing the same first 200
+    characters (whitespace-collapsed, lowercased) collapse to one
+    representative — the cheap templated-content catcher (boilerplate
+    openings, mirrored articles with divergent tails) that sits between
+    exact-hash dedup and MinHash in every production text pipeline.
+    Keeps the LONGEST document per prefix group (doc_id tiebreak), the
+    usual keep-the-superset policy.
+
+    Scale shape: one linear keying pass (hash of a 200-char prefix —
+    bounded work per doc regardless of doc length), then one
+    prefix-hash-keyed window over groups whose size is the duplication
+    factor, not the corpus. Same single-shuffle shape as
+    `dedup_exact_text`."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "n_chars",
+        F.md5(F.substring(
+            F.lower(F.regexp_replace("text", r"\s+", " ")),
+            1, 200)).alias("prefix_hash"))
+    wk = Window.partitionBy("prefix_hash")
+    wo = wk.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (keyed.withColumn("rn", F.row_number().over(wo))
+                 .withColumn("n_group", F.count("*").over(wk))
+                 .filter((F.col("rn") == 1) & (F.col("n_group") >= 2))
+                 .select("prefix_hash",
+                         F.col("doc_id").alias("keep_doc_id"),
+                         F.col("n_group").alias("n_docs")))

@@ -5396,3 +5396,288 @@ def ts_kpi_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality, 6).alias("quality"),
         F.round(F.when(pe > 0, avail * quality), 6)
          .alias("composite_kpi"))
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave §2.19 — sequence structure, cohorts, bars, decomposition.
+# --------------------------------------------------------------------------
+
+
+@op("ts_markov_transitions", oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+), pairs AS (
+    SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+    FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+           AS prob
+FROM pairs
+""", tier=3, section="2.9")
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each channel's event
+    sequence: P(next event type | current event type), estimated from
+    every consecutive pair in (ts, event_id) order — the behavioral
+    structure table behind next-event prediction and anomaly scoring
+    (an improbable transition IS the anomaly).
+
+    Determinism: the sequence order carries the event_id tiebreak, so
+    pair extraction is reproducible; probabilities are a single
+    bigint/bigint double division rounded once.
+
+    Scale shape: ONE user-keyed lead() window over the fact table
+    (bounded partitions), one map-side-combinable (from, to) hash
+    aggregate, then a window over the TYPE-PAIR frame — |types|^2 rows,
+    constant in corpus size."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
+               .filter(F.col("nxt").isNotNull())
+               .groupBy(F.col("event_type").alias("from_type"),
+                        F.col("nxt").alias("to_type"))
+               .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6)
+         .alias("prob"))
+
+
+@op("ts_retention_triangle", oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY 1
+), sizes AS (
+    SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+), active AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT a.cohort_day, CAST(a.day_offset AS INT) AS day_offset,
+       count(*) AS n_active, s.cohort_size,
+       round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention_pct
+FROM active a JOIN sizes s ON s.cohort_day = a.cohort_day
+GROUP BY 1, 2, s.cohort_size
+""", tier=3, section="2.9")
+def ts_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, one
+    row per (cohort_day, day_offset) with how many of the cohort were
+    active that many days later — the growth-analytics staple next to
+    `ts_cohort_ltv_curve` (which tracks value; this tracks presence).
+
+    Scale shape: first-seen + distinct-active are user-keyed hash
+    aggregates over the fact table; everything after lives on the
+    (cohorts x offsets) frame — days^2 rows, constant in corpus size.
+    The cohort-size frame is broadcast back (|cohorts| rows)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size"))
+    active = (ev.select("user_id", F.to_date("ts").alias("d"))
+                .join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff("d", "cohort_day").alias("day_offset"))
+                .distinct())
+    return (active.groupBy("cohort_day", "day_offset")
+                  .agg(F.count("*").alias("n_active"))
+                  .join(F.broadcast(sizes), "cohort_day")
+                  .select("cohort_day",
+                          F.col("day_offset").cast("int").alias("day_offset"),
+                          "n_active", "cohort_size",
+                          F.round(F.col("n_active").cast("double")
+                                  / F.col("cohort_size"), 6)
+                           .alias("retention_pct")))
+
+
+@op("ts_ohlc_hourly", oracle="""
+WITH ranked AS (
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+           value,
+           row_number() OVER w AS rn,
+           row_number() OVER (PARTITION BY user_id,
+                              epoch_us(date_trunc('hour', ts)) // 3600000000
+                              ORDER BY ts DESC, event_id DESC) AS rn_desc
+    FROM events
+    WINDOW w AS (PARTITION BY user_id,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000
+                 ORDER BY ts, event_id)
+)
+SELECT user_id, make_timestamp(h * 3600000000) AS bucket,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_desc = 1 THEN value END) AS close,
+       count(*) AS n_ticks,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM ranked GROUP BY 1, 2
+""", tier=3, section="2.9")
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the industrial/financial downsampling
+    primitive: per (channel, hour), the first/highest/lowest/last value
+    plus tick count and exact-decimal volume. Open/close are picked (not
+    summed) with an event_id tiebreak, so the bars are deterministic and
+    bit-identical cross-engine; volume sums as DECIMAL(18,2).
+
+    Scale shape: one (user, hour)-keyed window pass (bounded partitions
+    = one channel-hour) feeding one hash aggregate on the same key — a
+    single shuffle, reused across both steps."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    h = (F.unix_micros(F.date_trunc("hour", "ts"))
+         / F.lit(3_600_000_000)).cast("long")
+    ranked = ev.withColumn("h", h)
+    wa = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = (ranked.withColumn("rn", F.row_number().over(wa))
+                    .withColumn("rn_desc", F.row_number().over(wd)))
+    return (ranked.groupBy("user_id", "h")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("value")))
+                  .alias("open"),
+                 F.max("value").alias("high"), F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_desc") == 1, F.col("value")))
+                  .alias("close"),
+                 F.count("*").alias("n_ticks"),
+                 F.sum(dec2("value")).cast("double").alias("volume"))
+            .select("user_id",
+                    F.timestamp_micros(F.col("h") * 3_600_000_000)
+                     .alias("bucket"),
+                    "open", "high", "low", "close", "n_ticks", "volume"))
+
+
+@op("ts_trend_seasonal_residual", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+tr AS (
+    SELECT user_id, h, mfx,
+           CAST(floor(CAST(sum(mfx) OVER w AS DOUBLE)
+                      / count(*) OVER w) AS BIGINT) AS trend_fx
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), seas AS (
+    SELECT user_id, h % 24 AS hod,
+           CAST(floor(CAST(sum(mfx - trend_fx) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS s_fx
+    FROM tr GROUP BY 1, 2
+)
+SELECT t.user_id, make_timestamp(t.h * 3600000000) AS bucket,
+       round(CAST(t.mfx AS DOUBLE) / 10000, 6) AS value,
+       round(CAST(t.trend_fx AS DOUBLE) / 10000, 6) AS trend,
+       round(CAST(s.s_fx AS DOUBLE) / 10000, 6) AS seasonal,
+       round(CAST(t.mfx - t.trend_fx - s.s_fx AS DOUBLE) / 10000, 6)
+           AS residual
+FROM tr t JOIN seas s ON s.user_id = t.user_id AND s.hod = t.h % 24
+""", tier=3, section="2.9")
+def ts_trend_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition (STL-lite) of each
+    channel's hourly series: trend = centered +/-12h calendar-range mean,
+    seasonal = hour-of-day mean of the detrended series, residual = the
+    rest — the classical pre-model decomposition, exact on the 1e-4
+    fixed-point grid (component extraction is integer floor-division;
+    magnitudes stay far below 2^53 so the floor is bit-identical
+    cross-engine; one rounded double conversion per component at the
+    end).
+
+    Scale shape: one hash agg to the hourly frame, one user-keyed
+    RANGE window (calendar-correct over gaps, bounded by +/-12 rows per
+    user-hour), then the seasonal component as a SECOND window
+    partitioned by (user, hod) — a window, not a groupBy+join, so the
+    hourly/trend subtree is computed ONCE (the join form re-derives the
+    whole left subtree on the build side; verified in the physical
+    plan). No global windows, no fact-table joins, one fact scan."""
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    w = (Window.partitionBy("user_id").orderBy("h")
+               .rangeBetween(-12, 12))
+    tr = (hourly.withColumn(
+              "trend_fx",
+              F.floor(F.sum("mfx").over(w).cast("double")
+                      / F.count("*").over(w)).cast("long"))
+                .withColumn("hod", F.col("h") % 24))
+    ws = Window.partitionBy("user_id", "hod")
+    tr = tr.withColumn(
+        "s_fx",
+        F.floor(F.sum(F.col("mfx") - F.col("trend_fx")).over(ws)
+                 .cast("double") / F.count("*").over(ws)).cast("long"))
+    fx = F.lit(float(_ACF_FX))
+    return (tr.select(
+                  "user_id",
+                  F.timestamp_micros(F.col("h") * 3_600_000_000)
+                   .alias("bucket"),
+                  F.round(F.col("mfx").cast("double") / fx, 6)
+                   .alias("value"),
+                  F.round(F.col("trend_fx").cast("double") / fx, 6)
+                   .alias("trend"),
+                  F.round(F.col("s_fx").cast("double") / fx, 6)
+                   .alias("seasonal"),
+                  F.round((F.col("mfx") - F.col("trend_fx")
+                           - F.col("s_fx")).cast("double") / fx, 6)
+                   .alias("residual")))
+
+
+@op("ts_interarrival_stats", oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), g AS (SELECT user_id, gap_us, gap_us // 1000000 AS gap_s
+         FROM gaps WHERE gap_us IS NOT NULL),
+mom AS (
+    SELECT user_id, count(*) AS n, sum(gap_us) AS su,
+           max(gap_us) AS mx, sum(gap_s) AS s, sum(gap_s * gap_s) AS ss
+    FROM g GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(su AS DOUBLE) / n / 1000000, 6) AS mean_gap_s,
+       round(CAST(mx AS DOUBLE) / 1000000, 6) AS max_gap_s,
+       round(CASE WHEN n >= 2 AND s > 0 THEN
+             sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                  / (n - 1)) / (CAST(s AS DOUBLE) / n)
+             END, 6) AS cv_gap
+FROM mom
+""", tier=3, section="2.9")
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel inter-arrival-time profile: gap count, exact mean and
+    max gap (integer-microsecond sums, one double division), and the
+    coefficient of variation of the whole-second gap grid — the
+    burstiness diagnostic (cv >> 1 = bursty, cv ~ 1 = Poisson-like)
+    that sizes session thresholds and watermark delays.
+
+    Exactness: mean/max come from integer-us sums; the second moment
+    runs on the whole-SECOND grid so sum(gap^2) stays within BIGINT at
+    any per-user history length (documented grid, not an accident); cv
+    is one final double expression, NULL for constant or singleton
+    series.
+
+    Scale shape: one user-keyed lag() window (bounded), one map-side
+    combinable hash aggregate. No joins."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = (ev.withColumn("gap_us", us - F.lag(us).over(w))
+           .filter(F.col("gap_us").isNotNull())
+           .withColumn("gap_s", (F.col("gap_us") / 1_000_000)
+                       .cast("long")))
+    mom = g.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("gap_us").alias("su"),
+        F.max("gap_us").alias("mx"), F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    cv = F.when(
+        (n >= 2) & (s > 0),
+        F.sqrt((n.cast("double") * ss - s.cast("double") * s) / (n - 1))
+        / (s.cast("double") / n))
+    return mom.select(
+        "user_id", n.cast("long").alias("n_gaps"),
+        F.round(F.col("su").cast("double") / n / 1_000_000, 6)
+         .alias("mean_gap_s"),
+        F.round(F.col("mx").cast("double") / 1_000_000, 6)
+         .alias("max_gap_s"),
+        F.round(cv, 6).alias("cv_gap"))

@@ -89,6 +89,12 @@ OPS = [
     "feat_auc_roc_scalable", "sample_split_temporal_scalable",
     "win_ntile_scalable", "win_range_numeric_scalable",
     "win_rank_dense_scalable",
+    # round-7 second-wave additions (events / documents; the
+    # lineitem-driven graph_copurchase_triangles is excluded for the
+    # same reason as agg_triangle_count — lineitem does not scale here)
+    "ts_markov_transitions", "ts_retention_triangle", "ts_ohlc_hourly",
+    "ts_trend_seasonal_residual", "ts_interarrival_stats",
+    "feat_pit_features", "cdc_apply_changes", "text_prefix_dedup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
