@@ -4519,3 +4519,38 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str
                         (3 * F.col("n_triangles") * 2).cast("double")
                         / F.col("wedges2")), 6)
                      .alias("global_clustering")))
+
+
+@op("dq_freshness_lag", oracle="""
+WITH per AS (
+    SELECT event_type, max(ts) AS latest_ts, count(*) AS n_events
+    FROM events GROUP BY 1
+), gmax AS (SELECT max(latest_ts) AS global_ts FROM per)
+SELECT p.event_type, p.latest_ts, CAST(p.n_events AS BIGINT) AS n_events,
+       CAST((epoch_us(g.global_ts) - epoch_us(p.latest_ts)) // 60000000
+            AS BIGINT) AS lag_minutes,
+       CASE WHEN epoch_us(g.global_ts) - epoch_us(p.latest_ts)
+                 > 3600000000 THEN 1 ELSE 0 END AS is_stale
+FROM per p CROSS JOIN gmax g
+""", tier=3, section="2.13")
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitor: each channel's latest event vs the
+    newest event anywhere, as whole-minute lag plus a stale flag (>1 h
+    behind) — the feed-died-silently alarm every ingest dashboard leads
+    with (a source that stops producing never violates a row-level
+    expectation; only its absence shows).
+
+    Scale shape: one map-side-combinable hash aggregate to a
+    |sources|-row frame; the global max joins back as a 1-row cross
+    join. Integer-microsecond lag arithmetic (floor division to
+    minutes), exact cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count("*").alias("n_events"))
+    glob = per.agg(F.max("latest_ts").alias("global_ts"))
+    lag_us = (F.unix_micros("global_ts") - F.unix_micros("latest_ts"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type", "latest_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.floor(lag_us / 60_000_000).cast("long").alias("lag_minutes"),
+        (lag_us > 3_600_000_000).cast("int").alias("is_stale"))

@@ -1201,3 +1201,85 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("start_us")).alias("session_start"),
         F.timestamp_micros(F.col("end_us")).alias("session_end"),
         "n_events")
+
+
+from . import timeseries as _ts_ops  # noqa: F401  (registers ts_ohlc_hourly
+#                                     before the verbatim-oracle reuse below)
+
+
+@op("stream_ohlc_bars", oracle=REGISTRY["ts_ohlc_hourly"].oracle,
+    tier=3, section="2.10")
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the incremental twin of `ts_ohlc_hourly`
+    (verbatim oracle): the tick stream arrives in THREE disjoint
+    micro-batches (the corpus is re-staged as row-range slices so each
+    batch genuinely holds different ticks); each batch reduces to
+    per-(channel, hour) PARTIAL bars via foreachBatch and lands in an
+    idempotent batch_id-keyed parquet sink; the serve-side merge
+    combines partials into final bars byte-identical to the batch
+    answer.
+
+    The merge algebra is the point: open/close partials travel as
+    (ts, event_id, value) structs so min/max struct comparison — NOT
+    sum — re-picks the true first/last tick across batches; volume
+    partials stay DECIMAL(18,2) until the final cast, so the merged sum
+    is order-exact. This is the foreachBatch exactly-once upsert recipe
+    (overwrite-per-batch_id) from `sink_stream_foreachbatch`, applied to
+    a mergeable aggregate.
+
+    Scale shape: per batch ONE (user, hour) hash aggregate
+    (map-side-combinable picks/sums); the stored partial frame is
+    bars-sized, not ticks-sized, and the final merge aggregates
+    |bars| x |batches| rows."""
+    import pyarrow.parquet as pq
+
+    key = "stream_ohlc_bars"
+    base = os.path.join(SCRATCH, "stream", key)
+    indir, out = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    configure(spark)
+    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        dst = os.path.join(indir, f"slice_{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream.schema(events_read_schema(sf_dir))
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    ev = decode_events_ts(raw, sf_dir)
+
+    h = (F.unix_micros(F.date_trunc("hour", "ts"))
+         / F.lit(3_600_000_000)).cast("long")
+    tick = ev.withColumn("h", h).withColumn(
+        "k", F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id", "h").agg(
+            F.min("k").alias("open_k"), F.max("k").alias("close_k"),
+            F.max("value").alias("high"), F.min("value").alias("low"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vol"))
+        part.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    ckpt = os.path.join(base, "ckpt")
+    q = (tick.writeStream.foreachBatch(write_partials)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+
+    partials = spark.read.parquet(out)
+    merged = partials.groupBy("user_id", "h").agg(
+        F.min("open_k").alias("open_k"), F.max("close_k").alias("close_k"),
+        F.max("high").alias("high"), F.min("low").alias("low"),
+        F.sum("n").alias("n_ticks"),
+        F.sum("vol").cast("double").alias("volume"))
+    return merged.select(
+        "user_id",
+        F.timestamp_micros(F.col("h") * 3_600_000_000).alias("bucket"),
+        F.col("open_k.value").alias("open"), "high", "low",
+        F.col("close_k.value").alias("close"),
+        F.col("n_ticks").cast("long").alias("n_ticks"), "volume")

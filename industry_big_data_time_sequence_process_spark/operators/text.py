@@ -2411,3 +2411,66 @@ def text_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("prefix_hash",
                          F.col("doc_id").alias("keep_doc_id"),
                          F.col("n_group").alias("n_docs")))
+
+
+@op("text_readability", oracle=r"""
+WITH c AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           AS flesch,
+       CASE WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 60
+            THEN 'easy'
+            WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 30
+            THEN 'medium' ELSE 'hard' END AS band
+FROM c WHERE n_words > 0
+""", tier=3, section="2.11")
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document with a 3-level difficulty
+    band — the readability screen a training-data quality pipeline runs
+    next to `text_filter_quality` (which gates on shape; this gates on
+    linguistic difficulty). Syllables are approximated as vowel-group
+    runs ([aeiouy]+, the standard dependency-free heuristic), sentences
+    as terminal-punctuation runs (min 1 so headline-only docs score).
+
+    Exactness: all three inputs are integer regexp-match counts
+    (identical RE2/Java semantics on this ASCII corpus), so the score
+    is one shared IEEE expression tree rounded once — the band
+    comparison agrees bit-for-bit cross-engine.
+
+    Scale shape: embarrassingly parallel single scan — per-doc regexp
+    counts, no shuffle at all (the only exchange is whatever the sink
+    needs)."""
+    doc = load(spark, sf_dir, "documents")
+    c = doc.select(
+        "doc_id", "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0))
+         .cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)),
+            F.lit(1)).cast("long").alias("n_sentences"),
+        F.size(F.regexp_extract_all(F.lower("text"),
+                                    F.lit("[aeiouy]+"), 0))
+         .cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    score = (F.lit(206.835)
+             - 1.015 * (F.col("n_words").cast("double")
+                        / F.col("n_sentences"))
+             - 84.6 * (F.col("n_syllables").cast("double")
+                       / F.col("n_words")))
+    return c.select(
+        "doc_id", "lang", "n_words", "n_sentences", "n_syllables",
+        F.round(score, 4).alias("flesch"),
+        F.when(score >= 60, "easy").when(score >= 30, "medium")
+         .otherwise("hard").alias("band"))

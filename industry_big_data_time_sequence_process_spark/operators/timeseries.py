@@ -5681,3 +5681,302 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mx").cast("double") / 1_000_000, 6)
          .alias("max_gap_s"),
         F.round(cv, 6).alias("cv_gap"))
+
+
+# ==========================================================================
+# Round-7 third wave (SURVEY.md §2.20): indicator bars, robust anomaly,
+# activity islands, period-over-period
+# ==========================================================================
+
+@op("ts_bollinger_breach", oracle="""
+WITH v AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), w AS (
+    SELECT event_id, user_id, value,
+           count(*) OVER win AS n,
+           CAST(sum(v100) OVER win AS BIGINT) AS s,
+           CAST(sum(v100 * v100) OVER win AS BIGINT) AS ss
+    FROM v
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+    SELECT event_id, user_id, value,
+           CASE WHEN n = 20 THEN CAST(s AS DOUBLE) / n / 100 END AS mean,
+           CASE WHEN n = 20 THEN
+               sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                    / (n * (n - 1))) / 100 END AS sd
+    FROM w
+)
+SELECT event_id, user_id, value,
+       round(mean, 6) AS band_mean, round(sd, 6) AS band_sd,
+       round(mean + 2 * sd, 6) AS band_upper,
+       round(mean - 2 * sd, 6) AS band_lower,
+       CASE WHEN mean IS NULL THEN NULL
+            WHEN value > mean + 2 * sd THEN 1
+            WHEN value < mean - 2 * sd THEN -1 ELSE 0 END AS breach
+FROM bands
+""", tier=3, section="2.9")
+def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per channel: 20-tick rolling mean +/- 2 sample
+    stddev, with a breach flag (+1 above the upper band, -1 below the
+    lower) — the volatility-band primitive behind alert thresholds and
+    mean-reversion features. Bands are NULL until a full 20-tick history
+    exists (no partial-window fabrication).
+
+    Exactness: the window moments are BIGINT sums on the cents grid
+    (value is 2-decimal, FIXTURES.md; 20 ticks of <=56021 cents keeps
+    n*ss < 2^53), so mean/sd/bands are single identical IEEE expression
+    trees on both engines — the breach comparison agrees bit-for-bit.
+
+    Scale shape: ONE user-keyed bounded ROWS window (20 ticks) over the
+    fact table; no joins, no global windows."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    v = ev.withColumn("v100", (dec2("value") * 100).cast("long"))
+    win = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(-19, 0))
+    w = (v.select("event_id", "user_id", "value",
+                  F.count("*").over(win).alias("n"),
+                  F.sum("v100").over(win).alias("s"),
+                  F.sum(F.col("v100") * F.col("v100")).over(win)
+                   .alias("ss")))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    full = n == 20
+    mean = F.when(full, s.cast("double") / n / 100)
+    sd = F.when(full, F.sqrt(
+        (n.cast("double") * ss - s.cast("double") * s) / (n * (n - 1))
+    ) / 100)
+    b = w.select("event_id", "user_id", "value",
+                 mean.alias("mean"), sd.alias("sd"))
+    up = F.col("mean") + 2 * F.col("sd")
+    lo = F.col("mean") - 2 * F.col("sd")
+    return b.select(
+        "event_id", "user_id", "value",
+        F.round("mean", 6).alias("band_mean"),
+        F.round("sd", 6).alias("band_sd"),
+        F.round(up, 6).alias("band_upper"),
+        F.round(lo, 6).alias("band_lower"),
+        F.when(F.col("mean").isNull(), F.lit(None).cast("int"))
+         .when(F.col("value") > up, 1)
+         .when(F.col("value") < lo, -1)
+         .otherwise(0).alias("breach"))
+
+
+@op("ts_rsi_sma", oracle="""
+WITH v AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), d AS (
+    SELECT event_id, user_id, ts, value,
+           v100 - lag(v100) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dv
+    FROM v
+), g AS (
+    SELECT event_id, user_id, value,
+           count(*) OVER win AS nd,
+           CAST(sum(greatest(dv, 0)) OVER win AS BIGINT) AS sg,
+           CAST(sum(greatest(-dv, 0)) OVER win AS BIGINT) AS sl
+    FROM d WHERE dv IS NOT NULL
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       round(CASE WHEN nd = 14 AND sg + sl > 0
+                  THEN 100 * CAST(sg AS DOUBLE) / (sg + sl) END, 6) AS rsi
+FROM g
+""", tier=3, section="2.9")
+def ts_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI-14 (simple-average form) per channel: 100 * avg_gain /
+    (avg_gain + avg_loss) over the last 14 tick-to-tick deltas — the
+    momentum-oscillator feature. NULL until 14 deltas exist or when the
+    window is flat (zero gain AND loss). Uses simple sums rather than
+    Wilder's recursive smoothing so the statistic stays a two-BIGINT
+    division — exact cross-engine, no float recursion.
+
+    Scale shape: one user-keyed lag() + one bounded 14-row window, both
+    on the same (user) shuffle; no joins."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.withColumn("v100", (dec2("value") * 100).cast("long"))
+           .withColumn("dv", F.col("v100") - F.lag("v100").over(wl))
+           .filter(F.col("dv").isNotNull()))
+    win = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(-13, 0))
+    g = d.select(
+        "event_id", "user_id", "value",
+        F.count("*").over(win).alias("nd"),
+        F.sum(F.greatest("dv", F.lit(0))).over(win).alias("sg"),
+        F.sum(F.greatest(-F.col("dv"), F.lit(0))).over(win).alias("sl"))
+    nd, sg, sl = F.col("nd"), F.col("sg"), F.col("sl")
+    return g.select(
+        "event_id", "user_id", "value",
+        F.round(F.when((nd == 14) & (sg + sl > 0),
+                       100 * sg.cast("double") / (sg + sl)), 6)
+         .alias("rsi"))
+
+
+@op("ts_anomaly_mad", oracle="""
+WITH v AS (
+    SELECT event_id, event_type, value,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), med AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY v100) AS med
+    FROM v GROUP BY 1
+), mad AS (
+    SELECT v.event_type,
+           percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY abs(CAST(v.v100 AS DOUBLE) - m.med)) AS mad
+    FROM v JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT v.event_id, v.event_type, v.value,
+       round(CASE WHEN d.mad > 0
+                  THEN 0.6745 * (CAST(v.v100 AS DOUBLE) - m.med) / d.mad
+             END, 6) AS robust_z,
+       CASE WHEN d.mad > 0 THEN
+           CASE WHEN abs(0.6745 * (CAST(v.v100 AS DOUBLE) - m.med) / d.mad)
+                     > 3.5 THEN 1 ELSE 0 END END AS is_anomaly
+FROM v JOIN med m USING (event_type) JOIN mad d ON d.event_type = v.event_type
+""", tier=3, section="2.9")
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags via the modified z-score (Iglewicz-Hoaglin):
+    0.6745 * (x - median) / MAD, flagged above 3.5 — the outlier screen
+    that, unlike `ts_anomaly_zscore`, is not itself dragged by the
+    outliers it hunts. NULL score on zero-MAD (constant-majority)
+    channels rather than a divide crash.
+
+    Exactness: medians interpolate on the BIGINT cents grid, so every
+    intermediate (including the .5 midpoints) is an exactly-representable
+    double; both engines evaluate the identical expression tree.
+
+    Scale shape: two per-type aggregates (exact percentile needs sorted
+    groups — at 5 types each reduce-side group is one partition's work),
+    each broadcast back onto the fact table; the fact table never
+    shuffles."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_id", "event_type", "value",
+                  (dec2("value") * 100).cast("long").alias("v100"))
+    med = v.groupBy("event_type").agg(
+        F.percentile("v100", F.lit(0.5)).alias("med"))
+    withmed = v.join(F.broadcast(med), "event_type")
+    mad = (withmed
+           .select("event_type",
+                   F.abs(F.col("v100").cast("double") - F.col("med"))
+                    .alias("absdev"))
+           .groupBy("event_type")
+           .agg(F.percentile("absdev", F.lit(0.5)).alias("mad")))
+    z = 0.6745 * (F.col("v100").cast("double") - F.col("med")) / F.col("mad")
+    return (withmed.join(F.broadcast(mad), "event_type")
+            .select("event_id", "event_type", "value",
+                    F.round(F.when(F.col("mad") > 0, z), 6)
+                     .alias("robust_z"),
+                    F.when(F.col("mad") > 0,
+                           (F.abs(z) > 3.5).cast("int"))
+                     .alias("is_anomaly")))
+
+
+@op("ts_active_streaks", oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+    SELECT user_id, d,
+           CAST(d - DATE '1970-01-01' AS BIGINT)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl_id
+    FROM days
+), streaks AS (
+    SELECT user_id, isl_id, count(*) AS len, min(d) AS start_day
+    FROM isl GROUP BY 1, 2
+), ranked AS (
+    SELECT user_id, len, start_day,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, start_day) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_streaks,
+           CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days
+    FROM streaks
+)
+SELECT user_id, n_active_days, n_streaks,
+       CAST(len AS BIGINT) AS longest_streak, start_day AS longest_start
+FROM ranked WHERE rn = 1
+""", tier=3, section="2.9")
+def ts_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per channel (gaps-and-
+    islands): active days, streak count, longest streak length and its
+    start date (earliest on ties) — the engagement/uptime feature pair
+    to `ts_downtime_episodes` (which measures the gaps; this measures
+    the islands).
+
+    Scale shape: distinct (user, day) collapses the fact table first
+    (bounded: users x days), then every window runs on that frame,
+    user-keyed; island id is the classic day-index-minus-row-number
+    constant."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "isl_id",
+        F.datediff("d", F.lit("1970-01-01")).cast("long")
+        - F.row_number().over(wd))
+    streaks = isl.groupBy("user_id", "isl_id").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_day"))
+    wu = Window.partitionBy("user_id")
+    ranked = streaks.select(
+        "user_id", "len", "start_day",
+        F.row_number().over(
+            Window.partitionBy("user_id")
+                  .orderBy(F.col("len").desc(), "start_day")).alias("rn"),
+        F.count("*").over(wu).alias("n_streaks"),
+        F.sum("len").over(wu).alias("n_active_days"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("user_id", "n_active_days", "n_streaks",
+                    F.col("len").cast("long").alias("longest_streak"),
+                    F.col("start_day").alias("longest_start")))
+
+
+@op("ts_pop_hourly", oracle=f"""
+WITH {_DUCK_HOURLY_MFX}
+SELECT a.user_id, make_timestamp(a.h * 3600000000) AS bucket,
+       round(CAST(a.mfx AS DOUBLE) / 10000, 6) AS value,
+       round(CAST(b.mfx AS DOUBLE) / 10000, 6) AS prev_value,
+       round(CAST(a.mfx - b.mfx AS DOUBLE) / 10000, 6) AS delta,
+       round(CASE WHEN b.mfx <> 0
+                  THEN CAST(a.mfx - b.mfx AS DOUBLE) / abs(b.mfx) END, 6)
+           AS pct_change
+FROM hourly a JOIN hourly b
+  ON b.user_id = a.user_id AND b.h = a.h - 24
+""", tier=3, section="2.9")
+def ts_pop_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison on the hourly grid: each channel-
+    hour's mean vs the SAME hour one day earlier (calendar join, not
+    row lag — a gap yesterday drops the pair instead of comparing
+    against the wrong hour), with absolute delta and signed pct change
+    (NULL on a zero base). The day-over-day dashboard primitive.
+
+    Exactness: both sides live on the 1e-4 fixed-point hourly grid
+    (`_hourly_mfx`), so delta is BIGINT and each output is one rounded
+    double conversion.
+
+    Scale shape: one hash agg to the hourly frame, then a self-equi-join
+    on (user, h-24) — hourly-frame-sized (users x hours), user-keyed."""
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    prev = hourly.select("user_id", (F.col("h") + 24).alias("h"),
+                         F.col("mfx").alias("pfx"))
+    j = hourly.join(prev, ["user_id", "h"])
+    return j.select(
+        "user_id",
+        F.timestamp_micros(F.col("h") * 3_600_000_000).alias("bucket"),
+        F.round(F.col("mfx").cast("double") / 10_000, 6).alias("value"),
+        F.round(F.col("pfx").cast("double") / 10_000, 6)
+         .alias("prev_value"),
+        F.round((F.col("mfx") - F.col("pfx")).cast("double") / 10_000, 6)
+         .alias("delta"),
+        F.round(F.when(F.col("pfx") != 0,
+                       (F.col("mfx") - F.col("pfx")).cast("double")
+                       / F.abs("pfx")), 6).alias("pct_change"))
