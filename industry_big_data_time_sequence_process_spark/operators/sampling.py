@@ -563,3 +563,85 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select("user_id", "event_id",
                       F.row_number().over(w).alias("draw_rank"))
               .filter(F.col("draw_rank") <= 5))
+
+
+@op("sample_walkforward_cv", oracle="""
+WITH bounds AS (
+    SELECT CAST(min(ts) AS DATE) AS d0,
+           datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS span
+    FROM events
+), offs AS (
+    SELECT CAST(ts AS DATE) AS d,
+           datediff('day', b.d0, CAST(ts AS DATE)) AS off,
+           b.d0, b.span
+    FROM events CROSS JOIN bounds b
+), folds AS (
+    SELECT f.fold, o.d, o.off, o.d0, o.span,
+           (o.span * f.fold) // 4 AS cut_lo,
+           (o.span * (f.fold + 1)) // 4 AS cut_hi
+    FROM offs o
+    CROSS JOIN (SELECT unnest([1, 2, 3]) AS fold) f
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(count(*) FILTER (WHERE off < cut_lo) AS BIGINT)
+           AS train_rows,
+       CAST(count(*) FILTER (WHERE off >= cut_lo AND off < cut_hi)
+            AS BIGINT) AS test_rows,
+       max(d) FILTER (WHERE off < cut_lo) AS train_end_day,
+       min(d) FILTER (WHERE off >= cut_lo AND off < cut_hi)
+           AS test_start_day,
+       max(d) FILTER (WHERE off >= cut_lo AND off < cut_hi)
+           AS test_end_day,
+       CAST(max(d) FILTER (WHERE off < cut_lo)
+            < min(d) FILTER (WHERE off >= cut_lo AND off < cut_hi)
+            AS BOOLEAN) AS no_leak
+FROM folds GROUP BY fold
+""", tier=3, section="2.11")
+def sample_walkforward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation splits for
+    forecasting models: three folds, fold k training on days strictly
+    before the k/4 point of the corpus's day span and testing on the
+    following quarter — the leakage-safe evaluation protocol where
+    `sample_split_temporal` is the single-split special case. Reports
+    per-fold row counts, calendar bounds, and an explicit no-leak audit
+    (max train day < min test day).
+
+    Exactness: cut points are integer floor-divisions of the day span —
+    no timestamps compared through floats anywhere; all outputs are
+    counts and DATEs.
+
+    Scale shape: one 1-row global bounds aggregate broadcast back onto
+    the fact scan, then ONE map-side-combinable pass with 3x2
+    conditional aggregates per fold (the 3-row fold fan-out multiplies
+    the AGGREGATE inputs, not the stored data; partial aggregation
+    collapses it map-side) — no window over fact rows, no second scan."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.datediff(F.max(F.to_date("ts")),
+                   F.min(F.to_date("ts"))).alias("span"))
+    folds = spark.range(1, 4).select(F.col("id").cast("int").alias("fold"))
+    offs = (ev.select(F.to_date("ts").alias("d"))
+              .crossJoin(F.broadcast(bounds))
+              .withColumn("off", F.datediff("d", "d0"))
+              .crossJoin(F.broadcast(folds))
+              .withColumn("cut_lo",
+                          F.floor(F.col("span") * F.col("fold") / 4))
+              .withColumn("cut_hi",
+                          F.floor(F.col("span") * (F.col("fold") + 1) / 4)))
+    in_tr = F.col("off") < F.col("cut_lo")
+    in_te = (F.col("off") >= F.col("cut_lo")) & (F.col("off")
+                                                 < F.col("cut_hi"))
+    tr_end = F.max(F.when(in_tr, F.col("d")))
+    te_start = F.min(F.when(in_te, F.col("d")))
+    return (offs.groupBy("fold")
+                .agg(F.count(F.when(in_tr, 1)).cast("long")
+                      .alias("train_rows"),
+                     F.count(F.when(in_te, 1)).cast("long")
+                      .alias("test_rows"),
+                     tr_end.alias("train_end_day"),
+                     te_start.alias("test_start_day"),
+                     F.max(F.when(in_te, F.col("d")))
+                      .alias("test_end_day"),
+                     (tr_end < te_start).alias("no_leak")))

@@ -2919,3 +2919,63 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * F.sqrt(F.sum(F.col("cb")
                                                  * F.col("cb")))), 6)
                         .alias("centroid_cosine")))
+
+
+@op("emb_dim_variance_prune", oracle="""
+WITH comp AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000)
+                AS BIGINT) AS fx
+    FROM embeddings
+), mom AS (
+    SELECT dim, count(*) AS n,
+           sum(fx) AS sx, sum(fx * fx) AS sxx
+    FROM comp GROUP BY dim
+), scored AS (
+    SELECT dim, n,
+           CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS num
+    FROM mom
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       round(num / n / (n - 1) / 1e10, 6) AS variance,
+       CAST(row_number() OVER (ORDER BY num DESC, dim) AS INT) AS rank,
+       CAST(row_number() OVER (ORDER BY num DESC, dim) <= 16
+            AS BOOLEAN) AS kept
+FROM scored
+""", tier=3, section="2.11")
+def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screen over the embedding corpus: rank all
+    dims by sample variance and mark the top 16 to keep — the
+    data-driven sibling of `emb_random_projection` (keep the dims that
+    actually vary instead of mixing them), and the first step of
+    variance-threshold feature pruning before an index build.
+
+    Exactness: components floor onto a 1e-5 fixed-point grid, so the
+    per-dim moments are order-invariant BIGINT sums (|fx| <= ~3e5 keeps
+    sum(fx^2) < 2^63 up to ~1e8 vectors); the ranking orders by the raw
+    variance NUMERATOR n*sxx - sx^2 computed identically on both engines
+    (dim tiebreak), so ranks never depend on a float rounding. The
+    reported variance divides once and rounds.
+
+    Scale shape: one narrow posexplode pass into ONE map-side-combinable
+    (dim) hash aggregate; the rank window runs over the |dims|-row frame
+    (Aggregate-bounded, passes the fact-window walk)."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"),
+             F.floor(F.col("x").cast("double") * F.lit(1e5))
+              .cast("long").alias("fx"))
+    mom = (comp.groupBy("dim")
+               .agg(F.count("*").alias("n"), F.sum("fx").alias("sx"),
+                    F.sum(F.col("fx") * F.col("fx")).alias("sxx")))
+    num = (F.col("n").cast("double") * F.col("sxx")
+           - F.col("sx").cast("double") * F.col("sx"))
+    scored = mom.select("dim", "n", num.alias("num"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("num").desc(), "dim")).cast("int")
+    return scored.select(
+        "dim", F.col("n").cast("long").alias("n"),
+        F.round(F.col("num") / F.col("n") / (F.col("n") - 1) / 1e10, 6)
+         .alias("variance"),
+        rk.alias("rank"), (rk <= 16).alias("kept"))

@@ -1283,3 +1283,84 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("open_k.value").alias("open"), "high", "low",
         F.col("close_k.value").alias("close"),
         F.col("n_ticks").cast("long").alias("n_ticks"), "volume")
+
+
+@op("stream_heavy_hitters", oracle="""
+WITH c AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1
+), r AS (
+    SELECT user_id, n_events, total_value,
+           row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+    FROM c
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, total_value,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20
+""", tier=3, section="2.10")
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact heavy hitters: the top-20 channels by event count
+    (exact counts + exact-decimal value totals), computed incrementally
+    over THREE disjoint micro-batches — the traffic-leaderboard twin of
+    the batch `agg_cms_heavy_hitters` sketch, but exact. Each batch
+    reduces to per-channel PARTIAL (count, sum) rows in an idempotent
+    batch_id-keyed parquet sink (the `stream_ohlc_bars` exactly-once
+    recipe); the serve-side merge sums partials and re-ranks.
+
+    The algebra contrast with the OHLC twin is the point: counts/sums
+    are commutative-monoid partials (merge = sum), but the RANK is not
+    mergeable — it must be recomputed after the merge, which is why the
+    stored frame is per-channel totals, never a per-batch top-k whose
+    union would silently under-count a channel that was #21 in every
+    batch. Ordering is deterministic: count DESC, user_id ASC.
+
+    Scale shape: per batch ONE map-side-combinable (user) hash
+    aggregate; the stored partial frame is channels-sized; the final
+    rank is a row_number over the Aggregate-bounded merged frame
+    (|channels| rows — for an unbounded channel domain the two-phase
+    `api.bucketed_global_rank` applies, and only top-20 survive)."""
+    import pyarrow.parquet as pq
+
+    key = "stream_heavy_hitters"
+    base = os.path.join(SCRATCH, "stream", key)
+    indir, out = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    configure(spark)
+    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        dst = os.path.join(indir, f"slice_{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream.schema(events_read_schema(sf_dir))
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    ev = decode_events_ts(raw, sf_dir)
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+        part.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    ckpt = os.path.join(base, "ckpt")
+    q = (ev.writeStream.foreachBatch(write_partials)
+           .option("checkpointLocation", ckpt)
+           .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+
+    from pyspark.sql import Window
+    merged = (spark.read.parquet(out)
+                   .groupBy("user_id")
+                   .agg(F.sum("n").cast("long").alias("n_events"),
+                        F.sum("sv").cast("double").alias("total_value")))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_events").desc(), "user_id")).cast("int")
+    return (merged.withColumn("rank", rk)
+                  .where(F.col("rank") <= 20)
+                  .select("user_id", "n_events", "total_value", "rank"))

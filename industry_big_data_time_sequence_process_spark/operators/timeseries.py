@@ -5980,3 +5980,345 @@ def ts_pop_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("pfx") != 0,
                        (F.col("mfx") - F.col("pfx")).cast("double")
                        / F.abs("pfx")), 6).alias("pct_change"))
+
+
+@op("ts_stochastic_osc", oracle="""
+WITH v AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), w AS (
+    SELECT event_id, user_id, ts, value, v100,
+           count(*) OVER win AS n,
+           min(v100) OVER win AS lo,
+           max(v100) OVER win AS hi
+    FROM v
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), k AS (
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN n = 14 AND hi > lo
+                THEN 100 * CAST(v100 - lo AS DOUBLE) / (hi - lo)
+           END AS pct_k
+    FROM w
+), kf AS (
+    SELECT event_id, user_id, ts, value, pct_k,
+           CAST(floor(pct_k * 10000) AS BIGINT) AS kfx
+    FROM k
+), d AS (
+    SELECT event_id, user_id, value, pct_k,
+           count(kfx) OVER win3 AS nk,
+           CAST(sum(kfx) OVER win3 AS BIGINT) AS sk
+    FROM kf
+    WINDOW win3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       round(pct_k, 6) AS pct_k,
+       round(CASE WHEN nk = 3 THEN CAST(sk AS DOUBLE) / 3 / 10000 END, 6)
+           AS pct_d
+FROM d
+""", tier=3, section="2.9")
+def ts_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator per channel: %K = 100*(v - min14)/(max14 -
+    min14) over the last 14 ticks and %D = 3-tick simple average of %K —
+    the overbought/oversold momentum pair next to `ts_rsi_sma`. %K is
+    NULL until a full 14-tick history exists or when the window is flat
+    (max == min); %D is NULL until 3 consecutive non-NULL %K values.
+
+    Exactness: the window extrema live on the BIGINT cents grid, so %K
+    is a single integer-ratio double on both engines; %D re-floors %K
+    onto a 1e-4 fixed-point grid before the 3-row sum so the average is
+    one exact-integer division, never a float accumulation whose order
+    could differ cross-engine.
+
+    Scale shape: two user-keyed bounded ROWS windows on the SAME
+    (user)(ts, event_id) sort order — one shuffle, one sort, no joins."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    v = ev.withColumn("v100", (dec2("value") * 100).cast("long"))
+    win = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(-13, 0))
+    w = v.select(
+        "event_id", "user_id", "ts", "value",
+        F.count("*").over(win).alias("n"),
+        F.min("v100").over(win).alias("lo"),
+        F.max("v100").over(win).alias("hi"), "v100")
+    k = F.when(
+        (F.col("n") == 14) & (F.col("hi") > F.col("lo")),
+        100 * (F.col("v100") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")))
+    kf = w.select("event_id", "user_id", "ts", "value",
+                  k.alias("pct_k"),
+                  F.floor(k * 10_000).cast("long").alias("kfx"))
+    win3 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                  .rowsBetween(-2, 0))
+    d = kf.select(
+        "event_id", "user_id", "value", "pct_k",
+        F.count("kfx").over(win3).alias("nk"),
+        F.sum("kfx").over(win3).alias("sk"))
+    return d.select(
+        "event_id", "user_id", "value",
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round(F.when(F.col("nk") == 3,
+                       F.col("sk").cast("double") / 3 / 10_000), 6)
+         .alias("pct_d"))
+
+
+@op("ts_dow_hod_heatmap", oracle="""
+WITH cell AS (
+    SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hod, CAST(n AS BIGINT) AS n_events,
+       round(sv / n, 6) AS mean_value,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type), 6) AS share
+FROM cell
+""", tier=3, section="2.9")
+def ts_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day calendar heatmap per channel type: event
+    count, exact mean value, and each cell's share of its type's total
+    traffic — the weekly-seasonality fingerprint behind staffing curves
+    and anomaly baselines (`ts_seasonal_profile` is the hod-only twin).
+
+    dow follows Spark's 1=Sunday convention (oracle adds 1 to DuckDB's
+    0=Sunday, SURVEY.md App. A.6). Exactness: cell means divide an exact
+    DECIMAL sum once; shares are integer-count ratios.
+
+    Scale shape: ONE map-side-combinable hash aggregate onto the bounded
+    |types| x 7 x 24 frame; the share window runs over that 840-row
+    frame (auto-passes the fact-window walk: Aggregate bounds it), never
+    over fact rows."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    cell = (ev.groupBy(
+                "event_type",
+                F.dayofweek("ts").cast("int").alias("dow"),
+                F.hour("ts").cast("int").alias("hod"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(dec2("value")).cast("double").alias("sv")))
+    tot = Window.partitionBy("event_type")
+    return cell.select(
+        "event_type", "dow", "hod",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("mean_value"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6)
+         .alias("share"))
+
+
+@op("ts_range_vol_daily", oracle="""
+WITH bars AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+           count(*) AS n_t,
+           max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS hi,
+           min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS lo
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, day,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       round(sqrt(CAST(sum((hi - lo) * (hi - lo)) AS DOUBLE)
+                  / (4 * 0.6931471805599453 * count(*))) / 100, 6)
+           AS range_vol
+FROM bars WHERE n_t >= 2
+GROUP BY 1, 2
+""", tier=3, section="2.9")
+def ts_range_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily range volatility per channel, Parkinson-style: from hourly
+    high/low bars, sqrt(sum((H-L)^2) / (4 ln2 n_bars)) — the
+    daily-granularity volatility estimate OHLC pipelines feed risk /
+    alerting from. Uses ABSOLUTE ranges on the exact cents grid rather
+    than canonical log-ranges (documented variant): ln(H/L) per bar
+    cannot be made order-invariant cross-engine, while (H-L)^2 is a
+    BIGINT — for the small intra-bar relative moves this corpus models,
+    the two are proportional. Bars need >= 2 ticks (a 1-tick bar has no
+    range information).
+
+    Exactness: hi/lo are integer cents; the squared-range sum is a
+    BIGINT (range <= 56021 cents keeps 24 bars' sum < 2^53); ONE final
+    sqrt expression on both engines.
+
+    Scale shape: two map-side-combinable hash aggregates, (user, day,
+    hour) then (user, day) — the second reuses the first's partitioning
+    prefix; no windows, no joins."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    v100 = (dec2("value") * 100).cast("long")
+    bars = (ev.groupBy(
+                "user_id", F.to_date("ts").alias("day"),
+                (F.unix_micros(F.date_trunc("hour", "ts"))
+                 / F.lit(3_600_000_000)).cast("long").alias("h"))
+              .agg(F.count("*").alias("n_t"),
+                   F.max(v100).alias("hi"), F.min(v100).alias("lo")))
+    rng = F.col("hi") - F.col("lo")
+    return (bars.where(F.col("n_t") >= 2)
+                .groupBy("user_id", "day")
+                .agg(F.count("*").cast("long").alias("n_bars"),
+                     F.sum(rng * rng).alias("srq"))
+                .select("user_id", "day", "n_bars",
+                        F.round(F.sqrt(F.col("srq").cast("double")
+                                       / (4 * 0.6931471805599453
+                                          * F.col("n_bars"))) / 100, 6)
+                         .alias("range_vol")))
+
+
+@op("ts_channel_corr_matrix", oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+           CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) * 10000) AS BIGINT) AS mfx
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.mfx AS x, b.mfx AS y
+    FROM hourly a JOIN hourly b
+      ON b.h = a.h AND a.event_type < b.event_type
+), mom AS (
+    SELECT type_a, type_b, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS corr
+FROM mom WHERE n >= 2
+""", tier=3, section="2.9")
+def ts_channel_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel correlation matrix: Pearson correlation between
+    every pair of event types' HOURLY mean series (type_a < type_b emits
+    each unordered pair once) — the multivariate-sensor diagnostic that
+    finds channels moving together (shared upstream cause) or inversely
+    (load shedding). An (a, b) hour contributes only when BOTH types
+    have events that hour — calendar alignment, no fabricated zeros.
+
+    Exactness: the `ts_acf_lags` discipline — hourly means floor onto
+    the 1e-4 fixed-point grid, the five moments are order-invariant
+    BIGINT sums (|mfx| <= 5.6e6 and 720 hours keep every sum < 2^55),
+    and the single Pearson expression casts each exact integer to double
+    once. Zero-variance series yield NULL.
+
+    Scale shape: one hash aggregate onto the |types| x |hours| frame
+    (map-side combinable), one broadcast self-equi-join on h over that
+    bounded frame, one (type, type) aggregate — everything downstream of
+    the aggregate is hours-sized, not events-sized. The self-join
+    re-derives the hourly subtree (two aggregate-collapsed fact scans,
+    the `ts_acf_lags`/`ts_pop_hourly` pattern); a deployment computes
+    the hourly rollup once and feeds both sides from it."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+                  "event_type",
+                  (F.unix_micros(F.date_trunc("hour", "ts"))
+                   / F.lit(3_600_000_000)).cast("long").alias("h"))
+                .agg(F.floor(F.sum(dec2("value")).cast("double")
+                             / F.count("*") * 10_000)
+                      .cast("long").alias("mfx")))
+    a = hourly.select(F.col("event_type").alias("type_a"), "h",
+                      F.col("mfx").alias("x"))
+    b = hourly.select(F.col("event_type").alias("type_b"), "h",
+                      F.col("mfx").alias("y"))
+    pairs = a.join(b, ["h"]).where(F.col("type_a") < F.col("type_b"))
+    mom = (pairs.groupBy("type_a", "type_b")
+                .agg(F.count("*").alias("n"),
+                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                     F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                     F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n.cast("double") * sxy - sx.cast("double") * sy)
+        / (F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+           * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)))
+    return (mom.where(n >= 2)
+               .select("type_a", "type_b",
+                       n.cast("long").alias("n_hours"),
+                       F.round(corr, 6).alias("corr")))
+
+
+@op("ts_behavior_shift_days", oracle="""
+WITH ut AS (
+    SELECT user_id, event_type, count(*) AS cu
+    FROM events GROUP BY 1, 2
+), u AS (
+    SELECT user_id, CAST(sum(cu) AS BIGINT) AS nu FROM ut GROUP BY 1
+), ud AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS nd
+    FROM events GROUP BY 1, 2
+), udt AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS cd
+    FROM events GROUP BY 1, 2, 3
+), grid AS (
+    SELECT ud.user_id, ud.day, ud.nd, ut.event_type, ut.cu, u.nu,
+           COALESCE(udt.cd, 0) AS cd
+    FROM ud
+    JOIN ut ON ut.user_id = ud.user_id
+    JOIN u  ON u.user_id = ud.user_id
+    LEFT JOIN udt ON udt.user_id = ud.user_id AND udt.day = ud.day
+                 AND udt.event_type = ut.event_type
+)
+SELECT user_id, day, CAST(min(nd) AS BIGINT) AS n_day,
+       round(CAST(sum(abs(cd * nu - cu * nd)) AS DOUBLE)
+             / (min(nd) * min(nu)), 6) AS l1_score,
+       CAST(sum(abs(cd * nu - cu * nd))
+            > 0.5 * min(nd) * min(nu) AS BOOLEAN) AS shifted
+FROM grid GROUP BY 1, 2
+""", tier=3, section="2.9")
+def ts_behavior_shift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-shift detector: for each (channel, day), the L1
+    distance between that day's event-type distribution and the
+    channel's OVERALL type distribution, with a > 0.5 shift flag — the
+    day-granularity "this channel stopped acting like itself" screen
+    next to `ts_anomaly_mad`'s value-level one. Types the channel used
+    on other days but not this day count toward the distance (the grid
+    join fills cd = 0).
+
+    Exactness: L1 = sum(|cd/nd - cu/nu|) is computed over the common
+    denominator as sum(|cd*nu - cu*nd|) — pure BIGINT — with ONE final
+    division; the flag compares integers cross-multiplied against the
+    0.5 threshold, so flagging never touches float order.
+
+    Scale shape: three map-side-combinable hash aggregates (each an
+    aggregate-collapsed fact scan; a deployment derives them from one
+    persisted (user, day, type) rollup); the grid join runs on the
+    (user x day x type) DIMENSION frame (bounded: days x |types| rows
+    per user), all joins broadcast or user-keyed — the fact table never
+    self-joins at event grain."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cu"))
+    u = ut.groupBy("user_id").agg(F.sum("cu").cast("long").alias("nu"))
+    ud = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("nd")))
+    udt = (ev.groupBy("user_id", F.to_date("ts").alias("day"),
+                      "event_type")
+             .agg(F.count("*").alias("cd")))
+    grid = (ud.join(ut, ["user_id"]).join(u, ["user_id"])
+              .join(udt, ["user_id", "day", "event_type"], "left")
+              .withColumn("cd", F.coalesce("cd", F.lit(0))))
+    dev = F.abs(F.col("cd") * F.col("nu") - F.col("cu") * F.col("nd"))
+    return (grid.groupBy("user_id", "day")
+                .agg(F.min("nd").alias("nd"), F.min("nu").alias("nu"),
+                     F.sum(dev).alias("l1num"))
+                .select("user_id", "day",
+                        F.col("nd").cast("long").alias("n_day"),
+                        F.round(F.col("l1num").cast("double")
+                                / (F.col("nd") * F.col("nu")), 6)
+                         .alias("l1_score"),
+                        (F.col("l1num")
+                         > 0.5 * F.col("nd") * F.col("nu"))
+                         .alias("shifted")))

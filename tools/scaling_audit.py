@@ -95,6 +95,15 @@ OPS = [
     "ts_markov_transitions", "ts_retention_triangle", "ts_ohlc_hourly",
     "ts_trend_seasonal_residual", "ts_interarrival_stats",
     "feat_pit_features", "cdc_apply_changes", "text_prefix_dedup",
+    # round-7 first/third-wave additions (events-driven)
+    "ts_acf_lags", "ts_changepoint_sse", "text_rake_keywords",
+    "sample_reservoir_per_key", "ts_bollinger_breach", "ts_rsi_sma",
+    "ts_anomaly_mad", "ts_active_streaks", "ts_pop_hourly",
+    "text_readability",
+    # round-7 fourth-wave additions (events / embeddings)
+    "ts_stochastic_osc", "ts_dow_hod_heatmap", "ts_range_vol_daily",
+    "ts_channel_corr_matrix", "ts_behavior_shift_days",
+    "sample_walkforward_cv", "emb_dim_variance_prune",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
