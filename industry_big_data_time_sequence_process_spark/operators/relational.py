@@ -4554,3 +4554,142 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.floor(lag_us / 60_000_000).cast("long").alias("lag_minutes"),
         (lag_us > 3_600_000_000).cast("int").alias("is_stale"))
+
+
+@op("dq_pk_uniqueness", oracle="""
+WITH per AS (
+    SELECT 'events' AS table_name, count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_keys FROM events
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           count(DISTINCT l_orderkey * 16 + l_linenumber) FROM lineitem
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows - n_keys AS BIGINT) AS dup_rows,
+       CAST(n_rows = n_keys AS INT) AS is_unique
+FROM per
+""", tier=3, section="2.4")
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every corpus table: row
+    count, distinct-key count, duplicate surplus, and a pass flag — the
+    PK side of the load gate whose FK side is
+    `dq_referential_integrity` (an upsert pipeline that silently
+    double-applies a batch shows up here first). lineitem's composite
+    key (l_orderkey, l_linenumber) folds into one BIGINT
+    (linenumber <= 7 in TPC-H, so *16 is collision-free and cheaper
+    than a struct distinct — documented, not a hash).
+
+    Exactness: pure counts.
+
+    Scale shape: one map-side-partial count-distinct aggregate per
+    table (Spark expands to the two-phase distinct aggregate), unioned
+    into an 8-row report; no joins, no windows. At 100 TB each branch
+    is an independent scan — they schedule in parallel and nothing
+    shuffles more than the distinct's key exchange."""
+    outs = []
+    for tbl, key in [("events", F.col("event_id")),
+                     ("orders", F.col("o_orderkey")),
+                     ("customer", F.col("c_custkey")),
+                     ("part", F.col("p_partkey")),
+                     ("supplier", F.col("s_suppkey")),
+                     ("documents", F.col("doc_id")),
+                     ("embeddings", F.col("vec_id")),
+                     ("lineitem", F.col("l_orderkey") * 16
+                                  + F.col("l_linenumber"))]:
+        t = load(spark, sf_dir, tbl)
+        outs.append(t.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(key).alias("n_keys"))
+            .select(F.lit(tbl).alias("table_name"), "n_rows", "n_keys"))
+    per = outs[0]
+    for o in outs[1:]:
+        per = per.unionByName(o)
+    return per.select(
+        "table_name", F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        (F.col("n_rows") - F.col("n_keys")).cast("long").alias("dup_rows"),
+        (F.col("n_rows") == F.col("n_keys")).cast("int")
+         .alias("is_unique"))
+
+
+@op("graph_label_propagation", oracle="""
+WITH op_pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (   -- same support->=2 co-purchase edges as the triangle census
+    SELECT a.p AS pa, b.p AS pb
+    FROM op_pairs a JOIN op_pairs b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+    SELECT pa AS p, pb AS q FROM e
+    UNION ALL SELECT pb, pa FROM e
+), l0 AS (SELECT DISTINCT p, p AS lbl FROM sym),
+l1 AS (
+    SELECT l0.p, least(l0.lbl, min(n.lbl)) AS lbl
+    FROM l0 JOIN sym s ON s.p = l0.p
+            JOIN l0 n ON n.p = s.q
+    GROUP BY l0.p, l0.lbl
+), l2 AS (
+    SELECT l1.p, least(l1.lbl, min(n.lbl)) AS lbl
+    FROM l1 JOIN sym s ON s.p = l1.p
+            JOIN l1 n ON n.p = s.q
+    GROUP BY l1.p, l1.lbl
+)
+SELECT l2.p AS partkey, CAST(l2.lbl AS BIGINT) AS community,
+       CAST(c.sz AS BIGINT) AS community_size
+FROM l2 JOIN (SELECT lbl, count(*) AS sz FROM l2 GROUP BY 1) c
+       ON c.lbl = l2.lbl
+""", tier=3, section="2.15")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round min-label propagation over the co-purchase graph (the
+    `graph_copurchase_triangles` edge set: parts sharing >= 2 orders):
+    every node starts labeled with its own key and twice adopts the
+    minimum label in its closed neighborhood — the deterministic,
+    bounded-round community sketch (2 rounds = communities of graph
+    radius <= 2; the connected-components limit is
+    `dedup_cluster_cc`'s iterate-to-fixpoint). Reports each node's
+    community and its size.
+
+    Exactness: min-propagation is order-independent by construction —
+    no tie-breaking randomness anywhere.
+
+    Scale shape: each round is one part-keyed equi-join of the label
+    frame with the symmetrized edge list plus one min-aggregate — all
+    frames are nodes- or edges-sized (support >= 2 prunes the edge
+    list BEFORE any self-join), keyed shuffles only, rounds bounded at
+    a constant 2, never an unbounded loop."""
+    li = load(spark, sf_dir, "lineitem")
+    op_pairs = (li.select(F.col("l_orderkey").alias("o"),
+                          F.col("l_partkey").alias("p")).distinct())
+    b = op_pairs.select(F.col("o"), F.col("p").alias("pb"))
+    e = (op_pairs.join(b, ["o"]).where(F.col("p") < F.col("pb"))
+                 .groupBy(F.col("p").alias("pa"), "pb")
+                 .agg(F.count("*").alias("w"))
+                 .where(F.col("w") >= 2).drop("w"))
+    sym = (e.select(F.col("pa").alias("p"), F.col("pb").alias("q"))
+            .unionByName(e.select(F.col("pb").alias("p"),
+                                  F.col("pa").alias("q"))))
+    lbl = sym.select("p").distinct().withColumn("lbl", F.col("p"))
+    for _ in range(2):
+        nbr = (sym.join(lbl.select(F.col("p").alias("q"),
+                                   F.col("lbl").alias("nlbl")), ["q"])
+                  .groupBy("p").agg(F.min("nlbl").alias("mn")))
+        lbl = (lbl.join(nbr, ["p"])
+                  .select("p", F.least("lbl", "mn").alias("lbl")))
+    sz = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
+    return (lbl.join(sz, ["lbl"])
+               .select(F.col("p").alias("partkey"),
+                       F.col("lbl").cast("long").alias("community"),
+                       F.col("sz").cast("long").alias("community_size")))

@@ -595,7 +595,7 @@ SELECT CAST(fold AS INT) AS fold,
            AS test_end_day,
        CAST(max(d) FILTER (WHERE off < cut_lo)
             < min(d) FILTER (WHERE off >= cut_lo AND off < cut_hi)
-            AS BOOLEAN) AS no_leak
+            AS INT) AS no_leak
 FROM folds GROUP BY fold
 """, tier=3, section="2.11")
 def sample_walkforward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,4 +644,4 @@ def sample_walkforward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      te_start.alias("test_start_day"),
                      F.max(F.when(in_te, F.col("d")))
                       .alias("test_end_day"),
-                     (tr_end < te_start).alias("no_leak")))
+                     (tr_end < te_start).cast("int").alias("no_leak")))

@@ -2940,7 +2940,7 @@ SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
        round(num / n / (n - 1) / 1e10, 6) AS variance,
        CAST(row_number() OVER (ORDER BY num DESC, dim) AS INT) AS rank,
        CAST(row_number() OVER (ORDER BY num DESC, dim) <= 16
-            AS BOOLEAN) AS kept
+            AS INT) AS kept
 FROM scored
 """, tier=3, section="2.11")
 def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2978,4 +2978,4 @@ def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", F.col("n").cast("long").alias("n"),
         F.round(F.col("num") / F.col("n") / (F.col("n") - 1) / 1e10, 6)
          .alias("variance"),
-        rk.alias("rank"), (rk <= 16).alias("kept"))
+        rk.alias("rank"), (rk <= 16).cast("int").alias("kept"))

@@ -37,13 +37,26 @@ from . import text as _text_ops  # noqa: F401  (registers text ops FIRST:
 from .sources_sinks import SCRATCH
 
 
+def _stream_base(spark: SparkSession, key: str) -> str:
+    """Session-unique scratch root for a streaming op's staging /
+    checkpoint / sink dirs. Two concurrent sessions (pytest alongside
+    tools/gen_correctness_full.py or bench.py) must never share a
+    checkpoint location — Spark aborts the later query with
+    CONCURRENT_STREAM_LOG_UPDATE when two drivers race one offset log
+    (ADVICE r6's scratch-race item, observed in round 7). applicationId
+    is per-SparkContext, so each session gets its own tree and wipes
+    only its own."""
+    return os.path.join(SCRATCH, "stream",
+                        spark.sparkContext.applicationId, key)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, key: str,
                    copies: int = 1) -> DataFrame:
     """Stage events.parquet into .scratch/stream/<key>/in and open it as a
     file-stream source (ts decode identical to the batch loader — footer-
     probed adaptive, see sources/io.py)."""
     configure(spark)
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir = os.path.join(base, "in")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
@@ -68,7 +81,7 @@ def _drain(spark: SparkSession, key: str, df: DataFrame,
     # Always start fresh: a memory-sink query can't recover from a prior
     # run's checkpoint, and ops whose drain key differs from their staging
     # key (e.g. stream_stream_join) don't get it wiped by _events_stream.
-    ckpt = os.path.join(SCRATCH, "stream", key, "ckpt")
+    ckpt = os.path.join(_stream_base(spark, key), "ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (df.writeStream.format("memory").queryName(name)
            .outputMode(mode)
@@ -107,7 +120,7 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes); the re-read union of all batches must aggregate to the batch
     answer. This is THE production escape hatch for sinks Spark lacks."""
     key = "sink_stream_foreachbatch"
-    out = os.path.join(SCRATCH, "stream", key, "out")
+    out = os.path.join(_stream_base(spark, key), "out")
     ev = _events_stream(spark, sf_dir, key)  # also wipes out/
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -116,7 +129,7 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(
             os.path.join(out, f"batch_id={batch_id}"))
 
-    name_ckpt = os.path.join(SCRATCH, "stream", key, "ckpt")
+    name_ckpt = os.path.join(_stream_base(spark, key), "ckpt")
     q = (ev.select("event_type", "value").writeStream
            .foreachBatch(write_batch)
            .option("checkpointLocation", name_ckpt)
@@ -223,7 +236,7 @@ def _events_stream_halves(spark: SparkSession, sf_dir: str,
     import pyarrow.parquet as pq
 
     configure(spark)
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir = os.path.join(base, "in")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
@@ -411,7 +424,7 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     key = "stream_ann_serving"
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
@@ -482,7 +495,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     key = "stream_ingest_dedup"
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
@@ -597,7 +610,7 @@ def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one batch — even this is value-checkable."""
     configure(spark)
     key = "source_stream_rate"
-    shutil.rmtree(os.path.join(SCRATCH, "stream", key), ignore_errors=True)
+    shutil.rmtree(_stream_base(spark, key), ignore_errors=True)
     r = (spark.readStream.format("rate-micro-batch")
               .option("rowsPerBatch", 500).option("numPartitions", 4)
               .option("startTimestamp", 0).load())
@@ -1234,7 +1247,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     key = "stream_ohlc_bars"
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir, out = os.path.join(base, "in"), os.path.join(base, "out")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
@@ -1324,7 +1337,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     key = "stream_heavy_hitters"
-    base = os.path.join(SCRATCH, "stream", key)
+    base = _stream_base(spark, key)
     indir, out = os.path.join(base, "in"), os.path.join(base, "out")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)

@@ -2474,3 +2474,49 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("flesch"),
         F.when(score >= 60, "easy").when(score >= 30, "medium")
          .otherwise("hard").alias("band"))
+
+
+#: Token budget for `doc_truncate_budget` — the context-window stand-in.
+_TRUNC_BUDGET = 64
+
+
+@op("doc_truncate_budget", oracle=f"""
+WITH tk AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(least(n, {_TRUNC_BUDGET}) AS BIGINT) AS n_kept,
+       CAST(n > {_TRUNC_BUDGET} AS INT) AS truncated,
+       md5(array_to_string(list_slice(t, 1, {_TRUNC_BUDGET}), ' '))
+           AS kept_md5,
+       CAST(length(array_to_string(list_slice(t, 1, {_TRUNC_BUDGET}),
+                                   ' ')) AS BIGINT) AS kept_chars
+FROM tk
+""", tier=3, section="2.11")
+def doc_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation audit: cut every document to its first
+    64 whitespace tokens (the context-window stand-in) at a word
+    boundary and report kept/total token counts, the truncation flag,
+    and the md5 + length of the kept text — the loss ledger a training
+    pipeline emits BEFORE it throws tail tokens away (`doc_chunk_sliding`
+    keeps everything in overlapping pieces; this op is the cheap
+    head-only alternative). The kept text itself travels as md5 so the
+    cross-engine check pins the exact bytes without hauling strings
+    through the compare.
+
+    Scale shape: embarrassingly parallel single scan — split, slice,
+    re-join, hash per row; zero shuffles, zero joins."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    kept = F.array_join(F.slice(t, 1, _TRUNC_BUDGET), " ")
+    n = F.size(t)
+    return d.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_tokens"),
+        F.least(n, F.lit(_TRUNC_BUDGET)).cast("long").alias("n_kept"),
+        (n > _TRUNC_BUDGET).cast("int").alias("truncated"),
+        F.md5(kept).alias("kept_md5"),
+        F.length(kept).cast("long").alias("kept_chars"))

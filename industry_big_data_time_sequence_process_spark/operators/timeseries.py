@@ -5551,6 +5551,27 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "open", "high", "low", "close", "n_ticks", "volume"))
 
 
+def _stl_fx(ev: DataFrame) -> DataFrame:
+    """STL-lite component frame on the exact 1e-4 fx grid: (user_id, h,
+    hod, mfx, trend_fx, s_fx) — hourly means, centered ±12 h RANGE-mean
+    trend, hour-of-day seasonal of the detrended series. Shared by
+    `ts_trend_seasonal_residual` (the component table) and
+    `ts_seasonal_strength` (the variance-ratio diagnostic)."""
+    hourly = _hourly_mfx(ev)
+    w = (Window.partitionBy("user_id").orderBy("h")
+               .rangeBetween(-12, 12))
+    tr = (hourly.withColumn(
+              "trend_fx",
+              F.floor(F.sum("mfx").over(w).cast("double")
+                      / F.count("*").over(w)).cast("long"))
+                .withColumn("hod", F.col("h") % 24))
+    ws = Window.partitionBy("user_id", "hod")
+    return tr.withColumn(
+        "s_fx",
+        F.floor(F.sum(F.col("mfx") - F.col("trend_fx")).over(ws)
+                 .cast("double") / F.count("*").over(ws)).cast("long"))
+
+
 @op("ts_trend_seasonal_residual", oracle=f"""
 WITH {_DUCK_HOURLY_MFX},
 tr AS (
@@ -5591,20 +5612,7 @@ def ts_trend_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly/trend subtree is computed ONCE (the join form re-derives the
     whole left subtree on the build side; verified in the physical
     plan). No global windows, no fact-table joins, one fact scan."""
-    ev = load(spark, sf_dir, "events")
-    hourly = _hourly_mfx(ev)
-    w = (Window.partitionBy("user_id").orderBy("h")
-               .rangeBetween(-12, 12))
-    tr = (hourly.withColumn(
-              "trend_fx",
-              F.floor(F.sum("mfx").over(w).cast("double")
-                      / F.count("*").over(w)).cast("long"))
-                .withColumn("hod", F.col("h") % 24))
-    ws = Window.partitionBy("user_id", "hod")
-    tr = tr.withColumn(
-        "s_fx",
-        F.floor(F.sum(F.col("mfx") - F.col("trend_fx")).over(ws)
-                 .cast("double") / F.count("*").over(ws)).cast("long"))
+    tr = _stl_fx(load(spark, sf_dir, "events"))
     fx = F.lit(float(_ACF_FX))
     return (tr.select(
                   "user_id",
@@ -6276,7 +6284,7 @@ SELECT user_id, day, CAST(min(nd) AS BIGINT) AS n_day,
        round(CAST(sum(abs(cd * nu - cu * nd)) AS DOUBLE)
              / (min(nd) * min(nu)), 6) AS l1_score,
        CAST(sum(abs(cd * nu - cu * nd))
-            > 0.5 * min(nd) * min(nu) AS BOOLEAN) AS shifted
+            > 0.5 * min(nd) * min(nu) AS INT) AS shifted
 FROM grid GROUP BY 1, 2
 """, tier=3, section="2.9")
 def ts_behavior_shift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6321,4 +6329,169 @@ def ts_behavior_shift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("l1_score"),
                         (F.col("l1num")
                          > 0.5 * F.col("nd") * F.col("nu"))
-                         .alias("shifted")))
+                         .cast("int").alias("shifted")))
+
+
+@op("ts_runs_test", oracle="""
+WITH v AS (
+    SELECT user_id, ts, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), d AS (
+    SELECT user_id, ts, event_id,
+           v100 - lag(v100) OVER w AS dv
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sgn
+    FROM d WHERE dv IS NOT NULL AND dv <> 0
+), runs AS (
+    SELECT user_id, sgn,
+           CASE WHEN lag(sgn) OVER w IS NULL
+                  OR sgn <> lag(sgn) OVER w THEN 1 ELSE 0 END AS new_run
+    FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), mom AS (
+    SELECT user_id,
+           sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2,
+           sum(new_run) AS r
+    FROM runs GROUP BY 1
+)
+SELECT user_id, CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+       CAST(r AS BIGINT) AS n_runs,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                   AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0
+             THEN (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+             END, 6) AS z
+FROM mom
+""", tier=3, section="2.9")
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per channel on the SIGNS of tick-to-tick
+    deltas: counts of up-moves, down-moves, and runs, plus the normal
+    z-statistic — the sequence-randomness diagnostic next to
+    `ts_page_hinkley` (|z| >> 2 means momentum or mean-reversion
+    structure a random walk wouldn't show). Zero deltas drop (classical
+    treatment); the run counter is a lag-based change flag summed per
+    channel.
+
+    Exactness: signs come from the BIGINT cents grid, counts are
+    integers, and z is ONE closed-form expression over three integers
+    (2.0 literals force identical double promotion on both engines);
+    NULL when either sign is absent or the variance term is zero.
+
+    Scale shape: two user-keyed lag() windows on the same sort order +
+    one map-side-combinable hash aggregate; no joins."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.withColumn("v100", (dec2("value") * 100).cast("long"))
+    d = v.withColumn("dv", F.col("v100") - F.lag("v100").over(wk))
+    s = (d.where(F.col("dv").isNotNull() & (F.col("dv") != 0))
+          .withColumn("sgn", F.when(F.col("dv") > 0, 1).otherwise(-1)))
+    runs = s.withColumn(
+        "new_run",
+        F.when(F.lag("sgn").over(wk).isNull()
+               | (F.col("sgn") != F.lag("sgn").over(wk)), 1).otherwise(0))
+    mom = runs.groupBy("user_id").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("r"))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    two = F.lit(2.0)
+    var_num = two * n1 * n2 * (two * n1 * n2 - n1 - n2)
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (var_num > 0),
+        (r - (two * n1 * n2 / (n1 + n2) + 1))
+        / F.sqrt(var_num / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))))
+    return mom.select("user_id",
+                      n1.cast("long").alias("n_pos"),
+                      n2.cast("long").alias("n_neg"),
+                      r.cast("long").alias("n_runs"),
+                      F.round(z, 6).alias("z"))
+
+
+@op("ts_seasonal_strength", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+tr AS (
+    SELECT user_id, h, mfx,
+           CAST(floor(CAST(sum(mfx) OVER w AS DOUBLE)
+                      / count(*) OVER w) AS BIGINT) AS trend_fx
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), seas AS (
+    SELECT user_id, h % 24 AS hod,
+           CAST(floor(CAST(sum(mfx - trend_fx) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS s_fx
+    FROM tr GROUP BY 1, 2
+), comp AS (
+    SELECT t.user_id,
+           t.mfx - t.trend_fx - s.s_fx AS rfx,
+           t.mfx - t.trend_fx AS srfx,
+           t.mfx - s.s_fx AS trfx
+    FROM tr t JOIN seas s ON s.user_id = t.user_id AND s.hod = t.h % 24
+), mom AS (
+    SELECT user_id, count(*) AS n,
+           sum(rfx) AS sr, sum(rfx * rfx) AS srr,
+           sum(srfx) AS ss, sum(srfx * srfx) AS sss,
+           sum(trfx) AS st, sum(trfx * trfx) AS stt
+    FROM comp GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_hours,
+       round(CASE WHEN n >= 2
+                   AND CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss > 0
+             THEN greatest(0.0, 1 -
+                  (CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)
+                / (CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss))
+             END, 6) AS seasonal_strength,
+       round(CASE WHEN n >= 2
+                   AND CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st > 0
+             THEN greatest(0.0, 1 -
+                  (CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)
+                / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+             END, 6) AS trend_strength
+FROM mom
+""", tier=3, section="2.9")
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal/trend strength per channel from the STL-lite
+    decomposition: Fs = max(0, 1 - Var(R)/Var(S+R)) and Ft = max(0,
+    1 - Var(R)/Var(T+R)) — the one-number-per-series answer to "is this
+    channel seasonal enough to model hourly?" that decides between
+    `ts_holt_linear` and seasonal models. Reuses the exact component
+    frame (`_stl_fx` / the verbatim CTE pipeline of
+    `ts_trend_seasonal_residual`).
+
+    Exactness: components are integer fx values, so all six variance
+    moments are order-invariant BIGINT sums; each strength is one
+    closed-form double expression (NULL when the denominator variance
+    is zero or n < 2), clamped at 0 with greatest() on both engines.
+
+    Scale shape: the decomposition's one fact scan + two keyed windows,
+    then ONE map-side-combinable (user) hash aggregate."""
+    tr = _stl_fx(load(spark, sf_dir, "events"))
+    comp = tr.select(
+        "user_id",
+        (F.col("mfx") - F.col("trend_fx") - F.col("s_fx")).alias("rfx"),
+        (F.col("mfx") - F.col("trend_fx")).alias("srfx"),
+        (F.col("mfx") - F.col("s_fx")).alias("trfx"))
+    mom = comp.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("rfx").alias("sr"),
+        F.sum(F.col("rfx") * F.col("rfx")).alias("srr"),
+        F.sum("srfx").alias("ss"),
+        F.sum(F.col("srfx") * F.col("srfx")).alias("sss"),
+        F.sum("trfx").alias("st"),
+        F.sum(F.col("trfx") * F.col("trfx")).alias("stt"))
+    n = F.col("n").cast("double")
+    vr = n * F.col("srr") - F.col("sr").cast("double") * F.col("sr")
+    vs = n * F.col("sss") - F.col("ss").cast("double") * F.col("ss")
+    vt = n * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    fs = F.when((F.col("n") >= 2) & (vs > 0),
+                F.greatest(F.lit(0.0), 1 - vr / vs))
+    ft = F.when((F.col("n") >= 2) & (vt > 0),
+                F.greatest(F.lit(0.0), 1 - vr / vt))
+    return mom.select("user_id", F.col("n").cast("long").alias("n_hours"),
+                      F.round(fs, 6).alias("seasonal_strength"),
+                      F.round(ft, 6).alias("trend_strength"))

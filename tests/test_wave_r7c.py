@@ -139,6 +139,8 @@ def test_stream_ohlc_equals_batch_and_is_multibatch(spark):
             timeseries.ts_ohlc_hourly(spark, SF_T2).collect()}
     assert got == want
     # the sink really saw three disjoint micro-batches, not one
-    out = os.path.join(SCRATCH, "stream", "stream_ohlc_bars", "out")
+    out = os.path.join(SCRATCH, "stream",
+                       spark.sparkContext.applicationId,
+                       "stream_ohlc_bars", "out")
     batches = [d for d in os.listdir(out) if d.startswith("batch_id=")]
     assert len(batches) == 3, batches

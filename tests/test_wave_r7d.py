@@ -104,7 +104,7 @@ def test_behavior_shift_recompute_one_day(spark):
     l1 = sum(abs(cd.get(t, 0) / nd - c / nu) for t, c in cu.items())
     assert row["n_day"] == nd
     assert abs(row["l1_score"] - l1) < 1e-5
-    assert row["shifted"] == (l1 > 0.5)
+    assert row["shifted"] == int(l1 > 0.5)
 
 
 def test_dim_variance_prune_rank_permutation(spark):
@@ -118,7 +118,7 @@ def test_dim_variance_prune_rank_permutation(spark):
         assert sum(r["kept"] for r in rows) == min(16, len(rows))
         assert all(r["variance"] >= 0 for r in rows)
         # kept set = the 16 best ranks
-        assert all(r["kept"] == (r["rank"] <= 16) for r in rows)
+        assert all(r["kept"] == int(r["rank"] <= 16) for r in rows)
     finally:
         df.unpersist()
 
@@ -129,7 +129,7 @@ def test_walkforward_cv_leakage_and_monotonicity(spark):
     assert sorted(rows) == [1, 2, 3]
     total = load(spark, SF_T2, "events").count()
     for k, r in rows.items():
-        assert r["no_leak"] is True
+        assert r["no_leak"] == 1
         assert r["train_rows"] > 0 and r["test_rows"] > 0
         assert r["train_rows"] + r["test_rows"] <= total
         assert r["train_end_day"] < r["test_start_day"]
@@ -149,7 +149,9 @@ def test_stream_heavy_hitters_matches_batch_and_multibatch(spark):
           .orderBy(F.col("n").desc(), "user_id").limit(20).collect())]
     assert got == want
     # the sink really held 3 disjoint batch partials
-    out = os.path.join(SCRATCH, "stream", "stream_heavy_hitters", "out")
+    out = os.path.join(SCRATCH, "stream",
+                       spark.sparkContext.applicationId,
+                       "stream_heavy_hitters", "out")
     batches = sorted(d for d in os.listdir(out)
                      if d.startswith("batch_id="))
     assert len(batches) == 3

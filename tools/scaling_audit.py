@@ -104,6 +104,10 @@ OPS = [
     "ts_stochastic_osc", "ts_dow_hod_heatmap", "ts_range_vol_daily",
     "ts_channel_corr_matrix", "ts_behavior_shift_days",
     "sample_walkforward_cv", "emb_dim_variance_prune",
+    # round-7 fifth-wave additions (events / documents; the
+    # lineitem-driven dq_pk_uniqueness / graph_label_propagation are
+    # excluded — lineitem does not scale in this corpus)
+    "ts_runs_test", "ts_seasonal_strength", "doc_truncate_budget",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
