@@ -817,3 +817,108 @@ def feat_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        / F.col("prior_n")), 6)
                          .alias("prior_mean"),
                         "prior_errors"))
+
+
+#: The per-user base features whose pairwise structure
+#: `feat_correlation_matrix` profiles — all exact BIGINTs from one pass.
+_CORR_METRICS = ["n_events", "n_purchases", "span_minutes", "sum_cents"]
+
+
+@op("feat_correlation_matrix", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS sum_cents,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+               AS span_minutes
+    FROM events GROUP BY 1
+), longf AS (
+    SELECT user_id, 'n_events' AS metric, n_events AS v FROM per_user
+    UNION ALL
+    SELECT user_id, 'sum_cents', sum_cents FROM per_user
+    UNION ALL
+    SELECT user_id, 'n_purchases', n_purchases FROM per_user
+    UNION ALL
+    SELECT user_id, 'span_minutes', span_minutes FROM per_user
+), mom AS (
+    SELECT a.metric AS metric_a, b.metric AS metric_b,
+           count(*) AS n,
+           sum(a.v) AS sx, sum(b.v) AS sy,
+           sum(CAST(a.v AS DECIMAL(38,0)) * a.v) AS sxx,
+           sum(CAST(b.v AS DECIMAL(38,0)) * b.v) AS syy,
+           sum(CAST(a.v AS DECIMAL(38,0)) * b.v) AS sxy
+    FROM longf a JOIN longf b
+      ON a.user_id = b.user_id AND a.metric < b.metric
+    GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, CAST(n AS BIGINT) AS n_users,
+       round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS pearson_r
+FROM mom
+""", tier=3, section="2.15")
+def feat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the per-entity base
+    features (event count, exact-cents spend, purchase count, active
+    span): the upper triangle as (metric_a, metric_b, r) rows — the
+    feature-store health report that catches near-duplicate features
+    before they double-count in a model (|r| → 1) and dead features
+    (r ≈ 0 with everything). `feat_mutual_information`'s linear
+    sibling; `agg_stats.corr` generalized to all pairs in one pass.
+
+    Exactness: every feature is an exact BIGINT from one aggregate
+    (cents grid, µs-floored minutes), moments are exact DECIMAL(38)
+    sums, r is a closed-form double, round(6).
+
+    Scale shape: one user-keyed hash aggregate builds the feature
+    frame; the melt is a k-fold projection (k = 4, a constant); the
+    pair self-join fans each user to C(k,2) = 6 rows — bounded by the
+    FEATURE count, never by corpus size — then one moment aggregate
+    per pair. At 1000 features you'd cap to the candidate pair list
+    (same plan, pairs pre-filtered), not change shape."""
+    from ..exprs import dec2
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((dec2("value") * 100).cast("long")).alias("sum_cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .alias("n_purchases"),
+        F.floor((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(60_000_000)).alias("span_minutes"))
+    longf = per_user.selectExpr(
+        "user_id",
+        "stack(4, 'n_events', n_events, 'sum_cents', sum_cents, "
+        "'n_purchases', n_purchases, 'span_minutes', span_minutes) "
+        "AS (metric, v)")
+    a, b = longf.alias("a"), longf.alias("b")
+    d38 = "decimal(38,0)"
+    av, bv = F.col("a.v"), F.col("b.v")
+    mom = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                  & (F.col("a.metric") < F.col("b.metric")))
+            .groupBy(F.col("a.metric").alias("metric_a"),
+                     F.col("b.metric").alias("metric_b"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(av).alias("sx"), F.sum(bv).alias("sy"),
+                 F.sum(av.cast(d38) * av).alias("sxx"),
+                 F.sum(bv.cast(d38) * bv).alias("syy"),
+                 F.sum(av.cast(d38) * bv).alias("sxy")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varp = ((n * F.col("sxx").cast("double") - sx * sx)
+            * (n * F.col("syy").cast("double") - sy * sy))
+    return mom.select(
+        "metric_a", "metric_b", F.col("n").cast("long").alias("n_users"),
+        F.round(F.when(varp > 0,
+                       (n * F.col("sxy").cast("double") - sx * sy)
+                       / F.sqrt(varp)), 6).alias("pearson_r"))

@@ -4693,3 +4693,569 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("p").alias("partkey"),
                        F.col("lbl").cast("long").alias("community"),
                        F.col("sz").cast("long").alias("community_size")))
+
+
+# ==========================================================================
+# §2.23 Round-7 sixth wave — experimentation, graph health, DQ domains
+# ==========================================================================
+
+#: Adamic–Adar hub cap: orders touching more than this many parts are
+#: dropped BEFORE pairing (a hub order contributes deg² pairs but ~zero
+#: per-pair signal — its 1/ln(deg) weight vanishes anyway). Keeps the
+#: self-join fan-out bounded at any corpus size.
+_AA_MAX_ORDER_DEG = 64
+
+
+@op("graph_adamic_adar", oracle=f"""
+WITH op_pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), odeg AS (
+    SELECT o, count(*) AS deg FROM op_pairs GROUP BY 1
+    HAVING count(*) BETWEEN 2 AND {_AA_MAX_ORDER_DEG}
+), pairs AS (
+    SELECT a.p AS pa, b.p AS pb, d.deg
+    FROM op_pairs a
+    JOIN op_pairs b ON a.o = b.o AND a.p < b.p
+    JOIN odeg d ON d.o = a.o
+)
+SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_common,
+       round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 6) AS aa_score
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+""", tier=3, section="2.3")
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the order–part bipartite graph:
+    for every part pair sharing >= 2 orders, score = sum over common
+    orders of 1/ln(order_degree) — the classic common-neighbor metric
+    that discounts promiscuous neighbors (an order touching 60 parts
+    says little; one touching 2 says a lot). The predictive cousin of
+    `graph_neighbor_jaccard` (set overlap) and the edge-scoring input
+    a recommender would rank by.
+
+    Exactness: degrees are integers, so every 1/ln(deg) weight is the
+    identical double on both engines; per-pair sums run over <= deg_cap
+    terms (ulp drift << 1e-6) and round(6) seals it.
+
+    Scale shape: dedup to (order, part) incidence (one shuffle), drop
+    hub orders ABOVE the documented degree cap before the order-keyed
+    self-join (fan-out per order <= C(64,2), never |parts|²), one hash
+    aggregate on the pair key. The support >= 2 HAVING keeps the output
+    an edge list, not a cross product."""
+    op_pairs = (load(spark, sf_dir, "lineitem")
+                .select(F.col("l_orderkey").alias("o"),
+                        F.col("l_partkey").alias("p"))
+                .distinct())
+    odeg = (op_pairs.groupBy("o").agg(F.count("*").alias("deg"))
+                    .where((F.col("deg") >= 2)
+                           & (F.col("deg") <= _AA_MAX_ORDER_DEG)))
+    b = op_pairs.select("o", F.col("p").alias("pb"))
+    pairs = (op_pairs.join(b, ["o"]).where(F.col("p") < F.col("pb"))
+                     .join(odeg, ["o"]))
+    return (pairs.groupBy(F.col("p").alias("pa"), "pb")
+                 .agg(F.count("*").alias("n_common"),
+                      F.sum(F.lit(1.0)
+                            / F.log(F.col("deg").cast("double")))
+                       .alias("s"))
+                 .where(F.col("n_common") >= 2)
+                 .select("pa", "pb",
+                         F.col("n_common").cast("long").alias("n_common"),
+                         F.round("s", 6).alias("aa_score")))
+
+
+@op("graph_degree_assortativity", oracle="""
+WITH op_pairs AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+    SELECT a.p AS pa, b.p AS pb
+    FROM op_pairs a JOIN op_pairs b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+    SELECT pa AS p, pb AS q FROM e
+    UNION ALL SELECT pb, pa FROM e
+), deg AS (
+    SELECT p, count(*) AS d FROM sym GROUP BY 1
+), ed AS (
+    SELECT dp.d AS dx, dq.d AS dy
+    FROM sym s JOIN deg dp ON dp.p = s.p JOIN deg dq ON dq.p = s.q
+), mom AS (
+    SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+           sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+           sum(dx * dy) AS sxy
+    FROM ed
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_deg,
+       round(CASE WHEN (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * sy) > 0
+             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS assortativity
+FROM mom
+""", tier=3, section="2.3")
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the support>=2 co-purchase graph (the
+    `graph_label_propagation` edge set): Pearson correlation of endpoint
+    degrees over the symmetrized edge list — one scalar that says
+    whether hubs attach to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, hub-and-spoke shape). The graph-health companion to
+    the triangle census.
+
+    Exactness: all six moments are integer sums over integer degrees;
+    the correlation is one closed-form double expression over them.
+
+    Scale shape: edges (one self-join bounded by order degree), a
+    degree count (one shuffle), two degree lookups joined back onto the
+    edge list, then a single map-side-combinable moment aggregate to
+    ONE row. Degrees are bounded by the co-purchase support filter, so
+    the integer moments stay in BIGINT range far past 100 TB (dx*dy <=
+    deg_max² ~ 1e8 per row)."""
+    op_pairs = (load(spark, sf_dir, "lineitem")
+                .select(F.col("l_orderkey").alias("o"),
+                        F.col("l_partkey").alias("p"))
+                .distinct())
+    b = op_pairs.select("o", F.col("p").alias("pb"))
+    e = (op_pairs.join(b, ["o"]).where(F.col("p") < F.col("pb"))
+                 .groupBy(F.col("p").alias("pa"), "pb")
+                 .agg(F.count("*").alias("w"))
+                 .where(F.col("w") >= 2).drop("w"))
+    sym = (e.select(F.col("pa").alias("p"), F.col("pb").alias("q"))
+            .unionByName(e.select(F.col("pb").alias("p"),
+                                  F.col("pa").alias("q"))))
+    deg = sym.groupBy("p").agg(F.count("*").alias("d"))
+    ed = (sym.join(deg.select(F.col("p"), F.col("d").alias("dx")), ["p"])
+             .join(deg.select(F.col("p").alias("q"),
+                              F.col("d").alias("dy")), ["q"]))
+    mom = ed.agg(F.count("*").alias("n"),
+                 F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+                 F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+                 F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+                 F.sum(F.col("dx") * F.col("dy")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varp = ((n * F.col("sxx") - sx * F.col("sx"))
+            * (n * F.col("syy") - sy * F.col("sy")))
+    return mom.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(F.try_divide(sx, n), 6).alias("mean_deg"),
+        F.round(F.when(varp > 0,
+                       (n * F.col("sxy") - sx * F.col("sy"))
+                       / F.sqrt(varp)), 6).alias("assortativity"))
+
+
+#: CUPED pre/post boundary: the corpus covers 2024-01-01..-30 (probed,
+#: FIXTURES.md), so day 16 splits it into a 15-day covariate window and
+#: a 15-day experiment window. A production run parameterizes this.
+_CUPED_CUT = "2024-01-16"
+
+
+@op("agg_cuped_adjustment", oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY 1
+), mom AS (
+    SELECT count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+           sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+    FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END, 6) AS theta,
+       round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS var_reduction
+FROM mom
+""", tier=3, section="2.4")
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) variance
+    reduction: per user, X = pre-period spend and Y = experiment-period
+    spend on the exact cents grid; theta = cov(X,Y)/var(X) is the
+    adjustment coefficient and var_reduction = corr(X,Y)² is the
+    fraction of metric variance the adjusted estimator Y - theta·(X-X̄)
+    removes — the first number an experimentation platform computes
+    before any A/B readout. Companions: `agg_ab_proportion_test` /
+    `agg_welch_t_test` (the tests CUPED sharpens) and
+    `agg_diff_in_diff`.
+
+    Exactness: X/Y are exact BIGINT cents via ONE conditional aggregate
+    (no self-join), the six moments are exact DECIMAL(38) sums, and
+    theta/rho² are closed-form doubles over them, round(6)-sealed.
+
+    Scale shape: one user-keyed hash aggregate over the fact scan, then
+    one map-side-combinable moment aggregate to a single row. The
+    decimal moments keep x² exact far past BIGINT range (per-user cents
+    up to ~1e9 → x² ~ 1e18·users would overflow BIGINT at ~10 TB)."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    cents = (dec2("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias("y"))
+    d38 = "decimal(38,0)"
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return mom.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.when(varx_n > 0, cov_n / varx_n), 6).alias("theta"),
+        F.round(F.when(varx_n * vary_n > 0,
+                       F.pow(cov_n, F.lit(2.0)) / (varx_n * vary_n)), 6)
+         .alias("var_reduction"))
+
+
+#: Accepted-value domains for the corpus's enum-like columns — the audit
+#: config a warehouse would keep in version control next to its schemas.
+_DQ_DOMAINS = [
+    ("events", "event_type",
+     ["click", "error", "purchase", "signup", "view"]),
+    ("orders", "o_orderstatus", ["F", "O", "P"]),
+    ("orders", "o_orderpriority",
+     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+    ("customer", "c_mktsegment",
+     ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]),
+    ("documents", "lang", ["de", "en", "es", "fr", "zh"]),
+]
+
+
+@op("dq_accepted_values", oracle="\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST({c} AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST({c} AS VARCHAR) IN ({", ".join(repr(v) for v in vals)})
+            AS INT) AS is_expected
+FROM {t} GROUP BY 1, 2, 3""" for t, c, vals in _DQ_DOMAINS),
+    tier=3, section="2.4")
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted-values audit (dbt's `accepted_values` test, warehouse-
+    wide): for every enum-like column, the observed distinct values with
+    counts and a flag for membership in the declared domain — the
+    categorical sibling of `dq_pk_uniqueness` (keys) and
+    `dq_expectation_report` (ranges). A new unexpected value is the
+    first symptom of an upstream enum change.
+
+    Exactness: pure counts + set membership.
+
+    Scale shape: one map-side-combinable hash aggregate per audited
+    column (cardinality = the enum's, i.e. tiny), unioned into a report
+    frame; the domain list is a literal IN — no joins, and the branches
+    schedule in parallel."""
+    outs = []
+    for t, c, vals in _DQ_DOMAINS:
+        outs.append(
+            load(spark, sf_dir, t)
+            .groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"), "value",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("value").isin(vals).cast("int")
+                     .alias("is_expected")))
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    return rep
+
+
+# ==========================================================================
+# §2.24 Round-7 seventh wave — experimentation guardrails, concentration
+# ==========================================================================
+
+#: DuckDB twin of api.hash32 — the engine's portable deterministic draw.
+_DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+#: Chi-square critical value at alpha = 0.05, 1 degree of freedom — the
+#: conventional SRM alarm threshold.
+_SRM_CHI2_CRIT = 3.841459
+
+
+@op("agg_srm_check", oracle=f"""
+WITH arms AS (
+    SELECT {_DUCK_H32.format(c="CAST(user_id AS VARCHAR)")} % 2 AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+), c AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+    FROM arms
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n, 6) AS chi2,
+       CAST(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n > {_SRM_CHI2_CRIT}
+            AS INT) AS srm_flag
+FROM c
+""", tier=3, section="2.4")
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users hash-split 50/50 into two
+    arms (the engine's portable md5 draw, stable under appends), then
+    the 1-df chi-square goodness-of-fit statistic (n0-n1)²/n against the
+    designed ratio with the conventional alpha=0.05 alarm flag — the
+    FIRST check an experimentation platform runs, because a biased
+    assignment invalidates every downstream readout
+    (`agg_welch_t_test`, `agg_ab_proportion_test`,
+    `agg_cuped_adjustment`).
+
+    Exactness: arm is an exact integer hash residue, counts are exact,
+    chi2 is one double division, round(6); the flag compares the same
+    double to the same literal on both engines.
+
+    Scale shape: one distinct (user-keyed shuffle) + one
+    map-side-combinable conditional count to a single row. No joins."""
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    arm = api.hash32(F.col("user_id").cast("string")) % 2
+    c = users.select(arm.alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"))
+    d = F.col("n0") - F.col("n1")
+    chi2 = (d * d).cast("double") / F.col("n")
+    return c.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        r6(chi2).alias("chi2"),
+        (chi2 > F.lit(_SRM_CHI2_CRIT)).cast("int").alias("srm_flag"))
+
+
+#: z_{alpha/2} + z_{power} for the standard 5% two-sided / 80% power
+#: design — the multiplier in the classical two-sample MDE formula.
+_MDE_Z_SUM = 1.959964 + 0.841621
+
+
+@op("agg_ab_power_mde", oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           {_DUCK_H32.format(c="CAST(user_id AS VARCHAR)")} % 2 AS arm,
+           sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT arm, count(*) AS n, sum(y) AS sy,
+           sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+    FROM per_user GROUP BY 1
+), p AS (
+    SELECT
+      sum(CASE WHEN arm = 0 THEN n END) AS n0,
+      sum(CASE WHEN arm = 1 THEN n END) AS n1,
+      sum(CASE WHEN arm = 0 THEN sy END) AS sy0,
+      sum(CASE WHEN arm = 0 THEN CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n END) AS ss0,
+      sum(CASE WHEN arm = 1 THEN CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n END) AS ss1
+    FROM m
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       round(CAST(sy0 AS DOUBLE) / n0 / 100, 6) AS mean_control,
+       round(sqrt((ss0 + ss1) / (n0 + n1 - 2)) / 100, 6) AS sd_pooled,
+       round({_MDE_Z_SUM} * sqrt((ss0 + ss1) / (n0 + n1 - 2)
+                                 * (1.0 / n0 + 1.0 / n1)) / 100, 6)
+           AS mde_abs,
+       round(CASE WHEN sy0 > 0
+             THEN {_MDE_Z_SUM} * sqrt((ss0 + ss1) / (n0 + n1 - 2)
+                                      * (1.0 / n0 + 1.0 / n1))
+                  / (CAST(sy0 AS DOUBLE) / n0) END, 6) AS mde_rel
+FROM p
+""", tier=3, section="2.4")
+def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis: the minimum detectable effect (absolute and
+    relative) of the standard two-sample design at alpha=0.05 two-sided
+    / 80% power, from the hash-split arms' pooled variance of per-user
+    experiment-period spend — the pre-launch answer to "is this
+    experiment even worth running at this traffic?". Companion to
+    `agg_srm_check` (same deterministic split) and `agg_welch_t_test`
+    (the readout the MDE sizes).
+
+    Exactness: per-user cents and per-arm moments are exact
+    BIGINT/DECIMAL(38) sums; pooled variance, sd and the MDE are one
+    closed-form double expression evaluated identically cross-engine;
+    round(6) seals the outputs (reported in value units, /100).
+
+    Scale shape: one user-keyed hash aggregate, one 2-row arm
+    aggregate, one scalar projection. No joins, no windows."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    cents = (dec2("value") * 100).cast("long")
+    per_user = (ev.groupBy(
+                    "user_id",
+                    (api.hash32(F.col("user_id").cast("string")) % 2)
+                    .alias("arm"))
+                  .agg(F.sum(F.when(F.col("ts") >= cut, cents)
+                             .otherwise(0)).alias("y")))
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"))
+    ss = (F.col("syy").cast("double")
+          - F.col("sy").cast("double") * F.col("sy").cast("double")
+          / F.col("n"))
+    p = m.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
+        F.sum(F.when(F.col("arm") == 0, ss)).alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, ss)).alias("ss1"))
+    n0, n1 = F.col("n0"), F.col("n1")
+    s2 = (F.col("ss0") + F.col("ss1")) / (n0 + n1 - 2)
+    mde = F.lit(_MDE_Z_SUM) * F.sqrt(s2 * (1.0 / n0 + 1.0 / n1))
+    mean0 = F.col("sy0").cast("double") / n0
+    return p.select(
+        n0.cast("long").alias("n_control"),
+        n1.cast("long").alias("n_treat"),
+        r6(mean0 / 100).alias("mean_control"),
+        r6(F.sqrt(s2) / 100).alias("sd_pooled"),
+        r6(mde / 100).alias("mde_abs"),
+        r6(F.when(F.col("sy0") > 0, mde / mean0)).alias("mde_rel"))
+
+
+@op("agg_ks_two_sample", oracle=f"""
+WITH s AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}' THEN 1 ELSE 0 END AS pre
+    FROM events
+), per_v AS (
+    SELECT v, sum(pre) AS c1, sum(1 - pre) AS c2 FROM s GROUP BY 1
+), cum AS (
+    SELECT sum(c1) OVER (ORDER BY v) AS f1,
+           sum(c2) OVER (ORDER BY v) AS f2,
+           sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+    FROM per_v
+)
+SELECT CAST(max(n1) AS BIGINT) AS n_pre, CAST(max(n2) AS BIGINT) AS n_post,
+       round(max(abs(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)),
+             6) AS ks_stat
+FROM cum
+""", tier=3, section="2.4")
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the pre- and
+    post-cut event-value distributions: D = max |ECDF_pre − ECDF_post|
+    evaluated at every distinct value — the distribution-shift test that
+    catches a changed value MIX when means stay flat (the moment tests
+    `agg_welch_t_test` / `feat_psi_drift_scalable` see nothing).
+
+    Exactness: values land on the exact cents grid, per-value counts
+    are exact integers, the two ECDFs are the same double divisions on
+    both engines, and D is a max over identically-computed doubles,
+    round(6).
+
+    Scale shape: one map-side-combinable hash aggregate collapses the
+    fact scan to the DISTINCT-VALUE frame (bounded by the value domain
+    — cents in a fixed price range — never by corpus size); the only
+    ordered window runs over that bounded frame, then one max-agg to a
+    single row. The same shape DuckDB's oracle uses."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_v = (ev.select((dec2("value") * 100).cast("long").alias("v"),
+                       F.when(F.col("ts") < cut, 1).otherwise(0)
+                        .alias("pre"))
+               .groupBy("v")
+               .agg(F.sum("pre").alias("c1"),
+                    F.sum(F.lit(1) - F.col("pre")).alias("c2")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = (per_v.select(F.sum("c1").over(w).alias("f1"),
+                        F.sum("c2").over(w).alias("f2"))
+                .crossJoin(F.broadcast(tot)))
+    d = F.abs(F.col("f1").cast("double") / F.col("n1")
+              - F.col("f2").cast("double") / F.col("n2"))
+    return cum.agg(F.max("n1").cast("long").alias("n_pre"),
+                   F.max("n2").cast("long").alias("n_post"),
+                   r6(F.max(d)).alias("ks_stat"))
+
+
+@op("agg_lorenz_deciles", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, user_id) AS i,
+           count(*) OVER () AS n
+    FROM per_user
+), bydec AS (
+    SELECT (i - 1) * 10 // n + 1 AS decile,
+           count(*) AS n_users, sum(cents) AS cents
+    FROM ranked GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(cents AS DOUBLE) / 100, 6) AS decile_value,
+       round(CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(cents) OVER (), 6) AS cum_share
+FROM bydec
+""", tier=3, section="2.4")
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by spend decile: users ranked by exact-cents total
+    spend, cut into 10 equal-count bins, each reporting its user count,
+    total value and the CUMULATIVE share of all spend — the
+    concentration curve behind `agg_gini` ("the bottom 50% of users
+    carry 8% of revenue"), readable where the single coefficient is
+    not.
+
+    Exactness: ranks are deterministic ((cents, user_id) total order),
+    decile assignment is integer arithmetic, per-decile sums are exact
+    BIGINTs, and the two rounded doubles are identical expressions.
+
+    Scale shape: one user-keyed hash aggregate, then the two-phase
+    bucketed rank (`api.bucketed_global_rank`: the only ordered window
+    runs over the per-$1000-band count table, and the largest sorted
+    partition is one band) — NEVER a single-partition sort of the user
+    frame — then a 10-row aggregate and a 10-row cumulative window."""
+    per_user = (load(spark, sf_dir, "events")
+                .groupBy("user_id")
+                .agg(F.sum((dec2("value") * 100).cast("long"))
+                      .alias("cents")))
+    ranked = api.bucketed_global_rank(
+        per_user, F.floor(F.col("cents") / F.lit(100_000)).cast("long"),
+        [F.col("cents"), F.col("user_id")],
+        rank_name="i", total_name="n")
+    bydec = (ranked.select(
+                 F.expr("(i - 1) * 10 div n").cast("long")
+                 .alias("d"), "cents")
+                   .groupBy("d")
+                   .agg(F.count("*").alias("n_users"),
+                        F.sum("cents").alias("cents")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = (Window.orderBy("d")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+    return bydec.select(
+        (F.col("d") + 1).cast("long").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        r6(F.col("cents").cast("double") / 100).alias("decile_value"),
+        r6(F.sum("cents").over(w).cast("double")
+           / F.sum("cents").over(wall)).alias("cum_share"))

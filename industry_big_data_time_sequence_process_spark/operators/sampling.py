@@ -645,3 +645,54 @@ def sample_walkforward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.max(F.when(in_te, F.col("d")))
                       .alias("test_end_day"),
                      (tr_end < te_start).cast("int").alias("no_leak")))
+
+
+@op("sample_class_balance", oracle=f"""
+WITH ranked AS (
+    SELECT event_id, event_type,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {_DUCK_H32.format(c="CAST(event_id AS VARCHAR)")},
+                        event_id) AS rn
+    FROM events
+), m AS (
+    SELECT min(cnt) AS m FROM (
+        SELECT count(*) AS cnt FROM events GROUP BY event_type)
+)
+SELECT r.event_type, r.event_id, CAST(r.rn AS BIGINT) AS rn
+FROM ranked r, m WHERE r.rn <= m.m
+""", tier=3, section="2.11")
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsampling: every event_type keeps exactly
+    min-class-count rows, chosen by the portable md5 draw (order by
+    hash32(event_id)) — the deterministic version of the
+    undersample-the-majority step in front of a classifier, reproducible
+    across runs and engines and stable under re-partitioning.
+    `sample_stratified`'s inverse: that op keeps a FRACTION per stratum,
+    this one equalizes COUNTS.
+
+    Exactness: the (hash, event_id) order is a deterministic total
+    order, so the kept set and each row's rank are engine-identical
+    integers.
+
+    Scale shape: the per-class rank comes from the grouped two-phase
+    bucketed rank (`api.bucketed_global_rank` with group_cols — 5 event
+    types are a hot-key hazard, so the only sorted partitions are
+    single (type, hash-band) cells, never a whole class); the min-count
+    is a 5-row aggregate broadcast onto the filter. One fact shuffle
+    total."""
+    from ..api import bucketed_global_rank
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  _h32(F.col("event_id").cast("string")).alias("hh")))
+    ranked = bucketed_global_rank(
+        ev, F.floor(F.col("hh") / F.lit(65_536)).cast("long"),
+        [F.col("hh"), F.col("event_id")],
+        rank_name="rn", group_cols=["event_type"])
+    m = (ev.groupBy("event_type").count()
+           .agg(F.min("count").alias("m")))
+    return (ranked.crossJoin(F.broadcast(m))
+                  .where(F.col("rn") <= F.col("m"))
+                  .select("event_type", "event_id",
+                          F.col("rn").cast("long").alias("rn")))

@@ -6495,3 +6495,166 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select("user_id", F.col("n").cast("long").alias("n_hours"),
                       F.round(fs, 6).alias("seasonal_strength"),
                       F.round(ft, 6).alias("trend_strength"))
+
+
+# ==========================================================================
+# §2.24 Round-7 seventh wave — seasonal imputation, STL-residual anomalies
+# ==========================================================================
+
+@op("ts_impute_seasonal", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+bounds AS (
+    SELECT user_id, min(h) AS h0, max(h) AS h1,
+           CAST(floor(CAST(sum(mfx) AS DOUBLE) / count(*)) AS BIGINT)
+               AS gfx
+    FROM hourly GROUP BY 1
+), spine AS (
+    SELECT b.user_id, unnest(generate_series(b.h0, b.h1)) AS h, b.gfx
+    FROM bounds b
+), hod AS (
+    SELECT user_id, h % 24 AS hod,
+           CAST(floor(CAST(sum(mfx) AS DOUBLE) / count(*)) AS BIGINT)
+               AS hfx
+    FROM hourly GROUP BY 1, 2
+)
+SELECT s.user_id, make_timestamp(s.h * 3600000000) AS bucket,
+       round(CAST(coalesce(o.mfx, d.hfx, s.gfx) AS DOUBLE) / 10000, 6)
+           AS value,
+       CAST(o.mfx IS NULL AS INT) AS imputed,
+       CASE WHEN o.mfx IS NOT NULL THEN 'obs'
+            WHEN d.hfx IS NOT NULL THEN 'hod' ELSE 'mean' END AS source
+FROM spine s
+LEFT JOIN hourly o ON o.user_id = s.user_id AND o.h = s.h
+LEFT JOIN hod d ON d.user_id = s.user_id AND d.hod = s.h % 24
+""", tier=3, section="2.9")
+def ts_impute_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal gap imputation: every missing hourly bucket in each
+    channel's observed span is filled with that channel's HOUR-OF-DAY
+    mean (falling back to the channel's overall mean for never-observed
+    hours), each row flagged with its provenance — the
+    seasonality-aware upgrade of `ts_gap_fill_ffill` (which drags the
+    last value across a nightly shutdown) and `ts_interpolate_linear`
+    (which draws a line through it). Training pipelines impute this way
+    so models don't learn the gap pattern as signal.
+
+    Exactness: all three candidate values live on the exact 1e-4
+    fixed-point grid (integer floor-means), the coalesce precedence is
+    engine-identical, and one rounded double conversion happens at the
+    end.
+
+    Scale shape: one hash aggregate to the hourly frame, a 3-column
+    bounds aggregate per user, spine fan-out by `sequence()` bounded by
+    the corpus's TIME span (hours/user, never corpus size), then two
+    user-keyed left joins (hourly + 24-row-per-user seasonal profile).
+    No windows, no global sorts."""
+    hourly = _hourly_mfx(load(spark, sf_dir, "events"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"),
+        F.floor(F.sum("mfx").cast("double") / F.count("*"))
+         .cast("long").alias("gfx"))
+    spine = bounds.select(
+        "user_id", "gfx",
+        F.explode(F.sequence("h0", "h1")).alias("h"))
+    hod = (hourly.groupBy("user_id", (F.col("h") % 24).alias("hod"))
+                 .agg(F.floor(F.sum("mfx").cast("double") / F.count("*"))
+                       .cast("long").alias("hfx")))
+    obs = hourly.select("user_id", "h", "mfx")
+    joined = (spine.withColumn("hod", F.col("h") % 24)
+                   .join(obs, ["user_id", "h"], "left")
+                   .join(hod, ["user_id", "hod"], "left"))
+    return joined.select(
+        "user_id",
+        F.timestamp_micros(F.col("h") * 3_600_000_000).alias("bucket"),
+        F.round(F.coalesce("mfx", "hfx", "gfx").cast("double")
+                / _ACF_FX, 6).alias("value"),
+        F.col("mfx").isNull().cast("int").alias("imputed"),
+        F.when(F.col("mfx").isNotNull(), "obs")
+         .when(F.col("hfx").isNotNull(), "hod")
+         .otherwise("mean").alias("source"))
+
+
+@op("ts_anomaly_stl_residual", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+tr AS (
+    SELECT user_id, h, mfx,
+           CAST(floor(CAST(sum(mfx) OVER w AS DOUBLE)
+                      / count(*) OVER w) AS BIGINT) AS trend_fx
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), seas AS (
+    SELECT user_id, h % 24 AS hod,
+           CAST(floor(CAST(sum(mfx - trend_fx) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS s_fx
+    FROM tr GROUP BY 1, 2
+), r AS (
+    SELECT t.user_id, t.h, t.mfx,
+           t.mfx - t.trend_fx - s.s_fx AS res,
+           count(*) OVER u AS n,
+           sum(t.mfx - t.trend_fx - s.s_fx) OVER u AS sr,
+           sum(CAST(t.mfx - t.trend_fx - s.s_fx AS DECIMAL(38,0))
+               * (t.mfx - t.trend_fx - s.s_fx)) OVER u AS srr
+    FROM tr t JOIN seas s ON s.user_id = t.user_id AND s.hod = t.h % 24
+    WINDOW u AS (PARTITION BY t.user_id)
+), z AS (
+    SELECT user_id, h, mfx, res,
+           (CAST(res AS DOUBLE) - CAST(sr AS DOUBLE) / n)
+               AS centered,
+           CAST(srr AS DOUBLE) / n
+               - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)
+               AS var0
+    FROM r WHERE n >= 24
+)
+SELECT user_id, make_timestamp(h * 3600000000) AS bucket,
+       round(CAST(mfx AS DOUBLE) / 10000, 6) AS value,
+       round(CAST(res AS DOUBLE) / 10000, 6) AS residual,
+       round(centered / sqrt(var0), 6) AS res_z
+FROM z
+WHERE var0 > 0 AND abs(centered) > 3 * sqrt(var0)
+""", tier=3, section="2.9")
+def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly screen: after removing the STL-lite
+    trend and hour-of-day seasonal (the exact `_stl_fx` component frame
+    shared with `ts_trend_seasonal_residual` / `ts_seasonal_strength`),
+    flag hourly buckets whose residual sits more than 3 population-sigmas
+    from the channel's mean residual — catches a spike INSIDE a daily
+    peak that `ts_anomaly_zscore` (raw-value z) normalizes away, and
+    skips the nightly trough it would false-alarm on. Channels need >= 24
+    observed hours (one full seasonal cycle) to qualify.
+
+    Exactness: residuals are exact BIGINTs on the 1e-4 grid, the
+    per-channel moments are exact integer/DECIMAL(38) window sums, and
+    mean/sigma/z and BOTH filter predicates are the same double
+    expressions evaluated on them in both engines; round(6) on output.
+
+    Scale shape: `_stl_fx`'s one hash agg + two keyed windows, one
+    equi-join of the 24-row-per-user seasonal, then a user-PARTITIONED
+    unbounded window for the moments (partition size = observed hours
+    per channel, bounded by the time span) and a narrow filter. No
+    global sorts, no fact-table self-joins."""
+    tr = _stl_fx(load(spark, sf_dir, "events"))
+    res = F.col("mfx") - F.col("trend_fx") - F.col("s_fx")
+    u = Window.partitionBy("user_id")
+    r = tr.select(
+        "user_id", "h", "mfx", res.alias("res"),
+        F.count("*").over(u).alias("n"),
+        F.sum(res).over(u).alias("sr"),
+        F.sum(res.cast("decimal(38,0)") * res).over(u).alias("srr"))
+    mu = F.col("sr").cast("double") / F.col("n")
+    var0 = F.col("srr").cast("double") / F.col("n") - mu * mu
+    centered = F.col("res").cast("double") - mu
+    z = (r.where(F.col("n") >= 24)
+          .select("user_id", "h", "mfx", "res",
+                  centered.alias("centered"), var0.alias("var0")))
+    fx = float(_ACF_FX)
+    return (z.where((F.col("var0") > 0)
+                    & (F.abs("centered") > 3 * F.sqrt("var0")))
+             .select("user_id",
+                     F.timestamp_micros(F.col("h") * 3_600_000_000)
+                      .alias("bucket"),
+                     F.round(F.col("mfx").cast("double") / fx, 6)
+                      .alias("value"),
+                     F.round(F.col("res").cast("double") / fx, 6)
+                      .alias("residual"),
+                     F.round(F.col("centered") / F.sqrt("var0"), 6)
+                      .alias("res_z")))
