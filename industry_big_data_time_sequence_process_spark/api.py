@@ -32,6 +32,12 @@ def hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+#: DuckDB twin of `hash32` — the SQL every oracle must use for the
+#: portable draw. ONE definition: if the draw ever changes, this string
+#: and `hash32` change together and every oracle follows.
+DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+
 def fixed_point(c: Column, grid: float = 1e9) -> Column:
     """Floor a double onto an integer grid — the repo-wide determinism
     discipline: floats floored to exact longs make every downstream SUM

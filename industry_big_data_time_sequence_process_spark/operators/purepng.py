@@ -115,6 +115,9 @@ def open(fh) -> PurePNGImage:  # noqa: A001 — PIL-compatible name
         if zlib.crc32(tag + payload) != crc:
             raise OSError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if length != 13:  # a CRC-valid but malformed IHDR must stay
+                # inside the documented OSError contract, not struct.error
+                raise OSError(f"malformed IHDR chunk (length {length})")
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat.append(payload)

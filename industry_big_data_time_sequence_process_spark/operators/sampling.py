@@ -21,7 +21,7 @@ from ..registry import REGISTRY, op
 from ..sources.io import load
 
 #: DuckDB: first 8 hex digits of md5 as int64 (portable hash32).
-_DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+from ..api import DUCK_H32 as _DUCK_H32  # one shared definition
 
 
 def _h32(c: Column) -> Column:

@@ -2856,13 +2856,13 @@ halves AS (
     FROM embeddings CROSS JOIN cut
 ), cent AS (
     SELECT half, label, dim,
-           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000000)
-                         AS BIGINT)) AS DOUBLE)
-           / count(*) / 1000000000 AS comp,
+           CAST(floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000000)
+                                    AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS mfx,
            count(*) AS n
     FROM halves GROUP BY 1, 2, 3
 ), paired AS (
-    SELECT a.label, a.dim, a.comp AS ca, b.comp AS cb,
+    SELECT a.label, a.dim, a.mfx AS ma, b.mfx AS mb,
            a.n AS na, b.n AS nb
     FROM cent a JOIN cent b
       ON b.label = a.label AND b.dim = a.dim
@@ -2871,8 +2871,9 @@ halves AS (
 SELECT label,
        CAST(min(na) AS BIGINT) AS n_first,
        CAST(min(nb) AS BIGINT) AS n_second,
-       round(sum(ca * cb)
-             / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+       round(CAST(sum(CAST(ma AS HUGEINT) * mb) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(ma AS HUGEINT) * ma) AS DOUBLE)
+                    * CAST(sum(CAST(mb AS HUGEINT) * mb) AS DOUBLE)), 6)
            AS centroid_cosine
 FROM paired GROUP BY label
 """, tier=3, section="2.11")
@@ -2880,11 +2881,19 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-drift monitor: split the corpus into first/second half
     by vec_id (the stand-in for yesterday's vs today's embedding batch),
     compute each label's centroid in both halves on the 1e-9 fixed-point
-    grid (exact long sums, one divide-back — the `_ivf_train`
-    discipline), and report the cosine between the two centroids per
-    label. A production pipeline alerts when an embedding-model or
-    upstream-data change drops this toward 0 — the vector-side twin of
+    grid, and report the cosine between the two centroids per label. A
+    production pipeline alerts when an embedding-model or upstream-data
+    change drops this toward 0 — the vector-side twin of
     `feat_psi_drift`.
+
+    Exactness: centroid components are floor-quantized onto the 1e-9
+    grid (the `_hourly_mfx` discipline — exact long sums, one
+    floor-divide back), so the cosine's three inner products are exact
+    DECIMAL(38)/HUGEINT sums of integer products (order-invariant —
+    unordered DOUBLE sums here could flip round(6) at a rounding
+    boundary cross-engine) and the cosine is ONE double expression over
+    them. |mfx| <= 1e9, so 64-dim product sums stay exact up to any
+    corpus size.
 
     Shapes: one narrow posexplode pass, one (half, label, dim) hash
     aggregate, a label+dim self-join of the tiny centroid frame, one
@@ -2901,23 +2910,26 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.floor(F.col("x").cast("double") * F.lit(1e9))
                         .alias("fx")))
     cent = (halves.groupBy("half", "label", "dim")
-                  .agg((F.sum("fx").cast("double") / F.count("*") / 1e9)
-                        .alias("comp"),
+                  .agg(F.floor(F.sum("fx").cast("double") / F.count("*"))
+                        .cast("long").alias("mfx"),
                        F.count("*").alias("n")))
     a = cent.filter("half = 'a'").select(
-        "label", "dim", F.col("comp").alias("ca"), F.col("n").alias("na"))
+        "label", "dim", F.col("mfx").alias("ma"), F.col("n").alias("na"))
     b = cent.filter("half = 'b'").select(
         F.col("label").alias("lb"), F.col("dim").alias("db"),
-        F.col("comp").alias("cb"), F.col("n").alias("nb"))
+        F.col("mfx").alias("mb"), F.col("n").alias("nb"))
     paired = a.join(b, (F.col("lb") == F.col("label"))
                     & (F.col("db") == F.col("dim")))
+    ma38 = F.col("ma").cast("decimal(38,0)")
+    mb38 = F.col("mb").cast("decimal(38,0)")
     return (paired.groupBy("label")
                   .agg(F.min("na").cast("long").alias("n_first"),
                        F.min("nb").cast("long").alias("n_second"),
-                       F.round(F.sum(F.col("ca") * F.col("cb"))
-                               / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
-                                  * F.sqrt(F.sum(F.col("cb")
-                                                 * F.col("cb")))), 6)
+                       F.round(F.sum(ma38 * F.col("mb")).cast("double")
+                               / F.sqrt(F.sum(ma38 * F.col("ma"))
+                                        .cast("double")
+                                        * F.sum(mb38 * F.col("mb"))
+                                        .cast("double")), 6)
                         .alias("centroid_cosine")))
 
 

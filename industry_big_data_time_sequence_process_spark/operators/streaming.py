@@ -253,6 +253,32 @@ def _events_stream_halves(spark: SparkSession, sf_dir: str,
     return decode_events_ts(raw, sf_dir)
 
 
+def _events_stream_slices(spark: SparkSession, sf_dir: str, key: str,
+                          n_slices: int = 3) -> tuple:
+    """Stage events as ``n_slices`` row-disjoint files (pyarrow slices,
+    mtime-ordered) so a maxFilesPerTrigger=1 drain replays the corpus as
+    that many micro-batches — the staging idiom for partial-aggregate
+    merge ops (`stream_ohlc_bars`, `stream_heavy_hitters`). Returns the
+    decoded streaming frame and the per-batch output directory."""
+    import pyarrow.parquet as pq
+
+    configure(spark)
+    base = _stream_base(spark, key)
+    indir, out = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    n = tbl.num_rows
+    cuts = [n * i // n_slices for i in range(n_slices + 1)]
+    for i in range(n_slices):
+        dst = os.path.join(indir, f"slice_{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream.schema(events_read_schema(sf_dir))
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    return decode_events_ts(raw, sf_dir), out
+
+
 #: stream_sessionize_timeout dials: 30-min session gap (the repo-wide
 #: sessionize convention), 10-min watermark delay.
 _SESS_GAP_US = 30 * 60 * 1_000_000
@@ -1244,24 +1270,8 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side-combinable picks/sums); the stored partial frame is
     bars-sized, not ticks-sized, and the final merge aggregates
     |bars| x |batches| rows."""
-    import pyarrow.parquet as pq
-
-    key = "stream_ohlc_bars"
-    base = _stream_base(spark, key)
-    indir, out = os.path.join(base, "in"), os.path.join(base, "out")
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(indir)
-    configure(spark)
-    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
-    n = tbl.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        dst = os.path.join(indir, f"slice_{i}.parquet")
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    raw = (spark.readStream.schema(events_read_schema(sf_dir))
-                .option("maxFilesPerTrigger", 1).parquet(indir))
-    ev = decode_events_ts(raw, sf_dir)
+    ev, out = _events_stream_slices(spark, sf_dir, "stream_ohlc_bars")
+    base = os.path.dirname(out)
 
     h = (F.unix_micros(F.date_trunc("hour", "ts"))
          / F.lit(3_600_000_000)).cast("long")
@@ -1334,24 +1344,9 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is a row_number over the Aggregate-bounded merged frame
     (|channels| rows — for an unbounded channel domain the two-phase
     `api.bucketed_global_rank` applies, and only top-20 survive)."""
-    import pyarrow.parquet as pq
-
-    key = "stream_heavy_hitters"
-    base = _stream_base(spark, key)
-    indir, out = os.path.join(base, "in"), os.path.join(base, "out")
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(indir)
-    configure(spark)
-    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
-    n = tbl.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        dst = os.path.join(indir, f"slice_{i}.parquet")
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    raw = (spark.readStream.schema(events_read_schema(sf_dir))
-                .option("maxFilesPerTrigger", 1).parquet(indir))
-    ev = decode_events_ts(raw, sf_dir)
+    ev, out = _events_stream_slices(spark, sf_dir,
+                                    "stream_heavy_hitters")
+    base = os.path.dirname(out)
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("user_id").agg(

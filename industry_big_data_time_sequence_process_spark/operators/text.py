@@ -23,7 +23,7 @@ from ..registry import op
 from ..sources.io import load
 
 # Portable 32-bit token hash (see module docstring).
-_DUCK_H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+from ..api import DUCK_H32 as _DUCK_H32  # one shared definition
 
 
 def _h32(c: Column) -> Column:

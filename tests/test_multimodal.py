@@ -323,3 +323,25 @@ def test_scene_cuts_partition_frames(spark):
             assert s["scene_id"] == i, (doc, scenes)
             assert s["start_frame"] == nxt, (doc, scenes)
             nxt = s["start_frame"] + s["n_frames"]
+
+
+def test_purepng_malformed_ihdr_raises_oserror():
+    """A CRC-valid IHDR with the wrong declared length must raise the
+    documented OSError, never struct.error (the PIL.Image.open contract
+    callers catch against)."""
+    import io
+
+    import pytest
+
+    from industry_big_data_time_sequence_process_spark.operators import purepng
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">II", 4, 4))  # 8 bytes, not 13
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+           + chunk(b"IEND", b""))
+    with pytest.raises(OSError):
+        purepng.open(io.BytesIO(bad))

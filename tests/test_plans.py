@@ -382,7 +382,12 @@ def test_persisted_serve_prunes_corpus_partitions(spark):
     plan = _plan(spark, "sim_ann_serve_persisted")
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]", plan)
     assert m, "no cid IN-list PartitionFilters on the persisted corpus scan"
-    # and the pruning is real: the scan must carry the partition column
-    # filter, not re-filter post-scan only
-    assert "PartitionFilters: []" not in plan.split("ann_index/")[-1][:400] \
-        or m, plan
+    # and the pruning is real: EVERY scan of the cid-partitioned corpus
+    # frame must carry the partition-column filter (not an empty
+    # PartitionFilters plus a post-scan re-filter)
+    corpus_scans = [seg for seg in plan.split("Scan parquet")
+                    if "/corpus" in seg.split("ReadSchema")[0]]
+    assert corpus_scans, "no scan of the persisted corpus frame found"
+    for seg in corpus_scans:
+        assert re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]",
+                         seg), f"corpus scan without cid pruning:\n{seg[:400]}"
