@@ -5267,3 +5267,86 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("cents").cast("double") / 100).alias("decile_value"),
         r6(F.sum("cents").over(w).cast("double")
            / F.sum("cents").over(wall)).alias("cum_share"))
+
+
+@op("dq_cross_field", oracle="""
+WITH checks AS (
+    SELECT 'lineitem_ship_on_or_after_order' AS rule,
+           count(*) AS n_checked,
+           sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+               AS n_violations
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_discount_in_unit_range', count(*),
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1
+               THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_positive_amounts', count(*),
+           sum(CASE WHEN l_quantity <= 0 OR l_extendedprice <= 0
+               THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_positive', count(*),
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'events_value_positive', count(*),
+           sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)
+    FROM events
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+           AS violation_rate,
+       CAST(n_violations = 0 AS INT) AS passed
+FROM checks
+""", tier=3, section="2.4")
+def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit (dbt's expression tests, warehouse-
+    wide): each declared rule reports rows checked, violations, rate and
+    a pass flag — the relationship-level sibling of `dq_pk_uniqueness`
+    (keys), `dq_accepted_values` (domains) and `dq_expectation_report`
+    (single-column ranges). The ship-date rule joins lineitem to orders
+    and FINDS a real defect in the synthetic corpus: about half the line
+    items ship before their order date — exactly the class of silent
+    upstream inconsistency this audit exists to surface before a
+    duration model trains on negative lead times.
+
+    Exactness: pure counts, one double division, round(6).
+
+    Scale shape: the only join is orderkey-keyed (co-partitioned fact
+    tables; broadcast-eligible dimension at small SF); every other rule
+    is a map-side-combinable conditional count; the report frame is
+    rules-sized and the branches schedule in parallel."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+
+    def check(name, df, bad):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"))
+
+    ship = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    checks = [
+        check("lineitem_ship_on_or_after_order", ship,
+              F.col("l_shipdate") < F.col("o_orderdate")),
+        check("lineitem_discount_in_unit_range", li,
+              (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        check("lineitem_positive_amounts", li,
+              (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0)),
+        check("orders_totalprice_positive", o,
+              F.col("o_totalprice") <= 0),
+        check("events_value_positive", ev, F.col("value") <= 0),
+    ]
+    rep = checks[0]
+    for c in checks[1:]:
+        rep = rep.unionByName(c)
+    return rep.select(
+        "rule", F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations").cast("double")
+                / F.col("n_checked"), 6).alias("violation_rate"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"))

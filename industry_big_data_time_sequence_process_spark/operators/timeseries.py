@@ -6658,3 +6658,278 @@ def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("residual"),
                      F.round(F.col("centered") / F.sqrt("var0"), 6)
                       .alias("res_z")))
+
+
+@op("ts_dau_wau_stickiness", oracle="""
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+    FROM events
+), days AS (SELECT DISTINCT d FROM active),
+dau AS (SELECT d, count(*) AS dau FROM active GROUP BY 1),
+contrib AS (
+    SELECT a.user_id, a.d + (INTERVAL 1 DAY) * k.k AS window_day
+    FROM active a CROSS JOIN (SELECT unnest(range(7)) AS k) k
+), wau AS (
+    SELECT c.window_day AS d, count(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN days ON days.d = c.window_day
+    GROUP BY 1
+)
+SELECT w.d AS window_day, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM wau w JOIN dau ON dau.d = w.d
+""", tier=3, section="2.9")
+def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily active users over trailing
+    7-day actives — the engagement ratio every product dashboard leads
+    with (1/7 = everyone shows once a week; 1.0 = everyone active every
+    day). Composes `ts_rolling_wau`'s explode-decomposition with a
+    per-day distinct count.
+
+    Exactness: two distinct counts and one double division, round(6).
+
+    Scale shape: dedup to (user, active-day) once (one shuffle), the
+    WAU side explodes that ALREADY-DEDUPED set x7 (bounded fan-out,
+    never raw events), one distinct-count per window day, and the DAU
+    join is day-keyed on a days-sized frame."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select("user_id",
+                       F.date_trunc("day", "ts").alias("d")).distinct()
+    days = active.select("d").distinct()
+    dau = active.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.expr("d + INTERVAL 6 DAYS"),
+                             F.expr("interval 1 day"))).alias("wd"))
+    wau = (contrib.join(F.broadcast(days.withColumnRenamed("d", "wd")),
+                        "wd")
+                  .groupBy("wd")
+                  .agg(F.countDistinct("user_id").alias("wau")))
+    return (wau.join(dau, wau["wd"] == dau["d"])
+               .select(F.col("wd").alias("window_day"),
+                       F.col("dau").cast("long").alias("dau"),
+                       F.col("wau").cast("long").alias("wau"),
+                       F.round(F.col("dau").cast("double")
+                               / F.col("wau"), 6).alias("stickiness")))
+
+
+@op("ts_pacf2", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+pairs AS (
+    SELECT a.user_id, k.lag AS lag, a.mfx AS x, b.mfx AS y
+    FROM hourly a
+    JOIN (SELECT unnest([1, 2]) AS lag) k ON TRUE
+    JOIN hourly b ON b.user_id = a.user_id AND b.h = a.h + k.lag
+), mom AS (
+    SELECT user_id, lag, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs GROUP BY 1, 2
+), acf AS (
+    SELECT user_id, lag, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+           THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sqrt(CAST(n AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * sy))
+           END AS r
+    FROM mom WHERE n >= 2
+), piv AS (
+    SELECT user_id,
+           max(CASE WHEN lag = 1 THEN r END) AS r1,
+           max(CASE WHEN lag = 2 THEN r END) AS r2,
+           CAST(max(CASE WHEN lag = 1 THEN n END) AS BIGINT) AS n1,
+           CAST(max(CASE WHEN lag = 2 THEN n END) AS BIGINT) AS n2
+    FROM acf GROUP BY 1
+)
+SELECT user_id, n1, n2, round(r1, 6) AS pacf1,
+       round(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                   AND 1 - r1 * r1 > 0
+             THEN (r2 - r1 * r1) / (1 - r1 * r1) END, 6) AS pacf2
+FROM piv
+""", tier=3, section="2.9")
+def ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-2 per channel via the
+    Durbin-Levinson level-2 identity phi22 = (r2 − r1²)/(1 − r1²) over
+    the calendar-lag pair autocorrelations of `ts_acf_lags` — the
+    AR-order diagnostic (phi22 ≈ 0 says AR(1) suffices; the companion
+    `ts_acf_lags` can't distinguish AR(1) carryover from genuine lag-2
+    structure).
+
+    Exactness: the two autocorrelations are the SAME exact-moment
+    Pearson expression `ts_acf_lags` pins (integer fx moments, one
+    double conversion), the pivot takes a max over a single non-null
+    value, and phi22 is one double expression over unrounded r1/r2;
+    round(6) seals outputs.
+
+    Scale shape: identical to `ts_acf_lags` with a 2-row lag fan-out —
+    one hash aggregate, one user-keyed self-equi-join, one (user, lag)
+    aggregate, one user pivot."""
+    hourly = _hourly_mfx(load(spark, sf_dir, "events"))
+    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("lag"))
+    a = hourly.select("user_id", "h", F.col("mfx").alias("x"))
+    b = hourly.select(F.col("user_id").alias("u2"),
+                      F.col("h").alias("h2"), F.col("mfx").alias("y"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+              .join(b, (F.col("u2") == F.col("user_id"))
+                    & (F.col("h2") == F.col("h") + F.col("lag"))))
+    mom = (pairs.groupBy("user_id", "lag")
+                .agg(F.count("*").alias("n"),
+                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                     F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                     F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = F.when((vx > 0) & (vy > 0),
+               (n.cast("double") * F.col("sxy")
+                - sx.cast("double") * sy)
+               / (F.sqrt(n.cast("double") * F.col("sxx")
+                         - sx.cast("double") * sx)
+                  * F.sqrt(n.cast("double") * F.col("syy")
+                           - sy.cast("double") * sy)))
+    acf = mom.where(n >= 2).select("user_id", "lag", "n", r.alias("r"))
+    piv = acf.groupBy("user_id").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 1, F.col("n"))).cast("long")
+         .alias("n1"),
+        F.max(F.when(F.col("lag") == 2, F.col("n"))).cast("long")
+         .alias("n2"))
+    r1, r2 = F.col("r1"), F.col("r2")
+    return piv.select(
+        "user_id", "n1", "n2", F.round(r1, 6).alias("pacf1"),
+        F.round(F.when(r1.isNotNull() & r2.isNotNull()
+                       & (1 - r1 * r1 > 0),
+                       (r2 - r1 * r1) / (1 - r1 * r1)), 6)
+         .alias("pacf2"))
+
+
+@op("ts_hurst_rs", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+idxd AS (
+    SELECT user_id, h, mfx,
+           row_number() OVER (PARTITION BY user_id ORDER BY h) AS idx
+    FROM hourly
+), fan AS (
+    SELECT i.user_id, i.mfx, i.idx, s.s, (i.idx - 1) // s.s AS blk
+    FROM idxd i CROSS JOIN (SELECT unnest([8, 16, 32]) AS s) s
+), blocks AS (
+    SELECT user_id, s, blk, idx,
+           s * mfx - sum(mfx) OVER b AS d,
+           count(*) OVER b AS cnt
+    FROM fan
+    WINDOW b AS (PARTITION BY user_id, s, blk)
+), z AS (
+    SELECT user_id, s, blk, d,
+           sum(d) OVER (PARTITION BY user_id, s, blk ORDER BY idx) AS zk
+    FROM blocks WHERE cnt = s
+), rsb AS (
+    SELECT user_id, s, blk, max(zk) - min(zk) AS rs_num,
+           sum(CAST(d AS HUGEINT) * d) AS sd2
+    FROM z GROUP BY 1, 2, 3
+), rsfx AS (
+    SELECT user_id, s,
+           CAST(floor(CAST(rs_num AS DOUBLE) * sqrt(CAST(s AS DOUBLE))
+                      / sqrt(CAST(sd2 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS fx
+    FROM rsb WHERE sd2 > 0
+), agg AS (
+    SELECT user_id, s, count(*) AS nb, sum(fx) AS sfx
+    FROM rsfx GROUP BY 1, 2
+), piv AS (
+    SELECT user_id,
+           max(CASE WHEN s = 8 THEN CAST(sfx AS DOUBLE) / nb / 1000000
+               END) AS m8,
+           max(CASE WHEN s = 16 THEN CAST(sfx AS DOUBLE) / nb / 1000000
+               END) AS m16,
+           max(CASE WHEN s = 32 THEN CAST(sfx AS DOUBLE) / nb / 1000000
+               END) AS m32,
+           max(CASE WHEN s = 8 THEN nb END) AS nb8,
+           max(CASE WHEN s = 16 THEN nb END) AS nb16,
+           max(CASE WHEN s = 32 THEN nb END) AS nb32
+    FROM agg GROUP BY 1
+)
+SELECT user_id,
+       CAST(nb8 AS BIGINT) AS n_blocks_8,
+       CAST(nb16 AS BIGINT) AS n_blocks_16,
+       CAST(nb32 AS BIGINT) AS n_blocks_32,
+       round(m8, 6) AS rs8, round(m16, 6) AS rs16,
+       round(m32, 6) AS rs32,
+       round(CASE WHEN m8 > 0 AND m32 > 0
+             THEN (ln(m32) - ln(m8)) / 1.3862943611198906 END, 6)
+           AS hurst
+FROM piv
+""", tier=3, section="2.9")
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis per channel: the
+    hourly series is cut into full blocks of 8/16/32 hours, each block's
+    range-of-cumulative-deviations over its standard deviation is
+    averaged per size, and H is the log-log slope between the 8- and
+    32-hour operating points — the classical long-memory diagnostic for
+    industrial series (H ≈ 0.5 random walk, > 0.5 trending/persistent,
+    < 0.5 mean-reverting), complementing `ts_acf_lags` (short-range)
+    and `ts_seasonal_strength` (cyclic).
+
+    Exactness: deviations are scaled through by the block size
+    (D_i = s·x_i − Σx, exact longs on the fx grid), cumulative Z_k is an
+    ORDERED prefix sum of exact longs, R is an exact long range, ΣD² is
+    an exact HUGEINT/DECIMAL(38) sum, each block's R/S is one double
+    expression floored onto a 1e-6 grid, and the per-size mean is an
+    exact integer sum with one divide — the only cross-engine float ops
+    are identical expression trees (the ln-slope divides by the literal
+    ln 4).
+
+    Scale shape: one hash aggregate to the hourly frame, a user-keyed
+    row_number (partition = hours per channel, bounded by time span), a
+    constant 3x size fan-out, block windows partitioned by
+    (user, size, block) (≤ 32 rows each), then two tiny aggregates. All
+    shuffles user-keyed; no global sorts."""
+    hourly = _hourly_mfx(load(spark, sf_dir, "events"))
+    idxd = hourly.withColumn(
+        "idx", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("h")))
+    sizes = (spark.range(1)
+             .select(F.explode(F.array(F.lit(8), F.lit(16), F.lit(32)))
+                      .alias("s")))
+    fan = (idxd.crossJoin(F.broadcast(sizes))
+               .withColumn("blk", F.expr("(idx - 1) div s")))
+    wb = Window.partitionBy("user_id", "s", "blk")
+    blocks = fan.select(
+        "user_id", "s", "blk", "idx",
+        (F.col("s") * F.col("mfx") - F.sum("mfx").over(wb)).alias("d"),
+        F.count("*").over(wb).alias("cnt"))
+    z = (blocks.where(F.col("cnt") == F.col("s"))
+               .withColumn("zk", F.sum("d").over(wb.orderBy("idx"))))
+    rsb = z.groupBy("user_id", "s", "blk").agg(
+        (F.max("zk") - F.min("zk")).alias("rs_num"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sd2"))
+    rsfx = (rsb.where(F.col("sd2") > 0)
+               .select("user_id", "s",
+                       F.floor(F.col("rs_num").cast("double")
+                               * F.sqrt(F.col("s").cast("double"))
+                               / F.sqrt(F.col("sd2").cast("double"))
+                               * F.lit(1_000_000.0))
+                        .cast("long").alias("fx")))
+    agg = rsfx.groupBy("user_id", "s").agg(
+        F.count("*").alias("nb"), F.sum("fx").alias("sfx"))
+    m = {s: F.max(F.when(F.col("s") == s,
+                         F.col("sfx").cast("double") / F.col("nb")
+                         / F.lit(1_000_000.0))).alias(f"m{s}")
+         for s in (8, 16, 32)}
+    nb = {s: F.max(F.when(F.col("s") == s, F.col("nb"))).cast("long")
+            .alias(f"nb{s}") for s in (8, 16, 32)}
+    piv = agg.groupBy("user_id").agg(
+        m[8], m[16], m[32], nb[8], nb[16], nb[32])
+    m8, m32 = F.col("m8"), F.col("m32")
+    return piv.select(
+        "user_id",
+        F.col("nb8").alias("n_blocks_8"),
+        F.col("nb16").alias("n_blocks_16"),
+        F.col("nb32").alias("n_blocks_32"),
+        F.round("m8", 6).alias("rs8"), F.round("m16", 6).alias("rs16"),
+        F.round("m32", 6).alias("rs32"),
+        F.round(F.when((m8 > 0) & (m32 > 0),
+                       (F.log(m32) - F.log(m8))
+                       / F.lit(1.3862943611198906)), 6).alias("hurst"))

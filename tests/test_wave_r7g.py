@@ -131,7 +131,8 @@ def test_impute_seasonal_provenance(spark):
         for r in ev:
             h = int(r["ts"].timestamp()) // 3600
             hourly.setdefault(h, []).append(r["cents"])
-        mfx = {h: math.floor(sum(v) / len(v) / 100 * 10000)
+        # mirror the engine's float op order: dollars first, then /count
+        mfx = {h: math.floor(sum(v) / 100 / len(v) * 10000)
                for h, v in hourly.items()}
         h0, h1 = min(mfx), max(mfx)
         # spine is contiguous over the observed span
