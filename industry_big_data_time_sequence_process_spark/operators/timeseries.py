@@ -6933,3 +6933,247 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when((m8 > 0) & (m32 > 0),
                        (F.log(m32) - F.log(m8))
                        / F.lit(1.3862943611198906)), 6).alias("hurst"))
+
+
+@op("ts_mtbf", oracle="""
+WITH fails AS (
+    SELECT user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events WHERE event_type = 'error'
+), span AS (
+    SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+    FROM events GROUP BY 1
+), agg AS (
+    SELECT user_id, count(*) AS n_failures,
+           count(gap_us) AS n_gaps, sum(gap_us) AS sum_gap
+    FROM fails GROUP BY 1
+)
+SELECT a.user_id, CAST(a.n_failures AS BIGINT) AS n_failures,
+       round(CASE WHEN a.n_gaps > 0
+             THEN CAST(a.sum_gap AS DOUBLE) / a.n_gaps / 3600000000
+             END, 6) AS mtbf_hours,
+       round(CASE WHEN s.span_us > 0
+             THEN a.n_failures * 86400000000.0 / s.span_us END, 6)
+           AS failures_per_day
+FROM agg a JOIN span s ON s.user_id = a.user_id
+""", tier=3, section="2.9")
+def ts_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures per unit: exact integer-µs gaps
+    between consecutive error events, averaged per channel, plus the
+    failure rate normalized by the unit's observed stream span — the
+    reliability ledger next to `ts_downtime_episodes` (which measures
+    SILENCE; this measures FAILURE cadence) and the input to spare-parts
+    and maintenance-interval planning.
+
+    Exactness: gaps and spans are exact integer microseconds; the two
+    outputs are single double expressions over exact sums, round(6).
+
+    Scale shape: one lag window over the error SUBSTREAM (predicate
+    pushed to the scan — errors are a small fraction of events), one
+    user-keyed span aggregate over the full stream, one user-keyed
+    join. All shuffles on the entity key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fails = (ev.where(F.col("event_type") == "error")
+               .select("user_id",
+                       (F.unix_micros("ts")
+                        - F.unix_micros(F.lag("ts").over(w)))
+                       .alias("gap_us")))
+    agg = fails.groupBy("user_id").agg(
+        F.count("*").alias("n_failures"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap"))
+    span = ev.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("span_us"))
+    return (agg.join(span, ["user_id"])
+               .select("user_id",
+                       F.col("n_failures").cast("long")
+                        .alias("n_failures"),
+                       F.round(F.when(F.col("n_gaps") > 0,
+                                      F.col("sum_gap").cast("double")
+                                      / F.col("n_gaps")
+                                      / F.lit(3_600_000_000.0)), 6)
+                        .alias("mtbf_hours"),
+                       F.round(F.when(F.col("span_us") > 0,
+                                      F.col("n_failures")
+                                      * F.lit(86_400_000_000.0)
+                                      / F.col("span_us")), 6)
+                        .alias("failures_per_day")))
+
+
+#: Alarm-flood dial (ISA-18.2 shape): a 10-minute bucket with >= this
+#: many plant-wide error events is in flood; consecutive flood buckets
+#: merge into one episode. Production tunes this per console.
+_FLOOD_BUCKET_US = 600_000_000
+_FLOOD_MIN_ALARMS = 3
+
+
+@op("ts_alarm_flood", oracle=f"""
+WITH buckets AS (
+    SELECT epoch_us(ts) // {_FLOOD_BUCKET_US} AS w, count(*) AS n
+    FROM events WHERE event_type = 'error' GROUP BY 1
+), flood AS (
+    SELECT w, n FROM buckets WHERE n >= {_FLOOD_MIN_ALARMS}
+), isl AS (
+    SELECT w, n,
+           sum(CASE WHEN w - lagw > 1 OR lagw IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY w) AS island
+    FROM (SELECT w, n, lag(w) OVER (ORDER BY w) AS lagw FROM flood)
+)
+SELECT make_timestamp(min(w) * {_FLOOD_BUCKET_US}) AS flood_start,
+       make_timestamp((max(w) + 1) * {_FLOOD_BUCKET_US}) AS flood_end,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_alarms,
+       CAST(max(n) AS BIGINT) AS peak_bucket_alarms
+FROM isl GROUP BY island
+""", tier=3, section="2.9")
+def ts_alarm_flood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-flood episodes (the ISA-18.2 alarm-management shape):
+    plant-wide error events bucketed to 10 minutes, buckets at or above
+    the flood threshold merged into contiguous episodes with bounds,
+    alarm counts and the peak rate — the report an alarm-rationalization
+    program starts from, and the condition under which operators
+    provably miss alarms. Companions: `stream_cusum_alarms` (online
+    drift) and `ts_downtime_episodes` (the outages floods precede).
+
+    Exactness: integer bucket arithmetic and counts end to end.
+
+    Scale shape: one map-side-combinable hash aggregate collapses the
+    error substream to the BUCKET frame (bounded by the time span, not
+    corpus size); the gaps-and-islands windows run over the flood
+    subset of that bounded frame; one episode aggregate. The
+    single-partition windows never see fact rows."""
+    ev = load(spark, sf_dir, "events")
+    buckets = (ev.where(F.col("event_type") == "error")
+                 .groupBy(F.floor(F.unix_micros("ts")
+                                  / F.lit(_FLOOD_BUCKET_US))
+                           .cast("long").alias("w"))
+                 .agg(F.count("*").alias("n")))
+    flood = buckets.where(F.col("n") >= _FLOOD_MIN_ALARMS)
+    wo = Window.orderBy("w")
+    isl = (flood.withColumn("lagw", F.lag("w").over(wo))
+                .withColumn("island",
+                            F.sum(F.when(F.col("lagw").isNull()
+                                         | (F.col("w") - F.col("lagw") > 1),
+                                         1).otherwise(0)).over(wo)))
+    return (isl.groupBy("island")
+               .agg(F.timestamp_micros(F.min("w") * _FLOOD_BUCKET_US)
+                     .alias("flood_start"),
+                    F.timestamp_micros((F.max("w") + 1) * _FLOOD_BUCKET_US)
+                     .alias("flood_end"),
+                    F.count("*").cast("long").alias("n_buckets"),
+                    F.sum("n").cast("long").alias("n_alarms"),
+                    F.max("n").cast("long").alias("peak_bucket_alarms"))
+               .drop("island"))
+
+
+@op("ts_spc_rules_western", oracle="""
+WITH limits AS (   -- per-unit limits fitted on the frozen baseline week
+    SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+    FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1 HAVING stddev_samp(value) > 0
+), z AS (
+    SELECT e.user_id, e.event_id, e.ts, e.value,
+           CAST(e.value > l.mu + 3 * l.sigma
+                OR e.value < l.mu - 3 * l.sigma AS INT) AS beyond3,
+           CAST(e.value > l.mu + 2 * l.sigma AS INT) AS hi2,
+           CAST(e.value < l.mu - 2 * l.sigma AS INT) AS lo2,
+           CAST(e.value > l.mu + l.sigma AS INT) AS hi1,
+           CAST(e.value < l.mu - l.sigma AS INT) AS lo1,
+           CAST(e.value > l.mu AS INT) AS hi0,
+           CAST(e.value < l.mu AS INT) AS lo0
+    FROM events e JOIN limits l USING (user_id)
+    WHERE e.ts >= TIMESTAMP '2024-01-08'
+), rolled AS (
+    SELECT user_id, event_id, ts, value, beyond3,
+           sum(hi2) OVER w3 AS h2c, sum(lo2) OVER w3 AS l2c,
+           sum(hi1) OVER w5 AS h1c, sum(lo1) OVER w5 AS l1c,
+           sum(hi0) OVER w8 AS h0c, sum(lo0) OVER w8 AS l0c,
+           count(*) OVER w3 AS n3, count(*) OVER w5 AS n5,
+           count(*) OVER w8 AS n8
+    FROM z
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w8 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, value,
+       beyond3 AS rule1,
+       CAST(n3 = 3 AND (h2c >= 2 OR l2c >= 2) AS INT) AS rule2,
+       CAST(n5 = 5 AND (h1c >= 4 OR l1c >= 4) AS INT) AS rule3,
+       CAST(n8 = 8 AND (h0c = 8 OR l0c = 8) AS INT) AS rule4
+FROM rolled
+WHERE beyond3 = 1
+   OR (n3 = 3 AND (h2c >= 2 OR l2c >= 2))
+   OR (n5 = 5 AND (h1c >= 4 OR l1c >= 4))
+   OR (n8 = 8 AND (h0c = 8 OR l0c = 8))
+""", tier=3, section="2.9")
+def ts_spc_rules_western(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric run rules per unit, on limits from the frozen
+    baseline week: rule 1 (a point beyond 3 sigma — `ts_spc_violations`
+    generalized to per-unit limits), rule 2 (2 of 3 consecutive beyond
+    2 sigma, same side), rule 3 (4 of 5 beyond 1 sigma, same side),
+    rule 4 (8 consecutive on one side of center). Emits only the
+    monitored-period points that fire at least one rule — the escalation
+    feed of a real control-chart program, which catches slow drifts and
+    stratification long before a 3-sigma excursion.
+
+    Exactness: the limit comparisons are identical double expression
+    trees on both engines (the `ts_spc_violations` precedent), every
+    side flag is then an exact INT, and the run rules are integer
+    rolling sums over a deterministic (ts, event_id) order with
+    full-window gates (n = 3/5/8) so partial leading windows never fire.
+
+    Scale shape: the tiny per-unit limits frame broadcasts onto the
+    monitored stream (baseline cut pushed to both scans); the three
+    rolling windows share ONE user-keyed sort order (single shuffle,
+    bounded ROWS frames); the violation filter is narrow."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp")
+    limits = (ev.filter(F.col("ts") < cut)
+                .groupBy("user_id")
+                .agg(F.avg("value").alias("mu"),
+                     F.stddev_samp("value").alias("sigma"))
+                .where(F.col("sigma") > 0))
+    v, mu, sg = F.col("value"), F.col("mu"), F.col("sigma")
+    z = (ev.filter(F.col("ts") >= cut)
+           .join(F.broadcast(limits), "user_id")
+           .select("user_id", "event_id", "ts", "value",
+                   ((v > mu + 3 * sg) | (v < mu - 3 * sg)).cast("int")
+                   .alias("beyond3"),
+                   (v > mu + 2 * sg).cast("int").alias("hi2"),
+                   (v < mu - 2 * sg).cast("int").alias("lo2"),
+                   (v > mu + sg).cast("int").alias("hi1"),
+                   (v < mu - sg).cast("int").alias("lo1"),
+                   (v > mu).cast("int").alias("hi0"),
+                   (v < mu).cast("int").alias("lo0")))
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3, w5, w8 = (base.rowsBetween(-2, 0), base.rowsBetween(-4, 0),
+                  base.rowsBetween(-7, 0))
+    rolled = z.select(
+        "user_id", "event_id", "ts", "value", "beyond3",
+        F.sum("hi2").over(w3).alias("h2c"),
+        F.sum("lo2").over(w3).alias("l2c"),
+        F.sum("hi1").over(w5).alias("h1c"),
+        F.sum("lo1").over(w5).alias("l1c"),
+        F.sum("hi0").over(w8).alias("h0c"),
+        F.sum("lo0").over(w8).alias("l0c"),
+        F.count("*").over(w3).alias("n3"),
+        F.count("*").over(w5).alias("n5"),
+        F.count("*").over(w8).alias("n8"))
+    r2 = ((F.col("n3") == 3)
+          & ((F.col("h2c") >= 2) | (F.col("l2c") >= 2)))
+    r3 = ((F.col("n5") == 5)
+          & ((F.col("h1c") >= 4) | (F.col("l1c") >= 4)))
+    r4 = ((F.col("n8") == 8)
+          & ((F.col("h0c") == 8) | (F.col("l0c") == 8)))
+    return (rolled.where((F.col("beyond3") == 1) | r2 | r3 | r4)
+                  .select("user_id", "event_id", "ts", "value",
+                          F.col("beyond3").alias("rule1"),
+                          r2.cast("int").alias("rule2"),
+                          r3.cast("int").alias("rule3"),
+                          r4.cast("int").alias("rule4")))
