@@ -7177,3 +7177,145 @@ def ts_spc_rules_western(spark: SparkSession, sf_dir: str) -> DataFrame:
                           r2.cast("int").alias("rule2"),
                           r3.cast("int").alias("rule3"),
                           r4.cast("int").alias("rule4")))
+
+
+@op("ts_weibull_shape", oracle="""
+WITH fails AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events WHERE event_type = 'error'
+), g AS (SELECT user_id, ts, event_id, gap_us FROM fails
+         WHERE gap_us IS NOT NULL AND gap_us > 0),
+ranked AS (
+    SELECT user_id, gap_us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY gap_us, ts, event_id) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM g
+), pts AS (
+    SELECT user_id, n,
+           CAST(floor(ln(CAST(gap_us AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS x,
+           CAST(floor(ln(-ln(1 - (i - 0.3) / (n + 0.4))) * 1000000000)
+                AS BIGINT) AS w
+    FROM ranked WHERE n >= 8
+), mom AS (
+    SELECT user_id, max(n) AS n, count(*) AS m,
+           sum(x) AS sx, sum(w) AS sw,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(x AS HUGEINT) * w) AS sxw
+    FROM pts GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round(CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             THEN (CAST(m AS DOUBLE) * CAST(sxw AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sw AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END, 6) AS beta
+FROM mom
+""", tier=3, section="2.9")
+def ts_weibull_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape parameter per unit by median-rank regression over
+    the failure inter-arrival times: sort each unit's error gaps, assign
+    Bernard median ranks F_i = (i−0.3)/(n+0.4), and fit
+    ln(−ln(1−F)) = β·ln(t) + c by OLS — β is the reliability verdict
+    `ts_mtbf`'s mean alone can't give (β < 1 infant mortality, ≈ 1
+    random/exponential, > 1 wear-out; maintenance planning branches on
+    exactly this). Units need ≥ 8 gaps to qualify.
+
+    Exactness: gaps are exact integer µs, ranks are deterministic
+    ((gap, ts, event_id) total order), both log coordinates floor onto
+    the 1e-9 `fixed_point` grid so the OLS moments are order-invariant
+    BIGINT/HUGEINT/DECIMAL(38) sums, and β is one double expression,
+    round(6).
+
+    Scale shape: one lag window + one rank window, both partitioned on
+    the entity key over the pushed-down error SUBSTREAM (per-unit
+    partitions are failure counts, tiny), one moment aggregate. No
+    global sorts, no joins."""
+    from ..api import fixed_point
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fails = (ev.where(F.col("event_type") == "error")
+               .select("user_id", "ts", "event_id",
+                       (F.unix_micros("ts")
+                        - F.unix_micros(F.lag("ts").over(w)))
+                       .alias("gap_us"))
+               .where(F.col("gap_us").isNotNull()
+                      & (F.col("gap_us") > 0)))
+    wu = Window.partitionBy("user_id")
+    ranked = fails.select(
+        "user_id", "gap_us",
+        F.row_number().over(wu.orderBy("gap_us", "ts", "event_id"))
+         .alias("i"),
+        F.count("*").over(wu).alias("n"))
+    fr = (F.col("i") - 0.3) / (F.col("n") + 0.4)
+    pts = (ranked.where(F.col("n") >= 8)
+                 .select("user_id", "n",
+                         fixed_point(F.log(F.col("gap_us")
+                                           .cast("double"))).alias("x"),
+                         fixed_point(F.log(-F.log(1 - fr))).alias("w")))
+    d38 = "decimal(38,0)"
+    mom = pts.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.count("*").alias("m"),
+        F.sum("x").alias("sx"), F.sum("w").alias("sw"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("w")).alias("sxw"))
+    m = F.col("m").cast("double")
+    sx, sw = F.col("sx").cast("double"), F.col("sw").cast("double")
+    varx = m * F.col("sxx").cast("double") - sx * sx
+    beta = (m * F.col("sxw").cast("double") - sx * sw) / varx
+    return mom.select("user_id", F.col("n").cast("long").alias("n_gaps"),
+                      F.round(F.when(varx > 0, beta), 6).alias("beta"))
+
+
+#: Specification limits for the capability index — the corpus's value
+#: domain; a production run parameterizes these per characteristic.
+_CPK_LSL = 0.0
+_CPK_USL = 500.0
+
+
+@op("agg_capability_cpk", oracle=f"""
+WITH stats AS (
+    SELECT user_id, count(*) AS n,
+           avg(value) AS mu, stddev_samp(value) AS sigma
+    FROM events GROUP BY 1 HAVING stddev_samp(value) > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+       round(({_CPK_USL} - {_CPK_LSL}) / (6 * sigma), 6) AS cp,
+       round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sigma), 6)
+           AS cpk
+FROM stats
+""", tier=3, section="2.4")
+def agg_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices per unit against the documented spec
+    limits: Cp = (USL−LSL)/6σ (potential capability) and
+    Cpk = min(USL−µ, µ−LSL)/3σ (actual, centering-penalized) — the
+    numbers a quality engineer quotes after the SPC chart
+    (`ts_spc_violations` / `ts_spc_rules_western`) says the process is
+    stable. Cpk ≥ 1.33 is the conventional "capable" bar.
+
+    Exactness: the same avg/stddev double expressions as the SPC family
+    (its cross-engine precedent), composed into two closed-form doubles,
+    round(6); zero-variance units drop.
+
+    Scale shape: ONE map-side-combinable hash aggregate, then a narrow
+    projection. Nothing else."""
+    stats = (load(spark, sf_dir, "events")
+             .groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma"))
+             .where(F.col("sigma") > 0))
+    mu, sg = F.col("mu"), F.col("sigma")
+    return stats.select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mu"), F.round(sg, 6).alias("sigma"),
+        F.round((F.lit(_CPK_USL) - F.lit(_CPK_LSL)) / (6 * sg), 6)
+         .alias("cp"),
+        F.round(F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL))
+                / (3 * sg), 6).alias("cpk"))
