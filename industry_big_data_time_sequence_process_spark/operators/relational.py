@@ -5330,13 +5330,28 @@ def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"))
 
     ship = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    # the two single-column lineitem rules share ONE scan/aggregate pass
+    # and unpivot to two report rows (vs one full fact scan per rule)
+    disc_bad = (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    amt_bad = (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0)
+    li_rules = (li.agg(F.count("*").alias("nc"),
+                       F.sum(F.when(disc_bad, 1).otherwise(0)).alias("vd"),
+                       F.sum(F.when(amt_bad, 1).otherwise(0)).alias("va"))
+                  .select(F.explode(F.array(
+                      F.struct(F.lit("lineitem_discount_in_unit_range")
+                                .alias("rule"),
+                               F.col("nc").alias("n_checked"),
+                               F.col("vd").alias("n_violations")),
+                      F.struct(F.lit("lineitem_positive_amounts")
+                                .alias("rule"),
+                               F.col("nc").alias("n_checked"),
+                               F.col("va").alias("n_violations"))))
+                          .alias("c"))
+                  .select("c.*"))
     checks = [
         check("lineitem_ship_on_or_after_order", ship,
               F.col("l_shipdate") < F.col("o_orderdate")),
-        check("lineitem_discount_in_unit_range", li,
-              (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
-        check("lineitem_positive_amounts", li,
-              (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0)),
+        li_rules,
         check("orders_totalprice_positive", o,
               F.col("o_totalprice") <= 0),
         check("events_value_positive", ev, F.col("value") <= 0),
@@ -5350,3 +5365,51 @@ def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_violations").cast("double")
                 / F.col("n_checked"), 6).alias("violation_rate"),
         (F.col("n_violations") == 0).cast("int").alias("passed"))
+
+
+#: Specification limits for the capability index — the corpus's value
+#: domain; a production run parameterizes these per characteristic.
+_CPK_LSL = 0.0
+_CPK_USL = 500.0
+
+
+@op("agg_capability_cpk", oracle=f"""
+WITH stats AS (
+    SELECT user_id, count(*) AS n,
+           avg(value) AS mu, stddev_samp(value) AS sigma
+    FROM events GROUP BY 1 HAVING stddev_samp(value) > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+       round(({_CPK_USL} - {_CPK_LSL}) / (6 * sigma), 6) AS cp,
+       round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sigma), 6)
+           AS cpk
+FROM stats
+""", tier=3, section="2.4")
+def agg_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices per unit against the documented spec
+    limits: Cp = (USL−LSL)/6σ (potential capability) and
+    Cpk = min(USL−µ, µ−LSL)/3σ (actual, centering-penalized) — the
+    numbers a quality engineer quotes after the SPC chart
+    (`ts_spc_violations` / `ts_spc_rules_western`) says the process is
+    stable. Cpk ≥ 1.33 is the conventional "capable" bar.
+
+    Exactness: the same avg/stddev double expressions as the SPC family
+    (its cross-engine precedent), composed into two closed-form doubles,
+    round(6); zero-variance units drop.
+
+    Scale shape: ONE map-side-combinable hash aggregate, then a narrow
+    projection. Nothing else."""
+    stats = (load(spark, sf_dir, "events")
+             .groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma"))
+             .where(F.col("sigma") > 0))
+    mu, sg = F.col("mu"), F.col("sigma")
+    return stats.select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mu"), F.round(sg, 6).alias("sigma"),
+        F.round((F.lit(_CPK_USL) - F.lit(_CPK_LSL)) / (6 * sg), 6)
+         .alias("cp"),
+        F.round(F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL))
+                / (3 * sg), 6).alias("cpk"))

@@ -863,6 +863,22 @@ def ts_time_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wau_frames(ev: DataFrame) -> tuple:
+    """(active, days, contrib): the (user, active-day) dedup, the
+    observed-day set, and each active day's x7 window-day contributions
+    — ONE definition of the rolling-WAU decomposition, shared by
+    `ts_rolling_wau` and `ts_dau_wau_stickiness`."""
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    days = active.select("d").distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("d"), F.expr("d + INTERVAL 6 DAYS"),
+            F.expr("interval 1 day"))).alias("window_day"))
+    return active, days, contrib
+
+
 @op("ts_rolling_wau", oracle="""
 WITH active AS (   -- one row per (user, active day)
     SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
@@ -884,18 +900,10 @@ def ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded x7 fan-out of the already-day-deduped set, not of raw
     events), then one distinct-count per window day. Restricted to days
     that exist in the data so the edges are well-defined."""
-    ev = load(spark, sf_dir, "events")
-    active = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    contrib = active.select(
-        "user_id",
-        F.explode(F.sequence(
-            F.col("d"), F.expr("d + INTERVAL 6 DAYS"),
-            F.expr("interval 1 day"))).alias("window_day"),
-    )
-    days = ev.select(F.date_trunc("day", "ts").alias("window_day")).distinct()
+    _active, days, contrib = _wau_frames(load(spark, sf_dir, "events"))
     return (
-        contrib.join(F.broadcast(days), "window_day")
+        contrib.join(F.broadcast(days.withColumnRenamed("d", "window_day")),
+                     "window_day")
                .groupBy("window_day")
                .agg(F.countDistinct("user_id").alias("wau"))
     )
@@ -5074,30 +5082,80 @@ def _hourly_mfx(ev: DataFrame) -> DataFrame:
                     .cast("long").alias("mfx")))
 
 
-@op("ts_acf_lags", oracle=f"""
-WITH {_DUCK_HOURLY_MFX},
-pairs AS (
-    SELECT a.user_id, k.lag AS lag,
-           a.mfx AS x, b.mfx AS y
+def _duck_acf_sql(lags: str) -> str:
+    """pairs/mom/acf CTE text over the `hourly` frame for the given
+    unnest-list of calendar lags — the DuckDB twin of `_acf_frame`.
+    Moments are HUGEINT (x*y sums overflow BIGINT past ~4e5 pairs per
+    channel, and the variance guard n*sxx - sx² overflows there too —
+    Spark would wrap silently while DuckDB throws, a cross-engine
+    divergence; 128-bit moments keep both engines exact)."""
+    return f"""pairs AS (
+    SELECT a.user_id, k.lag AS lag, a.mfx AS x, b.mfx AS y
     FROM hourly a
-    JOIN (SELECT unnest([1, 2, 3]) AS lag) k ON TRUE
+    JOIN (SELECT unnest([{lags}]) AS lag) k ON TRUE
     JOIN hourly b ON b.user_id = a.user_id AND b.h = a.h + k.lag
 ), mom AS (
     SELECT user_id, lag, count(*) AS n,
-           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-           sum(x * x) AS sxx, sum(y * y) AS syy
+           sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
     FROM pairs GROUP BY 1, 2
-)
+), acf AS (
+    SELECT user_id, lag, n,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r
+    FROM mom WHERE n >= 2
+)"""
+
+
+def _acf_frame(spark: SparkSession, hourly: DataFrame,
+               lo: int, hi: int) -> DataFrame:
+    """(user_id, lag, n, r): calendar-lag pair autocorrelations over the
+    hourly fx frame for lags lo..hi — shared by `ts_acf_lags` (the ACF
+    table) and `ts_pacf2` (the Durbin-Levinson input). Moments are
+    DECIMAL(38)-exact (see `_duck_acf_sql` on why BIGINT wraps), the
+    guard compares exact decimals, and r is one double expression."""
+    lags = spark.range(lo, hi + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = hourly.select("user_id", "h", F.col("mfx").alias("x"))
+    b = hourly.select(F.col("user_id").alias("u2"),
+                      F.col("h").alias("h2"), F.col("mfx").alias("y"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+              .join(b, (F.col("u2") == F.col("user_id"))
+                    & (F.col("h2") == F.col("h") + F.col("lag"))))
+    d38 = "decimal(38,0)"
+    mom = (pairs.groupBy("user_id", "lag")
+                .agg(F.count("*").alias("n"),
+                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                     F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+                     F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+                     F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy")))
+    n = F.col("n")
+    vx = n.cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    vy = n.cast(d38) * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")
+    nd = n.cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               (nd * F.col("sxy").cast("double") - sxd * syd)
+               / (F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+                  * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)))
+    return mom.where(n >= 2).select("user_id", "lag", "n", r.alias("r"))
+
+
+@op("ts_acf_lags", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+{_duck_acf_sql("1, 2, 3")}
 SELECT user_id, lag, CAST(n AS BIGINT) AS n_pairs,
-       round(CASE WHEN (n * sxx - sx * sx) > 0
-                   AND (n * syy - sy * sy) > 0
-             THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  / (sqrt(CAST(n AS DOUBLE) * sxx
-                          - CAST(sx AS DOUBLE) * sx)
-                     * sqrt(CAST(n AS DOUBLE) * syy
-                            - CAST(sy AS DOUBLE) * sy))
-             END, 6) AS acf
-FROM mom WHERE n >= 2
+       round(r, 6) AS acf
+FROM acf
 """, tier=3, section="2.9")
 def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel autocorrelation at lags 1–3 hours — the stationarity /
@@ -5116,33 +5174,11 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), one self-equi-join on (user, h+k) after a 3-row lag
     fan-out, one (user, lag) aggregate — all shuffles keyed by user.
     """
-    ev = load(spark, sf_dir, "events")
-    hourly = _hourly_mfx(ev)
-    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
-    a = hourly.select("user_id", "h", F.col("mfx").alias("x"))
-    b = hourly.select(F.col("user_id").alias("u2"),
-                      F.col("h").alias("h2"), F.col("mfx").alias("y"))
-    pairs = (a.crossJoin(F.broadcast(lags))
-              .join(b, (F.col("u2") == F.col("user_id"))
-                    & (F.col("h2") == F.col("h") + F.col("lag"))))
-    mom = (pairs.groupBy("user_id", "lag")
-                .agg(F.count("*").alias("n"),
-                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
-                     F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                     F.sum(F.col("y") * F.col("y")).alias("syy")))
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    acf = F.when(
-        (vx > 0) & (vy > 0),
-        (n.cast("double") * sxy - sx.cast("double") * sy)
-        / (F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
-           * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)))
-    return (mom.filter(n >= 2)
-               .select("user_id", "lag", n.cast("long").alias("n_pairs"),
-                       F.round(acf, 6).alias("acf")))
+    acf = _acf_frame(spark, _hourly_mfx(load(spark, sf_dir, "events")),
+                     1, 3)
+    return acf.select("user_id", "lag",
+                      F.col("n").cast("long").alias("n_pairs"),
+                      F.round("r", 6).alias("acf"))
 
 
 @op("ts_peak_hourly", oracle=f"""
@@ -6692,16 +6728,10 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAU side explodes that ALREADY-DEDUPED set x7 (bounded fan-out,
     never raw events), one distinct-count per window day, and the DAU
     join is day-keyed on a days-sized frame."""
-    ev = load(spark, sf_dir, "events")
-    active = ev.select("user_id",
-                       F.date_trunc("day", "ts").alias("d")).distinct()
-    days = active.select("d").distinct()
+    active, days, contrib = _wau_frames(load(spark, sf_dir, "events"))
     dau = active.groupBy("d").agg(F.count("*").alias("dau"))
-    contrib = active.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.expr("d + INTERVAL 6 DAYS"),
-                             F.expr("interval 1 day"))).alias("wd"))
-    wau = (contrib.join(F.broadcast(days.withColumnRenamed("d", "wd")),
+    wau = (contrib.withColumnRenamed("window_day", "wd")
+                  .join(F.broadcast(days.withColumnRenamed("d", "wd")),
                         "wd")
                   .groupBy("wd")
                   .agg(F.countDistinct("user_id").alias("wau")))
@@ -6715,26 +6745,7 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("ts_pacf2", oracle=f"""
 WITH {_DUCK_HOURLY_MFX},
-pairs AS (
-    SELECT a.user_id, k.lag AS lag, a.mfx AS x, b.mfx AS y
-    FROM hourly a
-    JOIN (SELECT unnest([1, 2]) AS lag) k ON TRUE
-    JOIN hourly b ON b.user_id = a.user_id AND b.h = a.h + k.lag
-), mom AS (
-    SELECT user_id, lag, count(*) AS n,
-           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-           sum(x * x) AS sxx, sum(y * y) AS syy
-    FROM pairs GROUP BY 1, 2
-), acf AS (
-    SELECT user_id, lag, n,
-           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-           THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                   * sqrt(CAST(n AS DOUBLE) * syy
-                          - CAST(sy AS DOUBLE) * sy))
-           END AS r
-    FROM mom WHERE n >= 2
-), piv AS (
+{_duck_acf_sql("1, 2")}, piv AS (
     SELECT user_id,
            max(CASE WHEN lag = 1 THEN r END) AS r1,
            max(CASE WHEN lag = 2 THEN r END) AS r2,
@@ -6765,31 +6776,8 @@ def ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to `ts_acf_lags` with a 2-row lag fan-out —
     one hash aggregate, one user-keyed self-equi-join, one (user, lag)
     aggregate, one user pivot."""
-    hourly = _hourly_mfx(load(spark, sf_dir, "events"))
-    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("lag"))
-    a = hourly.select("user_id", "h", F.col("mfx").alias("x"))
-    b = hourly.select(F.col("user_id").alias("u2"),
-                      F.col("h").alias("h2"), F.col("mfx").alias("y"))
-    pairs = (a.crossJoin(F.broadcast(lags))
-              .join(b, (F.col("u2") == F.col("user_id"))
-                    & (F.col("h2") == F.col("h") + F.col("lag"))))
-    mom = (pairs.groupBy("user_id", "lag")
-                .agg(F.count("*").alias("n"),
-                     F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
-                     F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                     F.sum(F.col("y") * F.col("y")).alias("syy")))
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    vx = n * F.col("sxx") - sx * sx
-    vy = n * F.col("syy") - sy * sy
-    r = F.when((vx > 0) & (vy > 0),
-               (n.cast("double") * F.col("sxy")
-                - sx.cast("double") * sy)
-               / (F.sqrt(n.cast("double") * F.col("sxx")
-                         - sx.cast("double") * sx)
-                  * F.sqrt(n.cast("double") * F.col("syy")
-                           - sy.cast("double") * sy)))
-    acf = mom.where(n >= 2).select("user_id", "lag", "n", r.alias("r"))
+    acf = _acf_frame(spark, _hourly_mfx(load(spark, sf_dir, "events")),
+                     1, 2)
     piv = acf.groupBy("user_id").agg(
         F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
         F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
@@ -6935,6 +6923,20 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.lit(1.3862943611198906)), 6).alias("hurst"))
 
 
+def _error_gaps(ev: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, gap_us): exact integer-µs gaps between
+    consecutive error events per unit — ONE definition of "a failure
+    gap", shared by `ts_mtbf` (the mean) and `ts_weibull_shape` (the
+    distribution fit) so the two can never silently disagree on tie
+    ordering or zero-gap handling."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.where(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id",
+                      (F.unix_micros("ts")
+                       - F.unix_micros(F.lag("ts").over(w)))
+                      .alias("gap_us")))
+
+
 @op("ts_mtbf", oracle="""
 WITH fails AS (
     SELECT user_id, ts,
@@ -6974,12 +6976,7 @@ def ts_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed span aggregate over the full stream, one user-keyed
     join. All shuffles on the entity key."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    fails = (ev.where(F.col("event_type") == "error")
-               .select("user_id",
-                       (F.unix_micros("ts")
-                        - F.unix_micros(F.lag("ts").over(w)))
-                       .alias("gap_us")))
+    fails = _error_gaps(ev)
     agg = fails.groupBy("user_id").agg(
         F.count("*").alias("n_failures"),
         F.count("gap_us").alias("n_gaps"),
@@ -7239,14 +7236,8 @@ def ts_weibull_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import fixed_point
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    fails = (ev.where(F.col("event_type") == "error")
-               .select("user_id", "ts", "event_id",
-                       (F.unix_micros("ts")
-                        - F.unix_micros(F.lag("ts").over(w)))
-                       .alias("gap_us"))
-               .where(F.col("gap_us").isNotNull()
-                      & (F.col("gap_us") > 0)))
+    fails = (_error_gaps(ev)
+             .where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0)))
     wu = Window.partitionBy("user_id")
     ranked = fails.select(
         "user_id", "gap_us",
@@ -7271,51 +7262,3 @@ def ts_weibull_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = (m * F.col("sxw").cast("double") - sx * sw) / varx
     return mom.select("user_id", F.col("n").cast("long").alias("n_gaps"),
                       F.round(F.when(varx > 0, beta), 6).alias("beta"))
-
-
-#: Specification limits for the capability index — the corpus's value
-#: domain; a production run parameterizes these per characteristic.
-_CPK_LSL = 0.0
-_CPK_USL = 500.0
-
-
-@op("agg_capability_cpk", oracle=f"""
-WITH stats AS (
-    SELECT user_id, count(*) AS n,
-           avg(value) AS mu, stddev_samp(value) AS sigma
-    FROM events GROUP BY 1 HAVING stddev_samp(value) > 0
-)
-SELECT user_id, CAST(n AS BIGINT) AS n,
-       round(mu, 6) AS mu, round(sigma, 6) AS sigma,
-       round(({_CPK_USL} - {_CPK_LSL}) / (6 * sigma), 6) AS cp,
-       round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sigma), 6)
-           AS cpk
-FROM stats
-""", tier=3, section="2.4")
-def agg_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Process capability indices per unit against the documented spec
-    limits: Cp = (USL−LSL)/6σ (potential capability) and
-    Cpk = min(USL−µ, µ−LSL)/3σ (actual, centering-penalized) — the
-    numbers a quality engineer quotes after the SPC chart
-    (`ts_spc_violations` / `ts_spc_rules_western`) says the process is
-    stable. Cpk ≥ 1.33 is the conventional "capable" bar.
-
-    Exactness: the same avg/stddev double expressions as the SPC family
-    (its cross-engine precedent), composed into two closed-form doubles,
-    round(6); zero-variance units drop.
-
-    Scale shape: ONE map-side-combinable hash aggregate, then a narrow
-    projection. Nothing else."""
-    stats = (load(spark, sf_dir, "events")
-             .groupBy("user_id")
-             .agg(F.count("*").alias("n"), F.avg("value").alias("mu"),
-                  F.stddev_samp("value").alias("sigma"))
-             .where(F.col("sigma") > 0))
-    mu, sg = F.col("mu"), F.col("sigma")
-    return stats.select(
-        "user_id", F.col("n").cast("long").alias("n"),
-        F.round(mu, 6).alias("mu"), F.round(sg, 6).alias("sigma"),
-        F.round((F.lit(_CPK_USL) - F.lit(_CPK_LSL)) / (6 * sg), 6)
-         .alias("cp"),
-        F.round(F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL))
-                / (3 * sg), 6).alias("cpk"))

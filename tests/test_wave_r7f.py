@@ -14,6 +14,16 @@ from industry_big_data_time_sequence_process_spark.sources.io import load
 from .conftest import SF_T2
 
 
+def _utc_literal(*ymd):
+    """A UTC calendar instant rendered the way PySpark renders collected
+    timestamps (naive, in the PROCESS timezone) — so comparisons against
+    collected values hold on non-UTC machines too."""
+    import calendar
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(
+        calendar.timegm(_dt.datetime(*ymd).timetuple()))
+
+
 def _pearson(xs, ys):
     n = len(xs)
     sx, sy = sum(xs), sum(ys)
@@ -59,10 +69,9 @@ def test_correlation_matrix_recompute(spark):
 
 
 def test_cuped_recompute(spark):
-    import datetime
     df = relational.agg_cuped_adjustment(spark, SF_T2)
     row = df.first()
-    cut = datetime.datetime(2024, 1, 16)
+    cut = _utc_literal(2024, 1, 16)
     per = _per_user_xy(spark)
     xs = [sum(e["cents"] for e in evs if e["ts"] < cut)
           for evs in per.values()]

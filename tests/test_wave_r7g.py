@@ -15,6 +15,16 @@ from industry_big_data_time_sequence_process_spark.sources.io import load
 from .conftest import SF_T2
 
 
+def _utc_literal(*ymd):
+    """A UTC calendar instant rendered the way PySpark renders collected
+    timestamps (naive, in the PROCESS timezone) — so comparisons against
+    collected values hold on non-UTC machines too."""
+    import calendar
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(
+        calendar.timegm(_dt.datetime(*ymd).timetuple()))
+
+
 def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
@@ -40,9 +50,8 @@ def test_srm_recompute(spark):
 
 
 def test_power_mde_recompute(spark):
-    import datetime
     row = relational.agg_ab_power_mde(spark, SF_T2).first()
-    cut = datetime.datetime(2024, 1, 16)
+    cut = _utc_literal(2024, 1, 16)
     per = {}
     for r in _events(spark):
         per[r["user_id"]] = per.get(r["user_id"], 0) \
@@ -66,9 +75,8 @@ def test_power_mde_recompute(spark):
 
 
 def test_ks_recompute(spark):
-    import datetime
     row = relational.agg_ks_two_sample(spark, SF_T2).first()
-    cut = datetime.datetime(2024, 1, 16)
+    cut = _utc_literal(2024, 1, 16)
     pre = sorted(r["cents"] for r in _events(spark) if r["ts"] < cut)
     post = sorted(r["cents"] for r in _events(spark) if r["ts"] >= cut)
     grid = sorted(set(pre) | set(post))
@@ -144,7 +152,7 @@ def test_impute_seasonal_provenance(spark):
         gm = math.floor(sum(mfx.values()) / len(mfx))
         import datetime
         for h in range(h0, h1 + 1):
-            b = datetime.datetime.utcfromtimestamp(h * 3600)
+            b = datetime.datetime.fromtimestamp(h * 3600)
             r = rows[b]
             if h in mfx:
                 assert (r["imputed"], r["source"]) == (0, "obs")

@@ -12,6 +12,16 @@ from industry_big_data_time_sequence_process_spark.sources.io import load
 from .conftest import SF_T2
 
 
+def _utc_literal(*ymd):
+    """A UTC calendar instant rendered the way PySpark renders collected
+    timestamps (naive, in the PROCESS timezone) — so comparisons against
+    collected values hold on non-UTC machines too."""
+    import calendar
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(
+        calendar.timegm(_dt.datetime(*ymd).timetuple()))
+
+
 def test_mtbf_recompute_one_user(spark):
     df = timeseries.ts_mtbf(spark, SF_T2)
     rows = {r["user_id"]: r for r in df.collect()}
@@ -19,7 +29,8 @@ def test_mtbf_recompute_one_user(spark):
     # channels carry NULL
     for r in rows.values():
         assert (r["mtbf_hours"] is None) == (r["n_failures"] < 2)
-        assert r["failures_per_day"] > 0
+        # failures_per_day is NULL only for zero-span units
+        assert r["failures_per_day"] is None or r["failures_per_day"] > 0
     uid = max(rows, key=lambda u: rows[u]["n_failures"])
     ev = (load(spark, SF_T2, "events")
           .filter(F.col("user_id") == uid)
@@ -57,8 +68,8 @@ def test_alarm_flood_full_replication(spark):
             episodes.append([w])
     assert len(rows) == len(episodes)
     for got, ws in zip(rows, episodes):
-        start = datetime.datetime.utcfromtimestamp(ws[0] * 600)
-        end = datetime.datetime.utcfromtimestamp((ws[-1] + 1) * 600)
+        start = datetime.datetime.fromtimestamp(ws[0] * 600)
+        end = datetime.datetime.fromtimestamp((ws[-1] + 1) * 600)
         assert got["flood_start"] == start
         assert got["flood_end"] == end
         assert got["n_buckets"] == len(ws)
@@ -80,7 +91,7 @@ def test_western_rules_replay_one_user(spark):
                    for r in rows)
         uid = rows[0]["user_id"]
         got = {r["event_id"]: r for r in rows if r["user_id"] == uid}
-        cut = datetime.datetime(2024, 1, 8)
+        cut = _utc_literal(2024, 1, 8)
         ev = (load(spark, SF_T2, "events")
               .filter(F.col("user_id") == uid)
               .select("ts", "event_id", "value").collect())

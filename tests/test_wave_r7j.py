@@ -5,7 +5,9 @@ import math
 
 from pyspark.sql import functions as F
 
-from industry_big_data_time_sequence_process_spark.operators import timeseries
+from industry_big_data_time_sequence_process_spark.operators import (
+    relational, timeseries,
+)
 from industry_big_data_time_sequence_process_spark.sources.io import load
 
 from .conftest import SF_T2
@@ -50,7 +52,7 @@ def test_weibull_recompute_one_user(spark):
 
 def test_cpk_identities_and_recompute(spark):
     got = {r["user_id"]: r for r in
-           timeseries.agg_capability_cpk(spark, SF_T2).collect()}
+           relational.agg_capability_cpk(spark, SF_T2).collect()}
     assert got
     for r in got.values():
         # Cpk is the centering-penalized Cp: never larger
