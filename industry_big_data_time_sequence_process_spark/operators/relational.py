@@ -4460,21 +4460,32 @@ _DUCK_COPURCHASE_E = """op_pairs AS (
 #: sf_dir). The edge build re-runs the lineitem fan-out per plan
 #: REFERENCE without a cache, and the four graph ops reference it 3-5
 #: times each — one shared cached frame bounds both the recompute and
-#: the cache-leak (previous entries are unpersisted on key change, so
-#: at most ONE edge frame stays resident per session).
+#: the cache-leak. Single-active-dataset assumption (documented per
+#: ADVICE r7): the cache keeps ONE edge frame per session; switching
+#: sf_dir evicts the previous entry with unpersist(blocking=False), so
+#: a still-lazy plan built from the evicted frame silently recomputes
+#: (correct results, just uncached). The graph ops here build and
+#: return their plans against one dataset at a time, so this never
+#: bites in practice; a lock guards the dict for concurrent op
+#: registration/execution threads.
 _COPURCHASE_CACHE: dict = {}
+_COPURCHASE_LOCK = __import__("threading").Lock()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb) support->=2 co-purchase edges, pa < pb — the Spark twin
     of `_DUCK_COPURCHASE_E`, cached once per (application, sf_dir)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _COPURCHASE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for k in list(_COPURCHASE_CACHE):
+    with _COPURCHASE_LOCK:
+        hit = _COPURCHASE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        evicted = [_COPURCHASE_CACHE.pop(k) for k in list(_COPURCHASE_CACHE)]
+    for old in evicted:
         try:
-            _COPURCHASE_CACHE.pop(k).unpersist()
+            # non-blocking: executors drop the blocks asynchronously, so
+            # an in-flight job reading the old frame finishes first.
+            old.unpersist(blocking=False)
         except Exception:
             pass
     op_pairs = (load(spark, sf_dir, "lineitem")
@@ -4486,8 +4497,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("*").alias("w"))
                  .where(F.col("w") >= 2).select("pa", "pb")
                  .cache())
-    _COPURCHASE_CACHE[key] = e
-    return e
+    with _COPURCHASE_LOCK:
+        return _COPURCHASE_CACHE.setdefault(key, e)
 
 
 @op("graph_copurchase_triangles", oracle=f"""
@@ -4768,9 +4779,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     odeg = (op_pairs.groupBy("o").agg(F.count("*").alias("deg"))
                     .where((F.col("deg") >= 2)
                            & (F.col("deg") <= _AA_MAX_ORDER_DEG)))
-    b = op_pairs.select("o", F.col("p").alias("pb"))
-    pairs = (op_pairs.join(b, ["o"]).where(F.col("p") < F.col("pb"))
-                     .join(odeg, ["o"]))
+    # Join odeg BEFORE the self-join so hub orders (deg > cap) are
+    # physically gone before any pairing — the C(deg,2) fan-out bound in
+    # the docstring holds in the plan itself, not via optimizer reorder
+    # (ADVICE r7: the old post-self-join odeg join left the bound to CBO).
+    opd = op_pairs.join(odeg, ["o"])
+    pairs = (opd.join(opd.select("o", F.col("p").alias("pb")), ["o"])
+                .where(F.col("p") < F.col("pb")))
     return (pairs.groupBy(F.col("p").alias("pa"), "pb")
                  .agg(F.count("*").alias("n_common"),
                       F.sum(F.lit(1.0)
@@ -5297,7 +5312,8 @@ WITH checks AS (
 )
 SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
        CAST(n_violations AS BIGINT) AS n_violations,
-       round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+       round(CASE WHEN n_checked > 0
+             THEN CAST(n_violations AS DOUBLE) / n_checked END, 6)
            AS violation_rate,
        CAST(n_violations = 0 AS INT) AS passed
 FROM checks
@@ -5359,11 +5375,16 @@ def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = checks[0]
     for c in checks[1:]:
         rep = rep.unionByName(c)
+    # try_divide: NULL (not error/inf) on an empty audited table, the
+    # same answer the oracle's CASE WHEN n_checked > 0 guard gives —
+    # closes a latent cross-engine divergence on n_checked = 0
+    # (ADVICE r7; precedent: graph_degree_assortativity).
     return rep.select(
         "rule", F.col("n_checked").cast("long").alias("n_checked"),
         F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations").cast("double")
-                / F.col("n_checked"), 6).alias("violation_rate"),
+        F.round(F.try_divide(F.col("n_violations").cast("double"),
+                             F.col("n_checked")), 6)
+         .alias("violation_rate"),
         (F.col("n_violations") == 0).cast("int").alias("passed"))
 
 

@@ -686,10 +686,17 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load(spark, sf_dir, "events")
           .select("event_id", "event_type",
                   _h32(F.col("event_id").cast("string")).alias("hh")))
+    # 65,536 hash bands per class keep the per-band sort partitions
+    # small at any corpus size, but the (type, band) offsets table can
+    # reach ~327k rows — past the broadcast-sized bound of the
+    # bucket-cardinality contract — so the offsets attach by a shuffle
+    # equi-join instead of a broadcast (ADVICE r7; the contract's own
+    # escape hatch, api.bucketed_global_rank docstring).
     ranked = bucketed_global_rank(
         ev, F.floor(F.col("hh") / F.lit(65_536)).cast("long"),
         [F.col("hh"), F.col("event_id")],
-        rank_name="rn", group_cols=["event_type"])
+        rank_name="rn", group_cols=["event_type"],
+        broadcast_offsets=False)
     m = (ev.groupBy("event_type").count()
            .agg(F.min("count").alias("m")))
     return (ranked.crossJoin(F.broadcast(m))
