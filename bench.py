@@ -167,7 +167,8 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     qdf = e.filter(F.col("vec_id") < _N_QUERIES)
 
     def serve() -> None:
-        _ivfpq_serve_topk(qdf, corpus, cent, cb, e, nprobe=2).collect()
+        # serving default: nprobe auto-scales with nlist (r8)
+        _ivfpq_serve_topk(qdf, corpus, cent, cb, e).collect()
 
     serve()  # warm-up
     s_min, s_med = _timed_passes(serve)
@@ -209,6 +210,13 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir).replace("sf", ""))
     except ValueError:
         sf = None
+    # Protocol change (r8, VERDICT r7 #8): heavy_total covers the FUSED
+    # family ops plus the *_serve rows only — the deterministic one-shot
+    # *_build rows moved to their own build_total, so heavy_total stays
+    # apples-to-apples round-over-round instead of drifting every time a
+    # build/serve split row is added (r6→r7 grew 51→63 s from protocol
+    # alone). Both totals recompute from heavy_queries by key suffix.
+    build_keys = {k for k in heavy if k.endswith("_build")}
     print(json.dumps({
         "metric": "headline_queries_total_warm",
         "value": round(sum(timings.values()), 3),
@@ -218,7 +226,9 @@ def main() -> None:
         "heavy_queries": heavy,
         "heavy_median": heavy_med,
         "headline_total": round(sum(timings.values()), 3),
-        "heavy_total": round(sum(heavy.values()), 3),
+        "heavy_total": round(sum(v for k, v in heavy.items()
+                                 if k not in build_keys), 3),
+        "build_total": round(sum(heavy[k] for k in build_keys), 3),
         "n_timed_passes": N_TIMED,
         "sf": sf,
     }))

@@ -703,3 +703,114 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where(F.col("rn") <= F.col("m"))
                   .select("event_type", "event_id",
                           F.col("rn").cast("long").alias("rn")))
+
+
+# --------------------------------------------------------------------------
+# Round-8 wave (SURVEY.md §2.28)
+# --------------------------------------------------------------------------
+
+#: Declared target language mixture for `sample_domain_mix` — the
+#: Pile/CC-style training-mix declaration (a production run passes its
+#: own shares per domain cell). Shares sum to 1 over the corpus's five
+#: languages; doubles, so both engines do identical IEEE arithmetic.
+_DOMAIN_MIX_TARGET = [("en", 0.40), ("de", 0.15), ("es", 0.15),
+                      ("fr", 0.15), ("zh", 0.15)]
+
+
+@op("sample_domain_mix", oracle=f"""
+WITH tgt(lang, share) AS (VALUES {", ".join(
+    f"('{l}', CAST({s} AS DOUBLE))" for l, s in _DOMAIN_MIX_TARGET)}),
+avail AS (
+    SELECT lang, count(*) AS n_avail FROM documents GROUP BY 1
+), cap AS (
+    SELECT CAST(min(floor(a.n_avail / t.share)) AS BIGINT) AS t_total
+    FROM avail a JOIN tgt t ON t.lang = a.lang
+), quota AS (
+    SELECT t.lang, t.share,
+           CAST(floor(t.share * c.t_total) AS BIGINT) AS n_quota
+    FROM tgt t CROSS JOIN cap c
+), ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_H32.format(c="CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rk
+    FROM documents
+), kept AS (
+    SELECT r.lang, count(*) AS n_kept
+    FROM ranked r JOIN quota q ON q.lang = r.lang AND r.rk <= q.n_quota
+    GROUP BY 1
+)
+SELECT a.lang, CAST(a.n_avail AS BIGINT) AS n_avail,
+       round(q.share, 6) AS target_share,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+             / (SELECT sum(n_kept) FROM kept), 6) AS achieved_share
+FROM avail a
+JOIN quota q ON q.lang = a.lang
+LEFT JOIN kept k ON k.lang = a.lang
+""", tier=3, section="2.11")
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language target-mixture sampler (VERDICT r7 missing #2 —
+    the step between corpus hygiene and tokenization in every
+    training-data pipeline): given declared target shares per language,
+    find the LARGEST total sample the corpus can supply at that mixture
+    (t_total = min over cells of n_avail/share — the binding cell is the
+    scarcest one relative to its share), give each cell the quota
+    floor(share · t_total), and fill each quota with the md5-rank draw
+    (the same portable deterministic sampler as
+    `sample_reservoir_per_key` — reproducible across runs, engines and
+    re-partitioning, and stable under appends). Returns the audit frame:
+    per language, availability, target share, kept count, and ACHIEVED
+    share of the final sample — the row a pipeline owner eyeballs before
+    tokenizing (tests/test_wave_r8.py pins |achieved − target| to
+    integer-rounding distance).
+
+    Exactness: counts are integers; shares are double literals; both
+    engines evaluate the identical n_avail/share and share·t_total IEEE
+    divisions/products before floor, so quotas are identical integers;
+    the md5 rank is the shared portable draw; round(6) seals the two
+    reported ratios.
+
+    Scale shape: one hash aggregate for availability (5 rows), quota
+    arithmetic on the broadcast-tiny target frame, then the per-lang
+    rank. Language is a LOW-cardinality hot key, so ranking uses the
+    same keyed discipline as `sample_class_balance`: the md5 hash is
+    uniform, so rk <= quota is equivalent to a per-(lang, hash-band)
+    selection — here the rank window runs per lang over hash-banded
+    partitions via bucketed_global_rank with shuffle-joined offsets
+    (bucket-cardinality contract). One fact shuffle total; the kept-doc
+    projection is a filter, never a sort."""
+    from ..api import bucketed_global_rank
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    _h32(F.col("doc_id").cast("string")).alias("hh")))
+    tgt = spark.createDataFrame(_DOMAIN_MIX_TARGET, "lang string, share double")
+    avail = docs.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    cap = (avail.join(F.broadcast(tgt), "lang")
+                .agg(F.min(F.floor(F.col("n_avail") / F.col("share")))
+                      .cast("long").alias("t_total")))
+    quota = (tgt.crossJoin(F.broadcast(cap))
+                .select("lang", "share",
+                        F.floor(F.col("share") * F.col("t_total"))
+                         .cast("long").alias("n_quota")))
+    ranked = bucketed_global_rank(
+        docs, F.floor(F.col("hh") / F.lit(65_536)).cast("long"),
+        [F.col("hh"), F.col("doc_id")],
+        rank_name="rk", group_cols=["lang"],
+        broadcast_offsets=False)
+    kept = (ranked.join(F.broadcast(quota.select("lang", "n_quota")), "lang")
+                  .where(F.col("rk") <= F.col("n_quota"))
+                  .groupBy("lang").agg(F.count("*").alias("n_kept")))
+    tot = kept.agg(F.sum("n_kept").alias("tot_kept"))
+    return (avail.join(F.broadcast(quota), "lang")
+                 .join(F.broadcast(kept), "lang", "left")
+                 .crossJoin(F.broadcast(tot))
+                 .select("lang", F.col("n_avail").cast("long").alias("n_avail"),
+                         F.round("share", 6).alias("target_share"),
+                         F.coalesce(F.col("n_kept"), F.lit(0))
+                          .cast("long").alias("n_kept"),
+                         F.round(F.coalesce(F.col("n_kept"), F.lit(0))
+                                  .cast("double") / F.col("tot_kept"), 6)
+                          .alias("achieved_share")))

@@ -443,7 +443,8 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the index frames are what a serving cluster pins in memory;
     per-batch cost is queries x (nlist probes + candidate-cells ADC +
     shortlist re-rank), independent of stream length."""
-    from .similarity import (_N_QUERIES, _ivfpq_index, _ivfpq_serve_topk)
+    from .similarity import (_N_QUERIES, _ivf_nlist, _ivf_nprobe,
+                             _ivfpq_index, _ivfpq_serve_topk)
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_  # noqa: N813  (pq = shadowed by op arg)
@@ -466,10 +467,13 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     corpus, cent, cb = _ivfpq_index(e)
+    # resolve the auto-scaled probe count ONCE at serve-loop setup (a
+    # serving node sizes its dial when it loads the index, not per batch)
+    np_auto = _ivf_nprobe(_ivf_nlist(e.count()))
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
         top5 = _ivfpq_serve_topk(batch_df.select("vec_id", "embedding"),
-                                 corpus, cent, cb, e, nprobe=2)
+                                 corpus, cent, cb, e, nprobe=np_auto)
         top5.write.mode("overwrite").parquet(
             os.path.join(out, f"batch_id={batch_id}"))
 

@@ -25,3 +25,21 @@ def pytest_configure(config):
         "smoke: fast edit-loop subset (one op per family + the flagship; "
         "`pytest -m smoke` targets < 60 s) — the full suite remains the "
         "gate")
+    config.addinivalue_line(
+        "markers",
+        "audit100: 100x-corpus ANN recall pin (builds a 200k-vector index; "
+        "several minutes) — run explicitly via `pytest -m audit100`; "
+        "excluded from the default run by conftest's collection hook")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deselect audit100 tests unless explicitly requested with -m — they
+    build a 200k-vector composed index (minutes), which would blow the
+    <600 s shard budget of the commit gate. The same measurement is
+    recorded per round in SCALE.md."""
+    if "audit100" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="audit100: run with -m audit100")
+    for it in items:
+        if "audit100" in it.keywords:
+            it.add_marker(skip)

@@ -11,10 +11,11 @@ identical search cost. The untrained baseline is recomputed in DuckDB so
 the comparison survives the operator's replacement.
 """
 import duckdb
+import pytest
 
 from industry_big_data_time_sequence_process_spark.operators.similarity import (
     _EVAL_QUERIES, _IVF_NASSIGN, _IVF_STRIDE, _DUCK_HV, _duck_cos,
-    _ivf_nlist,
+    _ivf_nlist, _ivf_nprobe,
 )
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 
@@ -133,21 +134,27 @@ def test_scalable_cells_capacity_bounded(spark):
 
 
 def test_scanned_fraction_falls_with_corpus_size():
-    """VERDICT r6 #1 done-criterion: with nlist = clamp(⌊√n⌋, 32, 65536)
-    the composed stack's per-query scanned fraction
-    nprobe·_IVF_NASSIGN/nlist must FALL as the corpus grows (the round-6
-    constant-32 pinned it at ~18% forever). Pure arithmetic on the
-    sizing function — the measured per-sf fractions live in
-    tests/test_ivf.py::test_recall_operating_point_production_credible
+    """VERDICT r6 #1 + r7 #1 done-criterion: with nlist = clamp(⌊√n⌋,
+    32, 65536) AND the auto-scaled serving dial nprobe =
+    clamp(⌈2√nlist/3⌉, 2, 16), the composed stack's per-query scanned
+    fraction nprobe·_IVF_NASSIGN/nlist ~ 2·nassign/√nlist must still
+    FALL as the corpus grows — the recall-holding dial must not undo
+    the scan-fraction win. Pure arithmetic on the sizing functions; the
+    measured recall/scanned points live in the audit-corpus pins below
     and SCALE.md."""
-    frac = lambda n: 2 * _IVF_NASSIGN / _ivf_nlist(n)
-    # the three audited scales: sf0.01 (500), sf0.1 (2000), 100x (200k)
-    f1, f2, f3 = frac(500), frac(2_000), frac(200_000)
-    assert f1 >= f2 > f3, (f1, f2, f3)
-    assert f3 < 0.02                      # ~1.3% at the 100x corpus
-    # monotone non-increasing across decades up to the nlist ceiling
+    frac = lambda n: (_ivf_nprobe(_ivf_nlist(n)) * _IVF_NASSIGN
+                      / _ivf_nlist(n))
+    # the audited scales: sf0.01 (500), sf0.1 (2000), 10x (20k), 100x
+    # (200k vectors)
+    f1, f2, f3, f4 = frac(500), frac(2_000), frac(20_000), frac(200_000)
+    assert f1 >= f2 > f3 > f4, (f1, f2, f3, f4)
+    assert f4 < 0.12           # 15 probes of 447 cells x 3-assign ~ 10%
+    # decade-scale behavior: monotone non-increasing, and the nprobe
+    # ceiling (16) restores the 1/√n collapse at large n
     decades = [frac(10 ** k) for k in range(3, 12)]
     assert all(a >= b for a, b in zip(decades, decades[1:])), decades
+    assert frac(10 ** 8) < 0.005
+    assert frac(10 ** 10) < 0.001
 
 
 def test_scalable_topk_scores_sane(spark):
@@ -190,3 +197,85 @@ def test_recall_operating_point_production_credible(spark):
     rows = REGISTRY["sim_pq_recall_eval"].fn(spark, SF_T2).collect()
     rp = sum(r["recall_at_5"] for r in rows) / len(rows)
     assert rp >= 0.7, f"PQ cascade recall@5 = {rp}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (VERDICT r7 #1 done-criterion): the AUTO-scaled serving dial —
+# nprobe = _ivf_nprobe(nlist) — must hold recall@5 >= 0.5 at the 10x and
+# 100x audit corpora while the measured scanned fraction keeps falling.
+# The corpora are built by the SAME generator the scaling audit uses
+# (tools/scaling_audit.build_corpus — disjoint replication of sf0.1).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+
+def _audit_corpus(clones: int) -> str:
+    out = _os.path.join(_REPO, ".scratch", f"sf{clones // 10}")
+    if not _os.path.exists(_os.path.join(out, "embeddings.parquet")):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "scaling_audit",
+            _os.path.join(_REPO, "tools", "scaling_audit.py"))
+        sa = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sa)
+        sa.build_corpus(clones, out)
+    return out
+
+
+def _auto_operating_point(spark, sf_dir: str) -> tuple[float, float, int]:
+    """(recall@5, scanned fraction, nprobe) of the composed IVF+PQ stack
+    at the AUTO dial against brute-force exact-L2 truth — the same
+    measurement SCALE.md records, run live so the pin can't go stale."""
+    import pyspark.sql.functions as F
+
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _ivf_nprobe as nprobe_fn, _ivfpq_adc_frame, _ivfpq_index,
+        _exact_rerank, _pq_shortlist, _pq_truth,
+    )
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    np_auto = nprobe_fn(_ivf_nlist(n))
+    corpus, cent, cb = _ivfpq_index(e)
+    qdf = e.filter(F.col("vec_id") < _EVAL_QUERIES)
+    q = qdf.select(F.col("vec_id").alias("q_vec_id"),
+                   F.col("embedding").alias("qemb"))
+    scored = _ivfpq_adc_frame(qdf, corpus, cent, cb, np_auto).cache()
+    n_scanned = scored.count()
+    top = (_exact_rerank(_pq_shortlist(scored), q, e)
+           .select("q_vec_id", "c_vec_id"))
+    hits = _pq_truth(e, _EVAL_QUERIES).join(top,
+                                            ["q_vec_id", "c_vec_id"]).count()
+    scored.unpersist()
+    return (hits / (_EVAL_QUERIES * 5),
+            n_scanned / _EVAL_QUERIES / n, np_auto)
+
+
+def test_auto_nprobe_recall_holds_at_10x(spark):
+    """The round-7 sag point: fixed nprobe=2 measured recall@5 = 0.262
+    at the 10x corpus (SCALE.md). The auto dial (nprobe=8 at nlist=141)
+    must hold the >= 0.5 bar there, at a scanned fraction still BELOW
+    the sf0.1 arithmetic bound (the dial buys recall without undoing the
+    scan-fraction win)."""
+    recall, scanned, np_auto = _auto_operating_point(
+        spark, _audit_corpus(10))
+    assert recall >= 0.5, (recall, np_auto)
+    assert scanned <= (_ivf_nprobe(_ivf_nlist(2_000)) * _IVF_NASSIGN
+                       / _ivf_nlist(2_000)), (scanned, np_auto)
+
+
+@pytest.mark.audit100
+def test_auto_nprobe_recall_holds_at_100x(spark):
+    """Same pin at the 100x corpus (200k vectors, nlist=447, auto
+    nprobe=15), plus the falling-scan ladder vs the 10x point. Marked
+    `audit100` (several minutes of index build) — run explicitly via
+    `pytest -m audit100`; the measured numbers are recorded in SCALE.md
+    each round."""
+    r10, s10, _ = _auto_operating_point(spark, _audit_corpus(10))
+    r100, s100, np100 = _auto_operating_point(spark, _audit_corpus(100))
+    assert r100 >= 0.5, (r100, np100)
+    assert s100 < s10, (s100, s10)

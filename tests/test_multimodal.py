@@ -345,3 +345,152 @@ def test_purepng_malformed_ihdr_raises_oserror():
            + chunk(b"IEND", b""))
     with pytest.raises(OSError):
         purepng.open(io.BytesIO(bad))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (VERDICT r7 #5): second stdlib codec — BMP through the SAME
+# capability-probed interface, plus the decode -> phash end-to-end proof
+# for BOTH formats.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_bmp(width: int = W, height: int = H) -> bytes:
+    """A valid minimal uncompressed 24-bit BMP with the SAME pixel values
+    as synthetic_png() (so decode equivalence is testable): row x carries
+    bytes (x*7)%256 in RGB order, stored bottom-up BGR with 4-byte row
+    padding, deterministic bytes."""
+    stride = (width * 3 + 3) & ~3
+    rgb_row = bytes((x * 7) % 256 for x in range(width * 3))
+    bgr_row = bytes(b for px in range(width)
+                    for b in (rgb_row[3 * px + 2], rgb_row[3 * px + 1],
+                              rgb_row[3 * px]))
+    bgr_row += b"\x00" * (stride - len(bgr_row))
+    pix = bgr_row * height                      # rows identical -> order-safe
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pix), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return hdr + dib + pix
+
+
+def gray_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """8-bit grayscale-palette BMP around raw top-down pixel bytes."""
+    stride = (width + 3) & ~3
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rows = [pixels[y * width:(y + 1) * width].ljust(stride, b"\x00")
+            for y in range(height)]
+    pix = b"".join(reversed(rows))              # stored bottom-up
+    off = 14 + 40 + len(pal)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                      len(pix), 2835, 2835, 256, 0)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    return hdr + dib + pal + pix
+
+
+def gray_png(pixels: bytes, width: int, height: int) -> bytes:
+    """8-bit grayscale PNG around raw top-down pixel bytes."""
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * width:(y + 1) * width]
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_real_codec_decodes_synthetic_bmp():
+    """The SAME probe that decodes PNG must decode BMP — the codec
+    interface is format-generic, not shaped around one decoder."""
+    got = _decode([synthetic_bmp()]).to_dict("records")[0]
+    assert got == {"doc_id": 0, "width": W, "height": H,
+                   "n_channels": 3, "decode_ok": 1}
+
+
+def test_purebmp_pixels_roundtrip():
+    """Exact pixel recovery through the BGR swizzle, bottom-up row
+    order, 4-byte padding, and the grayscale-palette path; unsupported
+    variants raise OSError (the documented fallback contract)."""
+    import io
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purebmp)
+
+    im = purebmp.open(io.BytesIO(synthetic_bmp()))
+    assert im.size == (W, H) and im.getbands() == ("R", "G", "B")
+    want = bytes((x * 7) % 256 for x in range(W * 3)) * H
+    assert im.tobytes() == want
+
+    px = bytes(range(35))[:5 * 7]               # 5x7 distinct grays
+    im = purebmp.open(io.BytesIO(gray_bmp(px, 5, 7)))
+    assert im.size == (5, 7) and im.getbands() == ("L",)
+    assert im.tobytes() == px                   # bottom-up undone exactly
+
+    for bad in (b"xx", b"BM" + b"\x00" * 60,
+                synthetic_png()):               # wrong signature for BMP
+        with pytest.raises(OSError):
+            purebmp.open(io.BytesIO(bad))
+
+
+def test_codec_dispatch_routes_by_signature():
+    """The dispatcher sends PNG bytes to purepng and BMP bytes to
+    purebmp from ONE probe result, and raises on unknown signatures —
+    pinned against the dispatcher directly so a PIL-equipped container
+    still tests the in-repo routing path."""
+    import io
+
+    from industry_big_data_time_sequence_process_spark.operators.multimodal \
+        import _PureCodecDispatch as d
+
+    assert d.open(io.BytesIO(synthetic_png())).getbands() == ("R", "G", "B")
+    assert d.open(io.BytesIO(synthetic_bmp())).size == (W, H)
+    with pytest.raises(OSError):
+        d.open(io.BytesIO(b"GIF89a not registered"))
+
+
+@pytest.mark.parametrize("encoder", [gray_png, gray_bmp],
+                         ids=["png", "bmp"])
+def test_decode_to_phash_finds_planted_dups(spark, tmp_path, encoder):
+    """END-TO-END for both formats (VERDICT r7 #5 done-criterion):
+    planted near-dup IMAGES encoded as real PNG/BMP bytes -> decoded
+    through the capability-probed REAL branch -> decoded pixels staged
+    as the byte-grid corpus -> mm_phash_dedup finds exactly the planted
+    pairs. The decode step is the real codec (pixel bytes round-trip
+    through an actual container format), not the byte-sampling
+    fallback."""
+    import io
+
+    codec = multimodal._codec()
+    docs = {}
+    for i in range(12):
+        base = _image_text(i)
+        docs[i] = base
+        if i < 4:                               # planted near-dups
+            t = list(base)
+            for j in range(PATCH):
+                t[(i * 97 + j * 3) % 4096] = chr(33 + ((i + j) % 90))
+            docs[100 + i] = "".join(t)
+    # encode -> REAL decode -> text reconstruction from decoded pixels
+    decoded = {}
+    for doc_id, text in docs.items():
+        blob = encoder(text.encode("ascii"), 64, 64)
+        with codec.open(io.BytesIO(blob)) as im:
+            assert im.size == (64, 64) and im.getbands() == ("L",)
+            decoded[doc_id] = im.tobytes().decode("ascii")
+    assert decoded == docs                      # exact pixel round-trip
+    d = tmp_path / "decoded_sf"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_T2}/{t}.parquet", d / f"{t}.parquet")
+    ids = sorted(decoded)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([decoded[i] for i in ids], type=pa.string()),
+        "lang": pa.array(["xx"] * len(ids), type=pa.string()),
+        "source": pa.array(["synth"] * len(ids), type=pa.string()),
+        "n_chars": pa.array([len(decoded[i]) for i in ids],
+                            type=pa.int64()),
+    }), d / "documents.parquet")
+    rows = REGISTRY["mm_phash_dedup"].fn(spark, str(d)).collect()
+    got = {(r["doc1"], r["doc2"]) for r in rows}
+    assert got == {(i, 100 + i) for i in range(4)}, got

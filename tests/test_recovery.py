@@ -179,3 +179,96 @@ def test_foreachbatch_replay_after_crash_before_commit(spark):
     dup = (back.groupBy("batch_id", "event_id")
                .agg(F.count("*").alias("c")).filter("c > 1").count())
     assert dup == 0, "duplicate events inside a batch after replay"
+
+
+def test_tws_state_survives_restart(spark):
+    """VERDICT r7 #7: the MODERN stateful path — transformWithState
+    (`_sessionize_timeout_tws`: ValueState + registered event-time
+    timers on RocksDB) — must survive a kill + resume mid-stream. The
+    corpus is split at a timestamp chosen so at least one session SPANS
+    the split (events < 30-min gap apart on both sides): run 1 drains
+    only the first half and stops; run 2 resumes the SAME checkpoint
+    with the second half staged. The spanning session can only emerge
+    merged if the open-session ValueState and its registered timer
+    round-tripped through RocksDB across the query incarnations. The
+    final session set must equal an UNINTERRUPTED run over the same two
+    files byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from industry_big_data_time_sequence_process_spark.operators.streaming import (
+        _sessionize_timeout_tws,
+    )
+
+    if not tws_available():
+        import pytest
+        pytest.skip("transformWithState needs protobuf on workers")
+
+    #: a mid-corpus instant splitting user 128's two events 99 s apart —
+    #: probed from the sf0.01 corpus; one session provably spans it
+    split = "2024-01-15 01:28:32.790081"
+
+    def stage(indir: str, halves: list[int]) -> None:
+        t = pq.read_table(f"{SF_T2}/events.parquet")
+        s = pa.scalar(pd.Timestamp(split),
+                      type=t.schema.field("ts").type)
+        parts = [t.filter(pc.less_equal(t["ts"], s)),
+                 t.filter(pc.greater(t["ts"], s))]
+        os.makedirs(indir, exist_ok=True)
+        for i in halves:
+            dst = os.path.join(indir, f"events_{i}.parquet")
+            pq.write_table(parts[i], dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run(indir: str, ckpt: str, out: str) -> None:
+        ev = _open_stream(spark, indir, SF_T2)
+        _drain_to_sink(_sessionize_timeout_tws(ev), ckpt, out, "append")
+
+    def sessions(out: str) -> list[tuple]:
+        return sorted(tuple(r) for r in
+                      spark.read.option("basePath", out).parquet(out)
+                      .select("user_id", "start_us", "end_us", "n_events")
+                      .collect())
+
+    base = os.path.join(BASE, "tws")
+    shutil.rmtree(base, ignore_errors=True)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        # killed-and-resumed: half 0, stop, half 1, resume same ckpt
+        indir = os.path.join(base, "in")
+        ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
+        stage(indir, [0])
+        run(indir, ckpt, out)
+        commits = os.path.join(ckpt, "commits")
+        assert len([f for f in os.listdir(commits)
+                    if not f.startswith(".")]) >= 1, "no committed batch"
+        stage(indir, [1])
+        run(indir, ckpt, out)
+
+        # uninterrupted reference: both halves, one query incarnation
+        indir2 = os.path.join(base, "in2")
+        ckpt2, out2 = os.path.join(base, "ckpt2"), os.path.join(base, "out2")
+        stage(indir2, [0, 1])
+        run(indir2, ckpt2, out2)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    got, want = sessions(out), sessions(out2)
+    assert got == want, (
+        f"TWS restart diverged from the uninterrupted run: "
+        f"{len(got)} vs {len(want)} rows; first diff "
+        f"{next(((a, b) for a, b in zip(got, want) if a != b), None)}")
+    # the state-crossing proof: >= 1 emitted session STARTS before the
+    # split and ENDS after it — impossible unless the open-session
+    # ValueState survived the kill
+    split_us = int(pd.Timestamp(split).value // 1000)
+    spanning = [s for s in got if s[1] <= split_us < s[2]]
+    assert spanning, "no session spans the kill point — test corpus bug"

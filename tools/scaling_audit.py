@@ -114,13 +114,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def build_sf1() -> None:
-    os.makedirs(SF1, exist_ok=True)
+def build_corpus(clones: int, out_dir: str, src: str = SF01) -> None:
+    """Build the deterministic ``clones``x audit corpus under ``out_dir``
+    (disjoint replication — see module docstring). Importable so the
+    recall-pin tests (tests/test_ivf.py) build the SAME corpora the
+    audit measures, instead of a private variant."""
+    os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         if t not in ("events", "documents", "embeddings",
                      "orders", "customer"):
-            shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+            shutil.copy(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
+    SF01_, SF1_, CLONES_ = src, out_dir, clones  # keep body below verbatim
+    return _build_body(SF01_, SF1_, CLONES_)
+
+
+def build_sf1() -> None:
+    build_corpus(CLONES, SF1)
+
+
+def _build_body(SF01: str, SF1: str, CLONES: int) -> None:
     ev = pq.read_table(f"{SF01}/events.parquet")
     uid_span = pc.max(ev["user_id"]).as_py() + 1
     eid_span = pc.max(ev["event_id"]).as_py() + 1
