@@ -5434,3 +5434,80 @@ def agg_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("cp"),
         F.round(F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL))
                 / (3 * sg), 6).alias("cpk"))
+
+
+# ==========================================================================
+# §2.28 Round-8 second wave
+# ==========================================================================
+
+import math as _math
+
+#: Benford first-digit expectations log10(1 + 1/d), floored onto 1e-9 and
+#: injected into BOTH engines as literals — the verdict must not hinge on
+#: libm-vs-JVM log10 agreement.
+_BENFORD_EXP = {d: _math.floor(_math.log10(1 + 1 / d) * 1e9) / 1e9
+                for d in range(1, 10)}
+
+_DUCK_BENFORD_VALUES = ", ".join(
+    f"({d}, CAST({p} AS DOUBLE))" for d, p in _BENFORD_EXP.items())
+
+
+@op("dq_benford_check", oracle=f"""
+WITH exp(digit, exp_share) AS (VALUES {_DUCK_BENFORD_VALUES}),
+amt AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice > 0
+), obs AS (
+    SELECT digit, count(*) AS n,
+           sum(count(*)) OVER () AS total
+    FROM amt GROUP BY 1
+)
+SELECT e.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+       round(CAST(COALESCE(o.n, 0) AS DOUBLE)
+             / (SELECT min(total) FROM obs), 6) AS obs_share,
+       round(e.exp_share, 6) AS exp_share,
+       round(power(CAST(COALESCE(o.n, 0) AS DOUBLE)
+                   - e.exp_share * (SELECT min(total) FROM obs), 2)
+             / (e.exp_share * (SELECT min(total) FROM obs)), 6)
+           AS chi2_term
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+""", tier=3, section="2.4")
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order amounts — the classic
+    fabricated-/truncated-data detector (Newcomb–Benford law, the public
+    forensic-accounting standard): per leading digit 1-9, observed count
+    and share vs the log10(1+1/d) expectation, plus the chi-square
+    contribution — large terms point AT the suspicious digit. On this
+    synthetic corpus the amounts are uniform-ish, so the audit correctly
+    FLAGS them (uniform data is exactly what Benford catches); the
+    per-digit report, not a pass verdict, is the deliverable.
+
+    Exactness: the leading digit comes from integer-cents string
+    conversion (floor(x·100) is the same IEEE double op in both engines;
+    BIGINT-to-VARCHAR is exact everywhere), never from log10 of the
+    amount; expectations are Python-computed literals injected into both
+    engines; counts are integers and the two ratios round(6).
+
+    Scale shape: one narrow projection + one 9-row hash aggregate (map-
+    side combinable); the expectation frame is a 9-row literal; the
+    total attaches by broadcast. Linear scan, no window over facts."""
+    exp = spark.createDataFrame(sorted(_BENFORD_EXP.items()),
+                                "digit int, exp_share double")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(F.floor(F.col("o_totalprice") * 100)
+                         .cast("long").cast("string"), 1, 1).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit") \
+           .agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    nn = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    expn = F.col("exp_share") * F.col("total")
+    return (F.broadcast(exp).join(obs, "digit", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("digit",
+                     F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                      .alias("n"),
+                     F.round(nn / F.col("total"), 6).alias("obs_share"),
+                     F.round("exp_share", 6).alias("exp_share"),
+                     F.round(F.pow(nn - expn, F.lit(2)) / expn, 6)
+                      .alias("chi2_term")))

@@ -3127,3 +3127,79 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is vec_id-keyed (bounded partitions)."""
     e = load(spark, sf_dir, "embeddings")
     return _semantic_dedup_frame(e, _SEMDEDUP_TAU)
+
+
+@op("dedup_semantic_incremental", oracle=f"""
+WITH cut AS (SELECT CAST(floor(0.9 * count(*)) AS BIGINT) AS c
+             FROM embeddings),
+old AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN cut
+        WHERE vec_id < c),
+batch AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN cut
+          WHERE vec_id >= c),
+{_duck_ivf_capped_prefix(corpus="old")},
+bassign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_duck_cos('e.embedding', 'c.cemb')} DESC,
+                            c.cid) AS r
+        FROM batch e CROSS JOIN u{_IVF_ITERS} c
+    ) WHERE r = 1
+),
+pairs AS (
+    SELECT b.vec_id AS vec_id, o.vec_id AS kept_id,
+           CAST(b.cid AS BIGINT) AS cid,
+           {_duck_cos('o.embedding', 'b.embedding')} AS c
+    FROM bassign b JOIN cells o ON o.cid = b.cid
+    WHERE {_duck_cos('o.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, kept_id, cid, round(c, 6) AS cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY kept_id) AS r
+      FROM pairs) WHERE r = 1
+""", tier=3, section="2.11")
+def dedup_semantic_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the daily-ingest twin of
+    `dedup_semantic_embedding`, completing the triangle the MinHash
+    family already has (`dedup_near_minhash` ↔
+    `dedup_incremental_minhash`): a new batch of vectors (the md5-stable
+    top-10% vec_id slice stands in for today's arrivals) probes the
+    EXISTING cluster index — centroids trained on the old corpus only,
+    never retrained (the `sim_ivf_incremental_assign` discipline) — and
+    each batch vector is checked ONLY against the old members of its
+    nearest cell, dropping it against the minimum-id keeper above the
+    cosine threshold. Ingest cost is O(batch · (nlist + cell size)),
+    independent of corpus size, and the old corpus never reshuffles —
+    its cell assignments are the immutable inverted lists a serving/
+    ingest tier keeps warm between full rebuilds.
+
+    Exactness: same three exact pieces as the batch op (fixed-point
+    Lloyd on the old slice, shared double cosine, min-keeper window);
+    the 0.9 cut derives from count(*) identically in both engines.
+
+    Scale shape: the only corpus-sized work is the old slice's one
+    linear assignment pass (the index a deployment already has on
+    disk); the batch side is nq·nlist probes plus a cid-keyed join
+    against single cells — never batch x corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    cut = e.agg(F.floor(0.9 * F.count("*")).cast("long").alias("c"))
+    with_cut = e.crossJoin(F.broadcast(cut))
+    old = with_cut.filter(F.col("vec_id") < F.col("c")) \
+                  .select("vec_id", "embedding")
+    batch = with_cut.filter(F.col("vec_id") >= F.col("c")) \
+                    .select("vec_id", "embedding")
+    cent = _ivf_train_capped(old)
+    old_cells = _ivf_assign(old, cent).select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("embedding").alias("aemb"), "cid")
+    b_cells = _ivf_assign(batch, cent).select(
+        "vec_id", F.col("embedding").alias("bemb"), "cid")
+    pairs = (b_cells.join(old_cells, "cid")
+                    .withColumn("c", _cos(F.col("aemb"), F.col("bemb")))
+                    .where(F.col("c") >= F.lit(_SEMDEDUP_TAU)))
+    w = Window.partitionBy("vec_id").orderBy("kept_id")
+    return (pairs.withColumn("r", F.row_number().over(w)).filter("r = 1")
+                 .select("vec_id", "kept_id",
+                         F.col("cid").cast("long").alias("cid"),
+                         F.round("c", 6).alias("cos_sim")))

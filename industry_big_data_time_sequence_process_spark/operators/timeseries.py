@@ -7262,3 +7262,80 @@ def ts_weibull_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = (m * F.col("sxw").cast("double") - sx * sw) / varx
     return mom.select("user_id", F.col("n").cast("long").alias("n_gaps"),
                       F.round(F.when(varx > 0, beta), 6).alias("beta"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 second wave (SURVEY.md §2.28)
+# --------------------------------------------------------------------------
+
+#: chi-square 95% critical values for 1-3 dof — Python literals injected
+#: into BOTH engines (the white-noise verdict must not depend on either
+#: engine's quantile function, which neither ships portably anyway).
+_LB_CRIT = {1: 3.841459, 2: 5.991465, 3: 7.814728}
+
+_DUCK_LB_CRIT = ("CASE count(*) "
+                 + " ".join(f"WHEN {k} THEN {v}"
+                            for k, v in _LB_CRIT.items())
+                 + " END")
+
+
+@op("ts_ljung_box", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+{_duck_acf_sql("1, 2, 3")},
+nobs AS (SELECT user_id, count(*) AS n_obs FROM hourly GROUP BY 1)
+SELECT a.user_id, CAST(min(o.n_obs) AS BIGINT) AS n_obs,
+       count(*) AS n_lags,
+       round(CAST(min(o.n_obs) AS DOUBLE) * (min(o.n_obs) + 2)
+             * sum(a.r * a.r / (o.n_obs - a.lag)), 6) AS q_stat,
+       CAST(CAST(min(o.n_obs) AS DOUBLE) * (min(o.n_obs) + 2)
+            * sum(a.r * a.r / (o.n_obs - a.lag))
+            <= {_DUCK_LB_CRIT} AS INT) AS white_noise
+FROM acf a JOIN nobs o ON o.user_id = a.user_id
+WHERE a.r IS NOT NULL AND a.lag < o.n_obs
+GROUP BY a.user_id
+""", tier=3, section="2.9")
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per channel: Q = n(n+2)·Σ_k r_k²/(n−k)
+    over the hourly-mean series' lag-1..3 autocorrelations, with the
+    white-noise verdict at the chi-square 95% cutoff for the lags
+    actually usable — the standard "is there ANY serial structure left"
+    gate run on residuals after `ts_trend_seasonal_residual`, and the
+    aggregate companion of the per-lag `ts_acf_lags` table (this engine's
+    calendar-lag pairwise-complete r_k, so gap hours drop pairs rather
+    than fabricating zeros). Zero-variance (NULL-r) lags drop out of the
+    sum; channels shorter than the lag keep only feasible terms.
+
+    Exactness: r_k comes from the shared exact-moment `_acf_frame`
+    (1e-4 fixed-point hourly means, DECIMAL(38) moments, one double
+    expression), n and lag are integers, so Q is one deterministic
+    double expression per channel; the chi-square cutoffs are literals
+    injected into both engines, and the <= verdict compares identical
+    doubles. round(6) seals the reported Q.
+
+    Scale shape: everything rides `_hourly_mfx` (one map-side-combinable
+    hash aggregate) and `_acf_frame` (3-row lag fan-out of the hourly
+    frame, user-keyed equi-join, one (user, lag) aggregate); the final
+    per-user aggregate is 3 rows in, 1 out. No window ever sees raw
+    events."""
+    ev = load(spark, sf_dir, "events")
+    hourly = _hourly_mfx(ev)
+    nobs = hourly.groupBy("user_id").agg(F.count("*").alias("n_obs"))
+    acf = _acf_frame(spark, hourly, 1, 3)
+    j = (acf.join(nobs, "user_id")
+            .where(F.col("r").isNotNull()
+                   & (F.col("lag") < F.col("n_obs"))))
+    q = (F.min("n_obs").cast("double") * (F.min("n_obs") + 2)
+         * F.sum(F.col("r") * F.col("r") / (F.col("n_obs") - F.col("lag"))))
+    crit = F.col("n_lags")
+    crit_expr = None
+    for k, v in _LB_CRIT.items():
+        crit_expr = (F.when(crit == k, F.lit(v)) if crit_expr is None
+                     else crit_expr.when(crit == k, F.lit(v)))
+    return (j.groupBy("user_id")
+             .agg(F.min("n_obs").cast("long").alias("n_obs"),
+                  F.count("*").alias("n_lags"),
+                  q.alias("_q"))
+             .select("user_id", "n_obs", "n_lags",
+                     F.round("_q", 6).alias("q_stat"),
+                     (F.col("_q") <= crit_expr).cast("int")
+                      .alias("white_noise")))

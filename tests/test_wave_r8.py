@@ -136,3 +136,61 @@ def test_domain_mix_deterministic_and_monotone(spark):
     # the binding cell keeps nearly all of its availability
     assert any(r["n_avail"] - r["n_kept"] <= max(1, int(r["target_share"]
                * len(rows))) for r in rows.values()), rows
+
+
+# ---- second wave: incremental SemDeDup, Ljung-Box, Benford ---------------
+
+
+def test_semantic_incremental_subset_of_batch(spark):
+    """Every incremental drop must correspond to a real above-threshold
+    old-corpus neighbor: kept_id < cut <= vec_id (keepers come from the
+    old slice, droppers from the batch), one verdict per dropped vec,
+    and the cosine bound holds."""
+    import duckdb
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM read_parquet("
+                    f"'{SF_T2}/embeddings.parquet')").fetchone()[0]
+    con.close()
+    cut = int(0.9 * n)
+    rows = REGISTRY["dedup_semantic_incremental"].fn(spark, SF_T2).collect()
+    assert len(rows) > 0
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["vec_id"] >= cut > r["kept_id"]
+        assert r["cos_sim"] >= _SEMDEDUP_TAU - 1e-6
+
+
+def test_ljung_box_flags_structure_not_noise(spark):
+    """Semantic sanity on the verdict column: Q is non-negative
+    everywhere, the white-noise flag equals the literal-cutoff compare
+    recomputed from the row, and at least one channel lands on each
+    side at sf0.01 (the corpus has both quiet and patterned users —
+    a one-sided verdict would mean the statistic degenerated)."""
+    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}
+    rows = REGISTRY["ts_ljung_box"].fn(spark, SF_T2).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["q_stat"] >= 0
+        assert 1 <= r["n_lags"] <= 3
+        assert r["white_noise"] == int(r["q_stat"] <= crit[r["n_lags"]]
+                                       + 1e-6) or abs(
+            r["q_stat"] - crit[r["n_lags"]]) < 2e-6
+    sides = {r["white_noise"] for r in rows}
+    assert sides == {0, 1}, sides
+
+
+def test_benford_audit_shape(spark):
+    """All nine digits reported, shares sum to ~1 on both columns, the
+    expectation column IS the Benford law, and the chi2 terms correctly
+    flag this uniform-ish synthetic corpus as non-Benford (total chi2
+    far above the 15.51 cutoff for 8 dof)."""
+    import math
+    rows = {r["digit"]: r for r in
+            REGISTRY["dq_benford_check"].fn(spark, SF_T2).collect()}
+    assert set(rows) == set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r["exp_share"] for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert abs(r["exp_share"] - math.log10(1 + 1 / d)) < 1e-6
+    assert sum(r["chi2_term"] for r in rows.values()) > 15.51
