@@ -108,6 +108,9 @@ OPS = [
     # lineitem-driven dq_pk_uniqueness / graph_label_propagation are
     # excluded — lineitem does not scale in this corpus)
     "ts_runs_test", "ts_seasonal_strength", "doc_truncate_budget",
+    # round-8 additions (embeddings / documents / events / orders)
+    "dedup_semantic_embedding", "dedup_semantic_incremental",
+    "sample_domain_mix", "ts_ljung_box", "dq_benford_check",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
