@@ -1376,3 +1376,94 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.withColumn("rank", rk)
                   .where(F.col("rank") <= 20)
                   .select("user_id", "n_events", "total_value", "rank"))
+
+
+@op("stream_semantic_ingest",
+    oracle=REGISTRY["dedup_semantic_incremental"].oracle,
+    tier=3, section="2.10")
+def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic-dedup ingest (round 8): the SemDeDup
+    daily-ingest pass as a Structured Streaming job — new vectors ARRIVE
+    as a stream, and each micro-batch assigns its vectors to the STATIC
+    cluster index (centroids trained once on the old corpus), compares
+    them against ONLY their cell's old members, and writes the
+    min-id-keeper drop list into the per-batch_id exactly-once sink the
+    recovery suite crash-tests. The batch/stream twin of
+    ``dedup_semantic_incremental`` — it reuses that oracle VERBATIM, so
+    the streamed drop list is value-checked against the batch answer,
+    completing the ingest-twin triangle the MinHash family already has
+    (`dedup_near_minhash` ↔ `dedup_incremental_minhash` ↔
+    `stream_ingest_dedup`).
+
+    The top-10% vec_id slice stands in for today's arrivals, staged as
+    TWO files (two micro-batches) to prove incremental serving; keepers
+    are all in the static old corpus, and each arrival lands in exactly
+    one micro-batch, so the per-batch min-keeper window composes to the
+    batch-global answer without any cross-batch state. Per-batch cost is
+    O(batch)·nlist probes + cid-keyed joins against single cells — the
+    historical corpus never re-pairs, and the index frames are what a
+    deployment pins in memory between daily rebuilds."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from pyspark.sql import Window
+    from .similarity import (_SEMDEDUP_TAU, _cos, _ivf_assign,
+                             _ivf_train_capped)
+
+    configure(spark)
+    key = "stream_semantic_ingest"
+    base = _stream_base(spark, key)
+    indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    import math
+
+    t = pq_.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    # the oracle's cut CTE: floor(0.9 * count(*)) — same IEEE floor
+    cut = math.floor(0.9 * t.num_rows)
+    arrivals = t.filter(pc.greater_equal(t["vec_id"], cut))
+    splitter = pc.equal(pc.bit_wise_and(arrivals["vec_id"], 1), 0)
+    for i, tab in enumerate((arrivals.filter(splitter),
+                             arrivals.filter(pc.invert(splitter)))):
+        dst = os.path.join(indir, f"vecs_{i}.parquet")
+        pq_.write_table(tab, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # static index frames (one corpus build in deployment)
+    e = load(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < cut).select("vec_id", "embedding")
+    cent = _ivf_train_capped(old)
+    old_cells = _ivf_assign(old, cent).select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("embedding").alias("aemb"), "cid").cache()
+    old_cells.count()
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        b_cells = _ivf_assign(
+            batch_df.select("vec_id", "embedding"), cent).select(
+            "vec_id", F.col("embedding").alias("bemb"), "cid")
+        pairs = (b_cells.join(old_cells, "cid")
+                        .withColumn("c", _cos(F.col("aemb"),
+                                              F.col("bemb")))
+                        .where(F.col("c") >= F.lit(_SEMDEDUP_TAU)))
+        w = Window.partitionBy("vec_id").orderBy("kept_id")
+        drops = (pairs.withColumn("r", F.row_number().over(w))
+                      .filter("r = 1")
+                      .select("vec_id", "kept_id",
+                              F.col("cid").cast("long").alias("cid"),
+                              F.round("c", 6).alias("cos_sim")))
+        drops.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    from ..sources.io import SCHEMAS
+
+    raw = (spark.readStream.schema(SCHEMAS["embeddings"])
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (raw.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    old_cells.unpersist()
+    return (spark.read.option("basePath", out).parquet(out)
+                 .select("vec_id", "kept_id", "cid", "cos_sim"))

@@ -209,6 +209,11 @@ EMPTY_EMB_GUARDED = [
     # round-6 index persistence (empty corpus -> fileless parquet dirs;
     # readers pass explicit schemas)
     "sim_index_persist", "sim_ann_serve_persisted",
+    # round-8 semantic dedup family (empty corpus -> empty trainer,
+    # empty cells, empty drop list; the streaming twin stages two empty
+    # arrival files and drains zero drops)
+    "dedup_semantic_embedding", "dedup_semantic_incremental",
+    "stream_semantic_ingest",
 ]
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from industry_big_data_time_sequence_process_spark.operators import (
     streaming, timeseries, udfs,
 )
+from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 from industry_big_data_time_sequence_process_spark.sources.io import load
 
 from .conftest import SF_T2
@@ -185,3 +186,17 @@ def test_sessionize_tws_twin(spark):
         spark, SF_T2).collect()))
     assert modern == legacy
     assert sum(modern.values()) > 0
+
+
+def test_stream_semantic_ingest_equals_batch(spark):
+    """The streamed SemDeDup ingest drop list == the batch incremental
+    op row for row (both exact-oracled against the same SQL, but the
+    twin pin survives an oracle edit): two micro-batches compose to the
+    batch-global answer because keepers are static and each arrival
+    lands in exactly one batch."""
+    stream = Counter(map(tuple, streaming.stream_semantic_ingest(
+        spark, SF_T2).collect()))
+    batch = Counter(map(tuple, REGISTRY["dedup_semantic_incremental"]
+                        .fn(spark, SF_T2).collect()))
+    assert stream == batch
+    assert sum(stream.values()) > 0
