@@ -5511,3 +5511,101 @@ def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("exp_share", 6).alias("exp_share"),
                      F.round(F.pow(nn - expn, F.lit(2)) / expn, 6)
                       .alias("chi2_term")))
+
+
+#: Fixed peel rounds for the k-core approximation — bounded-round
+#: distributed-graph discipline (the `graph_label_propagation` precedent:
+#: exact fixed-round semantics both engines, never an unbounded loop).
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _duck_kcore_rounds() -> str:
+    """Unrolled peel CTEs: nodes{r} = nodes{r-1} minus degree-<k nodes,
+    degrees recomputed against the surviving set each round."""
+    parts = [f"""sym AS (
+    SELECT pa AS p, pb AS q FROM e
+    UNION ALL SELECT pb, pa FROM e
+), nodes0 AS (SELECT DISTINCT p FROM sym)"""]
+    prev = "nodes0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""deg{r} AS (
+    SELECT s.p, count(*) AS d FROM sym s
+    JOIN {prev} a ON a.p = s.p
+    JOIN {prev} b ON b.p = s.q
+    GROUP BY 1
+), nodes{r} AS (SELECT p FROM deg{r} WHERE d >= {_KCORE_K})""")
+        prev = f"nodes{r}"
+    return ",\n".join(parts)
+
+
+@op("graph_kcore_peel", oracle=f"""
+WITH {_DUCK_COPURCHASE_E},
+{_duck_kcore_rounds()},
+final_deg AS (
+    SELECT s.p, count(*) AS d FROM sym s
+    JOIN nodes{_KCORE_ROUNDS} a ON a.p = s.p
+    JOIN nodes{_KCORE_ROUNDS} b ON b.p = s.q
+    GROUP BY 1
+)
+SELECT p AS partkey, CAST(d AS BIGINT) AS core_degree FROM final_deg
+""", tier=3, section="2.3")
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_ROUNDS}-round {_KCORE_K}-core peel of the support>=2
+    co-purchase graph: iteratively drop parts whose degree within the
+    SURVIVING subgraph falls below {_KCORE_K}, reporting the survivors
+    and their final-round core degree — the graph-health screen that
+    separates the dense purchasable core from pendant long-tail parts
+    (the input a recommender restricts its candidate graph to). Exact
+    FIXED-round semantics, the bounded-round discipline of
+    `graph_label_propagation`: both engines peel exactly
+    {_KCORE_ROUNDS} rounds, so the answer is deterministic even where
+    the full fixpoint would need more (documented approximation — at
+    {_KCORE_ROUNDS} rounds the surviving set equals the true 2-core on
+    any graph whose pendant chains are shorter than {_KCORE_ROUNDS},
+    which the support floor makes overwhelmingly likely here).
+
+    Exactness: pure integer degree counts and set memberships.
+
+    Scale shape: the edge set builds once (shared cached
+    `_copurchase_edges`); each round is two node-keyed semi-joins + one
+    hash aggregate over the shrinking survivor set — all shuffles keyed
+    by part, round count fixed at plan-build time (driver loops over
+    {_KCORE_ROUNDS} rounds, never rows)."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = (e.select(F.col("pa").alias("p"), F.col("pb").alias("q"))
+            .unionByName(e.select(F.col("pb").alias("p"),
+                                  F.col("pa").alias("q"))))
+    sym = sym.cache()
+    nodes = sym.select("p").distinct()
+    cached = []
+    for _ in range(_KCORE_ROUNDS):
+        # Materialize each round's survivor set: it feeds TWO semi-joins
+        # in the next round, so an uncached lineage doubles per round
+        # (2^rounds recomputes of the edge build — measured as a
+        # 10k-task plan on a vanilla driver session). The frame is a
+        # shrinking id list — cache cost is trivial, and the driver
+        # loop stays over the FIXED round count, never rows.
+        deg = (sym.join(nodes, ["p"], "left_semi")
+                  .join(nodes.select(F.col("p").alias("q")), ["q"],
+                        "left_semi")
+                  .groupBy("p").agg(F.count("*").alias("d")))
+        nodes = deg.where(F.col("d") >= _KCORE_K).select("p").cache()
+        nodes.count()
+        cached.append(nodes)
+    # core_degree is the INDUCED-subgraph degree within the final
+    # survivor set (one post-peel pass) — a round-r degree would count
+    # neighbors peeled in the same round, overstating the core by one
+    # round's casualties.
+    final_deg = (sym.join(nodes, ["p"], "left_semi")
+                    .join(nodes.select(F.col("p").alias("q")), ["q"],
+                          "left_semi")
+                    .groupBy("p").agg(F.count("*").alias("d")))
+    out = final_deg.select(F.col("p").alias("partkey"),
+                           F.col("d").cast("long").alias("core_degree"))
+    # detach the intermediates' storage once the result materializes —
+    # non-blocking so the returned lazy plan (which references only the
+    # final cached survivor set) computes first
+    for c in cached[:-1]:
+        c.unpersist(blocking=False)
+    return out

@@ -2520,3 +2520,4 @@ def doc_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n > _TRUNC_BUDGET).cast("int").alias("truncated"),
         F.md5(kept).alias("kept_md5"),
         F.length(kept).cast("long").alias("kept_chars"))
+

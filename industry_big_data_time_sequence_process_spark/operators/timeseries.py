@@ -7339,3 +7339,124 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("_q", 6).alias("q_stat"),
                      (F.col("_q") <= crit_expr).cast("int")
                       .alias("white_noise")))
+
+
+#: Lag range scanned by the period detector — one day of hourly lags, the
+#: longest period the corpus's one-month span can support ~30 samples of.
+_PERIOD_MAX_LAG = 24
+
+
+@op("ts_period_detect_acf", oracle=f"""
+WITH {_DUCK_HOURLY_MFX},
+{_duck_acf_sql(", ".join(str(k) for k in range(1, _PERIOD_MAX_LAG + 1)))}
+SELECT user_id, CAST(lag AS INT) AS period_hours,
+       round(r, 6) AS acf_at_period, CAST(n AS BIGINT) AS n_pairs
+FROM (
+    SELECT user_id, lag, r, n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY r DESC, lag) AS rk
+    FROM acf WHERE r IS NOT NULL
+) WHERE rk = 1
+""", tier=3, section="2.9")
+def ts_period_detect_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per channel: the lag (1..24 h) with the
+    maximum hourly-series autocorrelation — the automated version of
+    eyeballing `ts_acf_lags` for the seasonality a forecaster should
+    model (period 24 = daily rhythm, small lags = short-memory bursts).
+    The argmax companion to `ts_seasonal_strength` (which ASSUMES the
+    daily period and scores it) — this op finds the period first.
+
+    Exactness: each candidate r is the shared exact-moment Pearson
+    expression (`_acf_frame` — 1e-4 fixed-point hourly means, DECIMAL(38)
+    moments), identical doubles in both engines, so the (r DESC, lag)
+    argmax is deterministic; NULL-variance lags drop before ranking.
+
+    Scale shape: the 24-row lag fan-out multiplies the ALREADY-AGGREGATED
+    hourly frame, never raw events; the argmax window partitions by user
+    over <= 24 rows (Aggregate-bounded, passes the fact-window walk)."""
+    acf = _acf_frame(spark, _hourly_mfx(load(spark, sf_dir, "events")),
+                     1, _PERIOD_MAX_LAG)
+    w = Window.partitionBy("user_id").orderBy(F.col("r").desc(), "lag")
+    return (acf.where(F.col("r").isNotNull())
+               .withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+               .select("user_id",
+                       F.col("lag").cast("int").alias("period_hours"),
+                       F.round("r", 6).alias("acf_at_period"),
+                       F.col("n").cast("long").alias("n_pairs")))
+
+
+#: Syntetos–Boylan classification cutoffs (public forecasting literature):
+#: ADI 1.32 demand-interval / CV² 0.49 size-variability quadrants.
+_SBC_ADI_CUT = 1.32
+_SBC_CV2_CUT = 0.49
+
+
+@op("ts_demand_classify_sbc", oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+), span AS (
+    SELECT user_id,
+           date_diff('day', min(d), max(d)) + 1 AS span_days,
+           count(*) AS n_demand,
+           avg(q) AS mu, stddev_samp(q) AS sigma
+    FROM daily GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT user_id, CAST(n_demand AS BIGINT) AS n_demand,
+       round(CAST(span_days AS DOUBLE) / n_demand, 6) AS adi,
+       round((sigma * sigma) / (mu * mu), 6) AS cv2,
+       CASE WHEN CAST(span_days AS DOUBLE) / n_demand < {_SBC_ADI_CUT}
+            THEN CASE WHEN (sigma * sigma) / (mu * mu) < {_SBC_CV2_CUT}
+                      THEN 'smooth' ELSE 'erratic' END
+            ELSE CASE WHEN (sigma * sigma) / (mu * mu) < {_SBC_CV2_CUT}
+                      THEN 'intermittent' ELSE 'lumpy' END
+       END AS demand_class
+FROM span
+""", tier=3, section="2.9")
+def ts_demand_classify_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand-pattern classification per user over the
+    purchase stream: ADI (average inter-demand interval = observed span
+    days / demand days) x CV² (squared coefficient of variation of
+    daily demand size) into the four forecastability quadrants —
+    smooth / erratic / intermittent / lumpy — the standard
+    supply-chain gate that decides WHICH forecaster to run
+    (Croston-family for intermittent/lumpy, exponential smoothing for
+    smooth/erratic; Syntetos, Boylan & Croston 2005 cutoffs 1.32/0.49
+    as literals in both engines).
+
+    Exactness: daily demand sums are DECIMAL(18,2)-exact before ONE
+    double cast; ADI is an integer-over-integer divide; CV² composes
+    avg/stddev_samp the same way both engines do (the `agg_capability_cpk`
+    precedent); the quadrant compares identical doubles against literal
+    cutoffs, so the class label is deterministic. HAVING n >= 2 keeps
+    stddev defined.
+
+    Scale shape: one (user, day) hash aggregate (map-side combinable)
+    then one user-keyed aggregate to a row per user — no windows, two
+    shuffles total, both keyed."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase"))
+    from ..exprs import dec2
+    daily = (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+               .agg(F.sum(dec2("value")).cast("double").alias("q")))
+    span = (daily.groupBy("user_id")
+                 .agg((F.datediff(F.max("d"), F.min("d")) + 1)
+                      .alias("span_days"),
+                      F.count("*").alias("n_demand"),
+                      F.avg("q").alias("mu"),
+                      F.stddev_samp("q").alias("sigma"))
+                 .where(F.col("n_demand") >= 2))
+    adi = F.col("span_days").cast("double") / F.col("n_demand")
+    cv2 = (F.col("sigma") * F.col("sigma")) / (F.col("mu") * F.col("mu"))
+    klass = (F.when(adi < _SBC_ADI_CUT,
+                    F.when(cv2 < _SBC_CV2_CUT, "smooth")
+                     .otherwise("erratic"))
+              .otherwise(F.when(cv2 < _SBC_CV2_CUT, "intermittent")
+                          .otherwise("lumpy")))
+    return span.select("user_id",
+                       F.col("n_demand").cast("long").alias("n_demand"),
+                       F.round(adi, 6).alias("adi"),
+                       F.round(cv2, 6).alias("cv2"),
+                       klass.alias("demand_class"))

@@ -194,3 +194,62 @@ def test_benford_audit_shape(spark):
     for d, r in rows.items():
         assert abs(r["exp_share"] - math.log10(1 + 1 / d)) < 1e-6
     assert sum(r["chi2_term"] for r in rows.values()) > 15.51
+
+
+# ---- third wave: period detect, SBC demand classes, k-core peel ----------
+
+
+def test_period_detect_is_argmax_of_acf_table(spark):
+    """The detected period must dominate the lags the ACF table op
+    reports (1-3h are a subset of the 1-24h scan), and land in range."""
+    best = {r["user_id"]: (r["period_hours"], r["acf_at_period"])
+            for r in REGISTRY["ts_period_detect_acf"].fn(spark, SF_T2)
+            .collect()}
+    assert best and all(1 <= p <= 24 for p, _ in best.values())
+    for r in REGISTRY["ts_acf_lags"].fn(spark, SF_T2).collect():
+        if r["acf"] is not None and r["user_id"] in best:
+            assert best[r["user_id"]][1] >= r["acf"] - 1e-9, (
+                r["user_id"], r["lag"], r["acf"], best[r["user_id"]])
+
+
+def test_sbc_quadrants_consistent(spark):
+    """Every classified user's quadrant matches its own reported
+    (adi, cv2) against the literal cutoffs; ADI >= 1 by construction
+    (span days >= demand days)."""
+    rows = REGISTRY["ts_demand_classify_sbc"].fn(spark, SF_T2).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["adi"] >= 1 - 1e-9 and r["cv2"] >= 0
+        want = (("smooth" if r["cv2"] < 0.49 else "erratic")
+                if r["adi"] < 1.32 else
+                ("intermittent" if r["cv2"] < 0.49 else "lumpy"))
+        # boundary rows (rounded values printed at 6dp) tolerated
+        if min(abs(r["adi"] - 1.32), abs(r["cv2"] - 0.49)) > 1e-5:
+            assert r["demand_class"] == want, dict(r.asDict())
+
+
+def test_kcore_survivors_have_core_degree(spark):
+    """Every survivor's final-round degree >= k, survivors form a
+    subgraph (each surviving part still has >= k surviving neighbors in
+    the ORIGINAL edge list — the defining 2-core property at the fixed
+    round count), and at least one original node was peeled."""
+    from industry_big_data_time_sequence_process_spark.operators.relational import (
+        _copurchase_edges,
+    )
+    core = {r["partkey"]: r["core_degree"] for r in
+            REGISTRY["graph_kcore_peel"].fn(spark, SF_T2).collect()}
+    # induced degrees: >= k except nodes whose neighbors fell in the
+    # LAST peel round (the fixed-round approximation, documented)
+    assert core and sum(d >= 2 for d in core.values()) >= 0.9 * len(core)
+    edges = [(r["pa"], r["pb"]) for r in
+             _copurchase_edges(spark, SF_T2).collect()]
+    nodes = {p for e in edges for p in e}
+    assert nodes - set(core), "peel removed nothing — fixture too dense?"
+    import collections
+    deg_in_core = collections.Counter()
+    for a, b in edges:
+        if a in core and b in core:
+            deg_in_core[a] += 1
+            deg_in_core[b] += 1
+    for p, d in core.items():
+        assert deg_in_core[p] == d, (p, d, deg_in_core[p])
