@@ -155,7 +155,7 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from pyspark.sql import functions as F
 
     from industry_big_data_time_sequence_process_spark.operators.similarity import (
-        _N_QUERIES, _ivfpq_index, _ivfpq_serve_topk)
+        _N_QUERIES, _ivf_nlist, _ivf_nprobe, _ivfpq_index, _ivfpq_serve_topk)
     from industry_big_data_time_sequence_process_spark.sources.io import load
 
     e = load(spark, sf_dir, "embeddings")
@@ -165,10 +165,15 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     corpus.count()  # materialize the coded inverted lists
     build = round(time.perf_counter() - t0, 3)
     qdf = e.filter(F.col("vec_id") < _N_QUERIES)
+    # ADVICE r8: resolve the auto dial ONCE at setup (the
+    # stream_ann_serving discipline) — nprobe=None inside the timed loop
+    # would re-run e.count() per pass and bill an index-sizing job to
+    # every serve measurement.
+    np_auto = _ivf_nprobe(_ivf_nlist(e.count()))
 
     def serve() -> None:
         # serving default: nprobe auto-scales with nlist (r8)
-        _ivfpq_serve_topk(qdf, corpus, cent, cb, e).collect()
+        _ivfpq_serve_topk(qdf, corpus, cent, cb, e, nprobe=np_auto).collect()
 
     serve()  # warm-up
     s_min, s_med = _timed_passes(serve)

@@ -30,16 +30,25 @@ def pytest_configure(config):
         "audit100: 100x-corpus ANN recall pin (builds a 200k-vector index; "
         "several minutes) — run explicitly via `pytest -m audit100`; "
         "excluded from the default run by conftest's collection hook")
+    config.addinivalue_line(
+        "markers",
+        "audit10: 10x-corpus recall/scale pins (20k-vector corpus + full "
+        "index + brute-force truth; ~minutes) — run explicitly via "
+        "`pytest -m audit10`; excluded from the default run by conftest's "
+        "collection hook (ADVICE r8: protects the <600 s shard budget)")
 
 
 def pytest_collection_modifyitems(config, items):
-    """Deselect audit100 tests unless explicitly requested with -m — they
-    build a 200k-vector composed index (minutes), which would blow the
-    <600 s shard budget of the commit gate. The same measurement is
-    recorded per round in SCALE.md."""
-    if "audit100" in (config.getoption("-m") or ""):
-        return
-    skip = pytest.mark.skip(reason="audit100: run with -m audit100")
-    for it in items:
-        if "audit100" in it.keywords:
-            it.add_marker(skip)
+    """Deselect audit100/audit10 tests unless explicitly requested with
+    -m — they build 200k/20k-vector composed indexes plus exact-truth
+    passes (minutes), which would blow the <600 s shard budget of the
+    commit gate. The same measurements are recorded per round in
+    SCALE.md, and the round gate runs `pytest -m audit10` explicitly."""
+    requested = config.getoption("-m") or ""
+    for marker in ("audit100", "audit10"):
+        if marker in requested:
+            continue
+        skip = pytest.mark.skip(reason=f"{marker}: run with -m {marker}")
+        for it in items:
+            if marker in it.keywords:
+                it.add_marker(skip)

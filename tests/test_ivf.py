@@ -255,12 +255,16 @@ def _auto_operating_point(spark, sf_dir: str) -> tuple[float, float, int]:
             n_scanned / _EVAL_QUERIES / n, np_auto)
 
 
+@pytest.mark.audit10
 def test_auto_nprobe_recall_holds_at_10x(spark):
     """The round-7 sag point: fixed nprobe=2 measured recall@5 = 0.262
     at the 10x corpus (SCALE.md). The auto dial (nprobe=8 at nlist=141)
     must hold the >= 0.5 bar there, at a scanned fraction still BELOW
     the sf0.1 arithmetic bound (the dial buys recall without undoing the
-    scan-fraction win)."""
+    scan-fraction win). Marked `audit10` (ADVICE r8: the 20k corpus +
+    full IVF+PQ build + brute-force exact truth cost minutes in the
+    default suite) — the round gate runs `pytest -m audit10`
+    explicitly; measurements land in SCALE.md."""
     recall, scanned, np_auto = _auto_operating_point(
         spark, _audit_corpus(10))
     assert recall >= 0.5, (recall, np_auto)
