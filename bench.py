@@ -144,6 +144,35 @@ def _bench_family_splits(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         return tok, bands
 
     split("near_minhash", build_minhash, T._minhash_pairs)
+
+    # Round 9 (VERDICT r8 #2): the semantic-dedup family. Fused row =
+    # full index build + pairs + teardown per pass (the registered op
+    # memoizes its index, so timing it via the registry would silently
+    # measure serve-only after the warm-up); build/serve split for the
+    # incremental twin mirrors the other index families — build = the
+    # two-level serving index over the old 90% slice, serve = one
+    # arrival batch probing it.
+    import math
+
+    def fused_semantic() -> None:
+        sub = S._twolevel_cells(e, S._SEMDEDUP_OCC)
+        S._semantic_pairs(sub, S._SEMDEDUP_TAU).collect()
+        sub.unpersist()
+
+    fused_semantic()                       # warm-up
+    mins["semantic_dedup"], meds["semantic_dedup"] = \
+        _timed_passes(fused_semantic)
+
+    cut = math.floor(0.9 * e.count())
+    old = e.filter(F.col("vec_id") < cut).select("vec_id", "embedding")
+    batch = e.filter(F.col("vec_id") >= cut).select("vec_id", "embedding")
+
+    def build_seminc():
+        return S._twolevel_index(old, S._SEMDEDUP_OCC)
+
+    split("semantic_inc", build_seminc,
+          lambda cent, subcent, old_sub: S._semantic_ingest_pairs(
+              batch, cent, subcent, old_sub, S._SEMDEDUP_TAU))
     return {"min": mins, "median": meds}
 
 

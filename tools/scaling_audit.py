@@ -210,13 +210,58 @@ def _build_body(SF01: str, SF1: str, CLONES: int) -> None:
           f"embeddings x{CLONES}")
 
 
-def time_op(fn, spark, sf_dir: str, runs: int) -> float:
+def _reset_semantic_memo() -> None:
+    """Drop the per-(appId, sf_dir) semantic index memo (round 9) so
+    every timed run pays the FULL build+pairs cost — without this the
+    sf0.1 min-of-2 would measure a warm serve-only pass against a cold
+    build+serve pass at sf1 and inflate the exponent artificially."""
+    from industry_big_data_time_sequence_process_spark.operators import (
+        similarity as S)
+    with S._SEMDEDUP_LOCK:
+        evicted = [S._SEMDEDUP_CACHE.pop(k)
+                   for k in list(S._SEMDEDUP_CACHE)]
+    for val in evicted:
+        for f in (val if isinstance(val, tuple) else (val,)):
+            try:
+                f.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
+def time_op(fn, spark, sf_dir: str, runs: int, key: str = "") -> float:
     best = math.inf
     for _ in range(runs):
+        if key.startswith("dedup_semantic"):
+            _reset_semantic_memo()
         t0 = time.monotonic()
         fn(spark, sf_dir).count()
         best = min(best, time.monotonic() - t0)
     return best
+
+
+def semantic_pair_volume(spark, sf_dir: str, occ: int) -> dict:
+    """Candidate-volume measurement for the r9 two-level semantic index:
+    (single-level Σ|cell|², two-level Σ|sub-cell|², max sub-cell) at
+    ``occ`` — the quantity VERDICT r8 #1's done-criterion bounds. Run
+    via ``--semantic-pairs``; results recorded in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        similarity as S)
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+
+    e = load(spark, sf_dir, "embeddings")
+    cells = S._ivf_cells_scalable(e).cache()
+    s1 = (cells.groupBy("cid").count()
+               .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0])
+    sub, _sc = S._twolevel_from_cells(cells, occ)
+    r = (sub.groupBy("cid", "scid").count()
+            .agg(F.sum(F.col("count") * F.col("count")).alias("s2"),
+                 F.max("count").alias("mx")).collect()[0])
+    sub.unpersist()
+    cells.unpersist()
+    return {"n": e.count(), "occ": occ, "single_sum_sq": int(s1),
+            "two_level_sum_sq": int(r["s2"]), "max_subcell": int(r["mx"])}
 
 
 def main() -> None:
@@ -235,12 +280,30 @@ def main() -> None:
     argv = sys.argv[1:]
     if "--clones" in argv:
         i = argv.index("--clones"); argv = argv[:i] + argv[i + 2:]
+
+    if "--semantic-pairs" in argv:
+        occ = 8  # split-engaged at both scales (see SCALE.md round 9)
+        out = {}
+        for tag, d in (("sf0.1", SF01), ("sf1", SF1)):
+            out[tag] = semantic_pair_volume(spark, d, occ)
+            print(tag, out[tag], flush=True)
+        e_two = math.log10(out["sf1"]["two_level_sum_sq"]
+                           / out["sf0.1"]["two_level_sum_sq"]) \
+            / math.log10(CLONES)
+        e_one = math.log10(out["sf1"]["single_sum_sq"]
+                           / out["sf0.1"]["single_sum_sq"]) \
+            / math.log10(CLONES)
+        print(json.dumps({"pair_volume": out,
+                          "exponent_two_level": round(e_two, 2),
+                          "exponent_single_level": round(e_one, 2)}))
+        return
+
     chosen = [a for a in argv if not a.startswith("--")]
     results = {}
     for key in (chosen or OPS):
         fn = REGISTRY[key].fn
-        t01 = time_op(fn, spark, SF01, runs=2)
-        t1 = time_op(fn, spark, SF1, runs=1)
+        t01 = time_op(fn, spark, SF01, runs=2, key=key)
+        t1 = time_op(fn, spark, SF1, runs=1, key=key)
         exp = math.log10(t1 / t01) / math.log10(CLONES)
         results[key] = {"sf0.1_s": round(t01, 3), "sf1_s": round(t1, 3),
                         "exponent": round(exp, 2)}
