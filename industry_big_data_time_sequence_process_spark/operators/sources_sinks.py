@@ -409,3 +409,92 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.min("vx").alias("vx_min"), F.max("vx").alias("vx_max"),
                   ((F.max("ux") - F.min("ux") + 1).cast("long")
                    * (F.max("vx") - F.min("vx") + 1)).alias("box_area")))
+
+
+#: `sink_compact_small_files` dials: simulated streaming batches, files
+#: written per batch dir (the small-file population), and the bounded
+#: file count the compaction must land on.
+_COMPACT_BATCHES = 8
+_COMPACT_FILES_PER_BATCH = 3
+_COMPACT_TARGET_FILES = 2
+
+
+@op("sink_compact_small_files", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS rows_before,
+       CAST(count(*) AS BIGINT) AS rows_after,
+       CAST(8 AS BIGINT) AS n_batches,
+       CAST(1 AS INT) AS value_match,
+       CAST(1 AS INT) AS files_bounded
+FROM events
+""", tier=3, section="2.1")
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction for per-batch streaming sinks (round 9,
+    VERDICT r8 missing #3): every `foreachBatch` op in this engine
+    writes one parquet dir per batch_id — at 100 TB-streaming scale
+    that sink accumulates the classic small-file population (NameNode /
+    listing pressure, tiny row groups, dead scan parallelism). This op
+    is the maintenance pass a deployment schedules: read the whole
+    per-batch sink, rewrite it to a BOUNDED file count, and prove value
+    identity before the swap.
+
+    Pipeline: stage a deterministic per-batch sink (events keyed
+    batch_id = event_id % 8, each batch written as 3 files — 24 small
+    files, the shape `stream_heavy_hitters`' sink leaves behind), then
+    compact: one read of the whole tree -> repartition(2) -> one
+    rewrite. The audit row reports rows before/after, the batch count,
+    ``value_match`` = (canonical per-row md5-hash SUM of the staged
+    tree == same aggregate over the compacted tree — an order-invariant
+    exact-long identity over every column including batch_id), and
+    ``files_bounded`` = (compacted data-file count <= 2). The DuckDB
+    oracle pins the row counts against the SOURCE table and the two
+    proofs against 1 — if compaction dropped, duplicated, or mutated a
+    single row, or fragmented the output, the audit row mismatches.
+
+    Idempotent under re-runs (mode=overwrite both stages; re-running
+    after a crash mid-compaction simply rewrites — the recovery test
+    re-runs the op and pins identical output), which is exactly the
+    property that lets a deployment schedule it blindly.
+
+    Scale shape: ONE full read + ONE exchange (repartition to the
+    target file count — in production sized to ~1 GB files instead of
+    2) + two map-side-combinable hash aggregates for the identity
+    proof. Nothing driver-sided except directory listing."""
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_compact_small_files")
+    staged, compacted = (os.path.join(base, d)
+                         for d in ("staged", "compacted"))
+
+    batched = ev.withColumn(
+        "batch_id", (F.col("event_id") % _COMPACT_BATCHES).cast("int"))
+    (batched.repartition(_COMPACT_FILES_PER_BATCH)
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(staged))
+
+    back = spark.read.option("basePath", staged).parquet(staged)
+    (back.repartition(_COMPACT_TARGET_FILES)
+         .write.mode("overwrite").parquet(compacted))
+
+    def canon(df: DataFrame):
+        # order-invariant exact identity: per-row md5 over every column
+        # (timestamps canonicalized to micros, doubles to their exact
+        # repr via CAST to string), 15 hex chars -> long, SUM of longs.
+        cols = F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in sorted(df.columns)])
+        h = (F.conv(F.substring(F.md5(cols), 1, 15), 16, 10)
+             .cast("decimal(38,0)"))  # exact sum, no ANSI long overflow
+        return df.agg(F.count("*").alias("n"), F.sum(h).alias("hsum"))
+
+    b = canon(back).collect()[0]
+    comp = spark.read.parquet(compacted)
+    a = canon(comp).collect()[0]
+    n_files = len([f for f in os.listdir(compacted)
+                   if f.endswith(".parquet")])
+    n_batches = len([d for d in os.listdir(staged)
+                     if d.startswith("batch_id=")])
+    return spark.createDataFrame(
+        [(int(b["n"]), int(a["n"]), n_batches,
+          int(b["hsum"] == a["hsum"] and b["n"] == a["n"]),
+          int(0 < n_files <= _COMPACT_TARGET_FILES))],
+        "rows_before long, rows_after long, n_batches long, "
+        "value_match int, files_bounded int")

@@ -2521,3 +2521,258 @@ def doc_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(kept).alias("kept_md5"),
         F.length(kept).cast("long").alias("kept_chars"))
 
+
+
+#: `text_quality_model` — fixed-point grid for the exact log-odds sum
+#: (the `agg_pagerank_bipartite` discipline) and the md5-slice modulus
+#: for the deterministic 20% training split.
+_QM_FX = 1000000000.0
+_QM_TRAIN_MOD = 5
+
+#: The heuristic label predicate — text_filter_quality's rule, verbatim
+#: (shared here so the trained model's target is exactly the filter it
+#: upgrades).
+_QM_DUCK_Y = """CAST(
+       len(string_split(text, ' ')) BETWEEN 20 AND 1000
+       AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+           BETWEEN 2.0 AND 12.0
+       AND n_chars >= 50 AS INT)"""
+
+
+@op("text_quality_model", oracle=f"""
+WITH lab AS (
+    SELECT doc_id, text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % {_QM_TRAIN_MOD} = 0 AS INT) AS is_train,
+           {_QM_DUCK_Y} AS y
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+    SELECT t.token,
+           CAST(sum(l.y) AS BIGINT) AS c1,
+           CAST(sum(1 - l.y) AS BIGINT) AS c0
+    FROM tok t JOIN lab l USING (doc_id)
+    WHERE l.is_train = 1
+    GROUP BY t.token
+), tot AS (
+    SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0,
+           CAST(count(*) AS BIGINT) AS v
+    FROM cnt
+), pri AS (
+    SELECT ln((CAST(sum(y) AS BIGINT) + 1.0)
+              / (CAST(sum(1 - y) AS BIGINT) + 1)) AS prior
+    FROM lab WHERE is_train = 1
+), w AS (
+    SELECT token,
+           CAST(floor((ln((c1 + 1.0) / (t1 + v))
+                       - ln((c0 + 1.0) / (t0 + v))) * {_QM_FX})
+                AS BIGINT) AS wfx
+    FROM cnt CROSS JOIN tot
+), oov AS (
+    SELECT CAST(floor((ln(1.0 / (t1 + v)) - ln(1.0 / (t0 + v)))
+                      * {_QM_FX}) AS BIGINT) AS oovfx
+    FROM tot
+), score AS (
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(COALESCE(w.wfx, o.oovfx)) AS BIGINT) AS sfx
+    FROM tok t LEFT JOIN w USING (token) CROSS JOIN oov o
+    GROUP BY t.doc_id
+)
+SELECT s.doc_id,
+       l.y AS label_heuristic,
+       l.is_train,
+       s.n_tokens,
+       round(p.prior + CAST(s.sfx AS DOUBLE) / {_QM_FX}, 6) AS score,
+       CAST(p.prior + CAST(s.sfx AS DOUBLE) / {_QM_FX} >= 0 AS INT)
+           AS pred_good
+FROM score s JOIN lab l USING (doc_id) CROSS JOIN pri p
+""", tier=3, section="2.11")
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED document-quality scorer (round 9, VERDICT r8 missing #2)
+    — the rung above the heuristic/perplexity ladder
+    (`text_filter_quality`, `text_readability`, `text_bigram_logprob`):
+    a closed-form multinomial Naive Bayes over document tokens, the
+    public fastText-classifier stand-in every production pipeline runs.
+    TRAIN on the deterministic md5-lowest 20% doc_id slice labeled by
+    the heuristic filter's own predicate (distant supervision — the
+    exact bootstrap CCNet/fastText quality models use), then SCORE
+    every document with the add-one-smoothed log-odds
+    ``ln P(good) - ln P(bad) + Σ_t ln(P(t|good)/P(t|bad))``, unknown
+    tokens falling back to the zero-count smoothed ratio.
+
+    Output: (doc_id, label_heuristic, is_train, n_tokens, score,
+    pred_good) — score is the log-odds (positive => model says keep),
+    so downstream consumers can threshold at a dial instead of the
+    heuristic's hard cut; the agreement rate vs the heuristic on the
+    HOLDOUT slice is measured in tests/test_wave_r9b.py and SCALE.md.
+
+    Exactness: every per-token weight is ln of exact-integer ratios
+    (identical IEEE doubles cross-engine — the `text_bigram_logprob`
+    contract), floored onto the 1e-9 fixed-point grid so the per-doc
+    SUM is over exact longs — order-invariant (the
+    `agg_pagerank_bipartite` discipline, stricter than the bigram op's
+    raw double sum); the single divide-back + prior add + round(6) is
+    the same IEEE expression both engines evaluate.
+
+    Scale shape: training is two hash aggregates over the TRAIN token
+    stream (vocabulary-sized outputs, map-side combinable); the model
+    (vocab weights) joins the corpus token stream token-keyed — a
+    linear shuffle, never a broadcast assumption on an unbounded vocab;
+    totals/prior/OOV ride 1-row broadcast frames; the per-doc score is
+    one doc_id-keyed hash aggregate. Zero windows, zero corpus
+    self-joins."""
+    d = load(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    avg_len = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_tok.cast("double"), 6)
+    lab = d.select(
+        "doc_id", "text",
+        (hv % _QM_TRAIN_MOD == 0).cast("int").alias("is_train"),
+        (n_tok.between(20, 1000) & avg_len.between(2.0, 12.0)
+         & (F.col("n_chars") >= 50)).cast("int").alias("y"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = (tok.join(lab.select("doc_id", "is_train", "y"), "doc_id")
+              .filter(F.col("is_train") == 1)
+              .groupBy("token")
+              .agg(F.sum("y").cast("long").alias("c1"),
+                   F.sum(1 - F.col("y")).cast("long").alias("c0")))
+    tot = cnt.agg(F.sum("c1").cast("long").alias("t1"),
+                  F.sum("c0").cast("long").alias("t0"),
+                  F.count("*").cast("long").alias("v"))
+    pri = (lab.filter(F.col("is_train") == 1)
+              .agg(F.log((F.sum("y").cast("long") + F.lit(1.0))
+                         / (F.sum(1 - F.col("y")).cast("long") + F.lit(1)))
+                   .alias("prior")))
+    w = (cnt.crossJoin(F.broadcast(tot))
+            .select("token",
+                    F.floor((F.log((F.col("c1") + F.lit(1.0))
+                                   / (F.col("t1") + F.col("v")))
+                             - F.log((F.col("c0") + F.lit(1.0))
+                                     / (F.col("t0") + F.col("v"))))
+                            * F.lit(_QM_FX)).alias("wfx")))
+    oov = tot.select(
+        F.floor((F.log(F.lit(1.0) / (F.col("t1") + F.col("v")))
+                 - F.log(F.lit(1.0) / (F.col("t0") + F.col("v"))))
+                * F.lit(_QM_FX)).alias("oovfx"))
+    score = (tok.join(w, "token", "left")
+                .crossJoin(F.broadcast(oov))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_tokens"),
+                     F.sum(F.coalesce("wfx", "oovfx")).cast("long")
+                      .alias("sfx")))
+    raw = F.col("prior") + F.col("sfx").cast("double") / F.lit(_QM_FX)
+    return (score.join(lab.select("doc_id",
+                                  F.col("y").alias("label_heuristic"),
+                                  "is_train"), "doc_id")
+                 .crossJoin(F.broadcast(pri))
+                 .select("doc_id", "label_heuristic", "is_train",
+                         "n_tokens",
+                         F.round(raw, 6).alias("score"),
+                         (raw >= 0).cast("int").alias("pred_good")))
+
+
+#: The BPE-ish pretokenizer regex shared with `text_token_count` — the
+#: GPT-2-style lexer (letter runs | digit runs | single other chars)
+#: whose counts track what a real subword tokenizer bills far closer
+#: than whitespace words: punctuation, numbers and symbol runs all cost
+#: tokens a whitespace count never sees.
+_BPE_LEXER = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_BPE_LEXER_SQL = r"'[a-z]+|[0-9]+|[^a-z0-9\s]'"
+
+
+@op("doc_truncate_budget_bpe", oracle=f"""
+WITH tk AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(text, {_BPE_LEXER_SQL}) AS t,
+           len(regexp_extract_all(text, {_BPE_LEXER_SQL})) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_bpe_tokens,
+       CAST(least(n, {_TRUNC_BUDGET}) AS BIGINT) AS n_kept,
+       CAST(n > {_TRUNC_BUDGET} AS INT) AS truncated,
+       md5(array_to_string(list_slice(t, 1, {_TRUNC_BUDGET}), ' '))
+           AS kept_md5
+FROM tk
+""", tier=3, section="2.11")
+def doc_truncate_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-FAITHFUL twin of `doc_truncate_budget` (round 9,
+    VERDICT r8 #6): the 64-token context budget counted in BPE-lexer
+    pretokens instead of whitespace words, so the truncation ledger
+    matches what a real tokenizer bills — a 50-word document whose
+    words carry punctuation is UNDER a whitespace budget of 64 but
+    OVER it in subword tokens, and the whitespace op silently ships a
+    document the model will truncate (the divergence is pinned on a
+    constructed fixture in tests/test_wave_r9b.py). The kept_md5
+    fingerprints the kept TOKEN STREAM (space-joined — the lexer
+    discards inter-token whitespace, so the original byte slice is not
+    reconstructible, and the fingerprint pins exactly which tokens
+    survive in both engines).
+
+    Scale shape: identical to the whitespace op — embarrassingly
+    parallel single scan, zero shuffles, zero joins."""
+    d = load(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(_BPE_LEXER), 0)
+    tk = d.select("doc_id", "lang", t.alias("t"))
+    kept = F.array_join(F.slice(F.col("t"), 1, _TRUNC_BUDGET), " ")
+    n = F.size("t")
+    return tk.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_bpe_tokens"),
+        F.least(n, F.lit(_TRUNC_BUDGET)).cast("long").alias("n_kept"),
+        (n > _TRUNC_BUDGET).cast("int").alias("truncated"),
+        F.md5(kept).alias("kept_md5"))
+
+
+@op("doc_chunk_sliding_bpe", oracle=f"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(text, {_BPE_LEXER_SQL}) AS t,
+           len(regexp_extract_all(text, {_BPE_LEXER_SQL})) AS n
+    FROM documents
+)
+SELECT doc_id,
+       s AS chunk_idx,
+       s * {_CHUNK_STRIDE} AS start_tok,
+       len(list_slice(t, s * {_CHUNK_STRIDE} + 1,
+                      s * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, s * {_CHUNK_STRIDE} + 1,
+                      s * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+           AS fingerprint
+FROM tk, unnest(range(0, (greatest(n, 1) - 1) // {_CHUNK_STRIDE} + 1)) g(s)
+""", tier=3, section="2.11")
+def doc_chunk_sliding_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-FAITHFUL twin of `doc_chunk_sliding`: 32-token windows
+    at stride 24 over the BPE-lexer pretoken stream, so chunk
+    boundaries and chunk counts line up with what the embedding model's
+    tokenizer actually sees — whitespace chunking under-counts exactly
+    where text is punctuation- or number-dense, producing chunks that
+    overflow the encoder window downstream. Chunk fingerprints cover
+    the space-joined token stream (same rationale as
+    `doc_truncate_budget_bpe`). ``greatest(n, 1)`` keeps a (lexer-)
+    empty document as one empty chunk instead of dropping the doc_id —
+    the audit must account for every document.
+
+    Scale shape: tokenize once, explode per chunk index — a pure
+    narrow fan-out, no shuffle anywhere (identical plan family to the
+    whitespace op)."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id",
+                  F.regexp_extract_all("text", F.lit(_BPE_LEXER), 0)
+                   .alias("t"))
+    chunk = F.expr(f"slice(t, s * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})")
+    return (tk.withColumn(
+                "s", F.explode(F.sequence(
+                    F.lit(0),
+                    F.floor((F.greatest(F.size("t"), F.lit(1)) - 1)
+                            / _CHUNK_STRIDE).cast("long"))))
+              .select("doc_id",
+                      F.col("s").alias("chunk_idx"),
+                      (F.col("s") * _CHUNK_STRIDE).alias("start_tok"),
+                      F.size(chunk).alias("n_tokens"),
+                      F.md5(F.array_join(chunk, " ")).alias("fingerprint")))
