@@ -3481,3 +3481,91 @@ def dedup_semantic_incremental(spark: SparkSession,
         spark, sf_dir, "inc", lambda: _twolevel_index(old, _SEMDEDUP_OCC))
     return _semantic_ingest_pairs(batch, cent, subcent, old_sub,
                                   _SEMDEDUP_TAU)
+
+
+@op("dedup_semantic_cluster_cc", oracle=f"""
+WITH RECURSIVE {_duck_twolevel_prefix()},
+spairs AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2
+    FROM subcells a JOIN subcells b
+      ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+), edges AS (
+    SELECT v1 AS a, v2 AS b FROM spairs
+    UNION SELECT v2, v1 FROM spairs
+), cc AS (   -- min-label propagation to fixpoint
+    SELECT DISTINCT a AS node, a AS lbl FROM edges
+    UNION
+    SELECT e.b, cc.lbl FROM cc JOIN edges e
+      ON cc.node = e.a AND cc.lbl < e.b
+)
+SELECT node AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY node
+""", tier=3, section="2.11")
+def dedup_semantic_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dup CLUSTERS: connected components over the cosine >= τ
+    sub-cell pair graph, labeling every involved vector with its
+    component's min vec_id — the semantic twin of `dedup_cluster_cc`
+    (the MinHash family's CC op), completing the family symmetry: the
+    min-keeper DROP LIST (`dedup_semantic_embedding`) answers "what do
+    I delete", this answers "what belongs together" (the form a
+    curation UI or a cluster-level sampler consumes — SemDeDup itself
+    keeps one representative PER CLUSTER, which needs the component,
+    not the pairwise keeper).
+
+    Same bounded-round min-label propagation as the MinHash CC
+    (duplicate clusters are near-cliques inside a sub-cell, so the
+    fixpoint lands in ~2 rounds; the driver loop is over ROUNDS with a
+    distributed fixpoint check, never rows); the DuckDB oracle reaches
+    the identical fixpoint by a recursive CTE. The pair graph reuses
+    the MEMOIZED two-level index frame, so running drop list + clusters
+    together builds the index once.
+
+    Scale shape: the edge list is the (cid, scid)-keyed candidate set —
+    ~n·occ bounded since r9, never all-pairs; each round is one
+    edge-keyed join + one min-aggregate over the (duplicate-population-
+    sized, much smaller than corpus) label frame."""
+    e = load(spark, sf_dir, "embeddings")
+    sub = _semantic_memo(spark, sf_dir, "batch",
+                         lambda: _twolevel_cells(e, _SEMDEDUP_OCC))
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    a = sub.select(F.col("vec_id").alias("v1"),
+                   F.col("embedding").alias("aemb"), "cid", "scid",
+                   nrm.alias("_na"))
+    b = sub.select(F.col("vec_id").alias("v2"),
+                   F.col("embedding").alias("bemb"), "cid", "scid",
+                   nrm.alias("_nb"))
+    pairs = (a.join(b, ["cid", "scid"])
+              .where(F.col("v1") < F.col("v2"))
+              .withColumn("c", _dot(F.col("aemb"), F.col("bemb"))
+                          / (F.col("_na") * F.col("_nb")))
+              .where(F.col("c") >= F.lit(_SEMDEDUP_TAU))
+              .select("v1", "v2"))
+    # edges/labels use eager localCheckpoint, NOT cache: the pair graph
+    # here hangs off the FULL two-level index tree (unlike the MinHash
+    # CC's compact shingle lineage), and the per-round label lineage
+    # compounds over it — measured as the same vanilla-1g-driver OOM
+    # while stringifying the plan that `_twolevel_from_cells` hit. The
+    # checkpoint truncates each round to a leaf; frames are duplicate-
+    # population-sized (tiny next to the corpus).
+    edges = (pairs.unionByName(pairs.select(F.col("v2").alias("v1"),
+                                            F.col("v1").alias("v2")))
+                  .withColumnsRenamed({"v1": "a", "v2": "b"})
+                  .localCheckpoint())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+                   .withColumn("lbl", F.col("node")).localCheckpoint())
+    for _ in range(10):  # cap; real exit is the fixpoint check below
+        prop = (edges.join(labels, edges.a == labels.node)
+                     .groupBy(F.col("b").alias("node"))
+                     .agg(F.min("lbl").alias("nbr_lbl")))
+        new = (labels.join(prop, "node", "left")
+                     .select("node", F.least(
+                         "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+               ).localCheckpoint()
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                      .filter(F.col("n.lbl") != F.col("o.lbl"))
+                      .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("vec_id"),
+                         F.col("lbl").alias("cluster_id"))

@@ -2776,3 +2776,71 @@ def doc_chunk_sliding_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("s") * _CHUNK_STRIDE).alias("start_tok"),
                       F.size(chunk).alias("n_tokens"),
                       F.md5(F.array_join(chunk, " ")).alias("fingerprint")))
+
+
+@op("doc_pack_nextfit_bpe", oracle=f"""
+WITH RECURSIVE docs AS (
+    SELECT lang,
+           ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_PACK_SHARDS} AS shard,
+           doc_id,
+           CAST(len(regexp_extract_all(text, {_BPE_LEXER_SQL}))
+                AS BIGINT) AS n_tok,
+           row_number() OVER (
+               PARTITION BY lang,
+                   ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % {_PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+    FROM documents
+), r AS (
+    SELECT lang, shard, doc_id, n_tok, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tok AS cum
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tok, d.rn,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN r.pack_id + 1 ELSE r.pack_id END,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN d.n_tok ELSE r.cum + d.n_tok END
+    FROM r JOIN docs d ON d.lang = r.lang AND d.shard = r.shard
+                      AND d.rn = r.rn + 1
+)
+SELECT lang, shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       round(CAST(sum(n_tok) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill
+FROM r GROUP BY 1, 2, 3
+""", tier=3, section="2.11")
+def doc_pack_nextfit_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-FAITHFUL twin of `doc_pack_nextfit` (completing the
+    round-9 BPE-budget family with `doc_truncate_budget_bpe` /
+    `doc_chunk_sliding_bpe`): the 512-token next-fit sequence packer
+    billing documents in BPE-lexer pretokens instead of whitespace
+    words. Whitespace packing systematically OVERFILLS real training
+    sequences wherever text is punctuation- or number-dense — a pack
+    that sums to 512 whitespace words can exceed the encoder budget by
+    2x in subword tokens; billing the walk in lexer tokens makes the
+    fill ratios the trainer actually sees. Same shard layout, same
+    next-fit recursion, same grouped-map walk — only the token meter
+    changes, so the whitespace/BPE pack-count divergence is directly
+    attributable (pinned in tests/test_wave_r9b.py).
+
+    Scale shape: identical to the whitespace packer — one shuffle to
+    co-locate each (lang, shard) group, then an arrow-batched
+    grouped-map walk; the recursion state is all integers, replayed
+    exactly by the oracle's recursive CTE."""
+    d = load(spark, sf_dir, "documents")
+    shard = _h32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) \
+        % _PACK_SHARDS
+    base = d.select(
+        "lang", shard.alias("shard"), "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_LEXER), 0))
+         .cast("long").alias("n_tok"))
+    packed = base.groupBy("lang", "shard").applyInPandas(
+        _pack_pdf,
+        "lang string, shard long, doc_id long, n_tok long, pack_id long")
+    return (packed.groupBy("lang", "shard", "pack_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tok_sum"),
+                       F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
+                               6).alias("fill")))

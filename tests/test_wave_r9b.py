@@ -172,3 +172,63 @@ def test_budget_twins_agree_on_plain_words(spark, quality_dir):
            REGISTRY["doc_truncate_budget_bpe"].fn(spark,
                                                   quality_dir).collect()}
     assert ws == bpe
+
+
+# ---- doc_pack_nextfit_bpe ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def punct_corpus_dir(tmp_path_factory):
+    """24 punctuation-dense docs (40 words of 'ab,' each): 40 whitespace
+    tokens but 80 BPE-lexer tokens per doc, so next-fit closes packs
+    twice as fast under the BPE meter."""
+    d = tmp_path_factory.mktemp("punct_corpus")
+    _write_documents(str(d), [(i, " ".join(["ab,"] * 40))
+                              for i in range(24)])
+    return str(d)
+
+
+def test_pack_twins_diverge_on_punctuation(spark, punct_corpus_dir):
+    ws = REGISTRY["doc_pack_nextfit"].fn(spark, punct_corpus_dir).collect()
+    bpe = REGISTRY["doc_pack_nextfit_bpe"].fn(spark,
+                                              punct_corpus_dir).collect()
+    # same documents, same shards — but the BPE meter bills every doc
+    # double (40 ws words -> 80 lexer tokens), so the BPE packer needs
+    # MORE packs and reports double the token mass
+    assert sum(r["n_docs"] for r in ws) == 24
+    assert sum(r["n_docs"] for r in bpe) == 24
+    assert sum(r["tok_sum"] for r in ws) == 24 * 40
+    assert sum(r["tok_sum"] for r in bpe) == 24 * 80
+    assert len(bpe) > len(ws), (len(ws), len(bpe))
+    # no pack overflows its budget under its own meter (single docs
+    # under budget here, so fill <= 1 strictly)
+    assert all(r["fill"] <= 1.0 for r in ws + bpe)
+
+
+# ---- dedup_semantic_cluster_cc ----------------------------------------------
+
+
+def test_semantic_cluster_cc_consistent_with_drop_list(spark):
+    """Cross-op invariant on the real corpus: the CC op and the
+    min-keeper drop list describe the SAME pair graph, so (a) every
+    (vec_id, kept_id) drop edge lands in one component, (b) every
+    cluster label is the component's minimum and itself a member,
+    (c) the CC covers exactly the vectors that appear in at least one
+    τ-pair (supersets the drop list's ids)."""
+    cc = {r["vec_id"]: r["cluster_id"] for r in
+          REGISTRY["dedup_semantic_cluster_cc"].fn(spark, SF_T2).collect()}
+    drops = REGISTRY["dedup_semantic_embedding"].fn(spark, SF_T2).collect()
+    assert drops and cc
+    for r in drops:
+        assert cc[r["vec_id"]] == cc[r["kept_id"]], r      # (a)
+    labels = set(cc.values())
+    for lbl in labels:
+        members = [v for v, l in cc.items() if l == lbl]
+        assert min(members) == lbl                          # (b)
+    covered = {r["vec_id"] for r in drops} | {r["kept_id"] for r in drops}
+    assert covered <= set(cc)                               # (c)
+    # and every CC member really has some tau-mate: a singleton
+    # component would mean the edge list invented a node
+    from collections import Counter
+    sizes = Counter(cc.values())
+    assert all(sizes[cc[v]] >= 2 for v in cc)
