@@ -3569,3 +3569,119 @@ def dedup_semantic_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select(F.col("node").alias("vec_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+#: `sim_twolevel_recall_eval` runs the split at occ=8 — the simulated
+#: past-clamp dial (|cell|/occ ~ 2-6 at the test corpora reproduces the
+#: ratio the production occ=256 only reaches past the nlist ceiling) —
+#: so the driver grades the NON-TRIVIAL two-level path end-to-end at
+#: every sf, not the k2=1 identity regime.
+_TWOLEVEL_EVAL_OCC = 8
+
+
+@op("sim_twolevel_recall_eval", oracle=f"""
+WITH {_duck_twolevel_prefix(occ=_TWOLEVEL_EVAL_OCC)},
+c1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand FROM
+       (SELECT count(*) AS n FROM cells GROUP BY cid)),
+c2 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand FROM
+       (SELECT count(*) AS n FROM subcells GROUP BY cid, scid)),
+f1 AS (SELECT count(*) AS f FROM cells a JOIN cells b
+       ON a.cid = b.cid AND a.vec_id < b.vec_id
+       WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}),
+f2 AS (SELECT count(*) AS f FROM subcells a JOIN subcells b
+       ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
+       WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU})
+SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+       CAST({_TWOLEVEL_EVAL_OCC} AS BIGINT) AS occ,
+       (SELECT cand FROM c1) AS cand_pairs_single,
+       (SELECT cand FROM c2) AS cand_pairs_two,
+       CAST((SELECT f FROM f1) AS BIGINT) AS found_single,
+       CAST((SELECT f FROM f2) AS BIGINT) AS found_two,
+       round(CASE WHEN (SELECT f FROM f1) > 0 THEN
+             CAST((SELECT f FROM f2) AS DOUBLE) / (SELECT f FROM f1)
+             END, 6) AS pair_recall,
+       round(CASE WHEN (SELECT cand FROM c1) > 0 THEN
+             CAST((SELECT cand FROM c2) AS DOUBLE) / (SELECT cand FROM c1)
+             END, 6) AS cand_ratio
+""", tier=3, section="2.11")
+def sim_twolevel_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring quality/cost evaluation of the round-9 two-level
+    split — the `sim_lsh_recall_eval` discipline applied to the
+    semantic-dedup index: build the SAME corpus's single-level (coarse
+    cells) and two-level (occ=8, the simulated past-clamp dial) indexes
+    and report, in one exact-oracled row, the candidate-pair volumes of
+    both, the τ-pairs each finds, and the two ratios that decide the
+    trade — ``cand_ratio`` (how much pair work the split deletes) and
+    ``pair_recall`` (what fraction of the single-level τ-pairs survive
+    sub-cell splitting; a pair is lost only when its two members argmax
+    to different sub-centroids — the published SemDeDup cluster-split
+    mode). Measured: cand_ratio 0.60 for pair_recall 0.822 at sf0.01
+    (E|cell| ~ 15, so k2 = 2 — a halving for an 18% boundary loss);
+    the reduction deepens with |cell|/occ (0.30 at sf0.1, 0.083 at the
+    10x corpus — SCALE.md round 9), while production occ=256 loses
+    nothing below the clamp. The op deliberately over-tightens so the
+    driver grades the split path end-to-end at every sf.
+
+    Exactness: both pair counts ride the shared fixed-point index
+    chain and the shared double cosine; the two ratios are single IEEE
+    divides rounded to 6.
+
+    Scale shape: the single-level count IS Σ|cell|² work — acceptable
+    for an evaluation op (the production dedup never runs it; this op
+    exists to measure the asymptote the family escaped); the two-level
+    side is the bounded ~n·occ join. Both counts are
+    map-side-combinable aggregates; no windows, nothing driver-sided."""
+    e = load(spark, sf_dir, "embeddings")
+    occ = _TWOLEVEL_EVAL_OCC
+    cells = _ivf_cells_scalable(e).cache()
+    sub, subcent = _twolevel_from_cells(cells, occ)
+    subcent.unpersist()
+
+    def cand(df, keys):
+        n = F.col("n")
+        return (df.groupBy(*keys).agg(F.count("*").alias("n"))
+                  .agg(F.sum(n * (n - 1) / 2).cast("long").alias("cand")))
+
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+
+    def found(df, keys):
+        a = df.select(F.col("vec_id").alias("v1"),
+                      F.col("embedding").alias("aemb"), *keys,
+                      nrm.alias("_na"))
+        b = df.select(F.col("vec_id").alias("v2"),
+                      F.col("embedding").alias("bemb"), *keys,
+                      nrm.alias("_nb"))
+        return (a.join(b, list(keys))
+                 .where(F.col("v1") < F.col("v2"))
+                 .where(_dot(F.col("aemb"), F.col("bemb"))
+                        / (F.col("_na") * F.col("_nb"))
+                        >= F.lit(_SEMDEDUP_TAU))
+                 .agg(F.count("*").alias("f")))
+    n1 = e.agg(F.count("*").alias("n_vectors"))
+    c1 = cand(cells, ["cid"]).withColumnRenamed("cand", "cand_pairs_single")
+    c2 = cand(sub, ["cid", "scid"]).withColumnRenamed("cand",
+                                                      "cand_pairs_two")
+    f1 = found(cells, ("cid",)).select(
+        F.col("f").cast("long").alias("found_single"))
+    f2 = found(sub, ("cid", "scid")).select(
+        F.col("f").cast("long").alias("found_two"))
+    out = (n1.crossJoin(F.broadcast(c1)).crossJoin(F.broadcast(c2))
+             .crossJoin(F.broadcast(f1)).crossJoin(F.broadcast(f2))
+             .select(
+                 "n_vectors",
+                 F.lit(occ).cast("long").alias("occ"),
+                 "cand_pairs_single", "cand_pairs_two",
+                 "found_single", "found_two",
+                 F.round(F.when(F.col("found_single") > 0,
+                                F.col("found_two").cast("double")
+                                / F.col("found_single")), 6)
+                  .alias("pair_recall"),
+                 F.round(F.when(F.col("cand_pairs_single") > 0,
+                                F.col("cand_pairs_two").cast("double")
+                                / F.col("cand_pairs_single")), 6)
+                  .alias("cand_ratio")))
+    # materialize before dropping the index frames the plan reads
+    rows = out.collect()
+    sub.unpersist()
+    cells.unpersist()
+    return spark.createDataFrame(rows, out.schema)

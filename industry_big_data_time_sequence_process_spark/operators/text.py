@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..api import (hash32, minhash_band_signatures, strip_boilerplate_lines,
                    word_shingles)
-from ..registry import op
+from ..registry import REGISTRY, op
 from ..sources.io import load
 
 # Portable 32-bit token hash (see module docstring).
@@ -2844,3 +2844,69 @@ def doc_pack_nextfit_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("n_tok").alias("tok_sum"),
                        F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
                                6).alias("fill")))
+
+
+@op("text_quality_calibration", oracle=f"""
+WITH model AS (
+{{model_oracle}}
+), tiled AS (
+    SELECT *, CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INT)
+              AS decile
+    FROM model
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(label_heuristic) AS BIGINT) AS n_good_heuristic,
+       CAST(sum(pred_good) AS BIGINT) AS n_pred_good,
+       round(CAST(sum(CASE WHEN pred_good = label_heuristic
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS agreement,
+       round(CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS avg_score
+FROM tiled GROUP BY decile
+""".format(model_oracle=REGISTRY["text_quality_model"].oracle),
+    tier=3, section="2.11")
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the trained quality scorer — the evaluation
+    artifact a pipeline reviews before trusting `text_quality_model`'s
+    score as a filter dial: rank every document by model score, cut the
+    ranking into exact deciles, and report per decile the document
+    count, the heuristic-good count, the model-keep count, the
+    model-vs-heuristic agreement rate, and the mean score. A healthy
+    distant-supervised model concentrates the heuristic's rejects in
+    the bottom deciles and saturates good at the top — which is what
+    the sf0.01 corpus measures (heuristic-good share 0.58 in decile 1
+    rising to 1.0 in the upper deciles; the residual bottom-decile
+    disagreement is exactly the model-vs-heuristic boundary the dial
+    exists to tune).
+
+    Exactness: the deciles come from the exact two-phase ntile
+    (`api.bucketed_ntile` — value-identical to SQL ntile at any
+    parallelism) over the deterministic (score, doc_id) total order;
+    the mean score aggregates round(score·1e6) exact longs
+    (order-invariant) with one divide-back; agreement is an exact
+    integer ratio.
+
+    Scale shape: the model frame is the `text_quality_model` plan
+    (linear, token-keyed); the ranking is the bucketed two-phase rank —
+    quarter-log-odds score bands as buckets, so no unpartitioned window
+    ever sees fact rows and the only ordered window runs over band
+    cardinality; the final aggregate is a 10-group map-combinable
+    hash agg."""
+    from ..api import bucketed_ntile
+
+    model = text_quality_model(spark, sf_dir)
+    tiled = bucketed_ntile(model, F.floor(F.col("score") * 4),
+                           [F.col("score"), F.col("doc_id")], 10,
+                           tile_name="decile")
+    fx = F.round(F.col("score") * 1000000.0, 0).cast("long")
+    agree = (F.col("pred_good") == F.col("label_heuristic")).cast("int")
+    return (tiled.groupBy(F.col("decile").cast("int").alias("decile"))
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("label_heuristic").cast("long")
+                       .alias("n_good_heuristic"),
+                      F.sum("pred_good").cast("long").alias("n_pred_good"),
+                      F.round(F.sum(agree).cast("double") / F.count("*"), 6)
+                       .alias("agreement"),
+                      F.round(F.sum(fx).cast("double") / F.count("*")
+                              / F.lit(1000000.0), 6).alias("avg_score")))

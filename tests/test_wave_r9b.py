@@ -232,3 +232,45 @@ def test_semantic_cluster_cc_consistent_with_drop_list(spark):
     from collections import Counter
     sizes = Counter(cc.values())
     assert all(sizes[cc[v]] >= 2 for v in cc)
+
+
+# ---- sim_twolevel_recall_eval ----------------------------------------------
+
+
+def test_twolevel_eval_quantifies_the_trade(spark):
+    """The split's self-measurement must be internally consistent and
+    show the trade it exists to expose: strictly fewer candidate pairs
+    than single-level, found pairs a subset (recall <= 1) but >= 0.7 at
+    the deliberately over-tight occ=8 dial (measured sf0.01: cand_ratio
+    0.60, pair_recall 0.822)."""
+    r = REGISTRY["sim_twolevel_recall_eval"].fn(spark, SF_T2).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["cand_pairs_two"] < r["cand_pairs_single"]
+    assert r["found_two"] <= r["found_single"]
+    assert r["found_two"] <= r["cand_pairs_two"]
+    assert r["found_single"] <= r["cand_pairs_single"]
+    assert r["pair_recall"] >= 0.7, r["pair_recall"]
+    assert r["cand_ratio"] < 0.8, r["cand_ratio"]
+
+
+# ---- text_quality_calibration ----------------------------------------------
+
+
+def test_quality_calibration_structure_and_monotonicity(spark):
+    """Deciles are exact (counts differ by at most 1, cover the corpus)
+    and, because the ranking IS the score order, per-decile mean score
+    must rise monotonically; the heuristic-good share must be higher in
+    the top decile than the bottom (the model orders junk first)."""
+    rows = sorted(REGISTRY["text_quality_calibration"]
+                  .fn(spark, SF_T2).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert sum(sizes) == 500
+    assert max(sizes) - min(sizes) <= 1
+    scores = [r["avg_score"] for r in rows]
+    assert scores == sorted(scores), scores
+    share = [r["n_good_heuristic"] / r["n_docs"] for r in rows]
+    assert share[-1] > share[0]
+    assert share[-1] == 1.0

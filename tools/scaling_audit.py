@@ -111,9 +111,11 @@ OPS = [
     # round-8 additions (embeddings / documents / events / orders)
     "dedup_semantic_embedding", "dedup_semantic_incremental",
     "sample_domain_mix", "ts_ljung_box", "dq_benford_check",
-    # round-9 additions (documents / events)
+    # round-9 additions (documents / events / embeddings)
     "text_quality_model", "doc_truncate_budget_bpe",
     "doc_chunk_sliding_bpe", "sink_compact_small_files",
+    "doc_pack_nextfit_bpe", "text_quality_calibration",
+    "dedup_semantic_cluster_cc", "sim_twolevel_recall_eval",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
