@@ -471,7 +471,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(staged))
 
-    back = spark.read.option("basePath", staged).parquet(staged)
+    # explicit schema: an EMPTY events table writes a fileless staged
+    # tree, and schema inference over zero files raises — the audit must
+    # instead report a clean 0-row identity (degenerate-corpus guard)
+    back = (spark.read.schema(batched.schema)
+                 .option("basePath", staged).parquet(staged))
     (back.repartition(_COMPACT_TARGET_FILES)
          .write.mode("overwrite").parquet(compacted))
 
@@ -486,7 +490,7 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(F.count("*").alias("n"), F.sum(h).alias("hsum"))
 
     b = canon(back).collect()[0]
-    comp = spark.read.parquet(compacted)
+    comp = spark.read.schema(batched.schema).parquet(compacted)
     a = canon(comp).collect()[0]
     n_files = len([f for f in os.listdir(compacted)
                    if f.endswith(".parquet")])
@@ -495,6 +499,7 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(b["n"]), int(a["n"]), n_batches,
           int(b["hsum"] == a["hsum"] and b["n"] == a["n"]),
-          int(0 < n_files <= _COMPACT_TARGET_FILES))],
+          int(n_files <= _COMPACT_TARGET_FILES
+              and (n_files > 0 or b["n"] == 0)))],
         "rows_before long, rows_after long, n_batches long, "
         "value_match int, files_bounded int")

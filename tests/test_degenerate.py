@@ -133,7 +133,11 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-5 twins: empty bucket-count tables must yield
                  # empty (not crashing) ranks/cutoffs
                  "sample_split_temporal_scalable",
-                 "feat_woe_binning_scalable", "feat_auc_roc_scalable"]
+                 "feat_woe_binning_scalable", "feat_auc_roc_scalable",
+                 # round-9: the compaction pass must survive a fileless
+                 # staged tree (explicit-schema read-back) and report a
+                 # clean 0-row identity
+                 "sink_compact_small_files"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
@@ -174,6 +178,12 @@ EMPTY_DOCS_GUARDED = [
     "text_bm25_retrieval", "mm_image_decode",
     # round-6 content-level multimodal
     "mm_phash_dedup", "mm_audio_fingerprint_dedup", "mm_video_scene_cuts",
+    # round-9 additions (empty corpus -> empty model/vocab, empty packs,
+    # empty budget/chunk audits; calibration sees zero docs in zero
+    # deciles)
+    "text_quality_model", "text_quality_calibration",
+    "doc_truncate_budget_bpe", "doc_chunk_sliding_bpe",
+    "doc_pack_nextfit_bpe",
 ]
 
 
@@ -214,6 +224,9 @@ EMPTY_EMB_GUARDED = [
     # arrival files and drains zero drops)
     "dedup_semantic_embedding", "dedup_semantic_incremental",
     "stream_semantic_ingest",
+    # round-9: the two-level family additions (empty corpus -> empty
+    # coarse cells, empty split counts, empty pair graph / eval row)
+    "dedup_semantic_cluster_cc", "sim_twolevel_recall_eval",
 ]
 
 
