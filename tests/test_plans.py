@@ -391,3 +391,44 @@ def test_persisted_serve_prunes_corpus_partitions(spark):
     for seg in corpus_scans:
         assert re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]",
                          seg), f"corpus scan without cid pruning:\n{seg[:400]}"
+
+
+# ---- round-9 plan pins ------------------------------------------------------
+
+
+def test_quality_model_scan_pruned_and_partial_aggs(spark):
+    """The NB scorer reads ONLY the three document columns it needs
+    (doc_id, text, n_chars — lang/source pruned at the scan) and its
+    token-count aggregates carry map-side partials."""
+    plan = _plan(spark, "text_quality_model")
+    cols = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert cols, "no ReadSchema in plan"
+    for c in cols:
+        assert "source" not in c and "lang" not in c, (
+            f"unused document columns not pruned: {c}")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_semantic_pair_join_is_hash_keyed_never_nested_loop(spark):
+    """The two-level dedup's pair join must be a (cid, scid)-keyed hash
+    join between corpus-sized frames — a nested-loop there is the
+    all-pairs catastrophe the index exists to prevent. (The only
+    NestedLoop joins allowed in the WHOLE plan are broadcast crosses of
+    tiny 1-row/centroid frames, which Spark renders as
+    BroadcastNestedLoopJoin — assert the pair join itself is a HASH
+    strategy keyed by [cid, scid]: at sf0.01 the statistics pick
+    BroadcastHashJoin over the cached sub frame; at scale the identical
+    logical join becomes shuffled-hash/sort-merge on the same keys.)"""
+    plan = _plan(spark, "dedup_semantic_embedding")
+    assert re.search(r"keys \[2\]: \[cid#\d+L?, scid#\d+L?\]", plan), (
+        "pair join is not a hash join keyed by the sub-cell")
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_budget_twin_scan_pruned_no_shuffle(spark):
+    """The BPE truncation audit is a pure scan: document columns pruned
+    to (doc_id, lang, text) and ZERO exchanges anywhere in the plan."""
+    plan = _plan(spark, "doc_truncate_budget_bpe")
+    assert "Exchange" not in plan, "budget audit should be shuffle-free"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "source" not in m.group(1) and "n_chars" not in m.group(1)

@@ -17,7 +17,13 @@ not 10x denser duplicates:
   are disjoint; the planted near-dup structure repeats per clone instead
   of collapsing into cross-clone duplicate clusters.
 - embeddings: vectors np.roll'ed by clone -> norms preserved, directions
-  decorrelated across clones.
+  decorrelated across clones. CAVEAT (measured round 9): the roll wraps
+  at the 64-dim boundary, so at --clones 100 the clones 64-99 EXACTLY
+  duplicate clones 0-35 (cos = 1.0) — the 100x corpus carries ~72k true
+  duplicate pairs. The 10x default is unaffected (rolls 0-9); the
+  audit100 semantic pin embraces the wrap (it verifies the dedup pass
+  FINDS those pairs and nothing else), and the ANN recall pins compare
+  against brute-force truth on the same corpus, so they stay fair.
 
 Usage:  python tools/scaling_audit.py              # full audit (~minutes)
         python tools/scaling_audit.py --gen        # only (re)build sf1
