@@ -2623,7 +2623,15 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals/prior/OOV ride 1-row broadcast frames; the per-doc score is
     one doc_id-keyed hash aggregate. Zero windows, zero corpus
     self-joins."""
-    d = load(spark, sf_dir, "documents")
+    return _quality_model_frame(load(spark, sf_dir, "documents"))
+
+
+def _quality_model_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, label_heuristic, is_train, n_tokens, score, pred_good)
+    over an arbitrary documents frame — the train-then-score pipeline
+    behind `text_quality_model`, factored out so the end-to-end demo
+    (tools/pipeline_demo.py) scores its own cleaned/deduped corpus with
+    the same exact-oracled machinery."""
     hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                 16, 10).cast("long")
     n_tok = F.size(F.split("text", " ")).cast("long")

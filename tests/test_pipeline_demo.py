@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.pipeline_demo import (  # noqa: E402
-    clean_boilerplate, exact_dedup, near_dedup, quality_filter,
-    split_train_val,
+    clean_boilerplate, exact_dedup, model_quality_filter, near_dedup,
+    quality_filter, split_train_val,
 )
 
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY  # noqa: E402
@@ -32,7 +32,9 @@ def test_pipeline_composes_and_dedups(spark):
     n2 = d2.count()
     d3 = quality_filter(d2)
     n3 = d3.count()
-    assert n0 >= n1 >= n2 >= n3 > 0
+    d3m = model_quality_filter(d3)
+    n3m = d3m.count()
+    assert n0 >= n1 >= n2 >= n3 >= n3m > 0
 
     # near-dedup must remove exactly one member of every jaccard>=0.5
     # pair that dedup_near_minhash finds (clusters keep 1 representative)
@@ -44,9 +46,9 @@ def test_pipeline_composes_and_dedups(spark):
         assert not (r["doc1"] in kept and r["doc2"] in kept), r
     assert kept & docs_in_pairs, "every cluster lost ALL members"
 
-    d4 = split_train_val(d3)
+    d4 = split_train_val(d3m)
     agg = d4.groupBy("split").agg(F.count("*").alias("n")).collect()
     by = {r["split"]: r["n"] for r in agg}
     assert set(by) <= {"train", "val"} and by.get("train", 0) > 0
-    assert sum(by.values()) == n3
+    assert sum(by.values()) == n3m
     d2.unpersist()

@@ -4,7 +4,9 @@ Every stage below is the same machinery the registry exposes as graded
 operators — this script exists to show they compose into the pipeline a
 100 TB corpus actually runs: ingest -> boilerplate clean -> exact dedup -> near-dedup (MinHash
 LSH + connected components, keep one representative per cluster) ->
-quality filter -> deterministic train/val split -> partitioned parquet.
+heuristic quality filter -> TRAINED quality gate (round 9: the NB
+scorer, distant-supervised on the heuristic labels over this corpus's
+own md5 slice) -> deterministic train/val split -> partitioned parquet.
 
 Scale posture per stage (see SCALE.md for the measured evidence):
 exact dedup is a hash-group; near-dedup is the banded LSH join (never
@@ -33,7 +35,7 @@ from industry_big_data_time_sequence_process_spark.api import (  # noqa: E402
     strip_boilerplate_lines,
 )
 from industry_big_data_time_sequence_process_spark.operators.text import (  # noqa: E402
-    _h32, _minhash_bands, _shingles,
+    _h32, _minhash_bands, _quality_model_frame, _shingles,
 )
 from industry_big_data_time_sequence_process_spark.session import get_session  # noqa: E402
 from industry_big_data_time_sequence_process_spark.sources.io import load  # noqa: E402
@@ -130,6 +132,19 @@ def quality_filter(d: DataFrame) -> DataFrame:
              .drop("_n", "_rep"))
 
 
+def model_quality_filter(d: DataFrame) -> DataFrame:
+    """Round 9: the TRAINED quality gate after the heuristic one — the
+    production two-stage ladder (cheap rules kill the obvious junk, the
+    distant-supervised NB scorer re-ranks what survives). Trains on the
+    deterministic md5 slice of THIS corpus (the same exact-oracled
+    machinery as `text_quality_model`) and keeps docs the model scores
+    keep-worthy. Scale shape: two map-combinable vocab aggregates + one
+    token-keyed linear join — no new shuffle class."""
+    scores = _quality_model_frame(d).select("doc_id", "pred_good")
+    return (d.join(scores, "doc_id")
+             .filter(F.col("pred_good") == 1).drop("pred_good"))
+
+
 def split_train_val(d: DataFrame, val_pct: int = 10) -> DataFrame:
     """Deterministic hash split (the sample_hash_bucket discipline):
     zero shuffle, stable under appends and re-runs."""
@@ -157,7 +172,9 @@ def main() -> None:
     n2 = d2.count()
     d3 = quality_filter(d2)
     n3 = d3.count()
-    d4 = split_train_val(d3)
+    d3m = model_quality_filter(d3)
+    n3m = d3m.count()
+    d4 = split_train_val(d3m)
     (d4.write.mode("overwrite").partitionBy("split", "lang").parquet(out))
     d2.unpersist()
     splits = {r["split"]: r["n"] for r in
@@ -166,7 +183,8 @@ def main() -> None:
 
     print(f"ingested={n0} boilerplate_clean={nc} exact_dedup={n1} "
           f"near_dedup={n2} "
-          f"quality={n3} train={splits.get('train', 0)} "
+          f"quality={n3} model_quality={n3m} "
+          f"train={splits.get('train', 0)} "
           f"val={splits.get('val', 0)} "
           f"out={out} wall={time.monotonic() - t0:.1f}s")
 
