@@ -1457,3 +1457,109 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.unpersist()
     return (spark.read.option("basePath", out).parquet(out)
                  .select("vec_id", "kept_id", "cid", "scid", "cos_sim"))
+
+
+def _stream_quality_oracle() -> str:
+    from .text import _QM_FX, _duck_qm_prefix
+    return f"""
+WITH cut AS (SELECT CAST(floor(0.9 * count(*)) AS BIGINT) AS c
+             FROM documents),
+old AS (SELECT doc_id, text, lang, source, n_chars
+        FROM documents CROSS JOIN cut WHERE doc_id < c),
+batch AS (SELECT doc_id, text FROM documents CROSS JOIN cut
+          WHERE doc_id >= c),
+{_duck_qm_prefix(corpus="old")},
+btok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM batch
+), score AS (
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(COALESCE(w.wfx, o.oovfx)) AS BIGINT) AS sfx
+    FROM btok t LEFT JOIN w USING (token) CROSS JOIN oov o
+    GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       round(p.prior + CAST(s.sfx AS DOUBLE) / {_QM_FX}, 6) AS score,
+       CAST(p.prior + CAST(s.sfx AS DOUBLE) / {_QM_FX} >= 0 AS INT)
+           AS pred_good
+FROM score s CROSS JOIN pri p
+"""
+
+
+@op("stream_quality_scores", oracle=_stream_quality_oracle(),
+    tier=3, section="2.10")
+def stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING document-quality scoring (round 9): the trained NB
+    quality model (`text_quality_model`) as a serving tier — documents
+    ARRIVE as a stream, and each micro-batch scores its arrivals
+    against the STATIC model frames (vocab weight table + OOV fallback
+    + prior, trained ONCE on the old corpus's md5 slice — the
+    `_quality_model_train` half) and writes (doc_id, n_tokens, score,
+    pred_good) into the per-batch_id exactly-once sink. Completes the
+    quality family's batch/streaming symmetry the dedup families
+    already have (`dedup_semantic_incremental` ↔
+    `stream_semantic_ingest`); the oracle trains on the same old slice
+    and scores the same arrivals, so the streamed scores are
+    value-checked end to end.
+
+    The top-10% doc_id slice stands in for today's arrivals, staged as
+    TWO files (two micro-batches); each arrival is scored exactly once
+    in its own batch with no cross-batch state, so the per-batch scores
+    compose to the batch-global answer by construction.
+
+    Scale shape: per batch ONE token-keyed join of the batch token
+    stream against the pinned vocab weight table plus two 1-row
+    broadcasts — O(batch tokens) per micro-batch, the old corpus never
+    rescans after the one-time train; the weight table is exactly what
+    a deployment pins between nightly retrains."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from .text import _quality_model_score, _quality_model_train
+
+    configure(spark)
+    key = "stream_quality_scores"
+    base = _stream_base(spark, key)
+    indir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    import math
+
+    t = pq_.read_table(f"{sf_dir.rstrip('/')}/documents.parquet")
+    cut = math.floor(0.9 * t.num_rows)  # the oracle's cut CTE, same floor
+    arrivals = t.filter(pc.greater_equal(t["doc_id"], cut))
+    splitter = pc.equal(pc.bit_wise_and(arrivals["doc_id"], 1), 0)
+    for i, tab in enumerate((arrivals.filter(splitter),
+                             arrivals.filter(pc.invert(splitter)))):
+        dst = os.path.join(indir, f"docs_{i}.parquet")
+        pq_.write_table(tab, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # static model frames (one train in deployment); weight table cached
+    # and materialized so every micro-batch probes storage, not lineage
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < cut)
+    w, oov, pri = _quality_model_train(old)
+    w = w.cache()
+    w.count()
+    oov = oov.cache()
+    pri = pri.cache()
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        scored = _quality_model_score(
+            batch_df.select("doc_id", "text"), w, oov, pri)
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}"))
+
+    from ..sources.io import SCHEMAS
+
+    raw = (spark.readStream.schema(SCHEMAS["documents"])
+                .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (raw.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    for f in (w, oov, pri):
+        f.unpersist()
+    return (spark.read.option("basePath", out).parquet(out)
+                 .select("doc_id", "n_tokens", "score", "pred_good"))

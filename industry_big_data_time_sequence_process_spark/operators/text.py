@@ -2540,20 +2540,25 @@ _QM_DUCK_Y = """CAST(
        AND n_chars >= 50 AS INT)"""
 
 
-@op("text_quality_model", oracle=f"""
-WITH lab AS (
+def _duck_qm_prefix(corpus: str = "documents") -> str:
+    """WITH-chain that trains the NB quality model over ``corpus``'s md5
+    slice — mirrors ``_quality_model_train``: lab(els), the token
+    stream, train-slice token counts, totals, prior, the vocab weight
+    table ``w`` and the 1-row OOV fallback. The streaming twin trains
+    over the ``old`` CTE; the batch op over the full table."""
+    return f"""lab AS (
     SELECT doc_id, text,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % {_QM_TRAIN_MOD} = 0 AS INT) AS is_train,
            {_QM_DUCK_Y} AS y
-    FROM documents
-), tok AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    FROM {corpus}
+), qtok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {corpus}
 ), cnt AS (
     SELECT t.token,
            CAST(sum(l.y) AS BIGINT) AS c1,
            CAST(sum(1 - l.y) AS BIGINT) AS c0
-    FROM tok t JOIN lab l USING (doc_id)
+    FROM qtok t JOIN lab l USING (doc_id)
     WHERE l.is_train = 1
     GROUP BY t.token
 ), tot AS (
@@ -2574,10 +2579,15 @@ WITH lab AS (
     SELECT CAST(floor((ln(1.0 / (t1 + v)) - ln(1.0 / (t0 + v)))
                       * {_QM_FX}) AS BIGINT) AS oovfx
     FROM tot
-), score AS (
+)"""
+
+
+@op("text_quality_model", oracle=f"""
+WITH {_duck_qm_prefix()},
+score AS (
     SELECT t.doc_id, count(*) AS n_tokens,
            CAST(sum(COALESCE(w.wfx, o.oovfx)) AS BIGINT) AS sfx
-    FROM tok t LEFT JOIN w USING (token) CROSS JOIN oov o
+    FROM qtok t LEFT JOIN w USING (token) CROSS JOIN oov o
     GROUP BY t.doc_id
 )
 SELECT s.doc_id,
@@ -2626,29 +2636,39 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quality_model_frame(load(spark, sf_dir, "documents"))
 
 
-def _quality_model_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, label_heuristic, is_train, n_tokens, score, pred_good)
-    over an arbitrary documents frame — the train-then-score pipeline
-    behind `text_quality_model`, factored out so the end-to-end demo
-    (tools/pipeline_demo.py) scores its own cleaned/deduped corpus with
-    the same exact-oracled machinery."""
+def _qm_labels(d: DataFrame) -> DataFrame:
+    """(doc_id, is_train, y): the deterministic md5 train slice and the
+    heuristic label (text_filter_quality's predicate verbatim)."""
     hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                 16, 10).cast("long")
     n_tok = F.size(F.split("text", " ")).cast("long")
     avg_len = F.round(
         F.length(F.regexp_replace("text", " ", "")).cast("double")
         / n_tok.cast("double"), 6)
-    lab = d.select(
-        "doc_id", "text",
+    return d.select(
+        "doc_id",
         (hv % _QM_TRAIN_MOD == 0).cast("int").alias("is_train"),
         (n_tok.between(20, 1000) & avg_len.between(2.0, 12.0)
          & (F.col("n_chars") >= 50)).cast("int").alias("y"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    cnt = (tok.join(lab.select("doc_id", "is_train", "y"), "doc_id")
-              .filter(F.col("is_train") == 1)
-              .groupBy("token")
-              .agg(F.sum("y").cast("long").alias("c1"),
-                   F.sum(1 - F.col("y")).cast("long").alias("c0")))
+
+
+def _qm_tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+def _quality_model_train(d: DataFrame) -> tuple:
+    """(w, oov, pri): the trained NB model over ``d``'s md5 train slice —
+    the vocab log-odds weight table (vocab-sized, token-keyed), the
+    1-row OOV fallback weight, and the 1-row class prior. These are the
+    frames a serving tier pins between retrains; `stream_quality_scores`
+    scores arrivals against them per micro-batch."""
+    lab = _qm_labels(d)
+    cnt = (_qm_tokens(d)
+           .join(lab.select("doc_id", "is_train", "y"), "doc_id")
+           .filter(F.col("is_train") == 1)
+           .groupBy("token")
+           .agg(F.sum("y").cast("long").alias("c1"),
+                F.sum(1 - F.col("y")).cast("long").alias("c0")))
     tot = cnt.agg(F.sum("c1").cast("long").alias("t1"),
                   F.sum("c0").cast("long").alias("t0"),
                   F.count("*").cast("long").alias("v"))
@@ -2667,21 +2687,41 @@ def _quality_model_frame(d: DataFrame) -> DataFrame:
         F.floor((F.log(F.lit(1.0) / (F.col("t1") + F.col("v")))
                  - F.log(F.lit(1.0) / (F.col("t0") + F.col("v"))))
                 * F.lit(_QM_FX)).alias("oovfx"))
-    score = (tok.join(w, "token", "left")
-                .crossJoin(F.broadcast(oov))
-                .groupBy("doc_id")
-                .agg(F.count("*").alias("n_tokens"),
-                     F.sum(F.coalesce("wfx", "oovfx")).cast("long")
-                      .alias("sfx")))
+    return w, oov, pri
+
+
+def _quality_model_score(docs: DataFrame, w: DataFrame, oov: DataFrame,
+                         pri: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score, pred_good): score ``docs`` against a
+    trained model — token-keyed join with the weight table, OOV
+    fallback, exact-long sum, one divide-back + prior."""
+    score = (_qm_tokens(docs).join(w, "token", "left")
+             .crossJoin(F.broadcast(oov))
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_tokens"),
+                  F.sum(F.coalesce("wfx", "oovfx")).cast("long")
+                   .alias("sfx")))
     raw = F.col("prior") + F.col("sfx").cast("double") / F.lit(_QM_FX)
-    return (score.join(lab.select("doc_id",
-                                  F.col("y").alias("label_heuristic"),
-                                  "is_train"), "doc_id")
-                 .crossJoin(F.broadcast(pri))
-                 .select("doc_id", "label_heuristic", "is_train",
-                         "n_tokens",
+    return (score.crossJoin(F.broadcast(pri))
+                 .select("doc_id", "n_tokens",
                          F.round(raw, 6).alias("score"),
                          (raw >= 0).cast("int").alias("pred_good")))
+
+
+def _quality_model_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, label_heuristic, is_train, n_tokens, score, pred_good)
+    over an arbitrary documents frame — train on ``d``'s own md5 slice,
+    score every document, attach the labels. Shared by the registered
+    op, the end-to-end demo (tools/pipeline_demo.py), and — split into
+    its train/score halves — the streaming twin."""
+    w, oov, pri = _quality_model_train(d)
+    lab = _qm_labels(d).select("doc_id",
+                               F.col("y").alias("label_heuristic"),
+                               "is_train")
+    return (_quality_model_score(d, w, oov, pri)
+            .join(lab, "doc_id")
+            .select("doc_id", "label_heuristic", "is_train",
+                    "n_tokens", "score", "pred_good"))
 
 
 #: The BPE-ish pretokenizer regex shared with `text_token_count` — the

@@ -183,7 +183,7 @@ EMPTY_DOCS_GUARDED = [
     # deciles)
     "text_quality_model", "text_quality_calibration",
     "doc_truncate_budget_bpe", "doc_chunk_sliding_bpe",
-    "doc_pack_nextfit_bpe",
+    "doc_pack_nextfit_bpe", "stream_quality_scores",
 ]
 
 

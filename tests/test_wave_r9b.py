@@ -274,3 +274,24 @@ def test_quality_calibration_structure_and_monotonicity(spark):
     share = [r["n_good_heuristic"] / r["n_docs"] for r in rows]
     assert share[-1] > share[0]
     assert share[-1] == 1.0
+
+
+# ---- stream_quality_scores --------------------------------------------------
+
+
+def test_stream_quality_scores_cover_arrivals_once(spark):
+    """Every arrival (the top-10% doc_id slice) is scored exactly once
+    across the micro-batches, nothing else leaks into the sink, and the
+    scores are finite log-odds with a sign-consistent keep flag."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    n = pq_.read_metadata(os.path.join(SF_T2, "documents.parquet")).num_rows
+    cut = math.floor(0.9 * n)
+    rows = REGISTRY["stream_quality_scores"].fn(spark, SF_T2).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == list(range(cut, n))
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["pred_good"] == int(r["score"] >= 0)
