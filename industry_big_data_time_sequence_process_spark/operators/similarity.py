@@ -16,6 +16,7 @@ baseline whose candidate set the LSH op replaces at 100 TB.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
@@ -3323,17 +3324,43 @@ _SEMDEDUP_CACHE: dict = {}
 _SEMDEDUP_LOCK = __import__("threading").Lock()
 
 
+def _dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cheap content fingerprint of ``<sf_dir>/<table>.parquet`` —
+    (total bytes, max mtime_ns) over the file or directory tree. Part
+    of the memo key (ADVICE r9): if the files under sf_dir are
+    regenerated mid-session the fingerprint changes and the stale index
+    misses naturally, instead of correctness depending on callers
+    remembering `_reset_semantic_memo`."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    size, mtime = 0, 0
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        elif os.path.exists(path):
+            st = os.stat(path)
+            size, mtime = st.st_size, st.st_mtime_ns
+    except OSError:
+        pass
+    return (size, mtime)
+
+
 def _semantic_memo(spark: SparkSession, sf_dir: str, slot: str, build):
     """Return the memoized value for ``slot`` (building it outside the
-    lock on miss); evicts ALL entries of other (appId, sf_dir) datasets,
-    unpersisting every DataFrame the evicted values reference."""
-    key = (spark.sparkContext.applicationId, sf_dir, slot)
+    lock on miss); evicts ALL entries of other (appId, sf_dir,
+    fingerprint) datasets, unpersisting every DataFrame the evicted
+    values reference."""
+    key = (spark.sparkContext.applicationId, sf_dir,
+           _dataset_fingerprint(sf_dir), slot)
     with _SEMDEDUP_LOCK:
         hit = _SEMDEDUP_CACHE.get(key)
         if hit is not None:
             return hit
         evicted = [_SEMDEDUP_CACHE.pop(k) for k in list(_SEMDEDUP_CACHE)
-                   if k[:2] != key[:2]]
+                   if k[:3] != key[:3]]
     for val in evicted:
         for f in (val if isinstance(val, tuple) else (val,)):
             try:
@@ -3567,6 +3594,14 @@ def dedup_semantic_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # ADVICE r9: sub-cells can hold up to the envelope-bound vector
+        # count, so a component with diameter > the round cap is
+        # possible in principle — diverge LOUDLY from the recursive-CTE
+        # oracle's guaranteed fixpoint instead of returning wrong labels.
+        raise RuntimeError(
+            "dedup_semantic_cluster_cc: min-label propagation did not "
+            "reach a fixpoint within the round cap (diameter > 10)")
     return labels.select(F.col("node").alias("vec_id"),
                          F.col("lbl").alias("cluster_id"))
 

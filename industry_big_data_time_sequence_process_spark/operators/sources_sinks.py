@@ -419,10 +419,11 @@ _COMPACT_FILES_PER_BATCH = 3
 _COMPACT_TARGET_FILES = 2
 
 
-@op("sink_compact_small_files", oracle="""
+@op("sink_compact_small_files", oracle=f"""
 SELECT CAST(count(*) AS BIGINT) AS rows_before,
        CAST(count(*) AS BIGINT) AS rows_after,
-       CAST(8 AS BIGINT) AS n_batches,
+       CAST(count(DISTINCT event_id % {_COMPACT_BATCHES}) AS BIGINT)
+           AS n_batches,
        CAST(1 AS INT) AS value_match,
        CAST(1 AS INT) AS files_bounded
 FROM events
@@ -483,8 +484,13 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         # order-invariant exact identity: per-row md5 over every column
         # (timestamps canonicalized to micros, doubles to their exact
         # repr via CAST to string), 15 hex chars -> long, SUM of longs.
+        # coalesce each column to a sentinel BEFORE concat_ws: concat_ws
+        # silently drops NULL args, so (NULL,'x') and ('x',NULL) would
+        # otherwise hash identically (ADVICE r9) — the sentinel encodes
+        # NULLs positionally and the \x01 separator keeps fields distinct.
         cols = F.concat_ws(
-            "\x01", *[F.col(c).cast("string") for c in sorted(df.columns)])
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                      for c in sorted(df.columns)])
         h = (F.conv(F.substring(F.md5(cols), 1, 15), 16, 10)
              .cast("decimal(38,0)"))  # exact sum, no ANSI long overflow
         return df.agg(F.count("*").alias("n"), F.sum(h).alias("hsum"))

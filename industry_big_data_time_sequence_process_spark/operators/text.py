@@ -738,6 +738,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # ADVICE r9: a component with diameter > the round cap would
+        # otherwise return silently-wrong labels while the recursive-CTE
+        # oracle converges — non-convergence must fail loudly instead.
+        raise RuntimeError(
+            "dedup_cluster_cc: min-label propagation did not reach a "
+            "fixpoint within the round cap (component diameter > 10)")
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
