@@ -241,8 +241,8 @@ def test_twolevel_eval_quantifies_the_trade(spark):
     """The split's self-measurement must be internally consistent and
     show the trade it exists to expose: strictly fewer candidate pairs
     than single-level, found pairs a subset (recall <= 1) but >= 0.7 at
-    the deliberately over-tight occ=8 dial (measured sf0.01: cand_ratio
-    0.60, pair_recall 0.822)."""
+    the deliberately over-tight occ=8 dial (measured sf0.01 with the
+    r10 hard envelope: cand_ratio 0.58, pair_recall 0.794)."""
     r = REGISTRY["sim_twolevel_recall_eval"].fn(spark, SF_T2).collect()
     assert len(r) == 1
     r = r[0]
