@@ -11,6 +11,13 @@ best-of-N, so totals stay round-comparable), and ``queries_median`` /
 ``heavy_median`` report the median so jitter is visible in the artifact
 instead of adjudicated by eye.
 
+Round-10 protocol note (VERDICT r9 #1): ``*_build`` rows are
+median-of-N_TIMED too now — each index build is torn down and re-run
+like every other measurement (they were the artifact's only one-shot
+numbers, and the BENCH_r09 suffix showed what a single sample under
+transient machine load looks like). Run on an idle box; a contaminated
+suffix is visible as min << median in the committed maps.
+
 Output contract (ADVICE r5: consumers recompute ``value`` from
 ``queries``): ``value == sum(queries.values())`` again — the heavy
 dedup/ANN family moved to its own ``heavy_queries`` map.
@@ -98,12 +105,23 @@ def _bench_family_splits(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     meds: dict[str, float] = {}
 
     def split(name: str, build, serve) -> None:
-        t0 = time.perf_counter()
-        frames = build()                  # cached + materialized frames
-        b = round(time.perf_counter() - t0, 3)
+        # round 10 (VERDICT r9 "what's wrong" #2): *_build rows were the
+        # only single-shot numbers in the artifact — the noisiest rows
+        # with zero repetition. Now every build is torn down and re-run
+        # N_TIMED times like everything else; min/median are reported
+        # from the same passes.
+        bts, frames = [], None
+        for _ in range(N_TIMED):
+            if frames is not None:        # teardown before rebuild
+                for f in frames:
+                    f.unpersist()
+            t0 = time.perf_counter()
+            frames = build()              # cached + materialized frames
+            bts.append(time.perf_counter() - t0)
         thunk = lambda: serve(*frames).collect()
         thunk()                           # warm-up
-        mins[f"{name}_build"] = meds[f"{name}_build"] = b
+        mins[f"{name}_build"] = round(min(bts), 3)
+        meds[f"{name}_build"] = round(statistics.median(bts), 3)
         mins[f"{name}_serve"], meds[f"{name}_serve"] = _timed_passes(thunk)
         for f in frames:
             f.unpersist()
@@ -188,11 +206,18 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from industry_big_data_time_sequence_process_spark.sources.io import load
 
     e = load(spark, sf_dir, "embeddings")
-    t0 = time.perf_counter()
-    corpus, cent, cb = _ivfpq_index(e)
-    corpus = corpus.cache()
-    corpus.count()  # materialize the coded inverted lists
-    build = round(time.perf_counter() - t0, 3)
+    # median-of-N builds (round 10, same protocol as the family splits)
+    bts = []
+    corpus = None
+    for _ in range(N_TIMED):
+        if corpus is not None:
+            corpus.unpersist()
+        t0 = time.perf_counter()
+        corpus, cent, cb = _ivfpq_index(e)
+        corpus = corpus.cache()
+        corpus.count()  # materialize the coded inverted lists
+        bts.append(time.perf_counter() - t0)
+    b_min, b_med = round(min(bts), 3), round(statistics.median(bts), 3)
     qdf = e.filter(F.col("vec_id") < _N_QUERIES)
     # ADVICE r8: resolve the auto dial ONCE at setup (the
     # stream_ann_serving discipline) — nprobe=None inside the timed loop
@@ -207,8 +232,8 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     serve()  # warm-up
     s_min, s_med = _timed_passes(serve)
     corpus.unpersist()
-    return {"min": {"ivfpq_build": build, "ivfpq_serve": s_min},
-            "median": {"ivfpq_build": build, "ivfpq_serve": s_med}}
+    return {"min": {"ivfpq_build": b_min, "ivfpq_serve": s_min},
+            "median": {"ivfpq_build": b_med, "ivfpq_serve": s_med}}
 
 
 def main() -> None:

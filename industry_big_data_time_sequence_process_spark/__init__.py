@@ -8,7 +8,7 @@ from . import registry  # noqa: F401
 
 # Import order == SURVEY.md §2 section order; each import registers ops.
 from .operators import (  # noqa: F401,E402
-    features, multimodal, relational, sampling, similarity, sources_sinks,
-    streaming, text, timeseries, udfs, windows,
+    features, multimodal, pipeline, relational, sampling, similarity,
+    sources_sinks, streaming, text, timeseries, udfs, windows,
 )
 from .functions import scalar  # noqa: F401,E402

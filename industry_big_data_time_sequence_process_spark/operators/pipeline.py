@@ -1,0 +1,419 @@
+"""The end-to-end training-corpus pipeline as a GRADED operator
+(round 10, VERDICT r9 next-round #5).
+
+``tools/pipeline_demo.py`` has chained the curation stages since round
+3 — ingest -> boilerplate clean -> exact dedup -> MinHash near-dedup
+(clusters, keep the longest representative) -> heuristic quality gate
+-> trained NB quality gate -> deterministic split -> next-fit packing —
+but only as a narrated demo. This module makes the COMPOSITION itself
+driver-gradable: ``pipeline_corpus_audit`` runs the whole chain and
+emits one exact-oracled row of per-stage survivor counts plus the final
+packed-token accounting, with a single DuckDB WITH-chain replaying
+every stage on the same corpus. If any stage drifts from its
+stand-alone operator's semantics, the row mismatches.
+
+The stage functions live here (the demo imports them back), each one
+the same machinery its registered operator grades:
+
+- boilerplate clean: ``api.strip_boilerplate_lines``
+  (`text_remove_boilerplate`)
+- exact dedup: md5(lower(trim(text))) hash-group (`dedup_exact_text`'s
+  normalization, min-doc_id keeper)
+- near-dedup: MinHash band candidates -> jaccard >= 0.5 verify ->
+  min-label CC -> keep the longest doc per cluster
+  (`dedup_near_minhash` + `dedup_cluster_cc`)
+- quality gates: token-count/repetition heuristics, then the
+  distant-supervised NB scorer (`text_quality_model`)
+- split: stable hash bucket (`sample_split_temporal` discipline)
+- packing: per-(lang, shard) next-fit walk (`doc_pack_nextfit`)
+
+Scale shape: every stage keeps its stand-alone operator's plan — the
+chain adds no new shuffle class, and the audit's own output is one row.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..api import DUCK_H32, strip_boilerplate_lines
+from ..registry import op
+from ..sources.io import load
+from .text import (
+    _MINHASH_BANDS, _MINHASH_K, _PACK_BUDGET, _PACK_SHARDS,
+    _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC, _duck_qm_prefix, _h32,
+    _minhash_bands, _pack_pdf, _quality_model_frame, _shingles,
+)
+
+#: Validation share of the deterministic hash split (percent).
+_SPLIT_VAL_PCT = 10
+
+#: Near-dup verification threshold (jaccard over 3-gram word shingles).
+_NEAR_TAU = 0.5
+
+#: Heuristic gate dials: minimum whitespace tokens, maximum repetition
+#: (1 - type/token ratio).
+_Q_MIN_TOK = 5
+_Q_MAX_REP = 0.8
+
+
+def clean_boilerplate(d: DataFrame) -> DataFrame:
+    """Corpus-level boilerplate line removal applied as a REWRITE: text
+    becomes the cleaned reassembly, n_chars is recomputed, documents
+    that clean to nothing are dropped. Runs FIRST so the dedup stages
+    hash cleaned content (shared footers otherwise glue unrelated docs
+    into near-dup clusters)."""
+    cleaned = strip_boilerplate_lines(d, "doc_id", "text")
+    return (d.drop("text", "n_chars")
+             .join(cleaned.filter(F.length("cleaned") > 0)
+                          .select("doc_id",
+                                  F.col("cleaned").alias("text")),
+                   "doc_id")
+             .withColumn("n_chars", F.length("text").cast("long")))
+
+
+def exact_dedup(d: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact normalized text (hash-group)."""
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    return (d.withColumn("_k", key)
+             .withColumn("_r", F.row_number().over(
+                 Window.partitionBy("_k").orderBy("doc_id")))
+             .filter("_r = 1").drop("_k", "_r"))
+
+
+def near_dedup(d: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup clusters -> keep the LONGEST doc per cluster
+    (ties -> lowest doc_id). The edge list is banded candidates verified
+    at jaccard >= ``_NEAR_TAU``; clustering is min-label propagation
+    over that (tiny) edge list to a CHECKED fixpoint — the
+    `dedup_cluster_cc` discipline, including the ADVICE-r9 raise on
+    non-convergence."""
+    tok = _shingles(d).withColumnRenamed("s", "token")
+    bands = _minhash_bands(tok)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2")).distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("d1"), "token")
+    tb = tok.select(F.col("doc_id").alias("_d2"),
+                    F.col("token").alias("token2"))
+    common = (cand.join(ta, "d1")
+                  .join(tb, (F.col("d2") == F.col("_d2"))
+                        & (F.col("token") == F.col("token2")))
+                  .groupBy("d1", "d2").agg(F.count("*").alias("c")))
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = (F.col("c").cast("double")
+           / (F.col("n1") + F.col("n2") - F.col("c")))
+    # localCheckpoint (not just cache) — the iterative-pipeline lesson:
+    # each propagation round otherwise nests the full edge lineage
+    # again (measured ~16 s of pure driver-side Catalyst time per
+    # action at sf0.01); checkpointing truncates round r's plan to one
+    # join over two tiny materialized frames.
+    edges = (common.join(F.broadcast(s1), "d1")
+                   .join(F.broadcast(s2), "d2")
+                   .filter(jac >= _NEAR_TAU).select("d1", "d2")
+                   .localCheckpoint())
+
+    lbl = (edges.select(F.col("d1").alias("doc_id"),
+                        F.col("d1").alias("lbl"))
+                .unionAll(edges.select(F.col("d2").alias("doc_id"),
+                                       F.col("d1").alias("lbl")))
+                .groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint())
+    for _ in range(10):
+        prop = (edges.join(lbl.withColumnRenamed("doc_id", "d1")
+                              .withColumnRenamed("lbl", "l1"), "d1")
+                     .select(F.col("d2").alias("doc_id"),
+                             F.col("l1").alias("lbl"))
+                     .unionAll(lbl))
+        new = (prop.groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+                   .localCheckpoint())
+        changed = (new.alias("n").join(lbl.alias("o"), "doc_id")
+                      .filter(F.col("n.lbl") != F.col("o.lbl"))
+                      .limit(1).count())
+        lbl = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "near_dedup: min-label propagation did not reach a fixpoint "
+            "within the round cap (component diameter > 10)")
+
+    member = d.join(lbl, "doc_id", "left").withColumn(
+        "lbl", F.coalesce("lbl", "doc_id"))
+    w = Window.partitionBy("lbl").orderBy(F.length("text").desc(),
+                                          "doc_id")
+    return (member.withColumn("_r", F.row_number().over(w))
+                  .filter("_r = 1").drop("_r", "lbl"))
+
+
+def quality_filter(d: DataFrame) -> DataFrame:
+    """Narrow row-level quality gates: token-count bounds + repetition
+    ratio (type-token) — the cheap filters that run before any model."""
+    ts = F.split("text", " ")
+    n_tok = F.size(ts)
+    rep = 1.0 - F.size(F.array_distinct(ts)).cast("double") / n_tok
+    return (d.withColumn("_n", n_tok).withColumn("_rep", rep)
+             .filter((F.col("_n") >= _Q_MIN_TOK)
+                     & (F.col("_rep") <= _Q_MAX_REP))
+             .drop("_n", "_rep"))
+
+
+def model_quality_filter(d: DataFrame) -> DataFrame:
+    """The TRAINED quality gate after the heuristic one — the
+    production two-stage ladder (cheap rules kill the obvious junk, the
+    distant-supervised NB scorer re-ranks what survives). Trains on the
+    deterministic md5 slice of THIS corpus (the same exact-oracled
+    machinery as `text_quality_model`)."""
+    scores = _quality_model_frame(d).select("doc_id", "pred_good")
+    return (d.join(scores, "doc_id")
+             .filter(F.col("pred_good") == 1).drop("pred_good"))
+
+
+def split_train_val(d: DataFrame,
+                    val_pct: int = _SPLIT_VAL_PCT) -> DataFrame:
+    """Deterministic hash split (the sample_hash_bucket discipline):
+    zero shuffle, stable under appends and re-runs."""
+    bucket = F.pmod(_h32(F.col("doc_id").cast("string")), F.lit(100))
+    return d.withColumn(
+        "split",
+        F.when(bucket < val_pct, F.lit("val")).otherwise("train"))
+
+
+def pack_accounting(d: DataFrame) -> DataFrame:
+    """(n_packs, packed_tokens) over ``d`` — the `doc_pack_nextfit`
+    walk (per-(lang, shard) Arrow-batched grouped map) reduced to the
+    two totals the audit row reports."""
+    shard = (_h32(F.concat(F.lit("pack:"),
+                           F.col("doc_id").cast("string")))
+             % _PACK_SHARDS)
+    base = d.select("lang", shard.alias("shard"), "doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tok"))
+    packed = base.groupBy("lang", "shard").applyInPandas(
+        _pack_pdf,
+        "lang string, shard long, doc_id long, n_tok long, pack_id long")
+    return packed.agg(
+        F.count_distinct("lang", "shard", "pack_id").alias("n_packs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long")
+         .alias("packed_tokens"))
+
+
+_R = _MINHASH_K // _MINHASH_BANDS
+
+#: Every multiply-referenced stage frame carries DuckDB's AS
+#: MATERIALIZED hint: two CTEs here are RECURSIVE (cc, pr), and plain
+#: CTE inlining would re-evaluate the ENTIRE upstream pipeline once per
+#: iteration (the pack walk alone iterates ~n_train/shards times) —
+#: measured as a >9-minute oracle at sf0.01 vs seconds materialized.
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+-- stage 1: boilerplate line removal (text_remove_boilerplate's chain),
+-- rewritten as the cleaned corpus; empty-cleaning docs drop
+blines AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS line,
+           generate_subscripts(string_split(text, '. '), 1) AS pos
+    FROM documents
+), bnd AS (SELECT count(*) AS n_docs FROM documents),
+bhot AS (
+    SELECT l FROM (
+        SELECT trim(line) AS l, count(DISTINCT doc_id) AS df
+        FROM blines WHERE length(trim(line)) > 0 GROUP BY 1
+    ) CROSS JOIN bnd
+    WHERE df > greatest(2, CAST(ceil(0.005 * n_docs) AS BIGINT))
+), bkept AS (
+    SELECT doc_id, pos, line FROM blines
+    WHERE trim(line) NOT IN (SELECT l FROM bhot)
+), d1 AS MATERIALIZED (
+    SELECT d.doc_id, a.cleaned AS text, d.lang,
+           CAST(length(a.cleaned) AS BIGINT) AS n_chars
+    FROM documents d
+    JOIN (SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS cleaned
+          FROM bkept GROUP BY doc_id) a USING (doc_id)
+    WHERE length(a.cleaned) > 0
+),
+-- stage 2: exact dedup (normalized md5, min-doc_id keeper)
+d2 AS MATERIALIZED (
+    SELECT doc_id, text, lang, n_chars FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS r
+        FROM d1
+    ) WHERE r = 1
+),
+-- stage 3: MinHash near-dedup -> CC -> longest representative
+shraw AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i+1] || ' '
+                 || string_split(text, ' ')[i+2])) AS s
+    FROM d2
+), sh AS MATERIALIZED (
+    SELECT doc_id, s FROM shraw
+    WHERE s NOT IN (
+        SELECT s FROM shraw GROUP BY s
+        HAVING count(*) > greatest({_SHINGLE_DF_CAP_FLOOR},
+            CAST(ceil({_SHINGLE_DF_CAP_FRAC} *
+                      (SELECT count(*) FROM d2)) AS BIGINT))
+    )
+),
+mh AS (
+    SELECT t.doc_id, g.i,
+           min({DUCK_H32.format(c="g.i || ':' || t.s")}) AS mh
+    FROM sh t, generate_series(0, {_MINHASH_K - 1}) g(i)
+    GROUP BY 1, 2
+), bands AS (
+    SELECT doc_id, i // {_R} AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+    FROM mh GROUP BY 1, 2
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS MATERIALIZED (
+    SELECT v.doc1, v.doc2 FROM (
+        SELECT c.doc1, c.doc2, count(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc1
+        JOIN sh b ON b.doc_id = c.doc2 AND b.s = a.s
+        GROUP BY 1, 2
+    ) v
+    JOIN sizes s1 ON s1.doc_id = v.doc1
+    JOIN sizes s2 ON s2.doc_id = v.doc2
+    WHERE CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common)
+          >= {_NEAR_TAU}
+), edges AS MATERIALIZED (
+    SELECT doc1 AS a, doc2 AS b FROM pairs
+    UNION SELECT doc2, doc1 FROM pairs
+), cc AS (
+    SELECT DISTINCT a AS node, a AS lbl FROM edges
+    UNION
+    SELECT e.b, cc.lbl FROM cc JOIN edges e
+      ON cc.node = e.a AND cc.lbl < e.b
+), d3 AS MATERIALIZED (
+    SELECT doc_id, text, lang, n_chars FROM (
+        SELECT d.*, row_number() OVER (
+            PARTITION BY coalesce(l.lbl, d.doc_id)
+            ORDER BY length(d.text) DESC, d.doc_id) AS r
+        FROM d2 d
+        LEFT JOIN (SELECT node AS doc_id, min(lbl) AS lbl
+                   FROM cc GROUP BY node) l USING (doc_id)
+    ) WHERE r = 1
+),
+-- stage 4: heuristic quality gate
+d4 AS MATERIALIZED (
+    SELECT doc_id, text, lang, n_chars FROM d3
+    WHERE len(string_split(text, ' ')) >= {_Q_MIN_TOK}
+      AND 1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                     AS DOUBLE) / len(string_split(text, ' '))
+          <= {_Q_MAX_REP}
+),
+-- stage 5: trained NB quality gate (text_quality_model's chain over d4)
+{{qm_prefix}},
+score AS MATERIALIZED (
+    SELECT t.doc_id, CAST(sum(COALESCE(w.wfx, o.oovfx)) AS BIGINT) AS sfx
+    FROM qtok t LEFT JOIN w USING (token) CROSS JOIN oov o
+    GROUP BY t.doc_id
+), d5 AS MATERIALIZED (
+    SELECT d.doc_id, d.text, d.lang FROM d4 d
+    JOIN score s USING (doc_id) CROSS JOIN pri p
+    WHERE p.prior + CAST(s.sfx AS DOUBLE) / {{qm_fx}} >= 0
+),
+-- stage 6: deterministic split + next-fit pack accounting (train side)
+d6 AS MATERIALIZED (
+    SELECT doc_id, text, lang,
+           CASE WHEN {DUCK_H32.format(c="CAST(doc_id AS VARCHAR)")}
+                     % 100 < {_SPLIT_VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM d5
+), pdocs AS MATERIALIZED (
+    SELECT lang,
+           ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_PACK_SHARDS} AS shard,
+           doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           row_number() OVER (
+               PARTITION BY lang,
+                   ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % {_PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+    FROM d6 WHERE split = 'train'
+), pr AS (
+    SELECT lang, shard, doc_id, n_tok, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tok AS cum
+    FROM pdocs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tok, d.rn,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN r.pack_id + 1 ELSE r.pack_id END,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN d.n_tok ELSE r.cum + d.n_tok END
+    FROM pr r JOIN pdocs d ON d.lang = r.lang AND d.shard = r.shard
+                          AND d.rn = r.rn + 1
+)
+SELECT (SELECT count(*) FROM documents)          AS n_ingested,
+       (SELECT count(*) FROM d1)                 AS n_clean,
+       (SELECT count(*) FROM d2)                 AS n_exact,
+       (SELECT count(*) FROM d3)                 AS n_near,
+       (SELECT count(*) FROM d4)                 AS n_quality,
+       (SELECT count(*) FROM d5)                 AS n_model,
+       (SELECT count(*) FROM d6 WHERE split = 'train') AS n_train,
+       (SELECT count(*) FROM d6 WHERE split = 'val')   AS n_val,
+       (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM pdocs)
+           AS packed_tokens,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT lang, shard, pack_id FROM pr)) AS n_packs
+"""
+
+
+@op("pipeline_corpus_audit", oracle=_PIPELINE_ORACLE.format(
+    qm_prefix=_duck_qm_prefix(corpus="d4", materialized=True),
+    qm_fx="1000000000.0"), tier=3, section="2.11")
+def pipeline_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus pipeline audit (round 10, VERDICT r9 #5): run
+    the full curation chain — boilerplate clean -> exact dedup ->
+    MinHash near-dedup clusters (longest representative) -> heuristic
+    quality gate -> trained NB quality gate -> deterministic 90/10
+    split -> next-fit pack accounting — and emit ONE row of per-stage
+    survivor counts plus the packed-token totals. The DuckDB oracle
+    replays every stage in a single WITH-chain over the same corpus, so
+    the driver value-hashes the COMPOSITION, not just each stage: any
+    drift between a stage here and its stand-alone operator's semantics
+    mismatches the row.
+
+    Scale shape: each stage keeps its stand-alone operator's plan
+    (broadcast anti-joins for the hot line/shingle sets, banded
+    candidate joins — never all-pairs, map-combinable NB training aggs,
+    token-keyed scoring join, zero-shuffle hash split, per-(lang,
+    shard) bounded pack walk); the stage counts the audit collects are
+    1-row aggregates over cached stage frames, and the returned frame
+    is a single audit row — the `sink_compact_small_files` pattern."""
+    d0 = load(spark, sf_dir, "documents")
+    n0 = d0.count()
+    d1 = clean_boilerplate(d0).cache()
+    n1 = d1.count()
+    d2 = exact_dedup(d1).cache()
+    n2 = d2.count()
+    d3 = near_dedup(d2).cache()
+    n3 = d3.count()
+    d4 = quality_filter(d3).cache()
+    n4 = d4.count()
+    d5 = model_quality_filter(d4).cache()
+    n5 = d5.count()
+    d6 = split_train_val(d5)
+    splits = {r["split"]: r["n"] for r in
+              d6.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    packs = pack_accounting(d6.filter(F.col("split") == "train")) \
+        .collect()[0]
+    for f in (d1, d2, d3, d4, d5):
+        f.unpersist()
+    return spark.createDataFrame(
+        [(n0, n1, n2, n3, n4, n5,
+          int(splits.get("train", 0)), int(splits.get("val", 0)),
+          int(packs["packed_tokens"]), int(packs["n_packs"]))],
+        "n_ingested long, n_clean long, n_exact long, n_near long, "
+        "n_quality long, n_model long, n_train long, n_val long, "
+        "packed_tokens long, n_packs long")

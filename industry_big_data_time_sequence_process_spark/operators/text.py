@@ -2547,21 +2547,27 @@ _QM_DUCK_Y = """CAST(
        AND n_chars >= 50 AS INT)"""
 
 
-def _duck_qm_prefix(corpus: str = "documents") -> str:
+def _duck_qm_prefix(corpus: str = "documents",
+                    materialized: bool = False) -> str:
     """WITH-chain that trains the NB quality model over ``corpus``'s md5
     slice — mirrors ``_quality_model_train``: lab(els), the token
     stream, train-slice token counts, totals, prior, the vocab weight
     table ``w`` and the 1-row OOV fallback. The streaming twin trains
-    over the ``old`` CTE; the batch op over the full table."""
-    return f"""lab AS (
+    over the ``old`` CTE; the batch op over the full table.
+    ``materialized`` adds DuckDB's AS MATERIALIZED hint to the
+    multiply-referenced frames — required when the chain feeds a
+    recursive CTE downstream (pipeline_corpus_audit), where plain CTE
+    inlining re-evaluates the whole training chain per iteration."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""lab AS{m} (
     SELECT doc_id, text,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % {_QM_TRAIN_MOD} = 0 AS INT) AS is_train,
            {_QM_DUCK_Y} AS y
     FROM {corpus}
-), qtok AS (
+), qtok AS{m} (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {corpus}
-), cnt AS (
+), cnt AS{m} (
     SELECT t.token,
            CAST(sum(l.y) AS BIGINT) AS c1,
            CAST(sum(1 - l.y) AS BIGINT) AS c0
@@ -2576,7 +2582,7 @@ def _duck_qm_prefix(corpus: str = "documents") -> str:
     SELECT ln((CAST(sum(y) AS BIGINT) + 1.0)
               / (CAST(sum(1 - y) AS BIGINT) + 1)) AS prior
     FROM lab WHERE is_train = 1
-), w AS (
+), w AS{m} (
     SELECT token,
            CAST(floor((ln((c1 + 1.0) / (t1 + v))
                        - ln((c0 + 1.0) / (t0 + v))) * {_QM_FX})

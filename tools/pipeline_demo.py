@@ -28,129 +28,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
-from industry_big_data_time_sequence_process_spark.api import (  # noqa: E402
-    strip_boilerplate_lines,
+from industry_big_data_time_sequence_process_spark.operators.pipeline import (  # noqa: E402
+    clean_boilerplate, exact_dedup, model_quality_filter, near_dedup,
+    quality_filter, split_train_val,
 )
-from industry_big_data_time_sequence_process_spark.operators.text import (  # noqa: E402
-    _h32, _minhash_bands, _quality_model_frame, _shingles,
-)
+from industry_big_data_time_sequence_process_spark.registry import REGISTRY  # noqa: E402
 from industry_big_data_time_sequence_process_spark.session import get_session  # noqa: E402
 from industry_big_data_time_sequence_process_spark.sources.io import load  # noqa: E402
-
-
-def clean_boilerplate(d: DataFrame) -> DataFrame:
-    """Corpus-level boilerplate line removal (text_remove_boilerplate's
-    machinery, api.strip_boilerplate_lines) applied as a REWRITE: text
-    becomes the cleaned reassembly, n_chars is recomputed, documents
-    that clean to nothing are dropped. Runs FIRST so the dedup stages
-    hash cleaned content (shared footers otherwise glue unrelated docs
-    into near-dup clusters)."""
-    cleaned = strip_boilerplate_lines(d, "doc_id", "text")
-    return (d.drop("text", "n_chars")
-             .join(cleaned.filter(F.length("cleaned") > 0)
-                          .select("doc_id", F.col("cleaned").alias("text")),
-                   "doc_id")
-             .withColumn("n_chars", F.length("text").cast("long")))
-
-
-def exact_dedup(d: DataFrame) -> DataFrame:
-    """Keep the lowest doc_id per exact normalized text (hash-group)."""
-    key = F.md5(F.lower(F.trim(F.col("text"))))
-    return (d.withColumn("_k", key)
-             .withColumn("_r", F.row_number().over(
-                 Window.partitionBy("_k").orderBy("doc_id")))
-             .filter("_r = 1").drop("_k", "_r"))
-
-
-def near_dedup(d: DataFrame) -> DataFrame:
-    """MinHash-LSH near-dup clusters -> keep the LONGEST doc per cluster
-    (ties -> lowest doc_id). The edge list is banded candidates verified
-    at jaccard >= 0.5; clustering is min-label propagation over that
-    (tiny) edge list — the dedup_cluster_cc discipline."""
-    tok = _shingles(d).withColumnRenamed("s", "token")
-    bands = _minhash_bands(tok)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2")).distinct())
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tok.select(F.col("doc_id").alias("d1"), "token")
-    tb = tok.select(F.col("doc_id").alias("_d2"),
-                    F.col("token").alias("token2"))
-    common = (cand.join(ta, "d1")
-                  .join(tb, (F.col("d2") == F.col("_d2"))
-                        & (F.col("token") == F.col("token2")))
-                  .groupBy("d1", "d2").agg(F.count("*").alias("c")))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
-    # localCheckpoint (not just cache) — the iterative-pipeline lesson:
-    # with plain cache, every downstream ACTION still re-analyzes the
-    # full unrolled logical tree, and each propagation round nests the
-    # edge lineage again — measured ~16 s of pure driver-side Catalyst
-    # time per action at sf0.01. Checkpointing truncates the lineage, so
-    # round r's plan is one join over two tiny materialized frames.
-    edges = (common.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-                   .filter(jac >= 0.5).select("d1", "d2").localCheckpoint())
-
-    # min-label propagation to a fixpoint (dup clusters: ~2 rounds)
-    lbl = (edges.select(F.col("d1").alias("doc_id"), F.col("d1").alias("lbl"))
-                .unionAll(edges.select(F.col("d2").alias("doc_id"),
-                                       F.col("d1").alias("lbl")))
-                .groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint())
-    for _ in range(4):
-        prop = (edges.join(lbl.withColumnRenamed("doc_id", "d1")
-                              .withColumnRenamed("lbl", "l1"), "d1")
-                     .select(F.col("d2").alias("doc_id"),
-                             F.col("l1").alias("lbl"))
-                     .unionAll(lbl))
-        lbl = (prop.groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
-                   .localCheckpoint())
-
-    # representative per cluster: longest text, tie -> lowest doc_id
-    member = d.join(lbl, "doc_id", "left").withColumn(
-        "lbl", F.coalesce("lbl", "doc_id"))
-    w = Window.partitionBy("lbl").orderBy(F.length("text").desc(), "doc_id")
-    return (member.withColumn("_r", F.row_number().over(w))
-                  .filter("_r = 1").drop("_r", "lbl"))
-
-
-def quality_filter(d: DataFrame) -> DataFrame:
-    """Narrow row-level quality gates: token-count bounds + repetition
-    ratio (type-token) — the cheap filters that run before any model."""
-    ts = F.split("text", " ")
-    n_tok = F.size(ts)
-    rep = 1.0 - F.size(F.array_distinct(ts)).cast("double") / n_tok
-    return (d.withColumn("_n", n_tok).withColumn("_rep", rep)
-             .filter((F.col("_n") >= 5) & (F.col("_rep") <= 0.8))
-             .drop("_n", "_rep"))
-
-
-def model_quality_filter(d: DataFrame) -> DataFrame:
-    """Round 9: the TRAINED quality gate after the heuristic one — the
-    production two-stage ladder (cheap rules kill the obvious junk, the
-    distant-supervised NB scorer re-ranks what survives). Trains on the
-    deterministic md5 slice of THIS corpus (the same exact-oracled
-    machinery as `text_quality_model`) and keeps docs the model scores
-    keep-worthy. Scale shape: two map-combinable vocab aggregates + one
-    token-keyed linear join — no new shuffle class."""
-    scores = _quality_model_frame(d).select("doc_id", "pred_good")
-    return (d.join(scores, "doc_id")
-             .filter(F.col("pred_good") == 1).drop("pred_good"))
-
-
-def split_train_val(d: DataFrame, val_pct: int = 10) -> DataFrame:
-    """Deterministic hash split (the sample_hash_bucket discipline):
-    zero shuffle, stable under appends and re-runs."""
-    bucket = F.pmod(_h32(F.col("doc_id").cast("string")), F.lit(100))
-    return d.withColumn(
-        "split", F.when(bucket < val_pct, F.lit("val")).otherwise("train"))
 
 
 def main() -> None:
@@ -187,6 +73,12 @@ def main() -> None:
           f"train={splits.get('train', 0)} "
           f"val={splits.get('val', 0)} "
           f"out={out} wall={time.monotonic() - t0:.1f}s")
+
+    # round 10: the same chain is a GRADED operator now — run the
+    # exact-oracled audit row so the demo's narrative numbers are the
+    # driver-checked ones
+    audit = REGISTRY["pipeline_corpus_audit"].fn(spark, sf_dir).collect()[0]
+    print("audit:", audit.asDict())
 
 
 if __name__ == "__main__":
