@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..api import DUCK_H32, strip_boilerplate_lines
 from ..registry import op
 from ..sources.io import load
+from .similarity import (
+    _SEMDEDUP_OCC, _SEMDEDUP_TAU, _duck_cos, _duck_twolevel_prefix,
+    _semantic_dedup_frame,
+)
 from .text import (
+    _DECONTAM_EVAL_MOD, _DECONTAM_MIN_SHARED, _DUCK_SHINGLES,
     _MINHASH_BANDS, _MINHASH_K, _PACK_BUDGET, _PACK_SHARDS,
     _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC, _duck_qm_prefix, _h32,
     _minhash_bands, _pack_pdf, _quality_model_frame, _shingles,
@@ -147,6 +152,49 @@ def near_dedup(d: DataFrame) -> DataFrame:
                                           "doc_id")
     return (member.withColumn("_r", F.row_number().over(w))
                   .filter("_r = 1").drop("_r", "lbl"))
+
+
+def semantic_dedup_filter(d: DataFrame, emb: DataFrame) -> DataFrame:
+    """SemDeDup stage: among surviving docs THAT HAVE an embedding
+    (doc_id = vec_id — the synthetic tables are row-aligned; docs
+    beyond the embedding table pass through untouched), drop every doc
+    whose embedding has a lower-id sub-cell mate at cosine >=
+    ``_SEMDEDUP_TAU`` — `dedup_semantic_embedding`'s exact machinery
+    (two-level constant-occupancy index with the r10 hard envelope)
+    rebuilt over the SURVIVORS, the way a pipeline dedups what is
+    actually left, not the raw corpus."""
+    surv = d.select(F.col("doc_id").alias("vec_id"))
+    e_s = emb.join(surv, "vec_id", "semi").select("vec_id", "embedding")
+    # localCheckpoint the (tiny) drop list: its lineage nests the FULL
+    # two-level index tree, and every downstream count would otherwise
+    # re-stringify it — the same vanilla-1g-driver plan-string OOM the
+    # Lloyd iterations already guard against, measured again here.
+    drops = (_semantic_dedup_frame(e_s, _SEMDEDUP_TAU, _SEMDEDUP_OCC)
+             .select(F.col("vec_id").alias("doc_id")).distinct()
+             .localCheckpoint())
+    return d.join(drops, "doc_id", "anti")
+
+
+def decontaminate_filter(d: DataFrame, original: DataFrame) -> DataFrame:
+    """Benchmark decontamination stage: the eval set is the FIXED
+    ``doc_id % _DECONTAM_EVAL_MOD == 0`` slice of the ORIGINAL corpus
+    (a benchmark does not shrink because training docs were deduped),
+    contamination is `text_decontaminate`'s exact rule
+    (>= ``_DECONTAM_MIN_SHARED`` distinct shared 3-gram shingles with
+    any eval doc, shingles over the original text), and the stage
+    removes both the contaminated survivors AND the eval docs
+    themselves (they must never train)."""
+    sh = _shingles(original)
+    ev = (sh.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+            .select("s"))
+    tr = sh.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    contam = (tr.join(F.broadcast(ev), "s")
+                .groupBy("doc_id")
+                .agg(F.count_distinct("s").alias("n_shared"))
+                .filter(F.col("n_shared") >= _DECONTAM_MIN_SHARED)
+                .select("doc_id"))
+    return (d.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+             .join(contam, "doc_id", "anti"))
 
 
 def quality_filter(d: DataFrame) -> DataFrame:
@@ -303,15 +351,31 @@ pairs AS MATERIALIZED (
                    FROM cc GROUP BY node) l USING (doc_id)
     ) WHERE r = 1
 ),
--- stage 4: heuristic quality gate
-d4 AS MATERIALIZED (
+-- stage 4: SemDeDup over the SURVIVORS' embeddings (doc_id = vec_id;
+-- docs beyond the embedding table pass through) — the full two-level
+-- hard-envelope chain of dedup_semantic_embedding, corpus = es
+es AS MATERIALIZED (
+    SELECT e.vec_id, e.embedding FROM embeddings e
+    JOIN d3 ON d3.doc_id = e.vec_id
+),
+{_duck_twolevel_prefix(corpus="es")},
+sdrop AS MATERIALIZED (
+    SELECT DISTINCT b.vec_id FROM subcells a JOIN subcells b
+      ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
+    WHERE {_duck_cos("a.embedding", "b.embedding")} >= {_SEMDEDUP_TAU}
+), ds AS MATERIALIZED (
     SELECT doc_id, text, lang, n_chars FROM d3
+    WHERE doc_id NOT IN (SELECT vec_id FROM sdrop)
+),
+-- stage 5: heuristic quality gate
+d4 AS MATERIALIZED (
+    SELECT doc_id, text, lang, n_chars FROM ds
     WHERE len(string_split(text, ' ')) >= {_Q_MIN_TOK}
       AND 1.0 - CAST(len(list_distinct(string_split(text, ' ')))
                      AS DOUBLE) / len(string_split(text, ' '))
           <= {_Q_MAX_REP}
 ),
--- stage 5: trained NB quality gate (text_quality_model's chain over d4)
+-- stage 6: trained NB quality gate (text_quality_model's chain over d4)
 {{qm_prefix}},
 score AS MATERIALIZED (
     SELECT t.doc_id, CAST(sum(COALESCE(w.wfx, o.oovfx)) AS BIGINT) AS sfx
@@ -322,13 +386,30 @@ score AS MATERIALIZED (
     JOIN score s USING (doc_id) CROSS JOIN pri p
     WHERE p.prior + CAST(s.sfx AS DOUBLE) / {{qm_fx}} >= 0
 ),
--- stage 6: deterministic split + next-fit pack accounting (train side)
+-- stage 7: benchmark decontamination (text_decontaminate's rule over
+-- the ORIGINAL corpus: the eval slice is fixed, shingles from the raw
+-- text); eval docs and contaminated survivors both leave the corpus
+osh AS MATERIALIZED ({_DUCK_SHINGLES}),
+contam AS MATERIALIZED (
+    SELECT tr.doc_id
+    FROM (SELECT doc_id, s FROM osh
+          WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0) tr
+    JOIN (SELECT s FROM osh
+          WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0) ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    HAVING count(DISTINCT tr.s) >= {_DECONTAM_MIN_SHARED}
+), dd AS MATERIALIZED (
+    SELECT doc_id, text, lang FROM d5
+    WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+-- stage 8: deterministic split + next-fit pack accounting (train side)
 d6 AS MATERIALIZED (
     SELECT doc_id, text, lang,
            CASE WHEN {DUCK_H32.format(c="CAST(doc_id AS VARCHAR)")}
                      % 100 < {_SPLIT_VAL_PCT}
                 THEN 'val' ELSE 'train' END AS split
-    FROM d5
+    FROM dd
 ), pdocs AS MATERIALIZED (
     SELECT lang,
            ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -358,8 +439,10 @@ SELECT (SELECT count(*) FROM documents)          AS n_ingested,
        (SELECT count(*) FROM d1)                 AS n_clean,
        (SELECT count(*) FROM d2)                 AS n_exact,
        (SELECT count(*) FROM d3)                 AS n_near,
+       (SELECT count(*) FROM ds)                 AS n_semantic,
        (SELECT count(*) FROM d4)                 AS n_quality,
        (SELECT count(*) FROM d5)                 AS n_model,
+       (SELECT count(*) FROM dd)                 AS n_decontam,
        (SELECT count(*) FROM d6 WHERE split = 'train') AS n_train,
        (SELECT count(*) FROM d6 WHERE split = 'val')   AS n_val,
        (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM pdocs)
@@ -375,23 +458,28 @@ SELECT (SELECT count(*) FROM documents)          AS n_ingested,
 def pipeline_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus pipeline audit (round 10, VERDICT r9 #5): run
     the full curation chain — boilerplate clean -> exact dedup ->
-    MinHash near-dedup clusters (longest representative) -> heuristic
-    quality gate -> trained NB quality gate -> deterministic 90/10
-    split -> next-fit pack accounting — and emit ONE row of per-stage
-    survivor counts plus the packed-token totals. The DuckDB oracle
-    replays every stage in a single WITH-chain over the same corpus, so
-    the driver value-hashes the COMPOSITION, not just each stage: any
-    drift between a stage here and its stand-alone operator's semantics
+    MinHash near-dedup clusters (longest representative) -> SemDeDup
+    over the survivors' embeddings (the r10 hard-envelope two-level
+    index) -> heuristic quality gate -> trained NB quality gate ->
+    benchmark decontamination (fixed eval slice + contaminated
+    survivors removed) -> deterministic 90/10 split -> next-fit pack
+    accounting — and emit ONE row of per-stage survivor counts plus
+    the packed-token totals. The DuckDB oracle replays every stage in
+    a single WITH-chain over the same corpus, so the driver
+    value-hashes the COMPOSITION, not just each stage: any drift
+    between a stage here and its stand-alone operator's semantics
     mismatches the row.
 
     Scale shape: each stage keeps its stand-alone operator's plan
-    (broadcast anti-joins for the hot line/shingle sets, banded
-    candidate joins — never all-pairs, map-combinable NB training aggs,
-    token-keyed scoring join, zero-shuffle hash split, per-(lang,
-    shard) bounded pack walk); the stage counts the audit collects are
-    1-row aggregates over cached stage frames, and the returned frame
-    is a single audit row — the `sink_compact_small_files` pattern."""
+    (broadcast anti-joins for the hot line/shingle/eval sets, banded
+    candidate joins and the (cid, scid)-keyed semantic pair join —
+    never all-pairs, map-combinable NB training aggs, token-keyed
+    scoring join, zero-shuffle hash split, per-(lang, shard) bounded
+    pack walk); the stage counts the audit collects are 1-row
+    aggregates over cached stage frames, and the returned frame is a
+    single audit row — the `sink_compact_small_files` pattern."""
     d0 = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
     n0 = d0.count()
     d1 = clean_boilerplate(d0).cache()
     n1 = d1.count()
@@ -399,21 +487,25 @@ def pipeline_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = d2.count()
     d3 = near_dedup(d2).cache()
     n3 = d3.count()
-    d4 = quality_filter(d3).cache()
+    ds = semantic_dedup_filter(d3, emb).cache()
+    ns = ds.count()
+    d4 = quality_filter(ds).cache()
     n4 = d4.count()
     d5 = model_quality_filter(d4).cache()
     n5 = d5.count()
-    d6 = split_train_val(d5)
+    dd = decontaminate_filter(d5, d0).cache()
+    nd = dd.count()
+    d6 = split_train_val(dd)
     splits = {r["split"]: r["n"] for r in
               d6.groupBy("split").agg(F.count("*").alias("n")).collect()}
     packs = pack_accounting(d6.filter(F.col("split") == "train")) \
         .collect()[0]
-    for f in (d1, d2, d3, d4, d5):
+    for f in (d1, d2, d3, ds, d4, d5, dd):
         f.unpersist()
     return spark.createDataFrame(
-        [(n0, n1, n2, n3, n4, n5,
+        [(n0, n1, n2, n3, ns, n4, n5, nd,
           int(splits.get("train", 0)), int(splits.get("val", 0)),
           int(packs["packed_tokens"]), int(packs["n_packs"]))],
         "n_ingested long, n_clean long, n_exact long, n_near long, "
-        "n_quality long, n_model long, n_train long, n_val long, "
-        "packed_tokens long, n_packs long")
+        "n_semantic long, n_quality long, n_model long, n_decontam long, "
+        "n_train long, n_val long, packed_tokens long, n_packs long")

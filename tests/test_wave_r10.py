@@ -88,26 +88,35 @@ def test_pipeline_audit_consistent_with_standalone_stages(spark):
         load)
 
     r = REGISTRY["pipeline_corpus_audit"].fn(spark, SF_T2).collect()[0]
-    # monotone funnel
+    # monotone funnel (the split partitions n_decontam exactly)
     assert (r["n_ingested"] >= r["n_clean"] >= r["n_exact"]
-            >= r["n_near"] >= r["n_quality"] >= r["n_model"])
-    assert r["n_train"] + r["n_val"] == r["n_model"]
+            >= r["n_near"] >= r["n_semantic"] >= r["n_quality"]
+            >= r["n_model"] >= r["n_decontam"])
+    assert r["n_train"] + r["n_val"] == r["n_decontam"]
     assert r["n_packs"] >= 1 and r["packed_tokens"] >= r["n_train"]
+    # the semantic and decontaminate stages actually BITE on this corpus
+    assert r["n_semantic"] < r["n_near"]
+    assert r["n_decontam"] < r["n_model"]
 
-    # replay the first three stages independently and compare
+    # replay the first stages independently and compare
     d0 = load(spark, SF_T2, "documents")
+    emb = load(spark, SF_T2, "embeddings")
     assert d0.count() == r["n_ingested"]
     d1 = P.clean_boilerplate(d0).cache()
     assert d1.count() == r["n_clean"]
     d2 = P.exact_dedup(d1).cache()
     assert d2.count() == r["n_exact"]
-    assert P.near_dedup(d2).count() == r["n_near"]
-    d1.unpersist(), d2.unpersist()
+    d3 = P.near_dedup(d2).cache()
+    assert d3.count() == r["n_near"]
+    assert P.semantic_dedup_filter(d3, emb).count() == r["n_semantic"]
+    d1.unpersist(), d2.unpersist(), d3.unpersist()
 
     # token conservation: packed_tokens == whitespace tokens over the
     # train split of the full chain (packs never drop or split a doc)
-    full = P.split_train_val(P.model_quality_filter(P.quality_filter(
-        P.near_dedup(P.exact_dedup(P.clean_boilerplate(d0))))))
+    full = P.split_train_val(P.decontaminate_filter(
+        P.model_quality_filter(P.quality_filter(P.semantic_dedup_filter(
+            P.near_dedup(P.exact_dedup(P.clean_boilerplate(d0))), emb))),
+        d0))
     toks = (full.filter(F.col("split") == "train")
                 .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
                 .collect()[0]["t"])
