@@ -803,6 +803,171 @@ def _afp_pairs(pcm: DataFrame) -> DataFrame:
 _SCENE_FRAME = 32    # bytes per "frame" (the fallback decode granularity)
 _SCENE_THR = 2500    # cut threshold on the x1000 fixed-point frame means
 
+#: hex(b"YUV4MPEG2 ") — the Y4M magic, checkable JVM-side on the hexed
+#: blob so the corpus never pays a Python pass just to discover it has
+#: no video in it (only magic-prefixed blobs route to the decode UDF).
+_Y4M_MAGIC_HEX = b"YUV4MPEG2 ".hex().upper()
+
+
+class _PureVideoDispatch:
+    """Signature-sniffing router over the in-repo pure VIDEO decoders —
+    the image/audio dispatch discipline for the third modality: today
+    that's YUV4MPEG2 via :mod:`.purey4m`."""
+
+    @staticmethod
+    def _registry():
+        from . import purey4m
+        return [(b"YUV4MPEG2 ", purey4m)]
+
+    @staticmethod
+    def open(fh):
+        head = fh.read(10)
+        fh.seek(0)
+        for magic, mod in _PureVideoDispatch._registry():
+            if head.startswith(magic):
+                return mod.open(fh)
+        raise OSError("cannot identify video file (no known signature)")
+
+
+class _PyAVAdapter:
+    """Thin shim giving PyAV the PureY4MClip surface on codec-equipped
+    clusters (control-flow pinned with a fake module in tests — the
+    library is absent in this container)."""
+
+    @staticmethod
+    def open(fh):
+        import av
+
+        from . import purey4m
+
+        with av.open(fh) as container:
+            frames = [fr.to_ndarray(format="gray").tobytes()
+                      for fr in container.decode(video=0)]
+            st = container.streams.video[0]
+            rate = st.average_rate
+            return purey4m.PureY4MClip(
+                st.codec_context.width, st.codec_context.height,
+                (int(rate.numerator), int(rate.denominator)), frames)
+
+
+def _video_codec():
+    """Video capability probe, mirroring :func:`_codec` /
+    :func:`_audio_codec`: PyAV when importable, else the in-repo
+    pure-Python Y4M reader."""
+    try:
+        import av  # noqa: F401
+        return _PyAVAdapter
+    except ImportError:
+        return _PureVideoDispatch
+
+
+def _video_fallback_meta(n_bytes: int):
+    """Deterministic video metadata for non-video blobs — byte-length
+    arithmetic shared verbatim with the DuckDB oracle (the image fake's
+    geometry; `mm_video_scene_cuts`' bytes//32 frame fake)."""
+    return n_bytes % 640 + 1, n_bytes % 480 + 1, n_bytes // _SCENE_FRAME, 0
+
+
+def _decode_video_meta_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch video decode: real container parse for blobs the
+    probed codec accepts (true geometry + exact frame count,
+    ``decode_ok = 1``); the deterministic byte-length fallback
+    otherwise."""
+    import io
+
+    codec = _video_codec()
+
+    def meta(blob):
+        if blob is None:
+            return _video_fallback_meta(0)
+        if codec is not None:
+            try:
+                with codec.open(io.BytesIO(blob)) as clip:
+                    return (clip.width, clip.height, clip.n_frames, 1)
+            except Exception:
+                pass
+        return _video_fallback_meta(len(blob))
+
+    for pdf in batches:
+        rows = [meta(b) for b in pdf["blob"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": pd.Series([r[0] for r in rows], dtype="int32"),
+            "height": pd.Series([r[1] for r in rows], dtype="int32"),
+            "n_frames": pd.Series([r[2] for r in rows], dtype="int64"),
+            "decode_ok": pd.Series([r[3] for r in rows], dtype="int32"),
+        })
+
+
+@op("mm_video_decode", oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) // {_SCENE_FRAME} AS BIGINT)
+           AS n_frames,
+       0 AS decode_ok
+FROM documents
+""", tier=3, section="2.11")
+def mm_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode over binary columns via ``mapInPandas`` — the third
+    leg of the decode family (image r5-7, audio r10, video r10), with a
+    REAL YUV4MPEG2 parse behind the :func:`_video_codec` probe (PyAV on
+    equipped clusters, the in-repo :mod:`.purey4m` reader here). The
+    demo feeds utf-8 text bytes, which never carry the Y4M magic, so
+    the oracle states the deterministic fallback and holds in both
+    environments; the REAL branch is pinned on synthetic in-repo Y4M
+    bytes in tests/test_multimodal.py (exact integer luma planes out of
+    the container)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    return d.mapInPandas(
+        _decode_video_meta_batches,
+        "doc_id long, width int, height int, n_frames long, decode_ok int",
+    )
+
+
+def _video_sig_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch per-frame signature extraction for the scene-cut
+    chain — runs ONLY on magic-prefixed blobs (the JVM plan routes
+    everything else down the byte-block path untouched). Decoded clips
+    emit one exact fixed-point luma-mean signature per REAL frame
+    (``sum(Y)*1000 // len(Y)`` — the byte path's formula on the luma
+    plane); magic-prefixed blobs that fail the parse take the
+    byte-block fallback computed with the identical arithmetic."""
+    import io
+
+    codec = _video_codec()
+
+    def sigs(blob):
+        if blob is None:
+            return []
+        if codec is not None:
+            try:
+                with codec.open(io.BytesIO(blob)) as clip:
+                    return clip.luma_sigs(1000)
+            except Exception:
+                pass
+        nb = (len(blob) // _SCENE_FRAME) * _SCENE_FRAME
+        if nb < 2 * _SCENE_FRAME:
+            return []
+        return [sum(blob[i:i + _SCENE_FRAME]) * 1000 // _SCENE_FRAME
+                for i in range(0, nb, _SCENE_FRAME)]
+
+    for pdf in batches:
+        ids, frames, vals = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            for i, s in enumerate(sigs(blob)):
+                ids.append(doc_id)
+                frames.append(i)
+                vals.append(s)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "frame": pd.Series(frames, dtype="int64"),
+            "sig": pd.Series(vals, dtype="int64"),
+        })
+
 
 @op("mm_video_scene_cuts", oracle=f"""
 WITH blobs AS (
@@ -847,15 +1012,36 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asset, scene) with its start frame and length, the shape a
     keyframe-extraction or clip-splitting stage consumes.
 
+    CONTENT-LEVEL since round 10: blobs carrying the YUV4MPEG2 magic
+    (detected JVM-SIDE on the hexed prefix — the corpus pays no Python
+    pass to learn it contains no video) route to an Arrow decode UDF
+    that emits one exact luma-mean signature per REAL frame via the
+    :func:`_video_codec` probe (:mod:`.purey4m` here, PyAV on equipped
+    clusters); everything else keeps the byte-block path untouched.
+    The demo corpus is prose (never Y4M), so the DuckDB oracle's
+    byte-domain statement holds unchanged; the frame-domain branch is
+    pinned on planted Y4M clips in tests/test_multimodal.py (cuts at
+    the exact planted scene boundaries, invisible to the byte path
+    because the container header shifts every byte offset).
+
     Scale shape: frame pooling is the family's linear byte-explode +
-    map-combinable sum; the lag/running-sum windows partition BY ASSET
-    (bounded by per-asset frame count — never a global window); no
-    joins at all. Everything exact-integer, value-checked cross-engine."""
+    map-combinable sum (decoded assets: one Arrow batch pass over just
+    the magic-prefixed sliver); the lag/running-sum windows partition
+    BY ASSET (bounded by per-asset frame count — never a global
+    window); no joins at all. Everything exact-integer, value-checked
+    cross-engine."""
     d = load(spark, sf_dir, "documents")
     bin_col = F.encode("text", "utf-8")
-    blobs = (d.select("doc_id", F.hex(bin_col).alias("hx"),
-                      F.length(bin_col).cast("long").alias("nb"))
-              .filter(F.col("nb") >= 2 * _SCENE_FRAME))
+    withblob = d.select("doc_id", bin_col.alias("blob"))
+    is_y4m = (F.substring(F.hex("blob"), 1, len(_Y4M_MAGIC_HEX))
+              == F.lit(_Y4M_MAGIC_HEX))
+    y4m_sigs = (withblob.filter(is_y4m)
+                        .mapInPandas(_video_sig_batches,
+                                     "doc_id long, frame long, sig long"))
+    blobs = (withblob.filter(~is_y4m)
+                     .select("doc_id", F.hex("blob").alias("hx"),
+                             F.length("blob").cast("long").alias("nb"))
+                     .filter(F.col("nb") >= 2 * _SCENE_FRAME))
     # BIGINT frame arithmetic (ADVICE r6): a 32-bit truncation here wraps
     # for multi-GB video assets while the oracle stays BIGINT.
     i = F.explode(F.sequence(
@@ -870,7 +1056,8 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 16, 10).cast("long").alias("b")))
     sigs = (byts.groupBy("doc_id", "frame")
                 .agg(F.expr(f"SUM(b) * 1000 DIV {_SCENE_FRAME}")
-                      .alias("sig")))
+                      .alias("sig"))
+                .unionByName(y4m_sigs))
     w = Window.partitionBy("doc_id").orderBy("frame")
     cut = F.when(F.lag("sig").over(w).isNull(), 0) \
            .when(F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_THR, 1) \

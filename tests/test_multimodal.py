@@ -647,3 +647,165 @@ def test_audio_fingerprint_finds_dups_only_through_real_decode(spark):
     # byte-domain control: same frame, decode disabled -> no pair
     raw = df.selectExpr("doc_id", "blob AS pcm")
     assert multimodal._afp_pairs(raw).collect() == []
+
+
+# --------------------------------------------------------------------------
+# Round 10: real Y4M (YUV4MPEG2) decode — the video leg of the
+# content-level triple (image: PNG/BMP, audio: WAV, video: Y4M).
+# --------------------------------------------------------------------------
+
+def synthetic_y4m(lumas, w=4, h=2, cspace="C420") -> bytes:
+    """A valid minimal YUV4MPEG2 clip: one uniform-luma frame per entry
+    of ``lumas``; chroma planes ride along at neutral 128 (C420/C444)
+    or not at all (Cmono — keeps the whole stream ASCII for fixtures
+    that must round-trip through a utf-8 text column)."""
+    ysz = w * h
+    chroma = {"C420": ysz // 4, "C444": ysz, "Cmono": 0}[cspace]
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {cspace}\n".encode()]
+    for v in lumas:
+        out.append(b"FRAME\n" + bytes([v]) * ysz + bytes([128]) * (2 * chroma))
+    return b"".join(out)
+
+
+def test_purey4m_exact_luma_planes():
+    import io
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purey4m)
+
+    clip = purey4m.open(io.BytesIO(synthetic_y4m([10, 200, 10])))
+    assert clip.size == (4, 2) and clip.n_frames == 3
+    assert clip.fps == (25, 1)
+    assert clip.frame_luma(0) == bytes([10]) * 8      # exact Y plane
+    assert clip.frame_luma(1) == bytes([200]) * 8
+    assert clip.luma_sigs() == [10000, 200000, 10000]  # sum*1000//len
+    # C444 and Cmono geometries parse too
+    for cs in ("C444", "Cmono"):
+        c = purey4m.open(io.BytesIO(synthetic_y4m([7, 9], cspace=cs)))
+        assert c.n_frames == 2 and c.frame_luma(0) == bytes([7]) * 8
+    # a non-uniform plane: signature is the exact integer mean
+    raw = synthetic_y4m([0], w=2, h=2, cspace="Cmono")
+    raw = raw.replace(b"FRAME\n" + bytes(4), b"FRAME\n" + bytes([1, 2, 3, 5]))
+    assert purey4m.open(io.BytesIO(raw)).luma_sigs() == [11 * 1000 // 4]
+
+
+def test_purey4m_rejects_prose_and_corruption():
+    import io
+
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purey4m)
+
+    good = synthetic_y4m([10, 20])
+    for bad in (
+        b"just prose, nothing else" * 3,
+        good[:30],                                  # truncated frame
+        good.replace(b"C420", b"C999"),             # unknown colorspace
+        good.replace(b"FRAME", b"FRAMA", 1),        # missing marker
+        b"YUV4MPEG2 W0 H2 F25:1\n",                 # bad geometry
+    ):
+        with pytest.raises(OSError):
+            purey4m.open(io.BytesIO(bad))
+
+
+def test_video_decode_real_and_fallback_branches(monkeypatch):
+    wav_like_prose = b"definitely not a video container blob"
+    y4m = synthetic_y4m([10, 200, 10, 10])
+
+    def run(blobs):
+        pdf = pd.DataFrame({"doc_id": range(len(blobs)), "blob": blobs})
+        out = list(multimodal._decode_video_meta_batches(iter([pdf])))
+        return out[0].to_dict("records")
+
+    got = run([y4m, wav_like_prose, None])
+    assert got[0] == {"doc_id": 0, "width": 4, "height": 2,
+                      "n_frames": 4, "decode_ok": 1}
+    n = len(wav_like_prose)
+    assert got[1] == {"doc_id": 1, "width": n % 640 + 1,
+                      "height": n % 480 + 1, "n_frames": n // 32,
+                      "decode_ok": 0}
+    assert got[2]["decode_ok"] == 0 and got[2]["n_frames"] == 0
+    monkeypatch.setattr(multimodal, "_video_codec", lambda: None)
+    assert run([y4m])[0]["decode_ok"] == 0
+
+
+def test_pyav_adapter_wins_probe_when_importable(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeFrame:
+        def __init__(self, v):
+            self._v = v
+
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return np.full((2, 3), self._v, dtype=np.uint8)
+
+    class FakeContainer:
+        class _St:
+            class _CC:
+                width, height = 3, 2
+            codec_context = _CC()
+            average_rate = types.SimpleNamespace(numerator=30,
+                                                 denominator=1)
+        streams = types.SimpleNamespace(video=[_St()])
+
+        def decode(self, video):
+            return [FakeFrame(9), FakeFrame(250)]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("av")
+    fake.open = lambda fh: FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake)
+    codec = multimodal._video_codec()
+    assert codec is multimodal._PyAVAdapter
+    clip = codec.open(None)
+    assert (clip.width, clip.height, clip.n_frames) == (3, 2, 2)
+    assert clip.fps == (30, 1)
+    assert clip.frame_luma(1) == bytes([250]) * 6
+
+
+def test_scene_cuts_through_real_decode(spark, tmp_path):
+    """THE video pin: a planted ASCII Y4M clip (valid utf-8, so it
+    survives the documents table's text column) must report scene cuts
+    at the EXACT planted frame boundaries through the decode path —
+    boundaries the byte-block fallback cannot see, because the
+    container header and FRAME markers shift every byte offset and the
+    32-byte blocks straddle frames."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from industry_big_data_time_sequence_process_spark.registry import (
+        REGISTRY)
+
+    # 3 planted scenes: luma 40 x3 frames, 100 x4, 40 x2 (all ASCII)
+    clip = synthetic_y4m([40] * 3 + [100] * 4 + [40] * 2,
+                         w=4, h=2, cspace="Cmono").decode("ascii")
+    prose = "plain prose document " * 40
+    d = tmp_path / "video_sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([clip, prose], type=pa.string()),
+        "lang": pa.array(["xx", "xx"], type=pa.string()),
+        "source": pa.array(["synth", "synth"], type=pa.string()),
+        "n_chars": pa.array([len(clip), len(prose)], type=pa.int64()),
+    }), d / "documents.parquet")
+
+    rows = REGISTRY["mm_video_scene_cuts"].fn(spark, str(d)).collect()
+    scenes = sorted((r["scene_id"], r["start_frame"], r["n_frames"])
+                    for r in rows if r["doc_id"] == 1)
+    assert scenes == [(0, 0, 3), (1, 3, 4), (2, 7, 2)], scenes
+    # the prose doc stays on the byte-block path: frames = nb // 32
+    prose_frames = sum(r["n_frames"] for r in rows if r["doc_id"] == 2)
+    assert prose_frames == len(prose.encode()) // 32
+    # and the byte path would NOT see the planted boundaries: 9 frames
+    # decoded vs a different byte-block count for the same blob
+    assert sum(n for _s, _f, n in scenes) == 9
+    assert len(clip.encode()) // 32 != 9
