@@ -760,10 +760,18 @@ def _afp_pairs(pcm: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("sb") == j, F.col("b"))).alias(f"e{j}")
         for j in range(4)])
     bit = lambda a, b_: F.when(F.col(a) > F.col(b_), 1).otherwise(0)
+    # localCheckpoint: `fps` fans out to four consumers (grams, both
+    # verify sides, the window-count frame) and since round 10 its
+    # lineage starts at the Arrow PCM decode — without materializing
+    # here the plan re-embeds (and re-EXECUTES) the Python decode once
+    # per consumer (measured: 6 MapInPandas nodes in the r10 draft
+    # plan). The fingerprint frame is one small int per 32-byte window
+    # (~3% of corpus bytes), so the storage cost is nil.
     fps = energies.select(
         "doc_id", F.col("w").alias("ord"),
         (bit("e0", "e1") + 2 * bit("e1", "e2")
-         + 4 * bit("e2", "e3") + 8 * bit("e3", "e0")).alias("fp"))
+         + 4 * bit("e2", "e3") + 8 * bit("e3", "e0")).alias("fp")) \
+        .localCheckpoint()
     w_ord = Window.partitionBy("doc_id").orderBy("ord")
     grams = (fps.select(
                  "doc_id", "ord",

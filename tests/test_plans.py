@@ -432,3 +432,51 @@ def test_bpe_budget_twin_scan_pruned_no_shuffle(spark):
     assert "Exchange" not in plan, "budget audit should be shuffle-free"
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "source" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+# ---- round-10 plan pins -----------------------------------------------------
+
+
+def test_media_decode_scans_pruned_to_two_columns(spark):
+    """All three decode twins (image r5, audio r10, video r10) are one
+    Arrow pass over exactly (doc_id, text) — every other document
+    column pruned at the parquet scan, and no exchange anywhere (the
+    decode is embarrassingly parallel)."""
+    for key in ("mm_image_decode", "mm_audio_decode", "mm_video_decode"):
+        plan = _plan(spark, key)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, f"{key}: no ReadSchema"
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, (key, cols)
+        assert "Exchange" not in plan, f"{key}: decode plan shuffles"
+
+
+def test_scene_cuts_routes_only_magic_blobs_to_python(spark):
+    """mm_video_scene_cuts' decoded branch must be gated by the
+    JVM-side Y4M magic filter: the plan carries exactly one
+    Arrow/Python evaluation, it sits under a filter on the hexed
+    prefix, and the fallback byte-explode branch carries NO Python at
+    all (the corpus never pays an Arrow pass to learn it has no
+    video)."""
+    plan = _plan(spark, "mm_video_scene_cuts")
+    nodes = re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)",
+                       plan, re.M)
+    assert len(nodes) == 1, (
+        f"expected exactly one Python stage (the magic-gated decoder), "
+        f"got {nodes}")
+    assert "595556344D5045473220" in plan, (
+        "Y4M magic prefix filter missing from the plan")
+
+
+def test_audio_fingerprint_single_arrow_pcm_pass(spark):
+    """The audio fingerprint's decode pre-pass must execute ONCE: the
+    fingerprint frame is checkpointed before fanning out to its four
+    consumers, so the physical plan carries exactly one MapInPandas
+    node (the r10 draft re-embedded — and re-ran — the Python decode
+    six times, once per branch); everything downstream (anchors,
+    verify) stays JVM-side."""
+    plan = _plan(spark, "mm_audio_fingerprint_dedup")
+    nodes = re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)",
+                       plan, re.M)
+    assert len(nodes) <= 1, f"Python decode duplicated: {nodes}"
+    assert "CartesianProduct" not in plan
