@@ -1,15 +1,17 @@
 """Multimodal-column plumbing (driver-mandated, SURVEY.md §2 preface):
 image/audio/video as opaque ``binary`` columns with typed metadata.
 
-Image DECODE (round 5) carries a REAL PIL branch behind a capability
-probe (:func:`_codec`): blobs a present codec decodes report true
-width/height/bands, everything else falls back to a deterministic
-byte-length fake — so the op runs identically on this codec-less
-container and on a codec-equipped cluster, and the real branch is
-goldened on synthetic PNG bytes (tests/test_multimodal.py). Audio/video
-remain plan-level stubs (no librosa/cv2 anywhere), but all Spark-side
-plumbing is real and tested: binary columns, schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning.
+All three modalities decode REAL containers behind capability probes
+since round 10: images through :func:`_codec` (PIL, else the in-repo
+PNG/BMP readers — round 5-7), audio through :func:`_audio_codec`
+(soundfile, else :mod:`.purewav` RIFF/WAVE — round 10), video through
+:func:`_video_codec` (PyAV, else :mod:`.purey4m` YUV4MPEG2 — round
+10). Blobs a probe's codec accepts report true metadata / samples /
+frames; everything else falls back to deterministic byte-length fakes,
+so every op runs identically on this codec-less container and on a
+codec-equipped cluster, the demo-corpus oracles state the fallback
+exactly, and the real branches are goldened on synthetic in-repo
+container bytes (tests/test_multimodal.py).
 
 The ``documents`` table stands in for a media table: ``text`` bytes play
 the role of an encoded blob; ``n_chars`` plays the byte-size metadata.
@@ -977,6 +979,42 @@ def _video_sig_batches(
         })
 
 
+def _video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame, sig): the per-frame fixed-point signature stream
+    shared by `mm_video_scene_cuts` and `mm_video_clip_dedup` — Y4M
+    blobs (JVM-side magic check) decode to one exact luma-mean per REAL
+    frame via the Arrow UDF; everything else pools 32-byte blocks
+    JVM-side with the identical integer formula."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "utf-8")
+    withblob = d.select("doc_id", bin_col.alias("blob"))
+    is_y4m = (F.substring(F.hex("blob"), 1, len(_Y4M_MAGIC_HEX))
+              == F.lit(_Y4M_MAGIC_HEX))
+    y4m_sigs = (withblob.filter(is_y4m)
+                        .mapInPandas(_video_sig_batches,
+                                     "doc_id long, frame long, sig long"))
+    blobs = (withblob.filter(~is_y4m)
+                     .select("doc_id", F.hex("blob").alias("hx"),
+                             F.length("blob").cast("long").alias("nb"))
+                     .filter(F.col("nb") >= 2 * _SCENE_FRAME))
+    # BIGINT frame arithmetic (ADVICE r6): a 32-bit truncation here wraps
+    # for multi-GB video assets while the oracle stays BIGINT.
+    i = F.explode(F.sequence(
+        F.lit(0).cast("long"),
+        (F.floor(F.col("nb") / _SCENE_FRAME) * _SCENE_FRAME) - 1)) \
+        .alias("i")
+    byts = (blobs.select("doc_id", "hx", i)
+                 .select("doc_id",
+                         (F.col("i") / _SCENE_FRAME).cast("long")
+                         .alias("frame"),
+                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
+                                16, 10).cast("long").alias("b")))
+    return (byts.groupBy("doc_id", "frame")
+                .agg(F.expr(f"SUM(b) * 1000 DIV {_SCENE_FRAME}")
+                      .alias("sig"))
+                .unionByName(y4m_sigs))
+
+
 @op("mm_video_scene_cuts", oracle=f"""
 WITH blobs AS (
     SELECT doc_id, hex(encode(text)) AS hx,
@@ -1038,34 +1076,7 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY ASSET (bounded by per-asset frame count — never a global
     window); no joins at all. Everything exact-integer, value-checked
     cross-engine."""
-    d = load(spark, sf_dir, "documents")
-    bin_col = F.encode("text", "utf-8")
-    withblob = d.select("doc_id", bin_col.alias("blob"))
-    is_y4m = (F.substring(F.hex("blob"), 1, len(_Y4M_MAGIC_HEX))
-              == F.lit(_Y4M_MAGIC_HEX))
-    y4m_sigs = (withblob.filter(is_y4m)
-                        .mapInPandas(_video_sig_batches,
-                                     "doc_id long, frame long, sig long"))
-    blobs = (withblob.filter(~is_y4m)
-                     .select("doc_id", F.hex("blob").alias("hx"),
-                             F.length("blob").cast("long").alias("nb"))
-                     .filter(F.col("nb") >= 2 * _SCENE_FRAME))
-    # BIGINT frame arithmetic (ADVICE r6): a 32-bit truncation here wraps
-    # for multi-GB video assets while the oracle stays BIGINT.
-    i = F.explode(F.sequence(
-        F.lit(0).cast("long"),
-        (F.floor(F.col("nb") / _SCENE_FRAME) * _SCENE_FRAME) - 1)) \
-        .alias("i")
-    byts = (blobs.select("doc_id", "hx", i)
-                 .select("doc_id",
-                         (F.col("i") / _SCENE_FRAME).cast("long")
-                         .alias("frame"),
-                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
-                                16, 10).cast("long").alias("b")))
-    sigs = (byts.groupBy("doc_id", "frame")
-                .agg(F.expr(f"SUM(b) * 1000 DIV {_SCENE_FRAME}")
-                      .alias("sig"))
-                .unionByName(y4m_sigs))
+    sigs = _video_sigs(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("frame")
     cut = F.when(F.lag("sig").over(w).isNull(), 0) \
            .when(F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_THR, 1) \
@@ -1077,3 +1088,115 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scenes.groupBy("doc_id", "scene_id")
                   .agg(F.min("frame").cast("long").alias("start_frame"),
                        F.count("*").alias("n_frames")))
+
+
+_VFP_GRAM = 4     # consecutive frame signatures per anchor
+_VFP_FRAC = 0.9   # verified fraction of matching frames for a dup pair
+
+
+@op("mm_video_clip_dedup", oracle=f"""
+WITH blobs AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents WHERE octet_length(encode(text)) >= {2 * _SCENE_FRAME}
+), bytes AS (
+    SELECT doc_id, i // {_SCENE_FRAME} AS frame,
+           CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS b
+    FROM blobs,
+         LATERAL (SELECT unnest(range(0, (nb // {_SCENE_FRAME})
+                                         * {_SCENE_FRAME})) AS i)
+), sigs AS (
+    SELECT doc_id, frame, (SUM(b) * 1000) // {_SCENE_FRAME} AS sig
+    FROM bytes GROUP BY 1, 2
+), grams AS (
+    SELECT doc_id, frame,
+           md5(CAST(sig AS VARCHAR)
+               || ',' || CAST(lead(sig, 1) OVER w AS VARCHAR)
+               || ',' || CAST(lead(sig, 2) OVER w AS VARCHAR)
+               || ',' || CAST(lead(sig, 3) OVER w AS VARCHAR)) AS g
+    FROM sigs WINDOW w AS (PARTITION BY doc_id ORDER BY frame)
+    QUALIFY lead(sig, 3) OVER w IS NOT NULL
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM grams a JOIN grams b ON a.frame = b.frame AND a.g = b.g
+                             AND a.doc_id < b.doc_id
+), nf AS (SELECT doc_id, count(*) AS n FROM sigs GROUP BY 1)
+SELECT doc1, doc2, n_match, match_frac FROM (
+    SELECT c.doc1, c.doc2, count(*) AS n_match,
+           round(count(*) / greatest(n1.n, n2.n), 6) AS match_frac
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.doc1
+    JOIN sigs b ON b.doc_id = c.doc2 AND b.frame = a.frame
+               AND b.sig = a.sig
+    JOIN nf n1 ON n1.doc_id = c.doc1
+    JOIN nf n2 ON n2.doc_id = c.doc2
+    GROUP BY 1, 2, n1.n, n2.n
+) WHERE match_frac >= {_VFP_FRAC}
+""", tier=3, section="2.11")
+def mm_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video CLIP dedup — the third leg of the content-level dedup
+    family (image: `mm_phash_dedup`, audio: `mm_audio_fingerprint_dedup`,
+    video: this), round 10: clips whose per-frame signature SEQUENCES
+    align are duplicates.
+
+    1. SIGNATURES: the `mm_video_scene_cuts` stream (`_video_sigs`) —
+       exact luma means per REAL frame for Y4M blobs through the
+       capability-probed decode, 32-byte block means for everything
+       else (so the op is content-level exactly where a container is
+       actually present, byte-domain elsewhere — one oracle statement
+       covers the prose corpus either way);
+    2. ANCHORS: {_VFP_GRAM} consecutive signatures hash into an anchor
+       key (md5 of the comma-joined integers — the exact cross-engine
+       form); clips sharing an anchor AT THE SAME FRAME OFFSET become
+       candidates — an (frame, anchor) equi-join, never all-pairs;
+    3. VERIFY: candidates count their matching (frame, sig) positions;
+       pairs matching >= {_VFP_FRAC:.0%} of the longer clip's frames
+       are dups.
+
+    Like the audio twin this FIRES on the prose stand-in corpus (the
+    planted prefix-dup documents share aligned 32-byte blocks); the
+    FRAME-domain branch is pinned on planted Y4M clips in
+    tests/test_multimodal.py — identical frames, different container
+    bytes, paired ONLY through the real decode.
+
+    Scale shape: signatures are the shared linear byte-explode (or the
+    magic-gated Arrow sliver); grams/verify are per-clip bounded
+    windows + the anchor equi-join — collided pairs only."""
+    sigs = _video_sigs(spark, sf_dir).localCheckpoint()
+    w_ord = Window.partitionBy("doc_id").orderBy("frame")
+    gram = F.md5(F.concat_ws(",", F.col("sig").cast("string"),
+                             F.lead("sig", 1).over(w_ord).cast("string"),
+                             F.lead("sig", 2).over(w_ord).cast("string"),
+                             F.lead("sig", 3).over(w_ord).cast("string")))
+    grams = (sigs.select("doc_id", "frame",
+                         F.lead("sig", 3).over(w_ord).alias("_l3"),
+                         gram.alias("g"))
+                 .filter(F.col("_l3").isNotNull())
+                 .select("doc_id", "frame", "g"))
+    ga = grams.select(F.col("doc_id").alias("doc1"), "frame", "g")
+    gb = grams.select(F.col("doc_id").alias("doc2"),
+                      F.col("frame").alias("frame2"),
+                      F.col("g").alias("g2"))
+    cand = (ga.join(gb, (F.col("frame") == F.col("frame2"))
+                    & (F.col("g") == F.col("g2"))
+                    & (F.col("doc1") < F.col("doc2")))
+              .select("doc1", "doc2").distinct())
+    sa = sigs.select(F.col("doc_id").alias("doc1"),
+                     F.col("frame").alias("f1"), F.col("sig").alias("s1"))
+    sb = sigs.select(F.col("doc_id").alias("_d2"),
+                     F.col("frame").alias("f2"), F.col("sig").alias("s2"))
+    nf = sigs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n1 = nf.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = nf.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    frac = F.round(F.count("*") / F.greatest(F.first("n1"),
+                                             F.first("n2")), 6)
+    return (cand.join(sa, "doc1")
+                .join(sb, (F.col("doc2") == F.col("_d2"))
+                      & (F.col("f2") == F.col("f1"))
+                      & (F.col("s2") == F.col("s1")))
+                .join(F.broadcast(n1), "doc1")
+                .join(F.broadcast(n2), "doc2")
+                .groupBy("doc1", "doc2")
+                .agg(F.count("*").cast("long").alias("n_match"),
+                     frac.alias("match_frac"))
+                .filter(F.col("match_frac") >= _VFP_FRAC))

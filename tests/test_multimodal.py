@@ -809,3 +809,42 @@ def test_scene_cuts_through_real_decode(spark, tmp_path):
     # decoded vs a different byte-block count for the same blob
     assert sum(n for _s, _f, n in scenes) == 9
     assert len(clip.encode()) // 32 != 9
+
+
+def test_video_clip_dedup_through_real_decode(spark, tmp_path):
+    """The video-dedup pin (the audio test's shape for frames): two
+    clips with IDENTICAL frames but DIFFERENT container bytes (one
+    carries an extra header token, shifting every byte offset) pair
+    through the decode path with match_frac 1.0; a third clip sharing
+    only a prefix of frames falls below the 0.9 bar; byte-block framing
+    alone could never align the shifted containers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from industry_big_data_time_sequence_process_spark.registry import (
+        REGISTRY)
+
+    lumas = [40, 100, 60, 90, 45, 110, 70, 95, 50, 105, 65, 85]
+    clip_a = synthetic_y4m(lumas, w=4, h=2, cspace="Cmono").decode()
+    # identical frames, different container: an extra X header token
+    clip_b = clip_a.replace("YUV4MPEG2 W4 H2",
+                            "YUV4MPEG2 W4 H2 XCOPY1", 1)
+    assert clip_a != clip_b
+    clip_c = synthetic_y4m(lumas[:4] + [33, 77, 42, 88, 55, 99, 35, 66],
+                           w=4, h=2, cspace="Cmono").decode()
+    d = tmp_path / "vdedup_sf"
+    d.mkdir()
+    texts = [clip_a, clip_b, clip_c]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["xx"] * 3, type=pa.string()),
+        "source": pa.array(["synth"] * 3, type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), d / "documents.parquet")
+
+    rows = REGISTRY["mm_video_clip_dedup"].fn(spark, str(d)).collect()
+    got = {(r["doc1"], r["doc2"]): (r["n_match"], r["match_frac"])
+           for r in rows}
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] == (len(lumas), 1.0)

@@ -306,3 +306,62 @@ def test_bucketed_order_statistic_matches_rank_pick(spark, rows, frac):
                     Window.orderBy("v", "id")))
                   .filter(F.col("r") == want_k).select("id").first())
         assert len(got) == 1 and got[0].id == want.id
+
+
+# ---- round-10: pure-decoder round-trip properties (no Spark needed) --------
+#
+# The three in-repo container readers (purewav, purey4m — purepng has
+# its own filter-type goldens in tests/test_multimodal.py) must invert
+# a stdlib-built encoder EXACTLY for every geometry/sample combination:
+# integer samples in, the same integers out, no float anywhere.
+
+import io as _io
+import struct as _struct
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    rate=st.integers(1, 192_000),
+    extra_chunk=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_purewav_roundtrip_exact(samples, rate, extra_chunk):
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purewav)
+
+    frames = _struct.pack(f"<{len(samples)}h", *samples)
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:       # container noise must not reach the samples
+        chunks += b"LIST" + _struct.pack("<I", 6) + b"INFOxy"
+    chunks += b"data" + _struct.pack("<I", len(frames)) + frames
+    if len(frames) % 2:
+        chunks += b"\x00"
+    blob = (b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks)
+    clip = purewav.open(_io.BytesIO(blob))
+    assert clip.samples() == samples
+    assert clip.sample_rate == rate and clip.n_samples == len(samples)
+    assert list(clip.mono_u8()) == [((s >> 8) + 128) & 0xFF
+                                    for s in samples]
+
+
+@given(
+    w=st.integers(1, 16), h=st.integers(1, 16),
+    planes=st.lists(st.lists(st.integers(0, 255), min_size=1),
+                    min_size=1, max_size=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_purey4m_roundtrip_exact(w, h, planes):
+    from industry_big_data_time_sequence_process_spark.operators import (
+        purey4m)
+
+    ysz = w * h
+    frames = [bytes((p[i % len(p)] for i in range(ysz))) for p in planes]
+    blob = f"YUV4MPEG2 W{w} H{h} F30:1 Cmono\n".encode() + b"".join(
+        b"FRAME\n" + f for f in frames)
+    clip = purey4m.open(_io.BytesIO(blob))
+    assert clip.size == (w, h) and clip.n_frames == len(frames)
+    for i, f in enumerate(frames):
+        assert clip.frame_luma(i) == f           # exact integer plane
+    assert clip.luma_sigs() == [sum(f) * 1000 // ysz for f in frames]
