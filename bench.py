@@ -72,6 +72,12 @@ HEAVY = {
     "ivfpq_topk": "sim_ivfpq_topk",
     "sessionize_bucketed": "ts_sessionize_bucketed",
     "decontaminate": "text_decontaminate",
+    # round 10: the content-level multimodal dedups (audio fingerprints
+    # decoded PCM, video matches frame-signature sequences) — timed per
+    # round so a regression in the Arrow decode pre-passes or the
+    # anchor joins surfaces in the bench diff
+    "audio_fp_dedup": "mm_audio_fingerprint_dedup",
+    "video_clip_dedup": "mm_video_clip_dedup",
 }
 
 N_TIMED = 3  # timed passes per query (after one untimed warm-up)
