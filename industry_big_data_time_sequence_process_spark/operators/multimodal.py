@@ -734,10 +734,11 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _afp_pairs(pcm)
 
 
-def _afp_pairs(pcm: DataFrame) -> DataFrame:
-    """The fingerprint chain over a ``(doc_id, pcm binary)`` frame —
-    shared by the registered op (decode pre-pass upstream) and the
-    planted-WAV tests (which feed hand-built frames)."""
+def _afp_fps(pcm: DataFrame) -> DataFrame:
+    """(doc_id, ord, fp): the per-window Haitsma-Kalker fingerprint
+    stream over a ``(doc_id, pcm binary)`` frame, localCheckpointed —
+    shared by the same-offset dedup (`_afp_pairs`) and the round-10
+    shift-invariant variant (`_afp_offset_pairs`)."""
     blobs = (pcm.select("doc_id", F.hex("pcm").alias("hx"),
                         F.length("pcm").cast("long").alias("nb"))
                 .filter(F.col("nb") >= _AFP_WIN))
@@ -769,11 +770,19 @@ def _afp_pairs(pcm: DataFrame) -> DataFrame:
     # per consumer (measured: 6 MapInPandas nodes in the r10 draft
     # plan). The fingerprint frame is one small int per 32-byte window
     # (~3% of corpus bytes), so the storage cost is nil.
-    fps = energies.select(
+    return energies.select(
         "doc_id", F.col("w").alias("ord"),
         (bit("e0", "e1") + 2 * bit("e1", "e2")
          + 4 * bit("e2", "e3") + 8 * bit("e3", "e0")).alias("fp")) \
         .localCheckpoint()
+
+
+def _afp_pairs(pcm: DataFrame) -> DataFrame:
+    """The same-offset fingerprint dedup over a ``(doc_id, pcm
+    binary)`` frame — shared by the registered op (decode pre-pass
+    upstream) and the planted-WAV tests (which feed hand-built
+    frames)."""
+    fps = _afp_fps(pcm)
     w_ord = Window.partitionBy("doc_id").orderBy("ord")
     grams = (fps.select(
                  "doc_id", "ord",
@@ -1200,3 +1209,170 @@ def mm_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("n_match"),
                      frac.alias("match_frac"))
                 .filter(F.col("match_frac") >= _VFP_FRAC))
+
+
+_AOFF_GRAM = 8       # windows per shift-invariant anchor (md5-keyed —
+#                      the 16-bit fp4 space would collide massively in
+#                      an offset-free join at corpus scale)
+_AOFF_FRAC = 0.8     # verified fraction of the SHORTER clip's windows
+_AOFF_CAP_FLOOR = 1000   # hot-anchor df cap (the shingle-cap discipline)
+_AOFF_CAP_FRAC = 0.005
+
+
+@op("mm_audio_offset_dedup", oracle=f"""
+WITH blobs AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents WHERE octet_length(encode(text)) >= {_AFP_WIN}
+), bytes AS (
+    SELECT doc_id, nb, i,
+           CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS b
+    FROM blobs, LATERAL (SELECT unnest(range(0, nb)) AS i)
+), assign AS (
+    SELECT doc_id, w, ((i - {_AFP_HOP} * w) // {_AFP_SB}) AS sb, b
+    FROM bytes,
+         LATERAL (SELECT unnest([i // {_AFP_HOP}, i // {_AFP_HOP} - 1])
+                  AS w)
+    WHERE w >= 0 AND {_AFP_HOP} * w + {_AFP_WIN} <= nb
+      AND i >= {_AFP_HOP} * w AND i < {_AFP_HOP} * w + {_AFP_WIN}
+), fps AS (
+    SELECT doc_id, w AS ord,
+           (CASE WHEN e0 > e1 THEN 1 ELSE 0 END
+            + 2 * CASE WHEN e1 > e2 THEN 1 ELSE 0 END
+            + 4 * CASE WHEN e2 > e3 THEN 1 ELSE 0 END
+            + 8 * CASE WHEN e3 > e0 THEN 1 ELSE 0 END) AS fp
+    FROM (SELECT doc_id, w,
+                 max(CASE WHEN sb = 0 THEN e END) AS e0,
+                 max(CASE WHEN sb = 1 THEN e END) AS e1,
+                 max(CASE WHEN sb = 2 THEN e END) AS e2,
+                 max(CASE WHEN sb = 3 THEN e END) AS e3
+          FROM (SELECT doc_id, w, sb, SUM(b) AS e
+                FROM assign GROUP BY 1, 2, 3)
+          GROUP BY 1, 2)
+), grams AS (
+    SELECT doc_id, ord,
+           md5(CAST(fp AS VARCHAR)
+               {"".join(f'''
+               || ',' || CAST(lead(fp, {k}) OVER w AS VARCHAR)'''
+                        for k in range(1, _AOFF_GRAM))}) AS g
+    FROM fps WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    QUALIFY lead(fp, {_AOFF_GRAM - 1}) OVER w IS NOT NULL
+), hot AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING count(*) > greatest({_AOFF_CAP_FLOOR},
+        CAST(ceil({_AOFF_CAP_FRAC} *
+                  (SELECT count(*) FROM grams)) AS BIGINT))
+), g2 AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+deltas AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           b.ord - a.ord AS delta, count(*) AS c
+    FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+), best AS (
+    SELECT doc1, doc2, delta FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc1, doc2
+                                     ORDER BY c DESC, delta) AS r
+        FROM deltas) WHERE r = 1
+), nw AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1)
+SELECT doc1, doc2, shift, n_match, match_frac FROM (
+    SELECT bt.doc1, bt.doc2, bt.delta AS shift, count(*) AS n_match,
+           round(count(*) / least(n1.n, n2.n), 6) AS match_frac
+    FROM best bt
+    JOIN fps a ON a.doc_id = bt.doc1
+    JOIN fps b ON b.doc_id = bt.doc2 AND b.ord = a.ord + bt.delta
+              AND b.fp = a.fp
+    JOIN nw n1 ON n1.doc_id = bt.doc1
+    JOIN nw n2 ON n2.doc_id = bt.doc2
+    GROUP BY 1, 2, 3, n1.n, n2.n
+) WHERE match_frac >= {_AOFF_FRAC}
+""", tier=3, section="2.11")
+def mm_audio_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-INVARIANT audio clip dedup (round 10) — the variant the
+    same-offset op's docstring promised: clips containing the same
+    audio at DIFFERENT positions (a re-cut, a silence-padded re-upload)
+    are found by the published offset-histogram recipe (Shazam /
+    Haitsma-Kalker matching):
+
+    1. FINGERPRINTS: the shared per-window stream (``_afp_fps`` — PCM
+       through the capability-probed decode, byte-domain fallback);
+    2. ANCHORS: {_AOFF_GRAM} consecutive fingerprints md5 into an
+       anchor (the 16-bit 4-gram key of the same-offset op would
+       collide massively once ``ord`` leaves the join key; the 8-gram
+       hash is effectively content-unique), with the shingle-cap
+       discipline dropping corpus-hot anchors (boilerplate audio —
+       jingles, silence — would otherwise fan the offset join out);
+    3. OFFSET HISTOGRAM: candidate pairs vote on ``b.ord - a.ord``;
+       the modal delta (count DESC, smallest delta tie-break) is the
+       alignment hypothesis — never an all-pairs scan;
+    4. VERIFY: exact matching-window count AT that shift, >=
+       {_AOFF_FRAC:.0%} of the SHORTER clip's windows.
+
+    Fires on the prose corpus at shift 0 (the prefix-dups); the
+    nonzero-shift branch is pinned on planted WAVs — the same audio
+    with a hop-aligned silence prefix pairs here at the exact planted
+    shift and is provably INVISIBLE to the same-offset op.
+
+    Scale shape: anchors join on a capped md5 key (bounded fan-out by
+    construction); the histogram is one map-combinable (pair, delta)
+    count; verification touches the single best delta per collided
+    pair."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    pcm = d.mapInPandas(_audio_pcm_batches, "doc_id long, pcm binary")
+    return _afp_offset_pairs(pcm)
+
+
+def _afp_offset_pairs(pcm: DataFrame) -> DataFrame:
+    """The shift-invariant chain over a ``(doc_id, pcm binary)`` frame
+    (split out for the planted-WAV tests)."""
+    fps = _afp_fps(pcm)
+    w_ord = Window.partitionBy("doc_id").orderBy("ord")
+    gram = F.md5(F.concat_ws(",", F.col("fp").cast("string"), *[
+        F.lead("fp", k).over(w_ord).cast("string")
+        for k in range(1, _AOFF_GRAM)]))
+    grams = (fps.select("doc_id", "ord",
+                        F.lead("fp", _AOFF_GRAM - 1).over(w_ord)
+                         .alias("_lt"), gram.alias("g"))
+                .filter(F.col("_lt").isNotNull())
+                .select("doc_id", "ord", "g"))
+    n_grams = grams.groupBy().count().withColumnRenamed("count", "_t")
+    hot = (grams.groupBy("g").agg(F.count("*").alias("_df"))
+                .crossJoin(F.broadcast(n_grams))
+                .filter(F.col("_df") > F.greatest(
+                    F.lit(_AOFF_CAP_FLOOR),
+                    F.ceil(_AOFF_CAP_FRAC * F.col("_t")).cast("long")))
+                .select("g"))
+    g2 = grams.join(F.broadcast(hot), "g", "left_anti")
+    ga = g2.select(F.col("doc_id").alias("doc1"),
+                   F.col("ord").alias("o1"), "g")
+    gb = g2.select(F.col("doc_id").alias("doc2"),
+                   F.col("ord").alias("o2"), F.col("g").alias("g2"))
+    deltas = (ga.join(gb, (F.col("g") == F.col("g2"))
+                      & (F.col("doc1") < F.col("doc2")))
+                .groupBy("doc1", "doc2",
+                         (F.col("o2") - F.col("o1")).alias("delta"))
+                .agg(F.count("*").alias("c")))
+    w_best = Window.partitionBy("doc1", "doc2").orderBy(
+        F.col("c").desc(), "delta")
+    best = (deltas.withColumn("r", F.row_number().over(w_best))
+                  .filter("r = 1").select("doc1", "doc2", "delta"))
+    fa = fps.select(F.col("doc_id").alias("doc1"),
+                    F.col("ord").alias("oa"), F.col("fp").alias("f1"))
+    fb = fps.select(F.col("doc_id").alias("_d2"),
+                    F.col("ord").alias("ob"), F.col("fp").alias("f2"))
+    nw = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n1 = nw.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = nw.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    frac = F.round(F.count("*") / F.least(F.first("n1"),
+                                          F.first("n2")), 6)
+    return (best.join(fa, "doc1")
+                .join(fb, (F.col("doc2") == F.col("_d2"))
+                      & (F.col("ob") == F.col("oa") + F.col("delta"))
+                      & (F.col("f2") == F.col("f1")))
+                .join(F.broadcast(n1), "doc1")
+                .join(F.broadcast(n2), "doc2")
+                .groupBy("doc1", "doc2",
+                         F.col("delta").cast("long").alias("shift"))
+                .agg(F.count("*").cast("long").alias("n_match"),
+                     frac.alias("match_frac"))
+                .filter(F.col("match_frac") >= _AOFF_FRAC))

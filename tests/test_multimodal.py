@@ -848,3 +848,31 @@ def test_video_clip_dedup_through_real_decode(spark, tmp_path):
            for r in rows}
     assert set(got) == {(1, 2)}, got
     assert got[(1, 2)] == (len(lumas), 1.0)
+
+
+def test_audio_offset_dedup_finds_shifted_clip(spark):
+    """THE shift-invariance pin: clip B = clip A's audio behind a
+    hop-aligned silence prefix. The same-offset op is provably blind
+    to the pair (every shared window sits at a different ord); the
+    offset-histogram op must find it at EXACTLY the planted shift with
+    all of the shorter clip's windows matching."""
+    s = _clip_samples(3)
+    pad = 64                                   # = 2 hops of mono_u8 bytes
+    wav_a = synthetic_wav(s)
+    wav_b = synthetic_wav([0] * pad + s)
+    wav_c = synthetic_wav(_clip_samples(11))   # unrelated
+    df = spark.createDataFrame(
+        [(1, wav_a), (2, wav_b), (3, wav_c)], "doc_id long, blob binary")
+    pcm = df.mapInPandas(multimodal._audio_pcm_batches,
+                         "doc_id long, pcm binary")
+
+    got = {(r["doc1"], r["doc2"]): (r["shift"], r["match_frac"])
+           for r in multimodal._afp_offset_pairs(pcm).collect()}
+    assert set(got) == {(1, 2)}, got
+    shift, frac = got[(1, 2)]
+    assert shift == pad // 32                  # the planted hop offset
+    assert frac == 1.0                         # every A-window matches
+
+    # control: the same-offset op cannot pair them
+    assert all((r["doc1"], r["doc2"]) != (1, 2)
+               for r in multimodal._afp_pairs(pcm).collect())
