@@ -922,3 +922,102 @@ def feat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(varp > 0,
                        (n * F.col("sxy").cast("double") - sx * sy)
                        / F.sqrt(varp)), 6).alias("pearson_r"))
+
+
+# ==========================================================================
+# Round-10 second wave (SURVEY.md §2.31)
+# ==========================================================================
+
+_ISO_BINS = 20  # calibration bins (equal-count, exact ntile)
+
+
+@op("feat_isotonic_calibration", oracle=f"""
+WITH tiled AS (
+    SELECT event_id, event_type,
+           ntile({_ISO_BINS}) OVER (ORDER BY value, event_id) AS bin
+    FROM events
+), binagg AS (
+    SELECT bin, count(*) AS n,
+           count(*) FILTER (WHERE event_type = 'purchase') AS pos
+    FROM tiled GROUP BY bin
+), pre AS (
+    SELECT bin, n, pos,
+           sum(n) OVER (ORDER BY bin) AS cn,
+           sum(pos) OVER (ORDER BY bin) AS cp
+    FROM binagg
+), rate AS (
+    SELECT i.bin AS bi, k.bin AS bk,
+           CAST(k.cp - i.cp + i.pos AS DOUBLE)
+               / CAST(k.cn - i.cn + i.n AS BIGINT) AS r
+    FROM pre i JOIN pre k ON i.bin <= k.bin
+), inner_min AS (
+    SELECT r.bi, j.bin AS bj, min(r.r) AS m
+    FROM rate r JOIN pre j ON r.bi <= j.bin AND j.bin <= r.bk
+    GROUP BY r.bi, j.bin
+), iso AS (
+    SELECT bj AS bin, max(m) AS iso_rate FROM inner_min GROUP BY bj
+)
+SELECT CAST(b.bin AS INT) AS bin,
+       CAST(b.n AS BIGINT) AS n, CAST(b.pos AS BIGINT) AS pos,
+       round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+       round(i.iso_rate, 6) AS iso_rate
+FROM binagg b JOIN iso i ON i.bin = b.bin
+""", tier=3, section="2.31")
+def feat_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC calibration of a score->outcome curve (pool-adjacent-
+    violators, exactly): events are ranked into {_ISO_BINS} equal-count
+    bins by `value` (the "score"), each bin's purchase rate is the raw
+    calibration curve, and the isotonic (monotone non-decreasing) fit
+    is computed by PAV's CLOSED FORM — the minimax identity
+    iso_j = max_(i<=j) min_(k>=j) R(i..k) with R the count-weighted
+    pooled rate (Ayer et al. 1955; no iterative pooling loop on either
+    engine, so nothing to converge and nothing sequential to port).
+    This is the calibrator a trained quality model
+    (`text_quality_model` -> `text_quality_calibration`) feeds in a
+    production scoring pipeline.
+
+    Exactness: pooled rates are ratios of exact BIGINT prefix sums —
+    both engines divide the same integers in the same order; the
+    minimax over those identical doubles picks identical values;
+    round(·,6) is cosmetic. The ntile is the exact two-phase
+    `api.bucketed_ntile` on the Spark side (value-identical to SQL
+    ntile at any parallelism, no unpartitioned fact window).
+
+    Scale shape: one two-phase global rank over the fact table (the
+    only fact-touching stage, the `win_ntile_scalable` plan), then one
+    map-combinable hash agg to {_ISO_BINS} rows; the minimax triple
+    join runs on the BIN table (bins^3 ~ 8k rows, driver-constant) —
+    broadcast-joined, never touching fact rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type")
+    tiled = bucketed_ntile(ev, F.floor("value"),
+                           [F.col("value"), F.col("event_id")],
+                           _ISO_BINS, tile_name="bin")
+    binagg = (tiled.groupBy(F.col("bin").cast("int").alias("bin"))
+                   .agg(F.count("*").alias("n"),
+                        F.sum((F.col("event_type") == "purchase")
+                              .cast("long")).alias("pos")))
+    w = Window.orderBy("bin")  # bin-cardinality table, never fact rows
+    pre = binagg.select("bin", "n", "pos",
+                        F.sum("n").over(w).alias("cn"),
+                        F.sum("pos").over(w).alias("cp"))
+    i, k = pre.alias("i"), pre.alias("k")
+    rate = (i.join(k, F.col("i.bin") <= F.col("k.bin"))
+             .select(F.col("i.bin").alias("bi"),
+                     F.col("k.bin").alias("bk"),
+                     ((F.col("k.cp") - F.col("i.cp") + F.col("i.pos"))
+                      .cast("double")
+                      / (F.col("k.cn") - F.col("i.cn") + F.col("i.n")))
+                     .alias("r")))
+    j = pre.select("bin").alias("j")
+    inner_min = (rate.join(j, (F.col("bi") <= F.col("j.bin"))
+                           & (F.col("j.bin") <= F.col("bk")))
+                     .groupBy("bi", F.col("j.bin").alias("bj"))
+                     .agg(F.min("r").alias("m")))
+    iso = inner_min.groupBy(F.col("bj").alias("bin")) \
+                   .agg(F.max("m").alias("iso_rate"))
+    return (binagg.join(iso, "bin")
+                  .select("bin", "n", "pos",
+                          F.round(F.col("pos").cast("double")
+                                  / F.col("n"), 6).alias("raw_rate"),
+                          F.round("iso_rate", 6).alias("iso_rate")))

@@ -5645,3 +5645,53 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
     return won[0]
+
+
+# ==========================================================================
+# Round-10 second wave (SURVEY.md §2.31)
+# ==========================================================================
+
+_DP_EPS = 1.0  # privacy budget for the demo release (count sensitivity = 1)
+
+
+@op("agg_dp_laplace_counts", oracle=f"""
+WITH c AS (
+    SELECT event_type, count(*) AS n,
+           (({_DUCK_H32.format(c="'dp:' || event_type")}) + 1)
+               / 4294967297.0 AS u
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST({_DP_EPS!r} AS DOUBLE) AS epsilon,
+       round(n + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / CAST({_DP_EPS!r} AS DOUBLE))
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+FROM c
+""", tier=3, section="2.31")
+def agg_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED group counts: the Laplace mechanism
+    (sensitivity 1, epsilon = 1) over per-channel event counts, with
+    the noise drawn by inverse-CDF from the repo's portable md5
+    uniform instead of an RNG — X = -b·sign(U-½)·ln(1-2|U-½|),
+    b = 1/epsilon. The released frame carries ONLY the noisy count (a
+    true count alongside would defeat the mechanism); the structure —
+    noise added once per released statistic, sensitivity documented,
+    budget a named constant — is exactly the production pattern, and
+    the seeded draw is what makes a privacy op testable at all
+    (re-runs release the IDENTICAL noise rather than burning budget).
+
+    Exactness: both engines compute the same u in (0,1) from the md5
+    draw (never exactly ½: 2^32+1 is odd) and the same ln/abs chain
+    with identical literals and association; round(·,6) seals the one
+    libm call. One map-combinable hash agg; the noise math runs on the
+    5-row grouped frame."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = ((api.hash32(F.concat(F.lit("dp:"), F.col("event_type")))
+          + F.lit(1)) / F.lit(4294967297.0))
+    noise = (F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+             * (F.lit(1.0) / F.lit(_DP_EPS))
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))))
+    return c.select("event_type",
+                    F.lit(_DP_EPS).alias("epsilon"),
+                    F.round(F.col("n") + noise, 6).alias("noisy_count"))

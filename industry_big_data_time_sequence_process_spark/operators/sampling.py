@@ -814,3 +814,69 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(F.coalesce(F.col("n_kept"), F.lit(0))
                                   .cast("double") / F.col("tot_kept"), 6)
                           .alias("achieved_share")))
+
+
+# ==========================================================================
+# Round-10 second wave (SURVEY.md §2.31)
+# ==========================================================================
+
+_WRES_K = 5          # reservoir size per key
+_WRES_GRID = 1e6     # exp-clock key quantization grid (see docstring)
+
+#: DuckDB twin of the weighted exp-clock key. Kept next to the Spark
+#: expression so the two can only change together.
+_DUCK_WKEY = (
+    "CAST(floor(-ln(((" + _DUCK_H32.format(
+        c="'wr:' || CAST(event_id AS VARCHAR)") + ") + 1)"
+    " / 4294967297.0) / (1.0 + value) * 1000000.0) AS BIGINT)")
+
+
+@op("sample_weighted_reservoir", oracle=f"""
+WITH keyed AS (
+    SELECT user_id, event_id, {_DUCK_WKEY} AS wkey_q
+    FROM events
+)
+SELECT user_id, event_id, wkey_q, draw_rank FROM (
+    SELECT user_id, event_id, wkey_q,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY wkey_q,
+                                       md5(CAST(event_id AS VARCHAR)),
+                                       event_id) AS draw_rank
+    FROM keyed
+) WHERE draw_rank <= {_WRES_K}
+""", tier=3, section="2.31")
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir sample per key (Efraimidis–Spirakis exp-clocks,
+    the distributed form): each event draws a deterministic uniform
+    u = (hash32('wr:'||event_id)+1)/2^32+1 in (0,1) and gets the key
+    -ln(u)/w with weight w = 1 + value; the _WRES_K smallest keys per
+    user are the sample. This is exactly weighted sampling WITHOUT
+    replacement (the exponential-clocks argument), the weighted upgrade
+    of `sample_reservoir_per_key`: high-value events are
+    proportionally more likely to be kept — the importance-sampling
+    shape a curation pipeline uses to keep its rare-but-valuable rows.
+
+    Determinism discipline: the uniform is the portable md5 draw (no
+    rand(): stable under re-runs, appends, and engines). The ranking
+    key is floored onto a 1e-6 grid BEFORE comparison — ln() is the
+    one libm call here, and the two engines' ln may differ in the last
+    ulp (~1e-16 relative); on the integer grid a flip would need the
+    true key within 1e-10 of a grid line (measured gaps between a
+    user's order statistics are ~1e-3). Grid ties break on
+    (md5(event_id), event_id), deterministic on both engines.
+
+    Scale shape: one narrow map computes the key, one user-keyed
+    window ranks it — identical plan family to
+    `sample_reservoir_per_key` (rank-by-hash IS a top-k; at skewed
+    keys the two-phase `api.bucketed_topk` shape applies unchanged).
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ((_h32(F.concat(F.lit("wr:"), F.col("event_id").cast("string")))
+          + F.lit(1)) / F.lit(4294967297.0))
+    wkey = F.floor(-F.log(u) / (F.lit(1.0) + F.col("value"))
+                   * F.lit(1000000.0)).cast("long")
+    keyed = ev.select("user_id", "event_id", wkey.alias("wkey_q"))
+    w = Window.partitionBy("user_id").orderBy(
+        "wkey_q", F.md5(F.col("event_id").cast("string")), "event_id")
+    return (keyed.withColumn("draw_rank", F.row_number().over(w))
+                 .filter(F.col("draw_rank") <= _WRES_K))

@@ -2971,3 +2971,103 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("agreement"),
                       F.round(F.sum(fx).cast("double") / F.count("*")
                               / F.lit(1000000.0), 6).alias("avg_score")))
+
+
+# ==========================================================================
+# Round-10 second wave (SURVEY.md §2.31)
+# ==========================================================================
+
+#: Window length (in whitespace tokens) for exact-substring dedup. The
+#: published recipe (Lee et al. 2022, "Deduplicating Training Data Makes
+#: Language Models Better") uses 50 BPE tokens; this corpus's documents
+#: average ~54 whitespace tokens, so 10 tokens plays the same structural
+#: role (multiple windows per doc, cross-doc repeats actually occur).
+_SUBSTR_W = 10
+
+#: A window is "duplicated" when its content hash appears in >= this many
+#: DISTINCT documents (within-doc repetition alone is not duplication).
+_SUBSTR_MIN_DOCS = 2
+
+
+@op("text_substring_dedup", oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(array_to_string(
+                t[i.i : i.i + {_SUBSTR_W - 1}], ' ')), 1, 8))::BIGINT AS wh
+    FROM toks,
+         unnest(generate_series(
+             1, greatest(len(t) - {_SUBSTR_W - 1}, 0))) AS i(i)
+), dup AS (
+    SELECT wh FROM wins
+    GROUP BY wh HAVING count(DISTINCT doc_id) >= {_SUBSTR_MIN_DOCS}
+), per_doc AS (
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(count(*) FILTER (WHERE dup.wh IS NOT NULL) AS BIGINT)
+               AS n_dup
+    FROM wins w LEFT JOIN dup ON dup.wh = w.wh
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(p.n_dup / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac,
+       CAST(coalesce(p.n_dup / CAST(p.n_windows AS DOUBLE) >= 0.5, FALSE)
+            AS INT) AS flagged
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""", tier=3, section="2.31")
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup audit (the Lee-et-al-2022 shape): every
+    {W}-token sliding window is content-hashed; a window whose hash
+    occurs in >= 2 DISTINCT documents is a duplicated span; each doc
+    reports its window count, duplicated-window count, duplicated
+    fraction and a >= 50% flag. This is the span-level complement of
+    `dedup_exact_text` (whole doc) and `dedup_near_minhash` (whole-doc
+    similarity): it catches boilerplate paragraphs and quotations that
+    whole-doc methods miss entirely.
+
+    Scale shape: windows never leave the executor as text — each one
+    collapses to the portable 32-bit hash immediately after
+    `array_join`, so the shuffle payload is (doc_id, wh) longs, ~W
+    rows per document (linear in corpus tokens). The duplicated-hash
+    set is found by one map-combinable distinct + hash agg on wh, and
+    attached back by a wh-keyed equi-join (never broadcast: the dup set
+    grows with the corpus). Docs shorter than W tokens produce zero
+    windows and report NULL dup_frac (pinned in tests). A 32-bit hash
+    collision marks the same window pair on both engines (the hash IS
+    the definition, as everywhere in this repo); for a 100 TB corpus
+    you would widen to the md5-derived 64-bit key, a constant change.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # Spark's sequence(1, n) DESCENDS when n < 1, so guard short docs
+    # explicitly (DuckDB's generate_series is empty there).
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {_SUBSTR_W} THEN "
+            f"transform(sequence(1, size(t) - {_SUBSTR_W - 1}), "
+            f"i -> array_join(slice(t, i, {_SUBSTR_W}), ' ')) "
+            f"ELSE array() END")).alias("win"))
+    wins = wins.select("doc_id", _h32(F.col("win")).alias("wh"))
+    dup = (wins.select("wh", "doc_id").distinct()
+               .groupBy("wh").agg(F.count("*").alias("nd"))
+               .filter(F.col("nd") >= _SUBSTR_MIN_DOCS)
+               .select("wh", F.lit(1).alias("is_dup")))
+    per_doc = (wins.join(dup, "wh", "left")
+                   .groupBy("doc_id")
+                   .agg(F.count("*").alias("n_windows"),
+                        F.sum(F.coalesce("is_dup", F.lit(0)))
+                         .cast("long").alias("n_dup")))
+    frac = F.col("n_dup") / F.col("n_windows").cast("double")
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("n_windows", F.lit(0)).cast("long")
+                      .alias("n_windows"),
+                     F.coalesce("n_dup", F.lit(0)).cast("long")
+                      .alias("n_dup_windows"),
+                     F.round(frac, 6).alias("dup_frac"),
+                     F.coalesce((frac >= 0.5).cast("int"), F.lit(0))
+                      .alias("flagged")))

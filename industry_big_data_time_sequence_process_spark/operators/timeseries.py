@@ -7460,3 +7460,225 @@ def ts_demand_classify_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(adi, 6).alias("adi"),
                        F.round(cv2, 6).alias("cv2"),
                        klass.alias("demand_class"))
+
+
+# ==========================================================================
+# Round-10 second wave (SURVEY.md §2.31)
+# ==========================================================================
+
+#: Croston smoothing constants. BOTH engines use these exact double
+#: literals with the same op order (`0.8*prev + 0.2*x`, the ts_ewma
+#: discipline) so the recursion is bit-identical IEEE.
+_CROSTON_A = 0.2
+_CROSTON_B = 0.8
+#: SBA bias correction factor = 1 - alpha/2 (Syntetos–Boylan), as the
+#: literal both engines parse identically.
+_CROSTON_SBA = 0.9
+
+
+def _croston_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("off")
+    d = pdf["d"].to_numpy(dtype="float64")
+    itv = pdf["itv"].to_numpy(dtype="float64")
+    z, p = d[0], itv[0]
+    for i in range(1, len(d)):
+        # same literals, same op order as the oracle's recursive term
+        z = _CROSTON_B * z + _CROSTON_A * d[i]
+        p = _CROSTON_B * p + _CROSTON_A * itv[i]
+    return pd.DataFrame({"user_id": [int(pdf["user_id"].iloc[0])],
+                         "n_demands": [len(d)], "z": [z], "p": [p]})
+
+
+@op("ts_croston_sba", oracle=f"""
+WITH RECURSIVE demand AS (
+    SELECT user_id,
+           datediff('day',
+                    (SELECT min(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS off,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS d
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+), seq AS (
+    SELECT user_id, off, d,
+           row_number() OVER (PARTITION BY user_id ORDER BY off) AS k,
+           off - lag(off) OVER (PARTITION BY user_id ORDER BY off) AS gap
+    FROM demand
+), term AS (
+    SELECT user_id, k, d,
+           CAST(coalesce(gap, off + 1) AS DOUBLE) AS itv
+    FROM seq
+), r AS (
+    SELECT user_id, k, d AS z, itv AS p FROM term WHERE k = 1
+    UNION ALL
+    SELECT t.user_id, t.k,
+           CAST({_CROSTON_B!r} AS DOUBLE) * r.z
+               + CAST({_CROSTON_A!r} AS DOUBLE) * t.d,
+           CAST({_CROSTON_B!r} AS DOUBLE) * r.p
+               + CAST({_CROSTON_A!r} AS DOUBLE) * t.itv
+    FROM r JOIN term t ON t.user_id = r.user_id AND t.k = r.k + 1
+), fin AS (
+    SELECT user_id, CAST(max(k) AS BIGINT) AS n_demands,
+           max_by(z, k) AS z, max_by(p, k) AS p
+    FROM r GROUP BY user_id
+)
+SELECT user_id, n_demands,
+       round(z, 6) AS z_smooth, round(p, 6) AS p_smooth,
+       round(z / p, 6) AS croston,
+       round(CAST({_CROSTON_SBA!r} AS DOUBLE) * (z / p), 6) AS sba
+FROM fin
+""", tier=3, section="2.31")
+def ts_croston_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method + the Syntetos–Boylan approximation (SBA) for
+    INTERMITTENT demand — the standard industrial forecast for
+    spare-parts/slow-mover series, and the action to take after
+    `ts_demand_classify_sbc` labels a series intermittent/lumpy: per
+    user, daily purchase demand d_k at demand occasions k with
+    inter-demand intervals i_k is smoothed separately
+    (z_k = 0.8·z + 0.2·d, p_k = 0.8·p + 0.2·i, init z_1 = d_1,
+    p_1 = days-since-corpus-start + 1), forecast = z/p and
+    SBA = 0.9·z/p.
+
+    Exactness: daily demands are decimal-exact sums cast once to
+    double, so both engines recurse from identical IEEE inputs with
+    identical literals and op order (the `ts_ewma` discipline) — the
+    DuckDB oracle steps every user one demand occasion per recursive
+    iteration and the final round(·,6) lands on the same grid with no
+    tolerance.
+
+    Scale shape: one map-combinable hash agg builds the demand series,
+    one user-keyed lag window derives intervals, and the inherently
+    sequential recursion runs as an Arrow-batched grouped-map over
+    DEMAND OCCASIONS (not raw events) — per-user state is two doubles.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id", F.to_date("ts").alias("day"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("d"))
+               .crossJoin(F.broadcast(bounds))
+               .select("user_id", F.datediff("day", "d0").alias("off"),
+                       "d"))
+    w = Window.partitionBy("user_id").orderBy("off")
+    term = daily.select(
+        "user_id", "off", "d",
+        F.coalesce(F.col("off") - F.lag("off").over(w),
+                   F.col("off") + F.lit(1)).cast("double").alias("itv"))
+    raw = term.groupBy("user_id").applyInPandas(
+        _croston_pdf, "user_id long, n_demands long, z double, p double")
+    q = F.col("z") / F.col("p")
+    return raw.select("user_id", "n_demands",
+                      F.round("z", 6).alias("z_smooth"),
+                      F.round("p", 6).alias("p_smooth"),
+                      F.round(q, 6).alias("croston"),
+                      F.round(F.lit(_CROSTON_SBA) * q, 6).alias("sba"))
+
+
+_CLIP_Z = 2.5      # removal threshold in sample standard deviations
+_CLIP_ROUNDS = 3   # fixed iteration budget (ESD-style, one removal/round)
+
+
+def _clip_round_sql(r: int) -> str:
+    """One sigma-clip round as chained CTEs (the fixed-round unroll:
+    aggregates are recomputed per round, which a recursive CTE cannot
+    express — with _CLIP_ROUNDS fixed the unroll IS the plan)."""
+    prev = "events0" if r == 1 else f"rem{r - 1}"
+    sd = (f"sqrt(greatest(s.svv - s.sv * (s.sv / s.n), 0.0)"
+          f" / (s.n - 1))")
+    return f"""
+stats{r} AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+    FROM {prev} GROUP BY event_type
+), scored{r} AS (
+    SELECT e.event_type, e.event_id, e.value,
+           CASE WHEN s.n > 1 AND {sd} > 0
+                THEN (e.value - s.sv / s.n) / {sd}
+           END AS z
+    FROM {prev} e JOIN stats{r} s USING (event_type)
+), out{r} AS (
+    SELECT event_type, {r} AS clip_round, event_id, value, z FROM (
+        SELECT event_type, event_id, value, z,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(z) DESC, event_id) AS rn
+        FROM scored{r} WHERE abs(z) > {_CLIP_Z!r}
+    ) WHERE rn = 1
+), rem{r} AS (
+    SELECT e.* FROM {prev} e
+    ANTI JOIN out{r} o ON e.event_id = o.event_id
+)"""
+
+
+_CLIP_ORACLE = ("WITH events0 AS (\n"
+                "    SELECT event_type, event_id, value FROM events\n), "
+                + ", ".join(_clip_round_sql(r)
+                            for r in range(1, _CLIP_ROUNDS + 1))
+                + "\nSELECT event_type, CAST(clip_round AS INT) AS"
+                  " clip_round,\n       event_id, value, round(z, 6) AS z\n"
+                + "FROM (" + " UNION ALL ".join(
+                    f"SELECT * FROM out{r}"
+                    for r in range(1, _CLIP_ROUNDS + 1)) + ")")
+
+
+@op("ts_anomaly_sigma_clip", oracle=_CLIP_ORACLE, tier=3, section="2.31")
+def ts_anomaly_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE sigma clipping per channel (the generalized-ESD shape
+    from Rosner 1983, with a fixed |z| > 2.5 cut): each of 3 rounds
+    recomputes the channel's mean/stddev over the SURVIVORS and removes
+    the single most extreme point if it exceeds the cut — which finds
+    masked outliers that the one-shot `ts_anomaly_zscore` misses (a
+    huge outlier inflates sigma and hides a second one; removing it
+    un-masks the next). Emits one row per removed point with the round
+    it fell in.
+
+    Exactness: mean and variance come from decimal-exact sums (values
+    are 2-decimal; squares are exact 4-decimal) cast once to double,
+    with the IDENTICAL op order on both engines — so z is bit-identical
+    and the |z| > 2.5 comparison and the argmax pick cannot straddle.
+    The oracle unrolls the 3 rounds as chained CTEs (aggregates must
+    recompute per round, which WITH RECURSIVE cannot express).
+
+    Scale shape: NO windows over fact rows anywhere — each round is one
+    map-combinable hash agg (5-row stats frame, broadcast back), one
+    narrow z map, one map-combinable max_by per channel (the argmax),
+    and one broadcast anti-join on the <= 5-row removal set. Rounds are
+    a fixed constant; the plan is 3 such blocks stacked."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    rem, outs = ev, []
+    for rnd in range(1, _CLIP_ROUNDS + 1):
+        stats = rem.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("sv"),
+            F.sum(dec * dec).cast("double").alias("svv"))
+        mean = F.col("sv") / F.col("n")
+        sd = F.sqrt(F.greatest(F.col("svv") - F.col("sv") * mean,
+                               F.lit(0.0)) / (F.col("n") - F.lit(1)))
+        z = F.when((F.col("n") > 1) & (sd > 0),
+                   (F.col("value") - mean) / sd)
+        scored = (rem.join(F.broadcast(stats), "event_type")
+                     .select("event_type", "event_id", "value",
+                             z.alias("z")))
+        removed = (scored.filter(F.abs("z") > _CLIP_Z)
+                         .groupBy("event_type")
+                         .agg(F.max_by(
+                             F.struct("event_id", "value", "z"),
+                             F.struct(F.abs("z").alias("az"),
+                                      (-F.col("event_id")).alias("ni")))
+                             .alias("top"))
+                         .select("event_type",
+                                 F.lit(rnd).alias("clip_round"),
+                                 F.col("top.event_id").alias("event_id"),
+                                 F.col("top.value").alias("value"),
+                                 F.col("top.z").alias("z")))
+        outs.append(removed)
+        rem = rem.join(F.broadcast(removed.select("event_id")),
+                       "event_id", "left_anti")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("event_type", "clip_round", "event_id", "value",
+                      F.round("z", 6).alias("z"))

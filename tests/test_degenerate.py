@@ -62,6 +62,11 @@ GUARDED = [
     "feat_woe_binning_scalable", "feat_gains_table_scalable",
     "feat_auc_roc_scalable", "feat_psi_drift_scalable",
     "feat_time_split_encode_scalable", "sample_split_temporal_scalable",
+    # round-10 second wave: constant-value channel (sigma = 0 -> z NULL,
+    # nothing clipped), single-purchase users (one demand occasion, no
+    # lag), 6-row corpus under ntile(20) bins
+    "ts_anomaly_sigma_clip", "ts_croston_sba", "feat_isotonic_calibration",
+    "sample_weighted_reservoir",
 ]
 
 
@@ -137,7 +142,11 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-9: the compaction pass must survive a fileless
                  # staged tree (explicit-schema read-back) and report a
                  # clean 0-row identity
-                 "sink_compact_small_files"]
+                 "sink_compact_small_files",
+                 # round-10 second wave: empty demand/bin/stats frames
+                 "ts_croston_sba", "ts_anomaly_sigma_clip",
+                 "feat_isotonic_calibration", "sample_weighted_reservoir",
+                 "agg_dp_laplace_counts"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
@@ -184,6 +193,8 @@ EMPTY_DOCS_GUARDED = [
     "text_quality_model", "text_quality_calibration",
     "doc_truncate_budget_bpe", "doc_chunk_sliding_bpe",
     "doc_pack_nextfit_bpe", "stream_quality_scores",
+    # round-10 second wave: zero docs -> zero windows, NULL-free output
+    "text_substring_dedup",
 ]
 
 

@@ -122,6 +122,10 @@ OPS = [
     "doc_chunk_sliding_bpe", "sink_compact_small_files",
     "doc_pack_nextfit_bpe", "text_quality_calibration",
     "dedup_semantic_cluster_cc", "sim_twolevel_recall_eval",
+    # round-10 second-wave additions (documents / events)
+    "text_substring_dedup", "sample_weighted_reservoir",
+    "ts_croston_sba", "ts_anomaly_sigma_clip",
+    "feat_isotonic_calibration",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
