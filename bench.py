@@ -78,6 +78,10 @@ HEAVY = {
     # anchor joins surfaces in the bench diff
     "audio_fp_dedup": "mm_audio_fingerprint_dedup",
     "video_clip_dedup": "mm_video_clip_dedup",
+    # round-10 second wave: span-level exact-substring dedup (the
+    # token-window explode + wh-keyed dup join is the family's newest
+    # corpus-linear scan — timed so a windowing/hash regression shows)
+    "substring_dedup": "text_substring_dedup",
 }
 
 N_TIMED = 3  # timed passes per query (after one untimed warm-up)

@@ -5695,3 +5695,180 @@ def agg_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("event_type",
                     F.lit(_DP_EPS).alias("epsilon"),
                     F.round(F.col("n") + noise, 6).alias("noisy_count"))
+
+
+_CONF_ALPHA = 0.9   # target coverage of the split-conformal interval
+_CONF_GRID = 1000000000.0  # residual fixed-point grid (1e-9)
+
+
+@op("agg_conformal_interval", oracle=f"""
+WITH tagged AS (
+    SELECT event_type, event_id, value, hour(ts) AS hod,
+           ({_DUCK_H32.format(c="'cf:' || CAST(event_id AS VARCHAR)")}) % 5
+               AS slice
+    FROM events
+), model AS (
+    SELECT event_type, hod,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS pred
+    FROM tagged WHERE slice != 0 GROUP BY event_type, hod
+), cal AS (
+    SELECT t.event_type, t.event_id,
+           CAST(floor(abs(t.value - m.pred) * {_CONF_GRID!r}) AS BIGINT)
+               AS rq
+    FROM tagged t
+    JOIN model m ON m.event_type = t.event_type AND m.hod = t.hod
+    WHERE t.slice = 0
+), sized AS (
+    SELECT event_type, count(*) AS n_cal,
+           CAST(least(ceil({_CONF_ALPHA!r} * (count(*) + 1)), count(*))
+                AS BIGINT) AS k
+    FROM cal GROUP BY event_type
+), ranked AS (
+    SELECT c.event_type, c.rq,
+           row_number() OVER (PARTITION BY c.event_type
+                              ORDER BY c.rq, c.event_id) AS rn
+    FROM cal c
+), q AS (
+    SELECT r.event_type, r.rq FROM ranked r
+    JOIN sized s ON s.event_type = r.event_type AND r.rn = s.k
+), cov AS (
+    SELECT c.event_type,
+           CAST(count(*) FILTER (WHERE c.rq <= q.rq) AS BIGINT) AS nc,
+           count(*) AS n
+    FROM cal c JOIN q ON q.event_type = c.event_type
+    GROUP BY c.event_type
+)
+SELECT s.event_type, CAST(s.n_cal AS BIGINT) AS n_cal,
+       round(q.rq / {_CONF_GRID!r}, 6) AS q_hat,
+       round(CAST(cov.nc AS DOUBLE) / cov.n, 6) AS coverage
+FROM sized s
+JOIN q ON q.event_type = s.event_type
+JOIN cov ON cov.event_type = s.event_type
+""", tier=3, section="2.32")
+def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval per channel (Vovk/Lei et al.;
+    the distribution-free coverage recipe): a deterministic md5 20%
+    slice is held out as the calibration set, the remaining 80% fits a
+    per-(channel, hour-of-day) mean forecast, and the interval
+    half-width q_hat is the ceil(0.9·(n+1))-th smallest absolute
+    calibration residual — which guarantees >= 90% coverage on
+    exchangeable future points with NO distributional assumption. The
+    emitted `coverage` column audits the guarantee on the calibration
+    slice itself (lands at ~0.903 on this corpus — the finite-sample
+    (n+1) bump).
+
+    Exactness: the forecast is a decimal-exact-sum/count double;
+    residuals quantize onto the 1e-9 grid so the order statistic is an
+    exact-integer rank pick (ties broken by event_id) — no float
+    comparison anywhere near the quantile boundary.
+
+    Scale shape: the model is a (channel x 24)-row broadcast frame; the
+    rank runs through `api.bucketed_global_rank` with
+    group_cols=[event_type] — counts, offsets and the within-bucket
+    window all scope to (channel, residual-magnitude bucket), so no
+    constant-corpus-fraction partition ever sorts more than one bucket
+    (the low-cardinality window-key fix); coverage is one
+    map-combinable agg against the broadcast 1-row-per-channel q."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type", "event_id", "value", F.hour("ts").alias("hod"),
+        (api.hash32(F.concat(F.lit("cf:"),
+                             F.col("event_id").cast("string"))) % 5)
+        .alias("slice"))
+    model = (tagged.filter(F.col("slice") != 0)
+                   .groupBy("event_type", "hod")
+                   .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                         .cast("double") / F.count("*")).alias("pred")))
+    cal = (tagged.filter(F.col("slice") == 0)
+                 .join(F.broadcast(model), ["event_type", "hod"])
+                 .select("event_type", "event_id",
+                         F.floor(F.abs(F.col("value") - F.col("pred"))
+                                 * F.lit(_CONF_GRID)).cast("long")
+                          .alias("rq")))
+    sized = cal.groupBy("event_type").agg(
+        F.count("*").alias("n_cal"),
+        F.least(F.ceil(F.lit(_CONF_ALPHA) * (F.count("*") + F.lit(1))),
+                F.count("*")).cast("long").alias("k"))
+    ranked = api.bucketed_global_rank(
+        cal, F.floor(F.col("rq") / F.lit(1000000000)),
+        [F.col("rq"), F.col("event_id")], rank_name="rn",
+        group_cols=["event_type"])
+    q = (ranked.join(F.broadcast(sized), "event_type")
+               .filter(F.col("rn") == F.col("k"))
+               .select("event_type", F.col("rq").alias("qrq")))
+    cov = (cal.join(F.broadcast(q), "event_type")
+              .groupBy("event_type")
+              .agg(F.sum((F.col("rq") <= F.col("qrq")).cast("long"))
+                    .alias("nc"),
+                   F.count("*").alias("n")))
+    return (sized.join(q, "event_type").join(cov, "event_type")
+                 .select("event_type",
+                         F.col("n_cal").cast("long").alias("n_cal"),
+                         F.round(F.col("qrq") / F.lit(_CONF_GRID), 6)
+                          .alias("q_hat"),
+                         F.round(F.col("nc").cast("double") / F.col("n"), 6)
+                          .alias("coverage")))
+
+
+_BFS_MAX_LAYER = 3   # bounded frontier rounds (constant, not data-driven)
+_BFS_SEED_MOD = 31   # seeds = nodes with hash32('bfs:'||p) % 31 == 0
+
+
+@op("graph_bfs_layers", oracle=f"""
+WITH RECURSIVE {_DUCK_COPURCHASE_E}, edges AS (
+    SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e
+), nodes AS (
+    SELECT DISTINCT pa AS p FROM edges
+), walk AS (
+    SELECT p, 0 AS layer FROM nodes
+    WHERE ({_DUCK_H32.format(c="'bfs:' || CAST(p AS VARCHAR)")})
+          % {_BFS_SEED_MOD} = 0
+    UNION
+    SELECT ed.pb AS p, w.layer + 1 AS layer
+    FROM walk w JOIN edges ed ON ed.pa = w.p
+    WHERE w.layer < {_BFS_MAX_LAYER}
+)
+SELECT p AS part, CAST(min(layer) AS INT) AS layer
+FROM walk GROUP BY p
+""", tier=3, section="2.32")
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph, bounded depth: a
+    deterministic md5 seed set (~1/31 of the nodes — "recalled parts",
+    "known-bad lots") expands 3 hops along support>=2 co-purchase edges;
+    each reached node reports its hop distance (min over seeds). The
+    blast-radius query every industrial recall/contamination
+    investigation starts with, and the missing traversal primitive next
+    to the repo's label-propagation / k-core / PageRank family.
+
+    Exactness: layers are small exact integers; the frontier expansion
+    is set arithmetic — the DuckDB recursive CTE's UNION-dedup plus a
+    final min(layer) reproduces the per-round anti-join exactly.
+
+    Scale shape: the cached shared edge frame (`_copurchase_edges` — one
+    build per session, the graph-family discipline); each of the
+    CONSTANT 3 rounds is one frontier-keyed equi-join + distinct +
+    anti-join against the assigned set, all hash-partitioned on the
+    node key — frontier frames localCheckpoint per round (the CC-loop
+    plan-growth discipline). Work per round ~ frontier x avg-degree,
+    never all-pairs; depth is a constant of the op, so no convergence
+    probe and no driver-side fixpoint."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    nodes = edges.select(F.col("pa").alias("p")).distinct()
+    seeds = nodes.filter(
+        api.hash32(F.concat(F.lit("bfs:"), F.col("p").cast("string")))
+        % _BFS_SEED_MOD == 0)
+    frontier = seeds.select("p", F.lit(0).alias("layer")).localCheckpoint()
+    result = frontier
+    for layer in range(1, _BFS_MAX_LAYER + 1):
+        nxt = (frontier.join(edges, frontier["p"] == edges["pa"])
+                       .select(F.col("pb").alias("p")).distinct()
+                       .join(result.select("p"), "p", "left_anti")
+                       .select("p", F.lit(layer).alias("layer"))
+                       .localCheckpoint())
+        result = result.unionByName(nxt)
+        frontier = nxt
+    return result.select(F.col("p").alias("part"),
+                         F.col("layer").cast("int").alias("layer"))

@@ -3810,3 +3810,79 @@ def sim_twolevel_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub.unpersist()
     cells.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ==========================================================================
+# Round-10 third wave (SURVEY.md §2.32)
+# ==========================================================================
+
+_RADIUS_TAU = 0.25   # cosine radius (this corpus is isotropic noise —
+                     # true neighbors rarely clear 0.3; see sim_lsh_bucketed)
+_RADIUS_QMOD = 97    # query slice: vec_id % 97 == 0
+
+
+@op("sim_lsh_radius_search", oracle=f"""
+WITH b AS ({_DUCK_BANDS}),
+qb AS (SELECT vec_id AS qid, band, bucket FROM b
+       WHERE vec_id % {_RADIUS_QMOD} = 0),
+cand AS (
+    SELECT qb.qid, b2.vec_id AS nid,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM qb JOIN b b2 ON b2.band = qb.band AND b2.bucket = qb.bucket
+                     AND b2.vec_id != qb.qid
+    GROUP BY 1, 2
+),
+u AS (SELECT vec_id, {_DUCK_UNIT.format(e='embedding')} AS ue
+      FROM embeddings)
+SELECT qid, nid, n_shared_bands, round(score, 6) AS cosine FROM (
+    SELECT c.qid, c.nid, c.n_shared_bands,
+           {_DUCK_DOT.format(a='u1.ue', b='u2.ue')} AS score
+    FROM cand c
+    JOIN u u1 ON u1.vec_id = c.qid
+    JOIN u u2 ON u2.vec_id = c.nid
+) WHERE score >= {_RADIUS_TAU!r}
+""", tier=3, section="2.32")
+def sim_lsh_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS (range) search — the missing query shape next to the
+    top-k family: for each query vector (the deterministic
+    vec_id % 97 slice), return EVERY corpus vector within cosine
+    >= 0.25, not the k nearest. Top-k serving answers "give me some
+    neighbors"; radius search answers "give me all sufficiently-close
+    ones" — the shape dedup sweeps, abuse-cluster expansion and
+    recall-critical retrieval actually want (k cuts variable-density
+    neighborhoods arbitrarily).
+
+    Candidates come from the shared `_lsh_bands` signatures (OR over 4
+    n-adaptive-width hyperplane bands — collision in ANY band), then
+    one exact cosine verify per candidate with norms factored out
+    before the pair join (the `_lsh_pairs` discipline). The oracle
+    replays the identical plane bank from the portable md5 parity.
+
+    Scale shape: the query side prunes to ~n/97 signatures BEFORE the
+    band join, so candidate volume is ~|Q|·(expected bucket mates) —
+    linear in the query load at fixed corpus density, independent of
+    corpus pair count; the corpus-side signature frame is the SAME one
+    `sim_lsh_bucketed` builds (shared `_lsh_bands`), so a serving
+    deployment pins it once and every radius query probes it."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(e).select("vec_id", "band", "bucket")
+    qb = (bands.filter(F.col("vec_id") % _RADIUS_QMOD == 0)
+               .select(F.col("vec_id").alias("qid"), "band", "bucket"))
+    cb = bands.select(F.col("vec_id").alias("nid"),
+                      F.col("band").alias("band2"),
+                      F.col("bucket").alias("bucket2"))
+    cand = (qb.join(cb, (F.col("band") == F.col("band2"))
+                    & (F.col("bucket") == F.col("bucket2"))
+                    & (F.col("qid") != F.col("nid")))
+              .groupBy("qid", "nid")
+              .agg(F.count("*").alias("n_shared_bands")))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    u = e.select("vec_id", unit.alias("ue"))
+    u1 = u.select(F.col("vec_id").alias("qid"), F.col("ue").alias("ua"))
+    u2 = u.select(F.col("vec_id").alias("nid"), F.col("ue").alias("ub"))
+    score = _dot(F.col("ua"), F.col("ub"))
+    return (cand.join(u1, "qid").join(u2, "nid")
+                .filter(score >= _RADIUS_TAU)
+                .select("qid", "nid", "n_shared_bands",
+                        F.round(score, 6).alias("cosine")))

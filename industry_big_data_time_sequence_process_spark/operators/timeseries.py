@@ -7682,3 +7682,122 @@ def ts_anomaly_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(o)
     return out.select("event_type", "clip_round", "event_id", "value",
                       F.round("z", 6).alias("z"))
+
+
+# ==========================================================================
+# Round-10 third wave (SURVEY.md §2.32)
+# ==========================================================================
+
+#: 5% Dickey-Fuller critical value (constant-only model, large n) — the
+#: textbook -2.86; both engines compare the identical double against it.
+_ADF_CRIT = -2.86
+
+#: Fixed-point grid for the regression inputs: hourly means quantize to
+#: 1e-9 longs so every moment sum is exact-integer order-invariant (the
+#: repo-wide determinism discipline; the grid cancels in beta and the
+#: t-statistic).
+_ADF_GRID = 1000000000.0
+
+
+@op("ts_adf_lite", oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS m
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+    SELECT event_type, h, m,
+           lag(m) OVER (PARTITION BY event_type ORDER BY h) AS mp,
+           lag(h) OVER (PARTITION BY event_type ORDER BY h) AS hp
+    FROM hourly
+), pairs AS (
+    SELECT event_type,
+           CAST(floor(mp * {_ADF_GRID!r}) AS BIGINT) AS xq,
+           CAST(floor((m - mp) * {_ADF_GRID!r}) AS BIGINT) AS yq
+    FROM lagged
+    WHERE mp IS NOT NULL AND h = hp + INTERVAL 1 HOUR
+), mom AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+           CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy
+    FROM pairs GROUP BY event_type
+), fit AS (
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+           sx, sy, sxx, sxy, syy
+    FROM mom WHERE n > 2 AND (n * sxx - sx * sx) > 0
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       round(beta, 6) AS beta,
+       round(beta / sqrt((((syy - sy * sy / n) - beta * (sxy - sx * sy / n))
+                          / (n - 2)) / (sxx - sx * sx / n)), 6) AS df_stat,
+       CAST(beta / sqrt((((syy - sy * sy / n) - beta * (sxy - sx * sy / n))
+                         / (n - 2)) / (sxx - sx * sx / n))
+            < {_ADF_CRIT!r} AS INT) AS stationary
+FROM fit
+""", tier=3, section="2.32")
+def ts_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root screen per channel (the lag-0 DF form,
+    constant-only model): resample each channel to hourly means, regress
+    the hourly CHANGE on the previous LEVEL over consecutive-hour pairs,
+    and report the DF t-statistic beta_hat/se(beta_hat) with the 5%
+    stationarity verdict (df < -2.86). A near-zero beta means shocks
+    persist (unit root -> difference before forecasting); strongly
+    negative means mean-reverting — the standard pre-flight check before
+    `ts_holt_linear` / `ts_backtest_seasonal_naive` trust a level.
+
+    Exactness: hourly means are decimal-exact-sum/count doubles
+    (identical cross-engine), quantized onto the 1e-9 grid so all five
+    moment sums are exact integers (order-invariant; HUGEINT/decimal38
+    products) — the closed-form beta/SSE/t chain then runs on identical
+    doubles with identical association on both engines (the
+    `agg_ols_two_feature` discipline). The grid cancels in beta and t.
+
+    Scale shape: one map-combinable resample agg, one lag window over
+    the (channel, hour) AGGREGATE frame (bounded by channels x
+    corpus-hours, never by event rows), one map-combinable 5-moment agg,
+    closed form. Fitting a million channels is the same one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("m")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "h", "m",
+        F.lag("m").over(w).alias("mp"), F.lag("h").over(w).alias("hp"))
+    pairs = (lagged
+             .filter(F.col("mp").isNotNull()
+                     & (F.col("h") == F.col("hp")
+                        + F.expr("INTERVAL 1 HOUR")))
+             .select("event_type",
+                     F.floor(F.col("mp") * _ADF_GRID).cast("long")
+                      .alias("xq"),
+                     F.floor((F.col("m") - F.col("mp")) * _ADF_GRID)
+                      .cast("long").alias("yq")))
+    d38 = "decimal(38,0)"
+    mom = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n0"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(F.col("xq").cast(d38) * F.col("xq")).cast("double")
+         .alias("sxx"),
+        F.sum(F.col("xq").cast(d38) * F.col("yq")).cast("double")
+         .alias("sxy"),
+        F.sum(F.col("yq").cast(d38) * F.col("yq")).cast("double")
+         .alias("syy"))
+    n = F.col("n0").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sse = (syy - sy * sy / n) - beta * (sxy - sx * sy / n)
+    df_stat = beta / F.sqrt((sse / (n - F.lit(2.0)))
+                            / (sxx - sx * sx / n))
+    return (mom.filter((F.col("n0") > 2) & (n * sxx - sx * sx > 0))
+               .select("event_type",
+                       F.col("n0").cast("long").alias("n_pairs"),
+                       F.round(beta, 6).alias("beta"),
+                       F.round(df_stat, 6).alias("df_stat"),
+                       (df_stat < F.lit(_ADF_CRIT)).cast("int")
+                        .alias("stationary")))

@@ -67,6 +67,9 @@ GUARDED = [
     # lag), 6-row corpus under ntile(20) bins
     "ts_anomaly_sigma_clip", "ts_croston_sba", "feat_isotonic_calibration",
     "sample_weighted_reservoir",
+    # round-10 third wave: <= 2 consecutive-hour pairs (n > 2 filter),
+    # tiny calibration slices under the per-channel rank
+    "ts_adf_lite", "agg_conformal_interval",
 ]
 
 
@@ -146,7 +149,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-10 second wave: empty demand/bin/stats frames
                  "ts_croston_sba", "ts_anomaly_sigma_clip",
                  "feat_isotonic_calibration", "sample_weighted_reservoir",
-                 "agg_dp_laplace_counts"]
+                 "agg_dp_laplace_counts",
+                 # round-10 third wave: zero pairs / zero calibration rows
+                 "ts_adf_lite", "agg_conformal_interval"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
@@ -238,6 +243,8 @@ EMPTY_EMB_GUARDED = [
     # round-9: the two-level family additions (empty corpus -> empty
     # coarse cells, empty split counts, empty pair graph / eval row)
     "dedup_semantic_cluster_cc", "sim_twolevel_recall_eval",
+    # round-10 third wave: empty signature frame -> empty candidates
+    "sim_lsh_radius_search",
 ]
 
 

@@ -126,6 +126,10 @@ OPS = [
     "text_substring_dedup", "sample_weighted_reservoir",
     "ts_croston_sba", "ts_anomaly_sigma_clip",
     "feat_isotonic_calibration",
+    # round-10 third-wave additions (events / embeddings; the
+    # lineitem-driven graph_bfs_layers is excluded — lineitem does not
+    # scale in this corpus)
+    "ts_adf_lite", "agg_conformal_interval", "sim_lsh_radius_search",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
