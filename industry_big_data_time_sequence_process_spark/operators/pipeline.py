@@ -509,3 +509,137 @@ def pipeline_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ingested long, n_clean long, n_exact long, n_near long, "
         "n_semantic long, n_quality long, n_model long, n_decontam long, "
         "n_train long, n_val long, packed_tokens long, n_packs long")
+
+
+# ==========================================================================
+# The industrial time-series pipeline as a graded operator (round 10,
+# SURVEY.md §2.32) — the domain sibling of pipeline_corpus_audit: the
+# reference domain is industrial time-sequence processing, and THIS is
+# the chain its users actually run end to end.
+# ==========================================================================
+
+_TSP_GRID = 1000000000.0  # hourly means quantize to 1e-9 longs
+
+
+@op("pipeline_timeseries_audit", oracle=f"""
+WITH dd AS (
+    -- latest record per (user, minute): DuckDB's max_by cannot take a
+    -- composite (ts, event_id) key, so the oracle uses the equivalent
+    -- row_number pick (ts_dedup_latest's own oracle form); the Spark
+    -- side's max_by over struct(ts, event_id) selects the same row.
+    SELECT user_id, mnt, event_type, value FROM (
+        SELECT user_id, date_trunc('minute', ts) AS mnt, event_type,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('minute', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+), hourly AS (
+    SELECT event_type, date_trunc('hour', mnt) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS m
+    FROM dd GROUP BY event_type, date_trunc('hour', mnt)
+), spans AS (
+    SELECT event_type, datediff('hour', min(h), max(h)) + 1 AS span
+    FROM hourly GROUP BY event_type
+), q AS (
+    SELECT event_type, h,
+           CAST(floor(m * {_TSP_GRID!r}) AS BIGINT) AS mq
+    FROM hourly
+), mom AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(mq) AS DOUBLE) AS sv,
+           CAST(sum(CAST(mq AS HUGEINT) * mq) AS DOUBLE) AS svv
+    FROM q GROUP BY event_type
+), z AS (
+    SELECT q.event_type, q.h,
+           CASE WHEN m2.n > 1
+                 AND sqrt(greatest(m2.svv - m2.sv * (m2.sv / m2.n), 0.0)
+                          / (m2.n - 1)) > 0
+                THEN (q.mq - m2.sv / m2.n)
+                     / sqrt(greatest(m2.svv - m2.sv * (m2.sv / m2.n), 0.0)
+                            / (m2.n - 1))
+           END AS z
+    FROM q JOIN mom m2 USING (event_type)
+)
+SELECT
+    (SELECT count(*) FROM events) AS n_raw,
+    (SELECT count(*) FROM dd) AS n_deduped,
+    (SELECT count(*) FROM hourly) AS n_hourly_points,
+    CAST((SELECT sum(span) FROM spans)
+         - (SELECT count(*) FROM hourly) AS BIGINT) AS n_gap_hours,
+    (SELECT count(*) FROM z WHERE abs(z) > 3.0) AS n_anomalies_3sigma,
+    (SELECT count(*) FROM z WHERE abs(z) > 2.0) AS n_warn_2sigma,
+    (SELECT count(*) FROM (SELECT DISTINCT event_type,
+                                  date_trunc('day', h) FROM hourly))
+        AS n_daily_rows
+""", tier=3, section="2.32")
+def pipeline_timeseries_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END industrial time-series pipeline audit — the domain
+    sibling of `pipeline_corpus_audit`: sensor dedup (latest record per
+    (user, minute), the `ts_dedup_latest` discipline) -> hourly-mean
+    resample per channel (`ts_resample_1h`) -> coverage/gap accounting
+    against each channel's own [first, last]-hour span
+    (`ts_gap_fill_ffill`'s grid) -> z-score anomaly screen over the
+    hourly means (`ts_anomaly_zscore`, decimal-exact quantized moments)
+    -> daily rollup row count (`ts_kpi_daily_rollup`), emitted as ONE
+    exact-oracled row of per-stage counts. The driver value-hashes the
+    COMPOSITION: any drift between a stage here and its stand-alone
+    operator's semantics mismatches the row.
+
+    Unlike the corpus audit (whose stage frames are cache()+count()ed),
+    this chain is ONE fully declarative plan — every stage count is a
+    1-row aggregate cross-joined into the audit row, so Catalyst sees
+    the whole pipeline and the driver pays a single job.
+
+    Scale shape: dedup is one (user, minute)-keyed map-combinable
+    max_by agg; the resample is the standard (channel, hour) hash agg;
+    gap math and the anomaly moments run on the HOURLY frame (bounded
+    by channels x corpus-hours); every audit count is a map-combinable
+    global aggregate. No windows, no driver loops, no collects."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    dd = (ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("mnt"))
+            .agg(F.max_by("event_type", key).alias("event_type"),
+                 F.max_by("value", key).alias("value")))
+    hourly = (dd.groupBy("event_type", F.date_trunc("hour", "mnt").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("m")))
+    spans = (hourly.groupBy("event_type")
+                   .agg(((F.max("h").cast("long") - F.min("h").cast("long"))
+                         / F.lit(3600) + F.lit(1)).cast("long")
+                        .alias("span")))
+    q = hourly.select("event_type", "h",
+                      F.floor(F.col("m") * _TSP_GRID).cast("long")
+                       .alias("mq"))
+    d38 = "decimal(38,0)"
+    mom = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("mq").cast("double").alias("sv"),
+        F.sum(F.col("mq").cast(d38) * F.col("mq")).cast("double")
+         .alias("svv"))
+    mean = F.col("sv") / F.col("n")
+    sd = F.sqrt(F.greatest(F.col("svv") - F.col("sv") * mean, F.lit(0.0))
+                / (F.col("n") - F.lit(1)))
+    zc = F.when((F.col("n") > 1) & (sd > 0), (F.col("mq") - mean) / sd)
+    z = q.join(F.broadcast(mom), "event_type").select(zc.alias("z"))
+    one = lambda df, col, name: df.agg(col.alias(name))  # noqa: E731
+    return (
+        one(ev, F.count("*").cast("long"), "n_raw")
+        .crossJoin(one(dd, F.count("*").cast("long"), "n_deduped"))
+        .crossJoin(one(hourly, F.count("*").cast("long"),
+                       "n_hourly_points"))
+        .crossJoin(
+            one(spans.crossJoin(hourly.agg(F.count("*").alias("np"))
+                                .select("np")),
+                (F.sum("span") - F.first("np")).cast("long"),
+                "n_gap_hours"))
+        .crossJoin(one(z, F.sum((F.abs("z") > 3.0).cast("long"))
+                       .cast("long"), "n_anomalies_3sigma"))
+        .crossJoin(one(z, F.sum((F.abs("z") > 2.0).cast("long"))
+                       .cast("long"), "n_warn_2sigma"))
+        .crossJoin(one(hourly.select("event_type",
+                                     F.date_trunc("day", "h").alias("d"))
+                       .distinct(),
+                       F.count("*").cast("long"), "n_daily_rows")))

@@ -7801,3 +7801,98 @@ def ts_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(df_stat, 6).alias("df_stat"),
                        (df_stat < F.lit(_ADF_CRIT)).cast("int")
                         .alias("stationary")))
+
+
+_RCORR_W = 24               # rolling window: 24 joint hourly observations
+_RCORR_A = "click"          # channel pair under test
+_RCORR_B = "purchase"
+_RCORR_GRID = 1000000000.0  # hourly means quantize to 1e-9 longs
+
+
+@op("ts_rolling_corr_pair", oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS m
+    FROM events WHERE event_type IN ('{_RCORR_A}', '{_RCORR_B}')
+    GROUP BY event_type, date_trunc('hour', ts)
+), joint AS (
+    SELECT a.h,
+           CAST(floor(a.m * {_RCORR_GRID!r}) AS BIGINT) AS xq,
+           CAST(floor(b.m * {_RCORR_GRID!r}) AS BIGINT) AS yq
+    FROM hourly a JOIN hourly b ON b.h = a.h
+    WHERE a.event_type = '{_RCORR_A}' AND b.event_type = '{_RCORR_B}'
+), roll AS (
+    SELECT h,
+           count(*) OVER w AS nw,
+           CAST(sum(xq) OVER w AS DOUBLE) AS sx,
+           CAST(sum(yq) OVER w AS DOUBLE) AS sy,
+           CAST(sum(CAST(xq AS HUGEINT) * xq) OVER w AS DOUBLE) AS sxx,
+           CAST(sum(CAST(xq AS HUGEINT) * yq) OVER w AS DOUBLE) AS sxy,
+           CAST(sum(CAST(yq AS HUGEINT) * yq) OVER w AS DOUBLE) AS syy
+    FROM joint
+    WINDOW w AS (ORDER BY h ROWS BETWEEN {_RCORR_W - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT h AS hour,
+       round(CASE WHEN ({_RCORR_W}.0 * sxx - sx * sx)
+                       * ({_RCORR_W}.0 * syy - sy * sy) > 0
+                  THEN ({_RCORR_W}.0 * sxy - sx * sy)
+                       / sqrt(({_RCORR_W}.0 * sxx - sx * sx)
+                              * ({_RCORR_W}.0 * syy - sy * sy))
+             END, 6) AS rolling_corr
+FROM roll WHERE nw = {_RCORR_W}
+""", tier=3, section="2.32")
+def ts_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING cross-channel correlation: the trailing-24-joint-hour
+    Pearson correlation between the click and purchase hourly-mean
+    series — the time-RESOLVED counterpart of the static
+    `ts_channel_corr_matrix` (a regime change shows up as the rolling
+    curve breaking, which one whole-corpus number can never show).
+
+    Exactness: hourly means are decimal-exact-sum/count doubles
+    quantized onto the 1e-9 grid, so all five rolling sums are exact
+    integers (order-invariant; HUGEINT/decimal38 products) and the
+    correlation is an identical IEEE evaluation on both engines; the
+    grid cancels in the ratio. Zero-variance windows emit NULL (the
+    `exprs.safe_corr` discipline), and only full 24-observation windows
+    emit at all.
+
+    Scale shape: one map-combinable resample agg to the (channel, hour)
+    frame, one hour-keyed self-join (2 rows per hour), and one rolling
+    window over the JOINT HOURLY frame — bounded by corpus hours, never
+    by event rows. For a million channel pairs the same plan runs with
+    (pair) as the window partition key."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.filter(F.col("event_type").isin(_RCORR_A, _RCORR_B))
+                .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+                .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("m")))
+    qa = (hourly.filter(F.col("event_type") == _RCORR_A)
+                .select("h", F.floor(F.col("m") * _RCORR_GRID).cast("long")
+                        .alias("xq")))
+    qb = (hourly.filter(F.col("event_type") == _RCORR_B)
+                .select("h", F.floor(F.col("m") * _RCORR_GRID).cast("long")
+                        .alias("yq")))
+    joint = qa.join(qb, "h")
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("h").rowsBetween(-(_RCORR_W - 1), 0)
+    roll = joint.select(
+        "h",
+        F.count("*").over(w).alias("nw"),
+        F.sum("xq").over(w).cast("double").alias("sx"),
+        F.sum("yq").over(w).cast("double").alias("sy"),
+        F.sum(F.col("xq").cast(d38) * F.col("xq")).over(w).cast("double")
+         .alias("sxx"),
+        F.sum(F.col("xq").cast(d38) * F.col("yq")).over(w).cast("double")
+         .alias("sxy"),
+        F.sum(F.col("yq").cast(d38) * F.col("yq")).over(w).cast("double")
+         .alias("syy"))
+    nw = F.lit(float(_RCORR_W))
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    varp = (nw * sxx - sx * sx) * (nw * syy - sy * sy)
+    corr = F.when(varp > 0, (nw * sxy - sx * sy) / F.sqrt(varp))
+    return (roll.filter(F.col("nw") == _RCORR_W)
+                .select(F.col("h").alias("hour"),
+                        F.round(corr, 6).alias("rolling_corr")))

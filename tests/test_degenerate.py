@@ -70,6 +70,9 @@ GUARDED = [
     # round-10 third wave: <= 2 consecutive-hour pairs (n > 2 filter),
     # tiny calibration slices under the per-channel rank
     "ts_adf_lite", "agg_conformal_interval",
+    # round-10 fourth wave: single-point channels (sd undefined -> z
+    # NULL), < 24 joint hours (no full window)
+    "pipeline_timeseries_audit", "ts_rolling_corr_pair",
 ]
 
 
@@ -151,7 +154,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "feat_isotonic_calibration", "sample_weighted_reservoir",
                  "agg_dp_laplace_counts",
                  # round-10 third wave: zero pairs / zero calibration rows
-                 "ts_adf_lite", "agg_conformal_interval"]
+                 "ts_adf_lite", "agg_conformal_interval",
+                 # round-10 fourth wave: empty stage frames end to end
+                 "pipeline_timeseries_audit", "ts_rolling_corr_pair"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -130,6 +130,8 @@ OPS = [
     # lineitem-driven graph_bfs_layers is excluded — lineitem does not
     # scale in this corpus)
     "ts_adf_lite", "agg_conformal_interval", "sim_lsh_radius_search",
+    # round-10 fourth-wave additions (events)
+    "pipeline_timeseries_audit", "ts_rolling_corr_pair",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
