@@ -1376,3 +1376,47 @@ def _afp_offset_pairs(pcm: DataFrame) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("n_match"),
                      frac.alias("match_frac"))
                 .filter(F.col("match_frac") >= _AOFF_FRAC))
+
+
+# ==========================================================================
+# Round-10 fifth wave (SURVEY.md §2.34)
+# ==========================================================================
+
+
+@op("mm_exact_blob_dedup", oracle="""
+WITH h AS (
+    SELECT doc_id, md5(hex(encode(text))) AS content_md5 FROM documents
+), g AS (
+    SELECT content_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM h GROUP BY content_md5
+)
+SELECT h.doc_id, h.content_md5, g.keep_id,
+       CAST(g.n_copies AS BIGINT) AS n_copies,
+       CAST(h.doc_id != g.keep_id AS INT) AS is_drop
+FROM h JOIN g USING (content_md5)
+""", tier=2, section="2.34")
+def mm_exact_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-IDENTICAL blob dedup — stage 0 of every multimodal dedup
+    pipeline, before any decode: hash the raw bytes (the
+    `mm_binary_meta` content hash), group, keep the min-id copy. The
+    content-level dedups (`mm_phash_dedup`, `mm_audio_fingerprint_dedup`,
+    `mm_video_clip_dedup`) exist precisely for what THIS op cannot see
+    (re-encoded containers, shifted audio, re-muxed video); running the
+    byte pass first removes the trivially identical mass for the cost
+    of one hash aggregate, so the expensive decode passes see each
+    unique byte string once.
+
+    One narrow map (md5 over the blob) + one map-combinable hash agg +
+    one md5-keyed equi-join back — linear at any corpus size; the
+    keeper set is never broadcast (it grows with the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id",
+                 F.md5(F.hex(F.encode("text", "utf-8")))
+                  .alias("content_md5"))
+    g = h.groupBy("content_md5").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").alias("keep_id"))
+    return (h.join(g, "content_md5")
+             .select("doc_id", "content_md5", "keep_id", "n_copies",
+                     (F.col("doc_id") != F.col("keep_id")).cast("int")
+                      .alias("is_drop")))

@@ -7896,3 +7896,160 @@ def ts_rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (roll.filter(F.col("nw") == _RCORR_W)
                 .select(F.col("h").alias("hour"),
                         F.round(corr, 6).alias("rolling_corr")))
+
+
+_BTC_GRID = 1000000000.0  # hourly means quantize to 1e-9 longs
+_BTC_FRAC = 0.8           # temporal split: first 80% of hours train
+
+
+@op("ts_backtest_champion", oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, hour(ts) AS hod,
+           CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*)) * {_BTC_GRID!r}) AS BIGINT) AS mq
+    FROM events GROUP BY event_type, date_trunc('hour', ts), hour(ts)
+), bounds AS (
+    SELECT min(h) AS h0,
+           datediff('hour', min(h), max(h)) + 1 AS span
+    FROM hourly
+), tagged AS (
+    SELECT hourly.*,
+           CAST(datediff('hour', b.h0, h)
+                < CAST(floor({_BTC_FRAC!r} * b.span) AS BIGINT) AS INT)
+               AS is_train
+    FROM hourly CROSS JOIN bounds b
+), m_naive AS (
+    SELECT event_type, max_by(mq, h) AS pred
+    FROM tagged WHERE is_train = 1 GROUP BY event_type
+), m_mean AS (
+    SELECT event_type,
+           CAST(floor(CAST(sum(mq) AS DOUBLE) / count(*)) AS BIGINT)
+               AS pred
+    FROM tagged WHERE is_train = 1 GROUP BY event_type
+), m_hod AS (
+    SELECT event_type, hod,
+           CAST(floor(CAST(sum(mq) AS DOUBLE) / count(*)) AS BIGINT)
+               AS pred
+    FROM tagged WHERE is_train = 1 GROUP BY event_type, hod
+), test AS (SELECT * FROM tagged WHERE is_train = 0),
+errs AS (
+    SELECT t.event_type,
+           abs(t.mq - n.pred) AS e_naive,
+           abs(t.mq - m.pred) AS e_mean,
+           abs(t.mq - s.pred) AS e_hod
+    FROM test t
+    JOIN m_naive n USING (event_type)
+    JOIN m_mean m USING (event_type)
+    JOIN m_hod s ON s.event_type = t.event_type AND s.hod = t.hod
+), tr AS (
+    SELECT event_type, count(*) AS n_train
+    FROM tagged WHERE is_train = 1 GROUP BY event_type
+), mae AS (
+    SELECT event_type, count(*) AS n_test,
+           CAST(sum(e_naive) AS DOUBLE) / count(*) / {_BTC_GRID!r}
+               AS mae_naive,
+           CAST(sum(e_mean) AS DOUBLE) / count(*) / {_BTC_GRID!r}
+               AS mae_mean,
+           CAST(sum(e_hod) AS DOUBLE) / count(*) / {_BTC_GRID!r}
+               AS mae_hod
+    FROM errs GROUP BY event_type
+)
+SELECT mae.event_type,
+       CAST(tr.n_train AS BIGINT) AS n_train,
+       CAST(mae.n_test AS BIGINT) AS n_test,
+       round(mae_naive, 6) AS mae_naive,
+       round(mae_mean, 6) AS mae_mean,
+       round(mae_hod, 6) AS mae_hod,
+       CASE WHEN mae_naive <= mae_mean AND mae_naive <= mae_hod
+            THEN 'naive_last'
+            WHEN mae_hod <= mae_mean THEN 'seasonal_hod'
+            ELSE 'global_mean' END AS champion
+FROM mae JOIN tr USING (event_type)
+""", tier=3, section="2.34")
+def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAMPION-CHALLENGER forecast backtest per channel — the model
+    selection workflow every industrial forecasting deployment runs:
+    split the hourly-mean series temporally (first 80% of the corpus
+    hour span trains, the rest tests), fit three closed-form
+    challengers — naive-last (last train level), global train mean, and
+    the seasonal hour-of-day profile — score each on test MAE, and name
+    the champion (ties resolve naive > seasonal > mean, the simpler
+    model winning). The missing decision layer above
+    `ts_backtest_seasonal_naive`: that op scores ONE recipe; this one
+    picks between recipes, per channel.
+
+    Exactness: hourly means quantize to 1e-9-grid longs; every model
+    prediction is itself floor-quantized back onto the grid, so all
+    error sums are exact integers (order-invariant) and the MAE
+    comparison that names the champion compares identical doubles on
+    both engines. No recursion — all three challengers are closed-form
+    aggregates, which is exactly why they are the right baseline set
+    for a distributed backtest (the recursive ones live in
+    `ts_holt_linear`/`ts_kalman_filter` with their own oracles).
+
+    Scale shape: one resample agg, one broadcast 1-row bounds frame,
+    three map-combinable per-channel model aggs (the hod model is
+    channel x 24 rows), one broadcast model join onto the test slice,
+    one error agg. A million channels: same plan, same five shuffles."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"),
+                         F.hour("ts").alias("hod"))
+                .agg(F.floor((F.sum(F.col("value").cast("decimal(18,2)"))
+                              .cast("double") / F.count("*"))
+                             * F.lit(_BTC_GRID)).cast("long").alias("mq")))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"),
+        ((F.max("h").cast("long") - F.min("h").cast("long")) / F.lit(3600)
+         + F.lit(1)).cast("long").alias("span"))
+    off = (F.col("h").cast("long") - F.col("h0").cast("long")) / F.lit(3600)
+    tagged = (hourly.crossJoin(F.broadcast(bounds))
+                    .withColumn("is_train",
+                                (off < F.floor(F.lit(_BTC_FRAC)
+                                               * F.col("span")))
+                                .cast("int"))
+                    .drop("h0", "span"))
+    train = tagged.filter(F.col("is_train") == 1)
+    m_naive = train.groupBy("event_type").agg(
+        F.max_by("mq", "h").alias("p_naive"))
+    m_mean = train.groupBy("event_type").agg(
+        F.floor(F.sum("mq").cast("double") / F.count("*")).cast("long")
+         .alias("p_mean"))
+    m_hod = train.groupBy("event_type", "hod").agg(
+        F.floor(F.sum("mq").cast("double") / F.count("*")).cast("long")
+         .alias("p_hod"))
+    tr = train.groupBy("event_type").agg(F.count("*").alias("n_train"))
+    test = tagged.filter(F.col("is_train") == 0)
+    errs = (test.join(F.broadcast(m_naive), "event_type")
+                .join(F.broadcast(m_mean), "event_type")
+                .join(F.broadcast(m_hod), ["event_type", "hod"])
+                .select("event_type",
+                        F.abs(F.col("mq") - F.col("p_naive"))
+                         .alias("e_naive"),
+                        F.abs(F.col("mq") - F.col("p_mean"))
+                         .alias("e_mean"),
+                        F.abs(F.col("mq") - F.col("p_hod"))
+                         .alias("e_hod")))
+    g = F.lit(_BTC_GRID)
+    mae = errs.groupBy("event_type").agg(
+        F.count("*").alias("n_test"),
+        (F.sum("e_naive").cast("double") / F.count("*") / g)
+        .alias("mae_naive"),
+        (F.sum("e_mean").cast("double") / F.count("*") / g)
+        .alias("mae_mean"),
+        (F.sum("e_hod").cast("double") / F.count("*") / g)
+        .alias("mae_hod"))
+    champ = (F.when((F.col("mae_naive") <= F.col("mae_mean"))
+                    & (F.col("mae_naive") <= F.col("mae_hod")),
+                    F.lit("naive_last"))
+              .when(F.col("mae_hod") <= F.col("mae_mean"),
+                    F.lit("seasonal_hod"))
+              .otherwise(F.lit("global_mean")))
+    return (mae.join(F.broadcast(tr), "event_type")
+               .select("event_type",
+                       F.col("n_train").cast("long").alias("n_train"),
+                       F.col("n_test").cast("long").alias("n_test"),
+                       F.round("mae_naive", 6).alias("mae_naive"),
+                       F.round("mae_mean", 6).alias("mae_mean"),
+                       F.round("mae_hod", 6).alias("mae_hod"),
+                       champ.alias("champion")))

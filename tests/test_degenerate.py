@@ -73,6 +73,8 @@ GUARDED = [
     # round-10 fourth wave: single-point channels (sd undefined -> z
     # NULL), < 24 joint hours (no full window)
     "pipeline_timeseries_audit", "ts_rolling_corr_pair",
+    # round-10 fifth wave: 6-row corpus -> tiny/empty test slices
+    "ts_backtest_champion",
 ]
 
 
@@ -156,7 +158,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-10 third wave: zero pairs / zero calibration rows
                  "ts_adf_lite", "agg_conformal_interval",
                  # round-10 fourth wave: empty stage frames end to end
-                 "pipeline_timeseries_audit", "ts_rolling_corr_pair"]
+                 "pipeline_timeseries_audit", "ts_rolling_corr_pair",
+                 # round-10 fifth wave: empty train/test slices
+                 "ts_backtest_champion"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
@@ -205,6 +209,8 @@ EMPTY_DOCS_GUARDED = [
     "doc_pack_nextfit_bpe", "stream_quality_scores",
     # round-10 second wave: zero docs -> zero windows, NULL-free output
     "text_substring_dedup",
+    # round-10 fifth wave: zero blobs -> empty hash groups
+    "mm_exact_blob_dedup",
 ]
 
 

@@ -480,3 +480,83 @@ def test_audio_fingerprint_single_arrow_pcm_pass(spark):
                        plan, re.M)
     assert len(nodes) <= 1, f"Python decode duplicated: {nodes}"
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round-10 second/third/fourth/fifth wave plan pins
+# --------------------------------------------------------------------------
+
+
+def test_substring_dedup_scan_pruned_and_hash_joined(spark):
+    """text_substring_dedup reads exactly (doc_id, text) — windows
+    collapse to the 32-bit hash before any exchange — and the dup-set
+    attach is a hash equi-join on wh, never a nested loop (the dup set
+    grows with the corpus, so it must NEVER broadcast-nested-loop)."""
+    plan = _plan(spark, "text_substring_dedup")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("text" in s for s in schemas)
+    assert all("n_chars" not in s and "source" not in s and
+               "lang" not in s for s in schemas), schemas
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sigma_clip_no_windows_stats_broadcast(spark):
+    """ts_anomaly_sigma_clip's three rounds are pure aggregates: NO
+    window operator anywhere (the argmax is a map-combinable max_by),
+    and the per-channel stats frames attach by broadcast."""
+    plan = _plan(spark, "ts_anomaly_sigma_clip")
+    assert "(Window" not in plan and "WindowExec" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_conformal_model_broadcast(spark):
+    """agg_conformal_interval's (channel x 24) forecast frame and the
+    per-channel quantile row both attach to fact rows by broadcast —
+    the calibration slice never shuffles to meet a model."""
+    plan = _plan(spark, "agg_conformal_interval")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_radius_search_candidate_join_is_hash_keyed(spark):
+    """sim_lsh_radius_search joins query and corpus signatures on
+    (band, bucket) — a hash equi-join; a plan regression to a nested
+    loop there would be the all-pairs scan the LSH exists to avoid.
+    (The only NestedLoop joins allowed are `_lsh_bands`' broadcast
+    crosses of the 1-row bit-count frame — the semantic-pair pin's
+    convention.)"""
+    plan = _plan(spark, "sim_lsh_radius_search")
+    assert re.search(r"keys \[2\]: \[band#\d+, bucket#\d+L?\]", plan), (
+        "candidate join is not hash-keyed on (band, bucket)")
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_ts_audit_no_windows_no_python(spark):
+    """pipeline_timeseries_audit is ONE fully declarative plan: no
+    window operators (the dedup is a max_by aggregate), no Python
+    stages, and the anomaly-stats frame attaches by broadcast."""
+    plan = _plan(spark, "pipeline_timeseries_audit")
+    assert "(Window" not in plan and "WindowExec" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_adf_scan_pruned(spark):
+    """ts_adf_lite reads exactly (ts, event_type, value): the moment
+    pipeline never touches event_id/user_id/props."""
+    plan = _plan(spark, "ts_adf_lite")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"ts", "event_type", "value"}, cols
+
+
+def test_backtest_champion_models_broadcast(spark):
+    """ts_backtest_champion's three challenger model frames are all
+    broadcast onto the test slice (per-channel / channel x 24 rows —
+    never a shuffle of the hourly frame to meet a model)."""
+    plan = _plan(spark, "ts_backtest_champion")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # NestedLoop crosses of the 1-row bounds frame are the designed
+    # broadcast; a CartesianProduct between real frames is not.
+    assert "CartesianProduct" not in plan

@@ -132,6 +132,8 @@ OPS = [
     "ts_adf_lite", "agg_conformal_interval", "sim_lsh_radius_search",
     # round-10 fourth-wave additions (events)
     "pipeline_timeseries_audit", "ts_rolling_corr_pair",
+    # round-10 fifth-wave additions (documents / events)
+    "mm_exact_blob_dedup", "ts_backtest_champion",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
