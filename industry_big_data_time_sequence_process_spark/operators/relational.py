@@ -5780,12 +5780,17 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .groupBy("event_type", "hod")
                    .agg((F.sum(F.col("value").cast("decimal(18,2)"))
                          .cast("double") / F.count("*")).alias("pred")))
+    # The calibration residual frame feeds FOUR consumers (sizes, the
+    # two-phase rank's counts + tagged sides, coverage); localCheckpoint
+    # materializes the narrow 3-column slice once instead of re-deriving
+    # model+join per branch (measured 32 parquet scans before, 2 after).
     cal = (tagged.filter(F.col("slice") == 0)
                  .join(F.broadcast(model), ["event_type", "hod"])
                  .select("event_type", "event_id",
                          F.floor(F.abs(F.col("value") - F.col("pred"))
                                  * F.lit(_CONF_GRID)).cast("long")
-                          .alias("rq")))
+                          .alias("rq"))
+                 .localCheckpoint())
     sized = cal.groupBy("event_type").agg(
         F.count("*").alias("n_cal"),
         F.least(F.ceil(F.lit(_CONF_ALPHA) * (F.count("*") + F.lit(1))),

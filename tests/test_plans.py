@@ -500,13 +500,18 @@ def test_substring_dedup_scan_pruned_and_hash_joined(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
-def test_sigma_clip_no_windows_stats_broadcast(spark):
+def test_sigma_clip_no_windows_checkpointed_rounds(spark):
     """ts_anomaly_sigma_clip's three rounds are pure aggregates: NO
     window operator anywhere (the argmax is a map-combinable max_by),
-    and the per-channel stats frames attach by broadcast."""
+    and the returned frame unions the per-round localCheckpointed
+    removal sets — the final plan is scan-free (each round's 2 fact
+    scans ran eagerly at build; the naive nested unroll measured 52
+    scan nodes)."""
     plan = _plan(spark, "ts_anomaly_sigma_clip")
     assert "(Window" not in plan and "WindowExec" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Scan parquet" not in plan, (
+        "rounds are re-deriving lineage instead of reading checkpoints")
+    assert "ExistingRDD" in plan
 
 
 def test_conformal_model_broadcast(spark):
