@@ -539,3 +539,118 @@ def compact_parquet_tree(spark: SparkSession, staged: str,
         "files_bounded": int(n_files <= target_files
                              and (n_files > 0 or b["n"] == 0)),
     }
+
+
+# ==========================================================================
+# Round-10 sixth wave (SURVEY.md §2.35)
+# ==========================================================================
+
+#: Commits of the transaction-log demo: version -> (adds, removes) of
+#: COMMIT DIRECTORIES (the log tracks whole immutable commit dirs, so
+#: snapshot resolution is pure set arithmetic over the manifests —
+#: parquet part-file names inside a commit are engine-chosen and never
+#: appear in the log).
+_TXN_COMMITS = {
+    1: (["v1"], []),          # initial load: event_id % 3 == 0
+    2: (["v2"], []),          # append:       event_id % 3 == 1
+    3: (["v3"], ["v1"]),      # rewrite v1's rows into v3, retire v1
+}
+
+
+@op("sink_txn_log_snapshot", oracle="""
+SELECT CAST(1 AS INT) AS version, CAST(1 AS BIGINT) AS n_active_commits,
+       (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS n_rows,
+       CAST(1 AS INT) AS rewrite_preserves_content
+UNION ALL
+SELECT CAST(2 AS INT), CAST(2 AS BIGINT),
+       (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1)),
+       CAST(1 AS INT)
+UNION ALL
+SELECT CAST(3 AS INT), CAST(2 AS BIGINT),
+       (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1)),
+       CAST(1 AS INT)
+""", tier=3, section="2.35")
+def sink_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-LOG table format with TIME TRAVEL — the lakehouse
+    primitive (Delta/Iceberg's core idea) in ~50 lines of engine: a
+    table is an append-only log of commits, each commit adds/removes
+    immutable data directories, and snapshot(v) is the set-arithmetic
+    resolution of manifests 1..v. Three commits stage here: v1 loads a
+    third of the events, v2 appends another third, v3 REWRITES v1's
+    rows into a fresh commit and retires v1 (the compaction shape).
+    The op then TIME-TRAVEL-READS every version and emits one audit
+    row per snapshot: active commit count, row count, and the proof
+    that the v3 rewrite preserved v2's content exactly (the
+    order-invariant per-row md5-sum identity, NULL-sentinel encoded —
+    `compact_parquet_tree`'s discipline).
+
+    The DuckDB oracle states each snapshot's row count directly from
+    the source slices and pins the content proof at 1 — a log
+    resolution bug (reading a retired commit, missing an add, a lossy
+    rewrite) mismatches the row.
+
+    Scale shape: manifests are driver-side JSON (3 tiny files — the
+    log IS driver-scale metadata, that's the design's point); data
+    commits are ordinary distributed parquet writes; each snapshot
+    read is one multi-dir parquet scan with the log resolving WHICH
+    dirs, so time travel costs nothing at read time beyond listing.
+    Idempotent: every stage overwrites (re-run after a crash rewrites
+    the same bytes)."""
+    import json as _json
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_log_snapshot")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    slices = {
+        "v1": ev.filter(F.col("event_id") % 3 == 0),
+        "v2": ev.filter(F.col("event_id") % 3 == 1),
+    }
+    slices["v1"].repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    slices["v2"].repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2"))
+    # v3 = the rewrite commit: re-read v1's committed bytes and rewrite
+    v1_back = spark.read.schema(ev.schema).parquet(os.path.join(data, "v1"))
+    v1_back.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v3"))
+    for v, (adds, removes) in _TXN_COMMITS.items():
+        with open(os.path.join(log, f"{v}.json"), "w") as f:
+            _json.dump({"version": v, "add": adds, "remove": removes}, f)
+
+    def active(version: int) -> list[str]:
+        dirs: set[str] = set()
+        for v in range(1, version + 1):
+            with open(os.path.join(log, f"{v}.json")) as f:
+                c = _json.load(f)
+            dirs |= set(c["add"])
+            dirs -= set(c["remove"])
+        return sorted(dirs)
+
+    def canon(df: DataFrame):
+        cols = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                      for c in sorted(df.columns)])
+        h = (F.conv(F.substring(F.md5(cols), 1, 15), 16, 10)
+             .cast("decimal(38,0)"))
+        return df.agg(F.count("*").alias("n"), F.sum(h).alias("hsum"))
+
+    snaps = {}
+    for v in sorted(_TXN_COMMITS):
+        dirs = active(v)
+        snap = spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d) for d in dirs])
+        r = canon(snap).collect()[0]
+        snaps[v] = (len(dirs), int(r["n"]), r["hsum"])
+    rewrite_ok = int(snaps[3][1] == snaps[2][1]
+                     and snaps[3][2] == snaps[2][2])
+    return spark.createDataFrame(
+        [(v, snaps[v][0], snaps[v][1], 1 if v < 3 else rewrite_ok)
+         for v in sorted(snaps)],
+        "version int, n_active_commits long, n_rows long, "
+        "rewrite_preserves_content int")

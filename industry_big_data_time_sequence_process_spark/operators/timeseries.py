@@ -8067,3 +8067,110 @@ def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("mae_mean", 6).alias("mae_mean"),
                        F.round("mae_hod", 6).alias("mae_hod"),
                        champ.alias("champion")))
+
+
+_MK_GRID = 1000000000.0  # daily means quantize to 1e-9 longs
+_MK_Z = 1.96             # two-sided 5% normal critical value
+
+
+@op("ts_mann_kendall", oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*)) * {_MK_GRID!r}) AS BIGINT) AS mq
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), s AS (
+    SELECT a.event_type,
+           CAST(sum(CASE WHEN b.mq > a.mq THEN 1
+                         WHEN b.mq < a.mq THEN -1 ELSE 0 END)
+                AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.d > a.d
+    GROUP BY a.event_type
+), nn AS (
+    SELECT event_type, count(*) AS n FROM daily GROUP BY event_type
+), ties AS (
+    SELECT event_type,
+           CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_adj
+    FROM (SELECT event_type, mq, count(*) AS t FROM daily
+          GROUP BY event_type, mq)
+    WHERE t > 1 GROUP BY event_type
+), var_s AS (
+    SELECT nn.event_type, nn.n, s.s_stat,
+           (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+            - coalesce(t.tie_adj, 0)) / 18.0 AS v
+    FROM nn JOIN s USING (event_type)
+    LEFT JOIN ties t ON t.event_type = nn.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, s_stat,
+       round(v, 6) AS var_s,
+       round(CASE WHEN v > 0 AND s_stat > 0 THEN (s_stat - 1) / sqrt(v)
+                  WHEN v > 0 AND s_stat < 0 THEN (s_stat + 1) / sqrt(v)
+                  WHEN v > 0 THEN 0.0 END, 6) AS z,
+       CAST(abs(CASE WHEN v > 0 AND s_stat > 0
+                     THEN (s_stat - 1) / sqrt(v)
+                     WHEN v > 0 AND s_stat < 0
+                     THEN (s_stat + 1) / sqrt(v)
+                     WHEN v > 0 THEN 0.0 END) > {_MK_Z!r} AS INT)
+           AS trend_significant
+FROM var_s
+""", tier=3, section="2.35")
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per channel (the nonparametric standard
+    for monotone-trend detection in environmental/industrial
+    monitoring; Mann 1945, Kendall 1975): S = Σ_(i<j) sign(m_j − m_i)
+    over the DAILY mean series, tie-adjusted normal variance
+    var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-corrected
+    z = (S∓1)/√var, and the 5% two-sided verdict. The significance
+    half that `ts_theil_sen`'s slope estimate lacks, and the monotone
+    complement of the `ts_adf_lite` stationarity screen (a unit root
+    wanders; MK asks whether it wanders UP).
+
+    Exactness: daily means are decimal-exact doubles quantized onto the
+    1e-9 grid — S, n and the tie correction are exact integers, so z is
+    an identical IEEE evaluation on both engines; round(·,6) cosmetic.
+
+    Scale shape: one map-combinable daily resample, then the pair
+    aggregation runs on the DAILY AGGREGATE frame — candidate volume is
+    days²/2 per channel (bounded by the calendar, not by event rows;
+    ~6.6M pairs per channel even at a 10-year retention) via a
+    channel-keyed equi-join, never a fact self-join. The tie table is
+    one more hash agg on the same frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+               .agg(F.floor((F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double") / F.count("*"))
+                            * F.lit(_MK_GRID)).cast("long").alias("mq"))
+               .localCheckpoint())  # 4 consumers; (channels x days) rows
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (F.when(F.col("b.mq") > F.col("a.mq"), 1)
+            .when(F.col("b.mq") < F.col("a.mq"), -1).otherwise(0))
+    s = (a.join(b, (F.col("b.event_type") == F.col("a.event_type"))
+                & (F.col("b.d") > F.col("a.d")))
+          .groupBy(F.col("a.event_type").alias("event_type"))
+          .agg(F.sum(sgn).cast("long").alias("s_stat")))
+    nn = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    t = F.col("t")
+    ties = (daily.groupBy("event_type", "mq")
+                 .agg(F.count("*").alias("t"))
+                 .filter(t > 1)
+                 .groupBy("event_type")
+                 .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)),
+                                 F.lit(0)).cast("long").alias("tie_adj")))
+    j = (nn.join(s, "event_type")
+           .join(ties, "event_type", "left"))
+    v = ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+          - F.coalesce(F.col("tie_adj"), F.lit(0))) / F.lit(18.0))
+    sS = F.col("s_stat")
+    z = (F.when((v > 0) & (sS > 0), (sS - 1) / F.sqrt(v))
+          .when((v > 0) & (sS < 0), (sS + 1) / F.sqrt(v))
+          .when(v > 0, F.lit(0.0)))
+    return j.select("event_type",
+                    F.col("n").cast("long").alias("n_days"),
+                    "s_stat",
+                    F.round(v, 6).alias("var_s"),
+                    F.round(z, 6).alias("z"),
+                    (F.abs(z) > _MK_Z).cast("int")
+                     .alias("trend_significant"))

@@ -75,6 +75,8 @@ GUARDED = [
     "pipeline_timeseries_audit", "ts_rolling_corr_pair",
     # round-10 fifth wave: 6-row corpus -> tiny/empty test slices
     "ts_backtest_champion",
+    # round-10 sixth wave: all-ties var-0 NULL path, tiny commits
+    "ts_mann_kendall", "sink_txn_log_snapshot",
 ]
 
 
@@ -160,7 +162,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-10 fourth wave: empty stage frames end to end
                  "pipeline_timeseries_audit", "ts_rolling_corr_pair",
                  # round-10 fifth wave: empty train/test slices
-                 "ts_backtest_champion"]
+                 "ts_backtest_champion",
+                 # round-10 sixth wave: zero pairs / fileless commits
+                 "ts_mann_kendall", "sink_txn_log_snapshot"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -134,6 +134,8 @@ OPS = [
     "pipeline_timeseries_audit", "ts_rolling_corr_pair",
     # round-10 fifth-wave additions (documents / events)
     "mm_exact_blob_dedup", "ts_backtest_champion",
+    # round-10 sixth-wave additions (events)
+    "ts_mann_kendall", "sink_txn_log_snapshot",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
