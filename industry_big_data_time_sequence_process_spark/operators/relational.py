@@ -5877,3 +5877,75 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return result.select(F.col("p").alias("part"),
                          F.col("layer").cast("int").alias("layer"))
+
+
+# ==========================================================================
+# Round-10 seventh wave (SURVEY.md §2.36)
+# ==========================================================================
+
+
+@op("dq_sequence_islands", oracle="""
+WITH s AS (
+    SELECT event_id,
+           event_id - row_number() OVER (ORDER BY event_id) AS g
+    FROM events WHERE event_type = 'click'
+), isl AS (
+    SELECT g, min(event_id) AS start_id, max(event_id) AS end_id,
+           count(*) AS island_len
+    FROM s GROUP BY g
+)
+SELECT CAST(row_number() OVER (ORDER BY start_id) AS INT) AS island_id,
+       start_id, end_id, CAST(island_len AS BIGINT) AS island_len,
+       lead(start_id) OVER (ORDER BY start_id) - end_id - 1 AS gap_after
+FROM isl
+""", tier=3, section="2.36")
+def dq_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS audit over an expected-monotone id sequence —
+    the classic ingestion-completeness question ("which id ranges did
+    we actually receive, and how big are the holes?"), asked here of
+    the click stream's event_ids: consecutive ids group into islands
+    via the id − rank invariant (constant exactly within a gap-free
+    run), each island reports its [start, end] range, length, and the
+    gap to the next island. `dq_load_anomaly`/`dq_volume_anomaly`
+    count WHAT arrived per window; this op names precisely WHICH id
+    ranges are missing — the shape a backfill job consumes.
+
+    Exactness: everything is integer arithmetic on ids; both engines
+    compute the identical rank under the total (event_id) order.
+
+    Scale shape: NO unpartitioned window anywhere, not even over the
+    island table — in the adversarial fully-fragmented case (every id
+    isolated) islands are AS NUMEROUS AS ROWS, so "it's only the
+    island table" is not a bound. Both ranks are the exact two-phase
+    `api.bucketed_global_rank` (id-range buckets); islands are one
+    map-combinable hash agg on the id − rank invariant; and the
+    next-island start attaches by an rn+1 EQUI-JOIN back to the ranked
+    stream (each island's last member has rank end_id − g, so the
+    element ranked one higher IS the next island's first id) instead
+    of a lead window. The oracle uses the plain row_number/lead form —
+    value-identical."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click").select("event_id")
+    ranked = api.bucketed_global_rank(
+        ev, F.floor(F.col("event_id") / F.lit(1024)), [F.col("event_id")],
+        rank_name="rn").localCheckpoint()  # feeds islands + the rn+1 probe
+    isl = (ranked.select("event_id",
+                         (F.col("event_id") - F.col("rn")).alias("g"))
+                 .groupBy("g")
+                 .agg(F.min("event_id").alias("start_id"),
+                      F.max("event_id").alias("end_id"),
+                      F.count("*").alias("island_len")))
+    isl = api.bucketed_global_rank(
+        isl, F.floor(F.col("start_id") / F.lit(1024)),
+        [F.col("start_id")], rank_name="island_rank",
+        broadcast_offsets=False)
+    nxt = ranked.select(F.col("rn").alias("next_rn"),
+                        F.col("event_id").alias("next_start"))
+    return (isl.join(nxt,
+                     F.col("next_rn") == F.col("end_id") - F.col("g")
+                     + F.lit(1), "left")
+               .select(F.col("island_rank").cast("int").alias("island_id"),
+                       "start_id", "end_id",
+                       F.col("island_len").cast("long").alias("island_len"),
+                       (F.col("next_start") - F.col("end_id") - F.lit(1))
+                       .alias("gap_after")))

@@ -77,6 +77,8 @@ GUARDED = [
     "ts_backtest_champion",
     # round-10 sixth wave: all-ties var-0 NULL path, tiny commits
     "ts_mann_kendall", "sink_txn_log_snapshot",
+    # round-10 seventh wave: 3-click degenerate stream, empty probe side
+    "dq_sequence_islands",
 ]
 
 
@@ -164,7 +166,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-10 fifth wave: empty train/test slices
                  "ts_backtest_champion",
                  # round-10 sixth wave: zero pairs / fileless commits
-                 "ts_mann_kendall", "sink_txn_log_snapshot"]
+                 "ts_mann_kendall", "sink_txn_log_snapshot",
+                 # round-10 seventh wave: zero islands
+                 "dq_sequence_islands"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -79,3 +79,53 @@ def test_txn_log_snapshots_and_idempotency(spark):
     rows2 = sorted(REGISTRY["sink_txn_log_snapshot"].fn(spark, SF_T2)
                    .collect(), key=lambda r: r["version"])
     assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+# ---------------------------------------------------------------------------
+# dq_sequence_islands (round-10 seventh wave, §2.36)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gap_corpus(tmp_path_factory):
+    """click ids 1-5, 9, 12-13 (gaps 3 and 2); other channels fill the
+    holes so the table itself is dense."""
+    click_ids = [1, 2, 3, 4, 5, 9, 12, 13]
+    other_ids = [6, 7, 8, 10, 11]
+    rows = [(i, T0 + i * 1_000_000, 1, "click", 1.0) for i in click_ids]
+    rows += [(i, T0 + i * 1_000_000, 1, "view", 1.0) for i in other_ids]
+    events = {
+        "event_id": [r[0] for r in rows],
+        "ts": [r[1] for r in rows],
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+        "props": ["{}"] * len(rows),
+    }
+    return _corpus(tmp_path_factory, "gap_corpus", events=events)
+
+
+def test_sequence_islands_planted_gaps(spark, gap_corpus):
+    rows = sorted(REGISTRY["dq_sequence_islands"].fn(spark, gap_corpus)
+                  .collect(), key=lambda r: r["island_id"])
+    got = [(r["island_id"], r["start_id"], r["end_id"], r["island_len"],
+            r["gap_after"]) for r in rows]
+    assert got == [(1, 1, 5, 5, 3), (2, 9, 9, 1, 2), (3, 12, 13, 2, None)]
+
+
+def test_sequence_islands_cover_the_click_stream(spark):
+    """Islands partition the click ids exactly: lengths sum to the
+    stream count, ranges are disjoint and ascending, and every
+    gap_after is a positive hole."""
+    rows = sorted(REGISTRY["dq_sequence_islands"].fn(spark, SF_T2)
+                  .collect(), key=lambda r: r["island_id"])
+    n_click = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_T2}/events.parquet' "
+        f"WHERE event_type = 'click'").fetchone()[0]
+    assert sum(r["island_len"] for r in rows) == n_click
+    for r in rows:
+        assert r["island_len"] == r["end_id"] - r["start_id"] + 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["gap_after"] == b["start_id"] - a["end_id"] - 1
+        assert a["gap_after"] >= 1
+    assert rows[-1]["gap_after"] is None

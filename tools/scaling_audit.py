@@ -136,6 +136,8 @@ OPS = [
     "mm_exact_blob_dedup", "ts_backtest_champion",
     # round-10 sixth-wave additions (events)
     "ts_mann_kendall", "sink_txn_log_snapshot",
+    # round-10 seventh-wave addition (events)
+    "dq_sequence_islands",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
