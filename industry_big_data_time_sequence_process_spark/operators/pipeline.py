@@ -634,9 +634,16 @@ def pipeline_timeseries_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     zc = F.when((F.col("n") > 1) & (sd > 0), (F.col("mq") - mean) / sd)
     z = q.join(F.broadcast(mom), "event_type").select(zc.alias("z"))
     one = lambda df, col, name: df.agg(col.alias(name))  # noqa: E731
+    # ADVICE r10: the sum-derived counters must be coalesced to 0 — on an
+    # EMPTY corpus F.sum over zero rows is NULL while the oracle's
+    # count(*)-style subqueries yield 0 (n_gap_hours stays un-coalesced:
+    # there the oracle's sum(span) is NULL on empty too, so both sides
+    # agree without it).
+    zero = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
     return (
         one(ev, F.count("*").cast("long"), "n_raw")
-        .crossJoin(one(hourly, F.sum("nrec").cast("long"), "n_deduped"))
+        .crossJoin(one(hourly, zero(F.sum("nrec")).cast("long"),
+                       "n_deduped"))
         .crossJoin(one(hourly, F.count("*").cast("long"),
                        "n_hourly_points"))
         .crossJoin(
@@ -644,9 +651,9 @@ def pipeline_timeseries_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 .select("np")),
                 (F.sum("span") - F.first("np")).cast("long"),
                 "n_gap_hours"))
-        .crossJoin(one(z, F.sum((F.abs("z") > 3.0).cast("long"))
+        .crossJoin(one(z, zero(F.sum((F.abs("z") > 3.0).cast("long")))
                        .cast("long"), "n_anomalies_3sigma"))
-        .crossJoin(one(z, F.sum((F.abs("z") > 2.0).cast("long"))
+        .crossJoin(one(z, zero(F.sum((F.abs("z") > 2.0).cast("long")))
                        .cast("long"), "n_warn_2sigma"))
         .crossJoin(one(hourly.select("event_type",
                                      F.date_trunc("day", "h").alias("d"))
