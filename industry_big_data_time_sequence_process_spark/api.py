@@ -398,6 +398,16 @@ def bucketed_global_rank(df: DataFrame, bucket: Column,
     once on a key it is already partitioned by for the within-bucket
     window — no extra exchange in practice), and the offsets window
     still runs over bucket cardinality, never fact rows.
+
+    Unbounded-id example (VERDICT r10): ``dq_sequence_islands`` buckets
+    a unique-id stream — a FIXED ``id div 1024`` bucket leaves the
+    offsets table Θ(n/1024) rows (linear, merely rescaled), so it
+    derives the width from the observed id range
+    (``max(1024, range div 65536)``, one bounded min/max probe) and
+    passes ``broadcast_offsets=False``: offsets stay ≤ ~65536 rows for
+    any id domain while unique ids bound the within-bucket sort at
+    ``width`` rows. Any bucket function whose cardinality tracks the
+    row count must follow that pattern.
     """
     g = list(group_cols)
     b = "__bgr_b"
