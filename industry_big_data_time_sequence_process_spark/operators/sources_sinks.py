@@ -654,3 +654,268 @@ def sink_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
          for v in sorted(snaps)],
         "version int, n_active_commits long, n_rows long, "
         "rewrite_preserves_content int")
+
+
+# ==========================================================================
+# Round-11 wave (SURVEY.md §2.37): the transaction log grows MERGE,
+# optimistic-concurrency conflict detection, and VACUUM — the three
+# operations a lakehouse user reaches for right after time travel
+# (VERDICT r10 "what's missing" #1).
+# ==========================================================================
+
+
+class TxnConflictError(RuntimeError):
+    """A concurrent writer already committed this version — the caller's
+    snapshot is stale; re-read the table and retry the transaction."""
+
+
+def txn_commit(log_dir: str, version: int, adds: list[str],
+               removes: list[str]) -> None:
+    """OPTIMISTIC-CONCURRENCY commit: atomically create
+    ``{version}.json`` in the log directory. Two writers that both
+    prepared against base version ``version - 1`` race to create the
+    same file; exactly one wins (POSIX ``O_CREAT|O_EXCL`` — on an
+    object store the same role is played by a put-if-absent /
+    conditional-write primitive), the loser gets
+    :class:`TxnConflictError` and must rebase. This is the whole Delta/
+    Iceberg commit protocol reduced to its primitive: the LOG serializes
+    writers, the (immutable) data dirs never need coordination."""
+    import json as _json
+
+    path = os.path.join(log_dir, f"{version}.json")
+    try:
+        f = open(path, "x")
+    except FileExistsError:
+        raise TxnConflictError(
+            f"transaction log already holds version {version} "
+            f"({path}): a concurrent writer committed first — rebase "
+            f"onto the new snapshot and retry") from None
+    with f:
+        _json.dump({"version": version, "add": sorted(adds),
+                    "remove": sorted(removes)}, f)
+
+
+def txn_active_dirs(log_dir: str, version: int) -> list[str]:
+    """Snapshot resolution: fold add/remove sets of manifests
+    ``1..version``. Raises FileNotFoundError if a manifest is missing
+    (version never committed)."""
+    import json as _json
+
+    dirs: set[str] = set()
+    for v in range(1, version + 1):
+        with open(os.path.join(log_dir, f"{v}.json")) as f:
+            c = _json.load(f)
+        dirs |= set(c["add"])
+        dirs -= set(c["remove"])
+    return sorted(dirs)
+
+
+def _txn_canon(df: DataFrame):
+    """Order-invariant exact content identity (1-row frame): per-row md5
+    over every column, NULL-sentinel encoded (`compact_parquet_tree`'s
+    discipline), 15 hex chars -> exact decimal sum."""
+    cols = F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                  for c in sorted(df.columns)])
+    h = (F.conv(F.substring(F.md5(cols), 1, 15), 16, 10)
+         .cast("decimal(38,0)"))
+    return df.agg(F.count("*").alias("n"), F.sum(h).alias("hsum"))
+
+
+@op("sink_txn_merge", oracle="""
+SELECT
+    CAST(1 AS INT) AS version_base,
+    CAST(2 AS INT) AS version_merge,
+    (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS n_base,
+    (SELECT count(*) FROM events WHERE event_id % 5 = 0) AS n_source,
+    (SELECT count(*) FROM events
+     WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 1)
+        AS n_updated,
+    (SELECT count(*) FROM events
+     WHERE event_id % 3 <> 0 AND event_id % 5 = 0 AND event_id % 2 = 1)
+        AS n_inserted,
+    (SELECT count(*) FROM events
+     WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 0)
+        AS n_deleted,
+    (SELECT count(*) FROM events
+     WHERE (event_id % 3 = 0 AND event_id % 5 <> 0)
+        OR (event_id % 5 = 0 AND event_id % 2 = 1)) AS n_final,
+    CAST(1 AS INT) AS merge_preserves_content,
+    CAST(1 AS INT) AS base_time_travel_intact
+""", tier=3, section="2.37")
+def sink_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a transaction-log table — the very next operation a
+    `sink_txn_log_snapshot` user runs (VERDICT r10 missing #1): commit
+    v1 loads a base slice (event_id % 3 == 0); a change feed
+    (event_id % 5 == 0; even ids are DELETEs, odd ids UPSERTs carrying
+    value + 1000) merges into the live snapshot as commit v2 — matched
+    deletes vanish, matched upserts take the new value, unmatched
+    upserts insert, unmatched deletes are no-ops (`cdc_apply_changes`'s
+    row semantics, composed WITH the log). Copy-on-write at commit
+    granularity: untouched rows = snapshot ANTI-JOIN change keys,
+    merged = untouched ∪ upsert rows, written as ONE new immutable dir;
+    the commit adds it and retires the base dir. The audit row reports
+    every stage count, the content proof (the merged snapshot's
+    order-invariant md5-sum identity vs an INDEPENDENTLY derived
+    expected frame), and that time travel to v1 still returns the
+    pre-merge base exactly.
+
+    The DuckDB oracle states all counts directly from the source
+    predicates and pins both proofs at 1 — a merge bug (dropped
+    untouched row, double-applied upsert, resurrecting delete, broken
+    time travel) mismatches the row.
+
+    Scale shape: the merge is one anti-join (change keys broadcast when
+    bounded, shuffle equi-join otherwise — no hint forces it) + one
+    union + one distributed write; at production scale the table is
+    dir-partitioned and only AFFECTED dirs rewrite, which changes the
+    dir arithmetic, not the log protocol. Manifests stay driver-side
+    JSON. Idempotent: the whole staging tree is wiped and rebuilt."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_merge")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    base_df = ev.filter(F.col("event_id") % 3 == 0)
+    base_df.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [])
+
+    # change feed: even ids delete, odd ids upsert value+1000
+    src = ev.filter(F.col("event_id") % 5 == 0)
+    upserts = src.filter(F.col("event_id") % 2 == 1) \
+                 .withColumn("value", F.col("value") + F.lit(1000.0))
+    snap1 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 1)])
+    untouched = snap1.join(src.select("event_id"), "event_id",
+                           "left_anti")
+    merged = untouched.unionByName(upserts.select(*snap1.columns))
+    merged.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2_merge"))
+    txn_commit(log, 2, ["v2_merge"], ["v1"])
+
+    # stage counts: one map-combinable conditional aggregate
+    eid = F.col("event_id")
+    is_base, is_src = eid % 3 == 0, eid % 5 == 0
+    is_del = is_src & (eid % 2 == 0)
+    is_ups = is_src & (eid % 2 == 1)
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    counts = ev.agg(
+        cnt(is_base).alias("n_base"), cnt(is_src).alias("n_source"),
+        cnt(is_base & is_ups).alias("n_updated"),
+        cnt(~is_base & is_ups).alias("n_inserted"),
+        cnt(is_base & is_del).alias("n_deleted")).collect()[0]
+
+    # proofs: merged snapshot vs independent expectation; v1 intact
+    snap2 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 2)])
+    expected = (ev.filter(is_base & ~is_src)
+                  .unionByName(ev.filter(is_ups).withColumn(
+                      "value", F.col("value") + F.lit(1000.0))))
+    got2, want2 = _txn_canon(snap2).collect()[0], \
+        _txn_canon(expected).collect()[0]
+    snap1_back = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 1)])
+    got1, want1 = _txn_canon(snap1_back).collect()[0], \
+        _txn_canon(base_df).collect()[0]
+    return spark.createDataFrame(
+        [(1, 2, counts["n_base"], counts["n_source"],
+          counts["n_updated"], counts["n_inserted"], counts["n_deleted"],
+          int(got2["n"]),
+          int(tuple(got2) == tuple(want2)),
+          int(tuple(got1) == tuple(want1)))],
+        "version_base int, version_merge int, n_base long, "
+        "n_source long, n_updated long, n_inserted long, n_deleted long, "
+        "n_final long, merge_preserves_content int, "
+        "base_time_travel_intact int")
+
+
+#: vacuum demo dials: retention horizon (snapshots >= this stay
+#: readable) over the same 3-commit history as `sink_txn_log_snapshot`.
+_VACUUM_HORIZON = 3
+
+
+@op("sink_txn_vacuum", oracle="""
+SELECT
+    CAST(3 AS BIGINT) AS n_dirs_before,
+    CAST(2 AS BIGINT) AS n_dirs_after,
+    CAST(1 AS BIGINT) AS n_vacuumed,
+    (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1))
+        AS n_rows_latest,
+    CAST(1 AS INT) AS latest_content_intact,
+    CAST(1 AS INT) AS pre_horizon_unreadable
+""", tier=3, section="2.37")
+def sink_txn_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM for the transaction-log table (VERDICT r10 missing #1):
+    data dirs retired by a rewrite commit stay on disk so OLDER
+    snapshots keep resolving (time travel) — vacuum is the retention
+    pass that reclaims them. Stage `sink_txn_log_snapshot`'s 3-commit
+    history (v1 load, v2 append, v3 rewrites v1), then vacuum with
+    horizon = version 3: every dir referenced by ANY snapshot >= the
+    horizon survives ({v2, v3}); dirs referenced only by pre-horizon
+    snapshots (v1) are deleted from disk. The audit row proves the
+    invariant both ways: the post-horizon snapshot still resolves with
+    byte-identical content (order-invariant md5-sum vs an independent
+    derivation), AND the pre-horizon snapshot now fails loudly to
+    read — retention is a contract, not a hope.
+
+    Scale shape: vacuum is pure driver-side set arithmetic over the
+    (driver-scale) manifests + directory deletes; no data is read or
+    shuffled. The content proof is one multi-dir scan + one
+    map-combinable aggregate. Idempotent: the staging tree is wiped
+    and rebuilt, and re-vacuuming an already-vacuumed table removes
+    nothing."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_vacuum")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    ev.filter(F.col("event_id") % 3 == 0).repartition(1) \
+      .write.mode("overwrite").parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [])
+    ev.filter(F.col("event_id") % 3 == 1).repartition(1) \
+      .write.mode("overwrite").parquet(os.path.join(data, "v2"))
+    txn_commit(log, 2, ["v2"], [])
+    v1_back = spark.read.schema(ev.schema).parquet(os.path.join(data, "v1"))
+    v1_back.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v3"))
+    txn_commit(log, 3, ["v3"], ["v1"])
+
+    latest = 3
+    n_before = len(os.listdir(data))
+    referenced: set[str] = set()
+    for v in range(_VACUUM_HORIZON, latest + 1):
+        referenced |= set(txn_active_dirs(log, v))
+    vacuumed = sorted(set(os.listdir(data)) - referenced)
+    for d in vacuumed:
+        _shutil.rmtree(os.path.join(data, d))
+    n_after = len(os.listdir(data))
+
+    snap3 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, latest)])
+    expected = ev.filter(F.col("event_id") % 3 < 2)
+    got, want = _txn_canon(snap3).collect()[0], \
+        _txn_canon(expected).collect()[0]
+    try:
+        spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d)
+              for d in txn_active_dirs(log, 1)]).count()
+        pre_unreadable = 0
+    except Exception:
+        pre_unreadable = 1
+    return spark.createDataFrame(
+        [(n_before, n_after, len(vacuumed), int(got["n"]),
+          int(tuple(got) == tuple(want)), pre_unreadable)],
+        "n_dirs_before long, n_dirs_after long, n_vacuumed long, "
+        "n_rows_latest long, latest_content_intact int, "
+        "pre_horizon_unreadable int")
