@@ -3071,3 +3071,336 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(frac, 6).alias("dup_frac"),
                      F.coalesce((frac >= 0.5).cast("int"), F.lit(0))
                       .alias("flagged")))
+
+
+# ==========================================================================
+# Round-11 wave (SURVEY.md §2.37): corpus-trained BPE merges + the
+# merged-token budget meters (VERDICT r10 "what's missing" #2 — the
+# lexer-pretoken meters approximate what a real tokenizer bills; a
+# trained merge table makes the budget ops subword-exact).
+# ==========================================================================
+
+#: Bounded merge-training rounds (the "top-K merge table"). Each round
+#: is one map-combinable pair-count aggregate over the VOCABULARY frame
+#: (distinct pretokens x counts — never the corpus) + a 1-row argmax;
+#: the DuckDB oracle replays exactly K chained MATERIALIZED CTE rounds,
+#: so changing K means regenerating `_duck_bpe_prefix()` (it does, both
+#: move together).
+_BPE_MERGES = 8
+
+#: Symbol-boundary delimiters for the merge-application encoding: a
+#: pretoken encodes as <D1>c<D2><D1>c<D2>..., and merge (x, y) applies
+#: as the plain string replace of <D1>x<D2><D1>y<D2> with <D1>xy<D2> —
+#: replace() in BOTH engines scans left-to-right non-overlapping, which
+#: IS standard greedy BPE application, and the delimiters make a match
+#: possible only at true symbol boundaries (no symbol contains D1/D2).
+#: Control chars: the lexer strips whitespace and documents are prose,
+#: so \x02/\x03 cannot occur inside a symbol.
+_BPE_D1, _BPE_D2 = "\x02", "\x03"
+_BPE_SYM_RE = f"{_BPE_D1}([^{_BPE_D2}]*){_BPE_D2}"
+
+
+def _duck_bpe_prefix() -> str:
+    """The training replay: words0 = encoded vocabulary with counts;
+    round i = pair counts -> best pair (argmax with the ('', '', 0)
+    no-op sentinel so a dried-up corpus keeps the chain total) ->
+    words_i = merge applied. MATERIALIZED is load-bearing: plain CTEs
+    re-inline the whole upstream chain per round (the
+    `pipeline_corpus_audit` lesson)."""
+    d1, d2 = _BPE_D1, _BPE_D2
+    parts = [f"""btok AS MATERIALIZED (
+    SELECT unnest(regexp_extract_all(text, {_BPE_LEXER_SQL})) AS t
+    FROM documents
+), words0 AS MATERIALIZED (
+    SELECT regexp_replace(t, '(.)', '{d1}\\1{d2}', 'g') AS w,
+           count(*) AS cnt
+    FROM btok GROUP BY t
+)"""]
+    for i in range(1, _BPE_MERGES + 1):
+        p = i - 1
+        parts.append(f"""pairs{i} AS MATERIALIZED (
+    SELECT s[j] AS x, s[j + 1] AS y, CAST(sum(cnt) AS BIGINT) AS pc
+    FROM (SELECT regexp_extract_all(w, '{_BPE_SYM_RE}', 1) AS s, cnt
+          FROM words{p}) e, unnest(range(1, len(s))) g(j)
+    GROUP BY 1, 2
+), best{i} AS MATERIALIZED (
+    SELECT x, y, pc FROM (
+        SELECT x, y, pc FROM pairs{i}
+        UNION ALL SELECT '', '', CAST(0 AS BIGINT)
+    ) ORDER BY pc DESC, x, y LIMIT 1
+), words{i} AS MATERIALIZED (
+    SELECT replace(w, '{d1}' || x || '{d2}{d1}' || y || '{d2}',
+                   '{d1}' || x || y || '{d2}') AS w, cnt
+    FROM words{p} CROSS JOIN best{i}
+)""")
+    return ",\n".join(parts)
+
+
+def _duck_bpe_apply(expr: str) -> str:
+    """The K-round replace chain over one encoded-pretoken expression,
+    with best{i} aliased b{i} (cross-joined 1-row frames)."""
+    d1, d2 = _BPE_D1, _BPE_D2
+    out = expr
+    for i in range(1, _BPE_MERGES + 1):
+        out = (f"replace({out}, '{d1}' || b{i}.x || '{d2}{d1}' || b{i}.y"
+               f" || '{d2}', '{d1}' || b{i}.x || b{i}.y || '{d2}')")
+    return out
+
+
+_DUCK_BPE_CROSS = " ".join(f"CROSS JOIN best{i} b{i}"
+                           for i in range(1, _BPE_MERGES + 1))
+
+#: Per-doc merged-token list CTE (doc_id, lang, t) shared by the two
+#: budget meters' oracles.
+_DUCK_BPE_TOKS = f"""benc AS (
+    SELECT doc_id, lang,
+           list_transform(regexp_extract_all(text, {_BPE_LEXER_SQL}),
+                          s -> regexp_replace(s, '(.)',
+                                              '{_BPE_D1}\\1{_BPE_D2}',
+                                              'g')) AS e
+    FROM documents
+), btoks AS MATERIALIZED (
+    SELECT doc_id, lang,
+           flatten(list_transform(e,
+               s -> regexp_extract_all({_duck_bpe_apply('s')},
+                                       '{_BPE_SYM_RE}', 1))) AS t
+    FROM benc {_DUCK_BPE_CROSS}
+)"""
+
+
+def _bpe_merge_frames(spark: SparkSession, d: DataFrame) -> list[DataFrame]:
+    """Train the top-K merge table; returns K 1-row frames (x, y, pc)
+    in merge-rank order (the ('', '', 0) no-op sentinel when a round
+    finds no pair — its replace pattern cannot occur, so applying it is
+    the identity and a dried-up corpus degrades gracefully instead of
+    emptying the chain).
+
+    Scale shape: the training frame is the VOCABULARY (distinct
+    pretokens + counts — one corpus-side hash agg builds it, nothing
+    corpus-sized ever iterates); each of the K bounded rounds is one
+    map-combinable weighted pair-count aggregate + a 1-row argmax +
+    one narrow replace over the vocab. Per-round frames are
+    vocab-bounded and eagerly localCheckpointed (the sigma-clip
+    bounded-rounds discipline — without it round r's lineage compounds
+    r plans deep)."""
+    tok = d.select(F.explode(
+        F.regexp_extract_all("text", F.lit(_BPE_LEXER), 0)).alias("t"))
+    words = (tok.groupBy("t").agg(F.count("*").alias("cnt"))
+                .select(F.regexp_replace(
+                    "t", "(.)", _BPE_D1 + "$1" + _BPE_D2).alias("w"),
+                    "cnt")
+                .localCheckpoint())
+    noop = spark.createDataFrame([("", "", 0)],
+                                 "x string, y string, pc long")
+    bests: list[DataFrame] = []
+    for _ in range(_BPE_MERGES):
+        syms = words.select(
+            "cnt", F.regexp_extract_all("w", F.lit(_BPE_SYM_RE), 1)
+                    .alias("s"))
+        pairs = (syms.filter(F.size("s") >= 2)
+                     .select("cnt", F.explode(F.expr(
+                         "transform(sequence(1, size(s) - 1), "
+                         "j -> struct(s[j - 1] AS x, s[j] AS y))"))
+                         .alias("p"))
+                     .select("cnt", "p.*")
+                     .groupBy("x", "y")
+                     .agg(F.sum("cnt").cast("long").alias("pc")))
+        best = (pairs.unionByName(noop)
+                     .orderBy(F.col("pc").desc(), "x", "y").limit(1)
+                     .localCheckpoint())
+        bests.append(best)
+        pat = F.concat(F.lit(_BPE_D1), F.col("x"),
+                       F.lit(_BPE_D2 + _BPE_D1), F.col("y"),
+                       F.lit(_BPE_D2))
+        rep = F.concat(F.lit(_BPE_D1), F.col("x"), F.col("y"),
+                       F.lit(_BPE_D2))
+        words = (words.crossJoin(F.broadcast(
+                    best.select(pat.alias("_pat"), rep.alias("_rep"))))
+                      .select(F.replace("w", F.col("_pat"),
+                                        F.col("_rep")).alias("w"), "cnt")
+                      .localCheckpoint())
+    return bests
+
+
+def _bpe_merged_tokens(d: DataFrame,
+                       bests: list[DataFrame]) -> DataFrame:
+    """``d`` + a ``toks`` column: the per-document merged-token stream
+    (document order), produced by encoding every lexer pretoken and
+    applying the K broadcast merge rules in rank order — a pure narrow
+    map over the corpus (the only joins are K broadcast 1-row rules)."""
+    df = d.withColumn("_enc", F.transform(
+        F.regexp_extract_all("text", F.lit(_BPE_LEXER), 0),
+        lambda t: F.regexp_replace(t, "(.)",
+                                   _BPE_D1 + "$1" + _BPE_D2)))
+    for i, b in enumerate(bests, 1):
+        pat = F.concat(F.lit(_BPE_D1), F.col("x"),
+                       F.lit(_BPE_D2 + _BPE_D1), F.col("y"),
+                       F.lit(_BPE_D2))
+        rep = F.concat(F.lit(_BPE_D1), F.col("x"), F.col("y"),
+                       F.lit(_BPE_D2))
+        pc, rc = f"_p{i}", f"_r{i}"
+        # closure factory: F.transform requires a 1-2 positional-arg
+        # lambda, so the rule columns bind via an outer function
+        apply_rule = (lambda p, r:
+                      (lambda e: F.replace(e, F.col(p), F.col(r))))(pc, rc)
+        df = (df.crossJoin(F.broadcast(
+                  b.select(pat.alias(pc), rep.alias(rc))))
+                .withColumn("_enc", F.transform("_enc", apply_rule))
+                .drop(pc, rc))
+    return (df.withColumn("toks", F.flatten(F.transform(
+                "_enc", lambda e: F.regexp_extract_all(
+                    e, F.lit(_BPE_SYM_RE), 1))))
+              .drop("_enc"))
+
+
+@op("text_bpe_train", oracle=f"""
+WITH {_duck_bpe_prefix()}
+SELECT * FROM (
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, x AS lhs, y AS rhs, "
+        f"x || y AS merged, pc AS pair_count FROM best{i}"
+        for i in range(1, _BPE_MERGES + 1))}
+) WHERE pair_count > 0
+""", tier=3, section="2.37")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-TRAINED BPE MERGE TABLE (VERDICT r10 missing #2): the
+    top-{_BPE_MERGES} byte-pair merges learned from the documents
+    corpus by the standard iterative recipe (Sennrich et al. 2016,
+    reduced to its aggregates) — round i counts adjacent symbol pairs
+    over the vocabulary WEIGHTED by pretoken frequency, crowns the
+    most frequent pair (ties: lexicographic (x, y) — deterministic
+    binary collation in both engines), and applies it everywhere via
+    the delimiter-guarded string replace (exactly greedy left-to-right
+    non-overlapping application, see `_BPE_D1`). Output: one row per
+    learned merge (rank, the pair, the merged symbol, the weighted
+    pair count at crowning time).
+
+    The DuckDB oracle replays the identical {_BPE_MERGES} rounds as
+    chained MATERIALIZED CTEs — every count, argmax and replace is
+    exact integer/string work, so the merge tables match value-for-
+    value.
+
+    Scale shape: training never touches the corpus after ONE hash agg
+    builds the (distinct pretoken, count) vocabulary; each bounded
+    round is a map-combinable weighted pair count over vocab rows + a
+    1-row argmax (TakeOrdered, no global sort) + a narrow replace.
+    At 100 TB the vocabulary is still ~10^6 rows — driver-scale rounds
+    over an executor-resident frame."""
+    d = load(spark, sf_dir, "documents")
+    bests = _bpe_merge_frames(spark, d)
+    out = None
+    for i, b in enumerate(bests, 1):
+        r = b.select(F.lit(i).cast("int").alias("merge_rank"),
+                     F.col("x").alias("lhs"), F.col("y").alias("rhs"),
+                     F.concat("x", "y").alias("merged"),
+                     F.col("pc").cast("long").alias("pair_count"))
+        out = r if out is None else out.unionByName(r)
+    return out.filter(F.col("pair_count") > 0)
+
+
+@op("doc_truncate_budget_merged", oracle=f"""
+WITH {_duck_bpe_prefix()},
+{_DUCK_BPE_TOKS}
+SELECT doc_id, lang,
+       CAST(len(t) AS BIGINT) AS n_merged_tokens,
+       CAST(least(len(t), {_TRUNC_BUDGET}) AS BIGINT) AS n_kept,
+       CAST(len(t) > {_TRUNC_BUDGET} AS INT) AS truncated,
+       md5(array_to_string(list_slice(t, 1, {_TRUNC_BUDGET}), ' '))
+           AS kept_md5
+FROM btoks
+""", tier=3, section="2.37")
+def doc_truncate_budget_merged(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MERGED-TOKEN twin of `doc_truncate_budget_bpe`: the
+    {_TRUNC_BUDGET}-token context budget billed in TRAINED subword
+    units — every pretoken runs through the corpus-trained
+    top-{_BPE_MERGES} merge table (`text_bpe_train`) and the budget
+    counts the resulting symbols, so the ledger tracks a learned
+    tokenizer instead of the pretoken approximation (pretokens
+    UNDER-count precisely where text is long-word dense: a 50-pretoken
+    document can be hundreds of subword symbols — the divergence is
+    pinned on a constructed fixture in tests/test_wave_r11.py).
+    kept_md5 fingerprints the kept merged-symbol stream (space-joined)
+    in both engines.
+
+    Scale shape: training is vocab-sized (see `text_bpe_train`);
+    metering is a pure narrow map over the corpus — K broadcast 1-row
+    merge rules, zero shuffles, zero corpus joins."""
+    d = load(spark, sf_dir, "documents")
+    tk = _bpe_merged_tokens(d, _bpe_merge_frames(spark, d)) \
+        .select("doc_id", "lang", "toks")
+    n = F.size("toks")
+    kept = F.array_join(F.slice("toks", 1, _TRUNC_BUDGET), " ")
+    return tk.select(
+        "doc_id", "lang",
+        n.cast("long").alias("n_merged_tokens"),
+        F.least(n, F.lit(_TRUNC_BUDGET)).cast("long").alias("n_kept"),
+        (n > _TRUNC_BUDGET).cast("int").alias("truncated"),
+        F.md5(kept).alias("kept_md5"))
+
+
+@op("doc_pack_nextfit_merged", oracle=f"""
+WITH RECURSIVE {_duck_bpe_prefix()},
+{_DUCK_BPE_TOKS},
+docs AS (
+    SELECT lang,
+           ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_PACK_SHARDS} AS shard,
+           doc_id,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           row_number() OVER (
+               PARTITION BY lang,
+                   ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % {_PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+    FROM btoks
+), r AS (
+    SELECT lang, shard, doc_id, n_tok, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tok AS cum
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.shard, d.doc_id, d.n_tok, d.rn,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN r.pack_id + 1 ELSE r.pack_id END,
+           CASE WHEN r.cum + d.n_tok > {_PACK_BUDGET}
+                THEN d.n_tok ELSE r.cum + d.n_tok END
+    FROM r JOIN docs d ON d.lang = r.lang AND d.shard = r.shard
+                      AND d.rn = r.rn + 1
+)
+SELECT lang, shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       round(CAST(sum(n_tok) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill
+FROM r GROUP BY 1, 2, 3
+""", tier=3, section="2.37")
+def doc_pack_nextfit_merged(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """MERGED-TOKEN twin of `doc_pack_nextfit_bpe`: the
+    {_PACK_BUDGET}-token next-fit sequence packer billing documents in
+    trained subword units (`text_bpe_train`'s merge table) instead of
+    lexer pretokens. Pretoken packing systematically OVERFILLS real
+    training sequences wherever long words dominate — a pack summing
+    to {_PACK_BUDGET} pretokens can be several times that in subword
+    symbols; billing the walk in merged tokens makes the fill ratios
+    the trainer actually sees. Same shard layout, same next-fit
+    recursion, same grouped-map walk — only the token meter changes,
+    so pack-count divergence vs the pretoken packer is directly
+    attributable (pinned in tests/test_wave_r11.py).
+
+    Scale shape: metering is the narrow merged-token map; packing is
+    the one (lang, shard) shuffle + the arrow-batched grouped-map
+    walk — identical plan family to both earlier packers."""
+    d = load(spark, sf_dir, "documents")
+    tk = _bpe_merged_tokens(d, _bpe_merge_frames(spark, d))
+    shard = _h32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) \
+        % _PACK_SHARDS
+    base = tk.select("lang", shard.alias("shard"), "doc_id",
+                     F.size("toks").cast("long").alias("n_tok"))
+    packed = base.groupBy("lang", "shard").applyInPandas(
+        _pack_pdf,
+        "lang string, shard long, doc_id long, n_tok long, pack_id long")
+    return (packed.groupBy("lang", "shard", "pack_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tok_sum"),
+                       F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
+                               6).alias("fill")))

@@ -77,6 +77,9 @@ GUARDED = [
     "ts_backtest_champion",
     # round-10 sixth wave: all-ties var-0 NULL path, tiny commits
     "ts_mann_kendall", "sink_txn_log_snapshot",
+    # round-11 wave: empty/near-empty change feeds and slices (a merge
+    # where nothing matches, a vacuum over near-empty commits)
+    "sink_txn_merge", "sink_txn_vacuum",
     # round-10 seventh wave: 3-click degenerate stream, empty probe side
     "dq_sequence_islands",
 ]

@@ -106,3 +106,74 @@ def test_txn_vacuum_retention_contract(spark):
     assert r1["pre_horizon_unreadable"] == 1
     r2 = REGISTRY["sink_txn_vacuum"].fn(spark, SF_T2).collect()[0]
     assert tuple(r1) == tuple(r2)
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained BPE merges (round 11, §2.37)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bpe_corpus(tmp_path_factory):
+    """One doc, 'aaab' x3: the merge sequence is hand-derivable —
+    r1 (a,a) pc 6 (greedy application leaves 'aa a b', the overlapped
+    third 'a' NOT merged); r2 tie (aa,a) vs (a,b) at 3 resolves
+    lexicographic to (a,b); r3 (aa,ab); then the corpus is a single
+    symbol and rounds 4..8 dry up (no-op sentinel, filtered out)."""
+    text = "aaab aaab aaab"
+    docs = {"doc_id": [1], "text": [text], "lang": ["en"],
+            "source": ["s"], "n_chars": [len(text)]}
+    return _corpus(tmp_path_factory, "bpe_corpus", documents=docs)
+
+
+def test_bpe_train_planted_merge_sequence(spark, bpe_corpus):
+    rows = sorted(REGISTRY["text_bpe_train"].fn(spark, bpe_corpus)
+                  .collect(), key=lambda r: r["merge_rank"])
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["merged"],
+            r["pair_count"]) for r in rows]
+    assert got == [(1, "a", "a", "aa", 6),
+                   (2, "a", "b", "ab", 3),
+                   (3, "aa", "ab", "aaab", 3)]
+
+
+def test_bpe_merged_meter_on_dried_up_table(spark, bpe_corpus):
+    """After the 3 real merges the doc is 3 fully-merged symbols; the
+    5 no-op sentinel rules must apply as identities."""
+    r = REGISTRY["doc_truncate_budget_merged"].fn(spark, bpe_corpus) \
+        .collect()[0]
+    assert r["n_merged_tokens"] == 3 and r["truncated"] == 0
+
+
+@pytest.fixture(scope="module")
+def longword_corpus(tmp_path_factory):
+    """50 twelve-letter pretokens per doc: the PRETOKEN meter bills 50
+    (< the 64 budget) while the merged meter bills 4 symbols/word x 50
+    = 200 (8 merges fuse 'abcdefghi'; 'j k l' stay) — the divergence
+    the merged twins exist to expose."""
+    text = " ".join("abcdefghijkl" for _ in range(50))
+    docs = {"doc_id": [1, 2], "text": [text, text], "lang": ["en", "en"],
+            "source": ["s", "s"], "n_chars": [len(text)] * 2}
+    return _corpus(tmp_path_factory, "longword_corpus", documents=docs)
+
+
+def test_merged_meter_diverges_from_pretoken_meter(spark, longword_corpus):
+    bpe = REGISTRY["doc_truncate_budget_bpe"].fn(
+        spark, longword_corpus).collect()[0]
+    mrg = REGISTRY["doc_truncate_budget_merged"].fn(
+        spark, longword_corpus).collect()[0]
+    assert bpe["n_bpe_tokens"] == 50 and bpe["truncated"] == 0
+    assert mrg["n_merged_tokens"] == 200 and mrg["truncated"] == 1
+
+
+def test_merged_packer_diverges_from_pretoken_packer(spark,
+                                                     longword_corpus):
+    """Same two docs: in pretokens both fit one 512-budget pack per
+    shard; in merged tokens each doc is 200 symbols, so shards holding
+    both docs still fit (400 <= 512) but the tok_sums differ 4x —
+    pack accounting follows the meter."""
+    bpe = REGISTRY["doc_pack_nextfit_bpe"].fn(
+        spark, longword_corpus).collect()
+    mrg = REGISTRY["doc_pack_nextfit_merged"].fn(
+        spark, longword_corpus).collect()
+    assert sum(r["tok_sum"] for r in bpe) == 100
+    assert sum(r["tok_sum"] for r in mrg) == 400
