@@ -7941,16 +7941,74 @@ WITH hourly AS (
            CAST(floor(CAST(sum(mq) AS DOUBLE) / count(*)) AS BIGINT)
                AS pred
     FROM tagged WHERE is_train = 1 GROUP BY event_type, hod
+), mq1 AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(mq) AS DOUBLE) AS sv,
+           CAST(sum(CAST(mq AS HUGEINT) * mq) AS DOUBLE) AS svv
+    FROM tagged WHERE is_train = 1 GROUP BY event_type
+), lg1 AS (
+    SELECT a.event_type, count(*) AS n1,
+           CAST(sum(CAST(a.mq AS HUGEINT) * b.mq) AS DOUBLE) AS sab1,
+           CAST(sum(a.mq) AS DOUBLE) AS sa1,
+           CAST(sum(b.mq) AS DOUBLE) AS sb1
+    FROM tagged a JOIN tagged b
+      ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 1 HOUR
+    WHERE a.is_train = 1 AND b.is_train = 1
+    GROUP BY a.event_type
+), lg2 AS (
+    SELECT a.event_type, count(*) AS n2,
+           CAST(sum(CAST(a.mq AS HUGEINT) * b.mq) AS DOUBLE) AS sab2,
+           CAST(sum(a.mq) AS DOUBLE) AS sa2,
+           CAST(sum(b.mq) AS DOUBLE) AS sb2
+    FROM tagged a JOIN tagged b
+      ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 2 HOUR
+    WHERE a.is_train = 1 AND b.is_train = 1
+    GROUP BY a.event_type
+), arfit AS (
+    SELECT m.event_type, m.sv / m.n AS mu,
+           m.svv / m.n - (m.sv / m.n) * (m.sv / m.n) AS c0,
+           CASE WHEN l1.n1 > 0 THEN
+               l1.sab1 / l1.n1
+               - (m.sv / m.n) * ((l1.sa1 + l1.sb1) / l1.n1)
+               + (m.sv / m.n) * (m.sv / m.n) END AS c1,
+           CASE WHEN l2.n2 > 0 THEN
+               l2.sab2 / l2.n2
+               - (m.sv / m.n) * ((l2.sa2 + l2.sb2) / l2.n2)
+               + (m.sv / m.n) * (m.sv / m.n) END AS c2,
+           coalesce(l1.n1, 0) AS n1, coalesce(l2.n2, 0) AS n2
+    FROM mq1 m
+    LEFT JOIN lg1 l1 USING (event_type)
+    LEFT JOIN lg2 l2 USING (event_type)
+), m_ar2 AS (
+    SELECT event_type, mu,
+           CASE WHEN c0 > 0 AND n1 > 0 AND n2 > 0
+                 AND 1.0 - (c1 / c0) * (c1 / c0) <> 0 THEN
+               (c1 / c0) * (1.0 - c2 / c0)
+               / (1.0 - (c1 / c0) * (c1 / c0)) END AS phi1,
+           CASE WHEN c0 > 0 AND n1 > 0 AND n2 > 0
+                 AND 1.0 - (c1 / c0) * (c1 / c0) <> 0 THEN
+               (c2 / c0 - (c1 / c0) * (c1 / c0))
+               / (1.0 - (c1 / c0) * (c1 / c0)) END AS phi2
+    FROM arfit
 ), test AS (SELECT * FROM tagged WHERE is_train = 0),
 errs AS (
     SELECT t.event_type,
            abs(t.mq - n.pred) AS e_naive,
            abs(t.mq - m.pred) AS e_mean,
-           abs(t.mq - s.pred) AS e_hod
+           abs(t.mq - s.pred) AS e_hod,
+           abs(t.mq - CAST(floor(a.mu
+               + coalesce(a.phi1 * (p1.mq - a.mu), 0.0)
+               + coalesce(a.phi2 * (p2.mq - a.mu), 0.0)) AS BIGINT))
+               AS e_ar2
     FROM test t
     JOIN m_naive n USING (event_type)
     JOIN m_mean m USING (event_type)
     JOIN m_hod s ON s.event_type = t.event_type AND s.hod = t.hod
+    JOIN m_ar2 a ON a.event_type = t.event_type
+    LEFT JOIN tagged p1 ON p1.event_type = t.event_type
+                       AND p1.h = t.h - INTERVAL 1 HOUR
+    LEFT JOIN tagged p2 ON p2.event_type = t.event_type
+                       AND p2.h = t.h - INTERVAL 2 HOUR
 ), tr AS (
     SELECT event_type, count(*) AS n_train
     FROM tagged WHERE is_train = 1 GROUP BY event_type
@@ -7961,7 +8019,9 @@ errs AS (
            CAST(sum(e_mean) AS DOUBLE) / count(*) / {_BTC_GRID!r}
                AS mae_mean,
            CAST(sum(e_hod) AS DOUBLE) / count(*) / {_BTC_GRID!r}
-               AS mae_hod
+               AS mae_hod,
+           CAST(sum(e_ar2) AS DOUBLE) / count(*) / {_BTC_GRID!r}
+               AS mae_ar2
     FROM errs GROUP BY event_type
 )
 SELECT mae.event_type,
@@ -7970,37 +8030,57 @@ SELECT mae.event_type,
        round(mae_naive, 6) AS mae_naive,
        round(mae_mean, 6) AS mae_mean,
        round(mae_hod, 6) AS mae_hod,
+       round(mae_ar2, 6) AS mae_ar2,
        CASE WHEN mae_naive <= mae_mean AND mae_naive <= mae_hod
+                 AND mae_naive <= mae_ar2
             THEN 'naive_last'
-            WHEN mae_hod <= mae_mean THEN 'seasonal_hod'
-            ELSE 'global_mean' END AS champion
+            WHEN mae_hod <= mae_mean AND mae_hod <= mae_ar2
+            THEN 'seasonal_hod'
+            WHEN mae_mean <= mae_ar2 THEN 'global_mean'
+            ELSE 'yule_walker_ar2' END AS champion
 FROM mae JOIN tr USING (event_type)
 """, tier=3, section="2.34")
 def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAMPION-CHALLENGER forecast backtest per channel — the model
     selection workflow every industrial forecasting deployment runs:
     split the hourly-mean series temporally (first 80% of the corpus
-    hour span trains, the rest tests), fit three closed-form
-    challengers — naive-last (last train level), global train mean, and
-    the seasonal hour-of-day profile — score each on test MAE, and name
-    the champion (ties resolve naive > seasonal > mean, the simpler
+    hour span trains, the rest tests), fit four closed-form
+    challengers — naive-last (last train level), global train mean,
+    the seasonal hour-of-day profile, and (round 11, VERDICT r10
+    missing #3) the Yule-Walker AR(2) (`ts_ar2_forecast`'s exact-moment
+    fit on the train slice) — score each on test MAE, and name the
+    champion (ties resolve naive > seasonal > mean > AR2, the simpler
     model winning). The missing decision layer above
     `ts_backtest_seasonal_naive`: that op scores ONE recipe; this one
     picks between recipes, per channel.
+
+    Evaluation conventions: the three level/profile models forecast
+    STATICALLY from the train fit (the deployment that ships a
+    constant); AR2 is scored as the deployment that actually runs one —
+    ROLLING one-step-ahead, each test hour predicted from the two
+    previous OBSERVED hourly actuals (missing lag hours fall back to
+    zero deviation, i.e. the mean model), with φ and μ frozen at the
+    train fit. On a random-walk channel this is why AR2 (φ1 ≈ 1)
+    rightfully dethrones static naive-last — chasing the level is the
+    correct recipe there (pinned in tests/test_wave_r10e.py's
+    engineered-regime corpus, which round 11 extends with an
+    off-24h-period oscillator only AR2 can track).
 
     Exactness: hourly means quantize to 1e-9-grid longs; every model
     prediction is itself floor-quantized back onto the grid, so all
     error sums are exact integers (order-invariant) and the MAE
     comparison that names the champion compares identical doubles on
-    both engines. No recursion — all three challengers are closed-form
-    aggregates, which is exactly why they are the right baseline set
-    for a distributed backtest (the recursive ones live in
-    `ts_holt_linear`/`ts_kalman_filter` with their own oracles).
+    both engines. The AR2 fit follows the `agg_ols_two_feature`
+    discipline — exact integer moment sums cast to double at the end,
+    identical expression trees (same parenthesization) in both
+    engines. No recursion anywhere.
 
     Scale shape: one resample agg, one broadcast 1-row bounds frame,
-    three map-combinable per-channel model aggs (the hod model is
-    channel x 24 rows), one broadcast model join onto the test slice,
-    one error agg. A million channels: same plan, same five shuffles."""
+    four map-combinable per-channel model aggs + two bounded self
+    equi-joins of the hourly frame for the AR lag moments, broadcast
+    model joins onto the test slice (the rolling lags attach by two
+    more bounded (channel, hour) equi-joins), one error agg. A million
+    channels: same plan."""
     ev = load(spark, sf_dir, "events")
     # The hourly frame feeds bounds + three models + the test slice —
     # localCheckpoint the (channels x hours)-bounded aggregate so the
@@ -8033,17 +8113,86 @@ def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("mq").cast("double") / F.count("*")).cast("long")
          .alias("p_hod"))
     tr = train.groupBy("event_type").agg(F.count("*").alias("n_train"))
+
+    # AR(2) challenger: exact-moment Yule-Walker fit on the train slice
+    # (ts_ar2_forecast's discipline), rolling one-step eval on test
+    d38 = "decimal(38,0)"
+    mq1 = train.groupBy("event_type").agg(
+        F.count("*").alias("arn"),
+        F.sum("mq").cast("double").alias("sv"),
+        F.sum(F.col("mq").cast(d38) * F.col("mq")).cast("double")
+         .alias("svv"))
+
+    def lagm(k: int, sfx: str) -> DataFrame:
+        a = train.select("event_type", "h", F.col("mq").alias("xa"))
+        b = train.select(F.col("event_type").alias("_et"),
+                         F.col("h").alias("_hb"),
+                         F.col("mq").alias("xb"))
+        return (a.join(b, (F.col("_et") == F.col("event_type"))
+                       & (F.col("_hb") == F.col("h")
+                          - F.expr(f"INTERVAL {k} HOUR")))
+                 .groupBy("event_type")
+                 .agg(F.count("*").alias(f"n{sfx}"),
+                      F.sum(F.col("xa").cast(d38) * F.col("xb"))
+                       .cast("double").alias(f"sab{sfx}"),
+                      F.sum("xa").cast("double").alias(f"sa{sfx}"),
+                      F.sum("xb").cast("double").alias(f"sb{sfx}")))
+
+    arfit = (mq1.join(lagm(1, "1"), "event_type", "left")
+                .join(lagm(2, "2"), "event_type", "left")
+                .withColumn("n1", F.coalesce("n1", F.lit(0)))
+                .withColumn("n2", F.coalesce("n2", F.lit(0))))
+    mu = F.col("sv") / F.col("arn")
+    c0 = F.col("svv") / F.col("arn") - mu * mu
+    c1 = F.when(F.col("n1") > 0,
+                F.col("sab1") / F.col("n1")
+                - mu * ((F.col("sa1") + F.col("sb1")) / F.col("n1"))
+                + mu * mu)
+    c2 = F.when(F.col("n2") > 0,
+                F.col("sab2") / F.col("n2")
+                - mu * ((F.col("sa2") + F.col("sb2")) / F.col("n2"))
+                + mu * mu)
+    arfit = arfit.withColumn("mu", mu).withColumn("c0", c0) \
+                 .withColumn("c1", c1).withColumn("c2", c2)
+    r1, r2 = F.col("c1") / F.col("c0"), F.col("c2") / F.col("c0")
+    ok = ((F.col("c0") > 0) & (F.col("n1") > 0) & (F.col("n2") > 0)
+          & (F.lit(1.0) - r1 * r1 != 0))
+    m_ar2 = arfit.select(
+        "event_type", "mu",
+        F.when(ok, r1 * (F.lit(1.0) - r2)
+               / (F.lit(1.0) - r1 * r1)).alias("phi1"),
+        F.when(ok, (r2 - r1 * r1)
+               / (F.lit(1.0) - r1 * r1)).alias("phi2"))
+
     test = tagged.filter(F.col("is_train") == 0)
+    p1 = tagged.select(F.col("event_type").alias("_e1"),
+                       F.col("h").alias("_h1"), F.col("mq").alias("x1"))
+    p2 = tagged.select(F.col("event_type").alias("_e2"),
+                       F.col("h").alias("_h2"), F.col("mq").alias("x2"))
+    pred_ar2 = F.floor(
+        F.col("mu")
+        + F.coalesce(F.col("phi1") * (F.col("x1") - F.col("mu")),
+                     F.lit(0.0))
+        + F.coalesce(F.col("phi2") * (F.col("x2") - F.col("mu")),
+                     F.lit(0.0))).cast("long")
     errs = (test.join(F.broadcast(m_naive), "event_type")
                 .join(F.broadcast(m_mean), "event_type")
                 .join(F.broadcast(m_hod), ["event_type", "hod"])
+                .join(F.broadcast(m_ar2), "event_type")
+                .join(p1, (F.col("_e1") == F.col("event_type"))
+                      & (F.col("_h1") == F.col("h")
+                         - F.expr("INTERVAL 1 HOUR")), "left")
+                .join(p2, (F.col("_e2") == F.col("event_type"))
+                      & (F.col("_h2") == F.col("h")
+                         - F.expr("INTERVAL 2 HOUR")), "left")
                 .select("event_type",
                         F.abs(F.col("mq") - F.col("p_naive"))
                          .alias("e_naive"),
                         F.abs(F.col("mq") - F.col("p_mean"))
                          .alias("e_mean"),
                         F.abs(F.col("mq") - F.col("p_hod"))
-                         .alias("e_hod")))
+                         .alias("e_hod"),
+                        F.abs(F.col("mq") - pred_ar2).alias("e_ar2")))
     g = F.lit(_BTC_GRID)
     mae = errs.groupBy("event_type").agg(
         F.count("*").alias("n_test"),
@@ -8052,13 +8201,19 @@ def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("e_mean").cast("double") / F.count("*") / g)
         .alias("mae_mean"),
         (F.sum("e_hod").cast("double") / F.count("*") / g)
-        .alias("mae_hod"))
+        .alias("mae_hod"),
+        (F.sum("e_ar2").cast("double") / F.count("*") / g)
+        .alias("mae_ar2"))
     champ = (F.when((F.col("mae_naive") <= F.col("mae_mean"))
-                    & (F.col("mae_naive") <= F.col("mae_hod")),
+                    & (F.col("mae_naive") <= F.col("mae_hod"))
+                    & (F.col("mae_naive") <= F.col("mae_ar2")),
                     F.lit("naive_last"))
-              .when(F.col("mae_hod") <= F.col("mae_mean"),
+              .when((F.col("mae_hod") <= F.col("mae_mean"))
+                    & (F.col("mae_hod") <= F.col("mae_ar2")),
                     F.lit("seasonal_hod"))
-              .otherwise(F.lit("global_mean")))
+              .when(F.col("mae_mean") <= F.col("mae_ar2"),
+                    F.lit("global_mean"))
+              .otherwise(F.lit("yule_walker_ar2")))
     return (mae.join(F.broadcast(tr), "event_type")
                .select("event_type",
                        F.col("n_train").cast("long").alias("n_train"),
@@ -8066,6 +8221,7 @@ def ts_backtest_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("mae_naive", 6).alias("mae_naive"),
                        F.round("mae_mean", 6).alias("mae_mean"),
                        F.round("mae_hod", 6).alias("mae_hod"),
+                       F.round("mae_ar2", 6).alias("mae_ar2"),
                        champ.alias("champion")))
 
 
@@ -8174,3 +8330,195 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(z, 6).alias("z"),
                     (F.abs(z) > _MK_Z).cast("int")
                      .alias("trend_significant"))
+
+
+# ==========================================================================
+# Round-11 wave (SURVEY.md §2.37): the AR(2) forecaster the diagnostics
+# point at (VERDICT r10 "what's missing" #3 — `ts_pacf2` measures the AR
+# order, `ts_adf_lite` pre-flights the unit root, `ts_backtest_champion`
+# referees; this is the model they nominate).
+# ==========================================================================
+
+_AR2_GRID = 1000000000.0  # hourly means quantize to 1e-9 longs
+
+
+@op("ts_ar2_forecast", oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*)) * {_AR2_GRID!r}) AS BIGINT) AS mq
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), mom AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(mq) AS DOUBLE) AS sv,
+           CAST(sum(CAST(mq AS HUGEINT) * mq) AS DOUBLE) AS svv,
+           max(h) AS hmax
+    FROM hourly GROUP BY event_type
+), lag1 AS (
+    SELECT a.event_type, count(*) AS n1,
+           CAST(sum(CAST(a.mq AS HUGEINT) * b.mq) AS DOUBLE) AS sab1,
+           CAST(sum(a.mq) AS DOUBLE) AS sa1,
+           CAST(sum(b.mq) AS DOUBLE) AS sb1
+    FROM hourly a JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 1 HOUR
+    GROUP BY a.event_type
+), lag2 AS (
+    SELECT a.event_type, count(*) AS n2,
+           CAST(sum(CAST(a.mq AS HUGEINT) * b.mq) AS DOUBLE) AS sab2,
+           CAST(sum(a.mq) AS DOUBLE) AS sa2,
+           CAST(sum(b.mq) AS DOUBLE) AS sb2
+    FROM hourly a JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 2 HOUR
+    GROUP BY a.event_type
+), fit AS (
+    SELECT m.event_type, m.n, m.hmax,
+           coalesce(l1.n1, 0) AS n1, coalesce(l2.n2, 0) AS n2,
+           m.sv / m.n AS mu,
+           m.svv / m.n - (m.sv / m.n) * (m.sv / m.n) AS c0,
+           CASE WHEN l1.n1 > 0 THEN
+               l1.sab1 / l1.n1
+               - (m.sv / m.n) * ((l1.sa1 + l1.sb1) / l1.n1)
+               + (m.sv / m.n) * (m.sv / m.n) END AS c1,
+           CASE WHEN l2.n2 > 0 THEN
+               l2.sab2 / l2.n2
+               - (m.sv / m.n) * ((l2.sa2 + l2.sb2) / l2.n2)
+               + (m.sv / m.n) * (m.sv / m.n) END AS c2
+    FROM mom m
+    LEFT JOIN lag1 l1 USING (event_type)
+    LEFT JOIN lag2 l2 USING (event_type)
+), phi AS (
+    SELECT *,
+           CASE WHEN c0 > 0 AND n1 > 0 AND n2 > 0
+                 AND 1.0 - (c1 / c0) * (c1 / c0) <> 0 THEN
+               (c1 / c0) * (1.0 - c2 / c0)
+               / (1.0 - (c1 / c0) * (c1 / c0)) END AS phi1,
+           CASE WHEN c0 > 0 AND n1 > 0 AND n2 > 0
+                 AND 1.0 - (c1 / c0) * (c1 / c0) <> 0 THEN
+               (c2 / c0 - (c1 / c0) * (c1 / c0))
+               / (1.0 - (c1 / c0) * (c1 / c0)) END AS phi2
+    FROM fit
+), last2 AS (
+    SELECT p.*, t.mq AS xt, s.mq AS xtm1
+    FROM phi p
+    JOIN hourly t ON t.event_type = p.event_type AND t.h = p.hmax
+    LEFT JOIN hourly s ON s.event_type = p.event_type
+                      AND s.h = p.hmax - INTERVAL 1 HOUR
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(n1 AS BIGINT) AS n_lag1_pairs,
+       CAST(n2 AS BIGINT) AS n_lag2_pairs,
+       round(phi1, 6) AS phi1,
+       round(phi2, 6) AS phi2,
+       round(mu / {_AR2_GRID!r}, 6) AS mean_value,
+       round(CASE WHEN phi1 IS NOT NULL AND xtm1 IS NOT NULL THEN
+                 (mu + phi1 * (xt - mu) + phi2 * (xtm1 - mu))
+                 / {_AR2_GRID!r} END, 6) AS forecast_next
+FROM last2
+""", tier=3, section="2.37")
+def ts_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE-WALKER AR(2) per channel (VERDICT r10 missing #3): fit
+    x_t − μ = φ1(x_{t−1} − μ) + φ2(x_{t−2} − μ) on the hourly-mean
+    series by the closed-form moment equations — φ1 = r1(1−r2)/(1−r1²),
+    φ2 = (r2−r1²)/(1−r1²) with r_k the lag-k autocorrelations — and
+    emit the one-step forecast from the last two observed hours. The
+    model `ts_pacf2` (AR-order diagnostic) and `ts_adf_lite`
+    (stationarity pre-flight) point at, and the challenger
+    `ts_backtest_champion` now enrolls.
+
+    Exactness (the `agg_ols_two_feature` discipline): hourly means
+    quantize to 1e-9-grid longs; every moment is an exact integer sum
+    (HUGEINT/decimal38 products) cast to double at the END; both
+    engines then evaluate the IDENTICAL arithmetic expression tree
+    (same parenthesization, spelled out in both), so r, φ and the
+    forecast are bit-identical doubles, rounded at the edge.
+    Autocovariances use consecutive-hour lag pairs (an exact-hour
+    equi-join — a gapped series contributes only real pairs, never
+    interpolated ones) around the GLOBAL series mean. Guards: c0 > 0
+    (constant series -> NULL φ), lag-pair counts > 0, 1 − r1² ≠ 0;
+    forecast NULL when the penultimate grid hour is missing.
+
+    Scale shape: one fact scan -> the (channels x hours)-bounded
+    hourly frame (localCheckpointed, the `ts_backtest_champion`
+    discipline); moments are map-combinable hash aggs; the lag
+    structure is two self-equi-joins of that bounded frame on
+    (channel, hour); a million channels change row counts, not the
+    plan."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+                .agg(F.floor((F.sum(F.col("value").cast("decimal(18,2)"))
+                              .cast("double") / F.count("*"))
+                             * F.lit(_AR2_GRID)).cast("long").alias("mq"))
+                .localCheckpoint())
+    d38 = "decimal(38,0)"
+    mom = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("mq").cast("double").alias("sv"),
+        F.sum(F.col("mq").cast(d38) * F.col("mq")).cast("double")
+         .alias("svv"),
+        F.max("h").alias("hmax"))
+
+    def lagm(k: int, sfx: str) -> DataFrame:
+        a = hourly.select("event_type", "h", F.col("mq").alias("xa"))
+        b = hourly.select(F.col("event_type").alias("_et"),
+                          F.col("h").alias("_hb"),
+                          F.col("mq").alias("xb"))
+        return (a.join(b, (F.col("_et") == F.col("event_type"))
+                       & (F.col("_hb") == F.col("h")
+                          - F.expr(f"INTERVAL {k} HOUR")))
+                 .groupBy("event_type")
+                 .agg(F.count("*").alias(f"n{sfx}"),
+                      F.sum(F.col("xa").cast(d38) * F.col("xb"))
+                       .cast("double").alias(f"sab{sfx}"),
+                      F.sum("xa").cast("double").alias(f"sa{sfx}"),
+                      F.sum("xb").cast("double").alias(f"sb{sfx}")))
+
+    fit = (mom.join(lagm(1, "1"), "event_type", "left")
+              .join(lagm(2, "2"), "event_type", "left")
+              .withColumn("n1", F.coalesce("n1", F.lit(0)))
+              .withColumn("n2", F.coalesce("n2", F.lit(0))))
+    mu = F.col("sv") / F.col("n")
+    c0 = F.col("svv") / F.col("n") - mu * mu
+    c1 = F.when(F.col("n1") > 0,
+                F.col("sab1") / F.col("n1")
+                - mu * ((F.col("sa1") + F.col("sb1")) / F.col("n1"))
+                + mu * mu)
+    c2 = F.when(F.col("n2") > 0,
+                F.col("sab2") / F.col("n2")
+                - mu * ((F.col("sa2") + F.col("sb2")) / F.col("n2"))
+                + mu * mu)
+    fit = fit.withColumn("mu", mu).withColumn("c0", c0) \
+             .withColumn("c1", c1).withColumn("c2", c2)
+    r1, r2 = F.col("c1") / F.col("c0"), F.col("c2") / F.col("c0")
+    ok = ((F.col("c0") > 0) & (F.col("n1") > 0) & (F.col("n2") > 0)
+          & (F.lit(1.0) - r1 * r1 != 0))
+    phi = fit.withColumn(
+        "phi1", F.when(ok, r1 * (F.lit(1.0) - r2)
+                       / (F.lit(1.0) - r1 * r1))) \
+             .withColumn(
+        "phi2", F.when(ok, (r2 - r1 * r1)
+                       / (F.lit(1.0) - r1 * r1)))
+    t = hourly.select(F.col("event_type").alias("_et1"),
+                      F.col("h").alias("_ht"), F.col("mq").alias("xt"))
+    s = hourly.select(F.col("event_type").alias("_et2"),
+                      F.col("h").alias("_hs"), F.col("mq").alias("xtm1"))
+    last2 = (phi.join(t, (F.col("_et1") == F.col("event_type"))
+                      & (F.col("_ht") == F.col("hmax")))
+                .join(s, (F.col("_et2") == F.col("event_type"))
+                      & (F.col("_hs") == F.col("hmax")
+                         - F.expr("INTERVAL 1 HOUR")), "left"))
+    g = F.lit(_AR2_GRID)
+    fc = F.when(F.col("phi1").isNotNull() & F.col("xtm1").isNotNull(),
+                (F.col("mu")
+                 + F.col("phi1") * (F.col("xt") - F.col("mu"))
+                 + F.col("phi2") * (F.col("xtm1") - F.col("mu"))) / g)
+    return last2.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("n1").cast("long").alias("n_lag1_pairs"),
+        F.col("n2").cast("long").alias("n_lag2_pairs"),
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(F.col("mu") / g, 6).alias("mean_value"),
+        F.round(fc, 6).alias("forecast_next"))

@@ -71,6 +71,13 @@ def regime_corpus(tmp_path_factory):
     for i in range(720):
         rows.append((5000 + i, T0 + i * HOUR_US, 3, "noise",
                      50.0 + ((_h32(f"st:{i}") % 16) - 7.5)))
+    # round 11: 'osc' is a pure sine with a 10-hour period — NOT a
+    # divisor-of-24 cycle, so the hod profile averages it away, and any
+    # sine satisfies the exact AR(2) x_t = 2cos(w)x_{t-1} - x_{t-2};
+    # only the Yule-Walker challenger can track it
+    for i in range(720):
+        v = 80 + 40 * math.sin(2 * math.pi * i / 10)
+        rows.append((7000 + i, T0 + i * HOUR_US, 4, "osc", round(v, 2)))
     events = {
         "event_id": [r[0] for r in rows],
         "ts": [r[1] for r in rows],
@@ -89,8 +96,24 @@ def test_backtest_champion_picks_the_right_model(spark, regime_corpus):
     assert rows["season"]["champion"] == "seasonal_hod"
     # the seasonal profile is an order of magnitude better there
     assert rows["season"]["mae_hod"] * 10 < rows["season"]["mae_naive"]
-    assert rows["walk"]["champion"] == "naive_last"
+    # ... and it also beats rolling AR2, which amplifies the per-hour
+    # noise through its ~(1, |phi1|, |phi2|) error combination while
+    # the profile averages noise over 30 train samples per bucket
+    assert rows["season"]["mae_hod"] < rows["season"]["mae_ar2"]
+    # random walk (round 11): rolling one-step AR2 fits phi1 ~ 1 and
+    # tracks the level, rightfully dethroning STATIC naive-last (which
+    # pays the full drift over the 144-hour test horizon); static
+    # naive remains the best of the static recipes
+    assert rows["walk"]["champion"] == "yule_walker_ar2"
+    assert rows["walk"]["mae_ar2"] * 5 < rows["walk"]["mae_naive"]
     assert rows["walk"]["mae_naive"] < rows["walk"]["mae_mean"]
+    # off-24h oscillator (round 11): hod/mean/naive all average the
+    # sine away (~25 MAE); AR2 recovers x_t = 2cos(w)x_{t-1} - x_{t-2}
+    # and is two orders of magnitude better
+    assert rows["osc"]["champion"] == "yule_walker_ar2"
+    assert rows["osc"]["mae_ar2"] * 10 < min(
+        rows["osc"]["mae_naive"], rows["osc"]["mae_mean"],
+        rows["osc"]["mae_hod"])
     # white noise: a level forecast (mean or the hod profile, which
     # estimates the same level per bucket) must beat chasing the walk
     assert rows["noise"]["champion"] != "naive_last"
@@ -99,12 +122,33 @@ def test_backtest_champion_picks_the_right_model(spark, regime_corpus):
         assert (r["n_train"], r["n_test"]) == (576, 144)
 
 
+def test_ar2_fit_recovers_planted_dynamics(spark, regime_corpus):
+    """ts_ar2_forecast on the engineered channels: the Yule-Walker fit
+    recovers the generating coefficients — 'osc' (pure sine, period 10)
+    must fit phi1 ~ 2cos(2*pi/10), phi2 ~ -1; 'walk' (unit root) must
+    fit phi1 + phi2 ~ 1; 'noise' must fit phi ~ 0."""
+    rows = {r["event_type"]: r for r in
+            REGISTRY["ts_ar2_forecast"].fn(spark, regime_corpus)
+            .collect()}
+    osc = rows["osc"]
+    assert abs(osc["phi1"] - 2 * math.cos(2 * math.pi / 10)) < 0.01
+    assert abs(osc["phi2"] + 1.0) < 0.01
+    assert osc["n_hours"] == 720 and osc["n_lag1_pairs"] == 719
+    walk = rows["walk"]
+    assert abs(walk["phi1"] + walk["phi2"] - 1.0) < 0.05
+    noise = rows["noise"]
+    assert abs(noise["phi1"]) < 0.05 and abs(noise["phi2"]) < 0.05
+    # the one-step forecast exists and is near the oscillator's range
+    assert osc["forecast_next"] is not None
+    assert 40 <= osc["forecast_next"] <= 120
+
+
 def test_backtest_champion_runs_on_corpus(spark):
     from .conftest import SF_T2
     out = REGISTRY["ts_backtest_champion"].fn(spark, SF_T2).collect()
     assert len(out) == 5
     for r in out:
-        for c in ("mae_naive", "mae_mean", "mae_hod"):
+        for c in ("mae_naive", "mae_mean", "mae_hod", "mae_ar2"):
             assert r[c] is not None and r[c] >= 0
         assert r["champion"] in ("naive_last", "seasonal_hod",
-                                 "global_mean")
+                                 "global_mean", "yule_walker_ar2")
