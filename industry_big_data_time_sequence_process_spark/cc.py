@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 #: Safety cap on alternating rounds. The theoretical bound is O(log² n)
 #: and measured convergence on near-clique dup graphs is 2-3 rounds, on
-#: a planted 13-node chain 4 rounds; 60 covers any corpus this engine
+#: a planted 13-node chain 5 rounds; 60 covers any corpus this engine
 #: can hold (and unlike the min-label cap it is NOT a diameter bound —
 #: hitting it would mean the algorithm itself regressed).
 _STAR_MAX_ROUNDS = 60
