@@ -3097,7 +3097,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the DuckDB oracle replays exactly K chained MATERIALIZED CTE rounds,
 #: so changing K means regenerating `_duck_bpe_prefix()` (it does, both
 #: move together).
-_BPE_MERGES = 8
+_BPE_TRAIN_K = 8
 
 #: Symbol-boundary delimiters for the merge-application encoding: a
 #: pretoken encodes as <D1>c<D2><D1>c<D2>..., and merge (x, y) applies
@@ -3127,7 +3127,7 @@ def _duck_bpe_prefix() -> str:
            count(*) AS cnt
     FROM btok GROUP BY t
 )"""]
-    for i in range(1, _BPE_MERGES + 1):
+    for i in range(1, _BPE_TRAIN_K + 1):
         p = i - 1
         parts.append(f"""pairs{i} AS MATERIALIZED (
     SELECT s[j] AS x, s[j + 1] AS y, CAST(sum(cnt) AS BIGINT) AS pc
@@ -3152,14 +3152,14 @@ def _duck_bpe_apply(expr: str) -> str:
     with best{i} aliased b{i} (cross-joined 1-row frames)."""
     d1, d2 = _BPE_D1, _BPE_D2
     out = expr
-    for i in range(1, _BPE_MERGES + 1):
+    for i in range(1, _BPE_TRAIN_K + 1):
         out = (f"replace({out}, '{d1}' || b{i}.x || '{d2}{d1}' || b{i}.y"
                f" || '{d2}', '{d1}' || b{i}.x || b{i}.y || '{d2}')")
     return out
 
 
 _DUCK_BPE_CROSS = " ".join(f"CROSS JOIN best{i} b{i}"
-                           for i in range(1, _BPE_MERGES + 1))
+                           for i in range(1, _BPE_TRAIN_K + 1))
 
 #: Per-doc merged-token list CTE (doc_id, lang, t) shared by the two
 #: budget meters' oracles.
@@ -3204,7 +3204,7 @@ def _bpe_merge_frames(spark: SparkSession, d: DataFrame) -> list[DataFrame]:
     noop = spark.createDataFrame([("", "", 0)],
                                  "x string, y string, pc long")
     bests: list[DataFrame] = []
-    for _ in range(_BPE_MERGES):
+    for _ in range(_BPE_TRAIN_K):
         syms = words.select(
             "cnt", F.regexp_extract_all("w", F.lit(_BPE_SYM_RE), 1)
                     .alias("s"))
@@ -3270,12 +3270,12 @@ SELECT * FROM (
     {" UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, x AS lhs, y AS rhs, "
         f"x || y AS merged, pc AS pair_count FROM best{i}"
-        for i in range(1, _BPE_MERGES + 1))}
+        for i in range(1, _BPE_TRAIN_K + 1))}
 ) WHERE pair_count > 0
 """, tier=3, section="2.37")
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-TRAINED BPE MERGE TABLE (VERDICT r10 missing #2): the
-    top-{_BPE_MERGES} byte-pair merges learned from the documents
+    top-{_BPE_TRAIN_K} byte-pair merges learned from the documents
     corpus by the standard iterative recipe (Sennrich et al. 2016,
     reduced to its aggregates) — round i counts adjacent symbol pairs
     over the vocabulary WEIGHTED by pretoken frequency, crowns the
@@ -3286,7 +3286,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge (rank, the pair, the merged symbol, the weighted
     pair count at crowning time).
 
-    The DuckDB oracle replays the identical {_BPE_MERGES} rounds as
+    The DuckDB oracle replays the identical {_BPE_TRAIN_K} rounds as
     chained MATERIALIZED CTEs — every count, argmax and replace is
     exact integer/string work, so the merge tables match value-for-
     value.
@@ -3325,7 +3325,7 @@ def doc_truncate_budget_merged(spark: SparkSession,
     """MERGED-TOKEN twin of `doc_truncate_budget_bpe`: the
     {_TRUNC_BUDGET}-token context budget billed in TRAINED subword
     units — every pretoken runs through the corpus-trained
-    top-{_BPE_MERGES} merge table (`text_bpe_train`) and the budget
+    top-{_BPE_TRAIN_K} merge table (`text_bpe_train`) and the budget
     counts the resulting symbols, so the ledger tracks a learned
     tokenizer instead of the pretoken approximation (pretokens
     UNDER-count precisely where text is long-word dense: a 50-pretoken
