@@ -717,33 +717,29 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Γ(b) ∪ {b} == least(own, min neighbor) -- value-identical to
     # the old two-reference least/coalesce form, but the analyzed plan
     # now grows LINEARLY in rounds instead of doubling per round.
-    # cache() materializes execution but NOT the plan tree, so the old
-    # form survived only because dup graphs converge in ~2 rounds; a
-    # graph that actually uses the round budget (the planted 13-doc
-    # chain in tests/test_wave_r11.py) compounded 2^10 copies of the
-    # jaccard lineage and died stringifying the plan INSTEAD of
-    # reaching the loud non-convergence raise below.
+    # Per-round localCheckpoint (round 12, VERDICT r11 #1): cache()
+    # materializes EXECUTION but not the PLAN TREE, so a graph that
+    # actually uses the round budget (the planted 13-doc chain in
+    # tests/test_wave_r11.py) still compounded ~10 nested copies of the
+    # jaccard lineage into one logical plan and died stringifying it in
+    # a warm session. localCheckpoint truncates lineage each round —
+    # exactly the semantic twin's discipline (similarity.py
+    # dedup_semantic_cluster_cc) and cc.py's.
     edges = bidir.unionByName(
-        bidir.select("a", F.col("a").alias("b")).distinct()).cache()
+        bidir.select("a", F.col("a").alias("b")).distinct()
+    ).localCheckpoint()
     labels = edges.select(F.col("a").alias("node")).distinct() \
-                  .withColumn("lbl", F.col("node"))
+                  .withColumn("lbl", F.col("node")).localCheckpoint()
     for _ in range(10):  # cap; real exit is the fixpoint check below
         new = (
             edges.join(labels, edges.a == labels.node)
                  .groupBy(F.col("b").alias("node"))
                  .agg(F.min("lbl").alias("lbl"))
-        ).cache()
-        # Full materialization BEFORE dropping the predecessor: a
-        # limit(1)-style probe can early-exit with the cache only
-        # partially populated, and unpersisting `labels` then would
-        # force lineage recomputation chaining through earlier rounds.
-        new.count()
+        ).localCheckpoint()
         changed = (
             new.alias("n").join(labels.alias("o"), "node")
                .filter(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
         )
-        if labels.is_cached:  # superseded round's cache
-            labels.unpersist()
         labels = new
         if changed == 0:
             break
@@ -751,12 +747,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ADVICE r9: a component with diameter > the round cap would
         # otherwise return silently-wrong labels while the recursive-CTE
         # oracle converges -- non-convergence must fail loudly instead.
-        edges.unpersist()
-        labels.unpersist()
         raise RuntimeError(
             "dedup_cluster_cc: min-label propagation did not reach a "
             "fixpoint within the round cap (component diameter > 10)")
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 
