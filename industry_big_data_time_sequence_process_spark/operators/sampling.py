@@ -828,7 +828,7 @@ _WRES_GRID = 1e6     # exp-clock key quantization grid (see docstring)
 _DUCK_WKEY = (
     "CAST(floor(-ln(((" + _DUCK_H32.format(
         c="'wr:' || CAST(event_id AS VARCHAR)") + ") + 1)"
-    " / 4294967297.0) / (1.0 + greatest(value, 0.0)) * 1000000.0)"
+    " / 4294967297.0) / greatest(1.0 + value, 0.000001) * 1000000.0)"
     " AS BIGINT)")
 
 
@@ -874,16 +874,18 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     u = ((_h32(F.concat(F.lit("wr:"), F.col("event_id").cast("string")))
           + F.lit(1)) / F.lit(4294967297.0))
-    # ADVICE r10: the exp-clock weight must stay strictly positive — a
-    # raw 1 + value flips sign (or divides by zero) at value <= -1,
-    # silently corrupting the ranking. greatest(value, 0) clamps the
-    # domain (a no-op on this corpus, value ~0.03-330 per FIXTURES.md:
-    # weights below the clamp would mean "keep never", which a weighted
-    # sampler expresses as weight -> 0+, i.e. key -> +inf — the clamp to
-    # weight 1 is the conservative uniform floor instead). Mirrored
+    # ADVICE r10/r11: the exp-clock weight must stay strictly positive —
+    # a raw 1 + value flips sign (or divides by zero) at value <= -1,
+    # silently corrupting the ranking. The floor is on the WEIGHT, not
+    # the value: greatest(1 + value, 1e-6) keeps every legitimate sub-1
+    # weight (-1 < value < 0 means "keep rarely", exactly what the
+    # exp-clock expresses as a large key) and floors only the invalid
+    # domain value <= -1 to an epsilon weight, i.e. "keep almost never"
+    # — the faithful limit, unlike the r10 uniform-weight rewrite. A
+    # no-op on this corpus (value ~0.03-330 per FIXTURES.md). Mirrored
     # verbatim in _DUCK_WKEY.
     wkey = F.floor(-F.log(u)
-                   / (F.lit(1.0) + F.greatest(F.col("value"), F.lit(0.0)))
+                   / F.greatest(F.lit(1.0) + F.col("value"), F.lit(1e-6))
                    * F.lit(1000000.0)).cast("long")
     keyed = ev.select("user_id", "event_id", wkey.alias("wkey_q"))
     w = Window.partitionBy("user_id").orderBy(

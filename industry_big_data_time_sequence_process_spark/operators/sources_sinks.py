@@ -670,29 +670,45 @@ class TxnConflictError(RuntimeError):
 
 
 def txn_commit(log_dir: str, version: int, adds: list[str],
-               removes: list[str]) -> None:
+               removes: list[str], extra: dict | None = None) -> None:
     """OPTIMISTIC-CONCURRENCY commit: atomically create
     ``{version}.json`` in the log directory. Two writers that both
     prepared against base version ``version - 1`` race to create the
-    same file; exactly one wins (POSIX ``O_CREAT|O_EXCL`` — on an
+    same file; exactly one wins (POSIX hard-link-into-place — on an
     object store the same role is played by a put-if-absent /
-    conditional-write primitive), the loser gets
+    conditional-write primitive over a COMPLETE object), the loser gets
     :class:`TxnConflictError` and must rebase. This is the whole Delta/
     Iceberg commit protocol reduced to its primitive: the LOG serializes
-    writers, the (immutable) data dirs never need coordination."""
+    writers, the (immutable) data dirs never need coordination.
+
+    The manifest content is made durable BEFORE the version slot is
+    claimed (ADVICE r11): the JSON is written + fsynced to a
+    writer-private temp file, then ``os.link`` publishes it under the
+    final name — link is atomic and fails if the slot exists, so a
+    crash mid-write leaves only an unreferenced temp file, never a
+    truncated ``{version}.json`` permanently occupying the slot.
+
+    ``extra`` merges additional manifest fields (commit timestamp,
+    schema — the round-12 checkpoint / schema-evolution / AS-OF keys
+    use it); ``version``/``add``/``remove`` stay reserved."""
     import json as _json
 
     path = os.path.join(log_dir, f"{version}.json")
+    tmp = os.path.join(log_dir, f".{version}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"version": version, "add": sorted(adds),
+                    "remove": sorted(removes), **(extra or {})}, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        f = open(path, "x")
+        os.link(tmp, path)
     except FileExistsError:
         raise TxnConflictError(
             f"transaction log already holds version {version} "
             f"({path}): a concurrent writer committed first — rebase "
             f"onto the new snapshot and retry") from None
-    with f:
-        _json.dump({"version": version, "add": sorted(adds),
-                    "remove": sorted(removes)}, f)
+    finally:
+        os.unlink(tmp)
 
 
 def txn_active_dirs(log_dir: str, version: int) -> list[str]:
@@ -804,7 +820,10 @@ def sink_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_base, is_src = eid % 3 == 0, eid % 5 == 0
     is_del = is_src & (eid % 2 == 0)
     is_ups = is_src & (eid % 2 == 1)
-    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    # coalesce: on an EMPTY events corpus F.sum returns NULL while the
+    # oracle's count(*) subqueries return 0 (ADVICE r11).
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(c.cast("long")), F.lit(0)).cast("long")
     counts = ev.agg(
         cnt(is_base).alias("n_base"), cnt(is_src).alias("n_source"),
         cnt(is_base & is_ups).alias("n_updated"),

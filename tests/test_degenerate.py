@@ -171,7 +171,10 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-10 sixth wave: zero pairs / fileless commits
                  "ts_mann_kendall", "sink_txn_log_snapshot",
                  # round-10 seventh wave: zero islands
-                 "dq_sequence_islands"]
+                 "dq_sequence_islands",
+                 # round-12 (ADVICE r11): MERGE/VACUUM stage counters on a
+                 # fileless history must report 0, not NULL
+                 "sink_txn_merge", "sink_txn_vacuum"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
