@@ -503,12 +503,21 @@ def compact_parquet_tree(spark: SparkSession, staged: str,
     Partition columns (e.g. a sink's ``batch_id=N`` dirs) surface via
     ``basePath`` and are carried into the compacted files as ordinary
     columns, so the identity hash covers them and a re-serve from the
-    compacted tree can still group on them."""
+    compacted tree can still group on them.
+
+    ``staged`` may also be a LIST of directories (round 12): the
+    transaction-log OPTIMIZE commit compacts exactly the ACTIVE dirs of
+    a snapshot, never the whole data tree (retired-but-unvacuumed dirs
+    must not leak back in). List inputs skip ``basePath`` — commit dirs
+    are flat, not hive-partitioned."""
     # explicit schema: an EMPTY source writes a fileless staged tree,
     # and schema inference over zero files raises — the audit must
     # instead report a clean 0-row identity (degenerate-corpus guard)
-    back = (spark.read.schema(schema)
-                 .option("basePath", staged).parquet(staged))
+    reader = spark.read.schema(schema)
+    if isinstance(staged, str):
+        back = reader.option("basePath", staged).parquet(staged)
+    else:
+        back = reader.parquet(*staged)
     (back.repartition(target_files)
          .write.mode("overwrite").parquet(compacted))
 
@@ -711,19 +720,127 @@ def txn_commit(log_dir: str, version: int, adds: list[str],
         os.unlink(tmp)
 
 
-def txn_active_dirs(log_dir: str, version: int) -> list[str]:
-    """Snapshot resolution: fold add/remove sets of manifests
-    ``1..version``. Raises FileNotFoundError if a manifest is missing
-    (version never committed)."""
+def _txn_manifest(log_dir: str, version: int) -> dict:
     import json as _json
 
-    dirs: set[str] = set()
-    for v in range(1, version + 1):
-        with open(os.path.join(log_dir, f"{v}.json")) as f:
-            c = _json.load(f)
+    with open(os.path.join(log_dir, f"{version}.json")) as f:
+        return _json.load(f)
+
+
+def txn_resolve(log_dir: str, version: int) -> tuple[list[str], int, int]:
+    """Checkpoint-aware snapshot resolution (round 12, VERDICT r11 #3):
+    returns ``(active_dirs, n_manifests_read, seed_checkpoint_version)``.
+
+    If ``_last_checkpoint`` names a checkpoint at version ``c <= version``,
+    resolution seeds from ``_checkpoint.{c}.json``'s materialized
+    active-dir set and replays only manifests ``c+1..version`` —
+    O(suffix) per read instead of O(history). Requests BELOW the last
+    checkpoint (vacuum horizons, deep time travel) fall back to the full
+    replay from manifest 1 — the checkpoint is an accelerator, never a
+    different answer. Raises FileNotFoundError if a replayed manifest is
+    missing (version never committed)."""
+    import json as _json
+
+    seed: set[str] = set()
+    start, ckpt_v = 1, 0
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cv = int(_json.load(f)["version"])
+        if cv <= version:
+            with open(os.path.join(log_dir,
+                                   f"_checkpoint.{cv}.json")) as f:
+                seed = set(_json.load(f)["active"])
+            start, ckpt_v = cv + 1, cv
+    dirs, reads = set(seed), 0
+    for v in range(start, version + 1):
+        c = _txn_manifest(log_dir, v)
+        reads += 1
         dirs |= set(c["add"])
         dirs -= set(c["remove"])
-    return sorted(dirs)
+    return sorted(dirs), reads, ckpt_v
+
+
+def txn_active_dirs(log_dir: str, version: int) -> list[str]:
+    """Snapshot resolution: fold add/remove sets of manifests
+    ``1..version``, seeded from the last checkpoint when one covers the
+    request (see :func:`txn_resolve`). Raises FileNotFoundError if a
+    replayed manifest is missing (version never committed)."""
+    return txn_resolve(log_dir, version)[0]
+
+
+def txn_checkpoint(log_dir: str, version: int, *,
+                   crash_before_pointer_swap: bool = False) -> None:
+    """Materialize snapshot resolution at ``version`` into a manifest
+    CHECKPOINT (the Delta `_last_checkpoint` idea): without one, every
+    read replays the whole log — O(history); with one, reads cost
+    checkpoint + suffix.
+
+    Two steps, each independently atomic, in the only safe order:
+
+    1. temp-write + fsync + ``os.replace`` the COMPLETE checkpoint
+       object to ``_checkpoint.{version}.json`` (content is a pure
+       function of the log prefix, so concurrent checkpointers of the
+       same version converge byte-identically);
+    2. temp-write + fsync + ``os.replace`` the ``_last_checkpoint``
+       pointer — monotonic: an already-newer pointer is left alone.
+
+    A crash BETWEEN the steps is safe by construction: the pointer
+    still names the previous checkpoint (or none), resolution falls
+    back to a longer replay — never a wrong answer, only a slower one —
+    and re-running the checkpoint converges. The ``crash_before_pointer_
+    swap`` hook stops after step 1 so tests (and the op's audit row) can
+    prove exactly that window."""
+    import json as _json
+
+    dirs, _, _ = txn_resolve(log_dir, version)
+    ckpt = os.path.join(log_dir, f"_checkpoint.{version}.json")
+    tmp = ckpt + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"version": version, "active": dirs}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ckpt)
+    if crash_before_pointer_swap:
+        return
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            if int(_json.load(f)["version"]) >= version:
+                return
+    tmp2 = ptr + f".{os.getpid()}.tmp"
+    with open(tmp2, "w") as f:
+        _json.dump({"version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp2, ptr)
+
+
+def txn_version_at(log_dir: str, ts: int) -> int:
+    """AS-OF resolution (round 12, VERDICT r11 #5): the greatest
+    committed version whose manifest ``ts`` is <= the requested
+    timestamp — "AS OF <ts>" is the form users actually type. Commit
+    timestamps are recorded IN the manifest at commit time (via
+    ``txn_commit``'s ``extra``), never inferred from file mtimes.
+    Raises ValueError if the timestamp precedes the first commit."""
+    best, v = None, 1
+    while True:
+        try:
+            c = _txn_manifest(log_dir, v)
+        except FileNotFoundError:
+            break
+        if "ts" not in c:
+            raise ValueError(
+                f"manifest {v} in {log_dir} records no commit timestamp "
+                f"— AS-OF reads need ts-stamped commits")
+        if c["ts"] <= ts:
+            best = v
+        v += 1
+    if best is None:
+        raise ValueError(
+            f"AS OF {ts} precedes the first commit in {log_dir} — "
+            f"no snapshot existed yet")
+    return best
 
 
 def _txn_canon(df: DataFrame):
@@ -938,3 +1055,398 @@ def sink_txn_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dirs_before long, n_dirs_after long, n_vacuumed long, "
         "n_rows_latest long, latest_content_intact int, "
         "pre_horizon_unreadable int")
+
+
+# ==========================================================================
+# Round-12 wave (SURVEY.md §2.38): the transaction log grows manifest
+# CHECKPOINTING (O(suffix) snapshot reads), OPTIMIZE as a conflict-checked
+# commit, ADD-COLUMN schema evolution, and timestamp time travel — VERDICT
+# r11 "what's missing" #2/#3/#4.
+# ==========================================================================
+
+#: checkpoint cadence of the demo history: checkpoint after this commit.
+_TXN_CKPT_AT = 5
+#: number of append commits staged by `sink_txn_checkpoint`.
+_TXN_CKPT_COMMITS = 7
+
+
+@op("sink_txn_checkpoint", oracle=f"""
+SELECT CAST({_TXN_CKPT_COMMITS} AS INT) AS n_commits,
+       CAST({_TXN_CKPT_AT} AS INT) AS ckpt_version,
+       CAST({_TXN_CKPT_COMMITS} AS BIGINT) AS n_manifests_full,
+       CAST({_TXN_CKPT_COMMITS - _TXN_CKPT_AT} AS BIGINT)
+           AS n_manifests_with_ckpt,
+       CAST(0 AS BIGINT) AS n_manifests_after_recovery,
+       (SELECT count(*) FROM events) AS n_rows_latest,
+       CAST(1 AS INT) AS ckpt_matches_replay,
+       CAST(1 AS INT) AS crash_window_safe,
+       CAST(1 AS INT) AS pointerless_fallback
+""", tier=3, section="2.38")
+def sink_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest CHECKPOINT for the transaction log (VERDICT r11 missing
+    #2): before this, every snapshot read replayed every JSON manifest
+    from v1 — O(history) per read; a `_last_checkpoint`-style pointer +
+    a materialized active-dir set makes reads O(suffix). Stage
+    7 append commits (commit vi adds the event_id % 7 == i-1 slice),
+    checkpoint after commit 5 (the _TXN_CKPT_* dials), and prove the
+    whole contract in one audit row: (a) resolution cost drops from 7
+    manifest reads to 2 with the checkpoint and
+    to 0 after a checkpoint AT the head; (b) the checkpoint-seeded
+    snapshot is byte-identical (order-invariant md5-sum) to the full
+    replay; (c) a crash BETWEEN checkpoint-file write and pointer swap
+    leaves reads correct (pointer still names the old checkpoint) and a
+    re-run converges; (d) deleting the pointer entirely falls back to
+    the full replay with identical content.
+
+    The DuckDB oracle pins the commit/manifest-count arithmetic
+    directly and every proof at 1 — a checkpoint bug (stale seed,
+    wrong suffix start, pointer published before content is durable)
+    mismatches the row.
+
+    Scale shape: the checkpoint is driver-side JSON over driver-scale
+    metadata (that's the log design's point); each snapshot read stays
+    one multi-dir parquet scan — the checkpoint changes how many
+    manifests resolution READS, never which dirs it returns. Idempotent:
+    the staging tree is wiped and rebuilt; re-checkpointing the same
+    version rewrites identical bytes."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_checkpoint")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    k = _TXN_CKPT_COMMITS
+    for v in range(1, k + 1):
+        ev.filter(F.col("event_id") % k == v - 1).repartition(1) \
+          .write.mode("overwrite").parquet(os.path.join(data, f"v{v}"))
+        txn_commit(log, v, [f"v{v}"], [])
+
+    def snap_canon(version: int):
+        dirs, reads, ckpt_v = txn_resolve(log, version)
+        df = spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d) for d in dirs])
+        r = _txn_canon(df).collect()[0]
+        return (int(r["n"]), r["hsum"]), reads, ckpt_v
+
+    full_canon, full_reads, _ = snap_canon(k)          # no checkpoint yet
+    txn_checkpoint(log, _TXN_CKPT_AT)
+    ckpt_canon, ckpt_reads, seed_v = snap_canon(k)
+    ckpt_ok = int(ckpt_canon == full_canon and seed_v == _TXN_CKPT_AT)
+
+    # crash window: checkpoint at the head, but die before the pointer
+    # swap — reads must still resolve via the OLD checkpoint, identically
+    txn_checkpoint(log, k, crash_before_pointer_swap=True)
+    crash_canon, crash_reads, crash_seed = snap_canon(k)
+    crash_ok = int(crash_canon == full_canon
+                   and crash_seed == _TXN_CKPT_AT
+                   and crash_reads == ckpt_reads)
+    # recovery: re-run the interrupted checkpoint; now reads seed at the
+    # head and replay zero manifests
+    txn_checkpoint(log, k)
+    rec_canon, rec_reads, rec_seed = snap_canon(k)
+    crash_ok = int(crash_ok and rec_canon == full_canon and rec_seed == k)
+
+    # pointerless fallback: drop the pointer -> full replay, same content
+    os.remove(os.path.join(log, "_last_checkpoint"))
+    fb_canon, fb_reads, fb_seed = snap_canon(k)
+    fb_ok = int(fb_canon == full_canon and fb_seed == 0
+                and fb_reads == full_reads)
+
+    return spark.createDataFrame(
+        [(k, _TXN_CKPT_AT, full_reads, ckpt_reads, rec_reads,
+          full_canon[0], ckpt_ok, crash_ok, fb_ok)],
+        "n_commits int, ckpt_version int, n_manifests_full long, "
+        "n_manifests_with_ckpt long, n_manifests_after_recovery long, "
+        "n_rows_latest long, ckpt_matches_replay int, "
+        "crash_window_safe int, pointerless_fallback int")
+
+
+@op("sink_txn_optimize", oracle="""
+SELECT CAST(4 AS INT) AS version_base,
+       CAST(1 AS INT) AS conflict_detected,
+       CAST(6 AS INT) AS version_optimize,
+       CAST(5 AS BIGINT) AS n_dirs_before,
+       CAST(2 AS BIGINT) AS n_dirs_after,
+       (SELECT count(*) FROM events) AS n_rows_latest,
+       CAST(1 AS INT) AS optimize_preserves_content,
+       CAST(1 AS INT) AS pre_optimize_time_travel_intact
+""", tier=3, section="2.38")
+def sink_txn_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-file/small-dir compaction) as a CONFLICT-CHECKED
+    COMMIT (VERDICT r11 missing #2): `sink_compact_small_files` lives
+    OUTSIDE the log — a lakehouse user needs compaction to be a
+    transaction so readers never see a half-swapped table and a
+    concurrent writer loses LOUDLY instead of being silently clobbered.
+    Stage 4 append commits (event_id % 5 == 0..3); OPTIMIZE prepares
+    against base version 4 by compacting exactly snapshot(4)'s active
+    dirs (`compact_parquet_tree` over the dir LIST) into one dir; before
+    it commits, a concurrent writer wins version 5 (appending the
+    % 5 == 4 slice) — OPTIMIZE's commit raises TxnConflictError, and it
+    REBASES: its removal set (the 4 dirs it compacted) is still active
+    in v5 and disjoint from the writer's add, so the rewrite is still
+    valid and recommits as version 6. The audit row carries the
+    conflict proof, dir counts before/after, and the two content
+    proofs: snapshot(6) equals the full expected table and time travel
+    to the pre-OPTIMIZE version 4 still returns exactly the 4 slices.
+
+    The DuckDB oracle pins the version/dir arithmetic and both proofs
+    at 1 — a lost concurrent commit, a compaction that drops/duplicates
+    rows, or a broken rebase mismatches the row.
+
+    Scale shape: the compaction read is one multi-dir scan + bounded-
+    file rewrite (distributed); conflict detection is the manifest
+    create — driver-side, O(1); at production scale OPTIMIZE picks
+    affected dirs by size stats instead of all of them, which changes
+    the dir choice, not the protocol. Idempotent: staging wiped per
+    run; a re-run after a crash mid-compaction rewrites the same
+    bytes and re-attempts the same commit."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_optimize")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    for v in range(1, 5):
+        ev.filter(F.col("event_id") % 5 == v - 1).repartition(1) \
+          .write.mode("overwrite").parquet(os.path.join(data, f"v{v}"))
+        txn_commit(log, v, [f"v{v}"], [])
+
+    # OPTIMIZE prepares against base version 4
+    base_version = 4
+    opt_dirs = txn_active_dirs(log, base_version)
+    audit = compact_parquet_tree(
+        spark, [os.path.join(data, d) for d in opt_dirs],
+        os.path.join(data, "opt"), ev.schema, target_files=1)
+
+    # ... meanwhile a concurrent writer commits version 5
+    ev.filter(F.col("event_id") % 5 == 4).repartition(1) \
+      .write.mode("overwrite").parquet(os.path.join(data, "v5"))
+    txn_commit(log, 5, ["v5"], [])
+
+    # OPTIMIZE tries to commit version 5 -> loses loudly, rebases to 6
+    conflict = 0
+    opt_version = base_version + 1
+    try:
+        txn_commit(log, opt_version, ["opt"], opt_dirs)
+    except TxnConflictError:
+        conflict = 1
+        # rebase: the compacted dirs are still active in v5 and the
+        # concurrent add is disjoint from the removal set -> recommit
+        still_active = set(txn_active_dirs(log, opt_version))
+        assert set(opt_dirs) <= still_active
+        opt_version += 1
+        txn_commit(log, opt_version, ["opt"], opt_dirs)
+
+    n_before = len(txn_active_dirs(log, 5))
+    after_dirs = txn_active_dirs(log, opt_version)
+    snap = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in after_dirs])
+    got, want = _txn_canon(snap).collect()[0], \
+        _txn_canon(ev).collect()[0]
+    content_ok = int(tuple(got) == tuple(want)
+                     and audit["value_match"] == 1)
+    snap4 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 4)])
+    got4, want4 = _txn_canon(snap4).collect()[0], \
+        _txn_canon(ev.filter(F.col("event_id") % 5 < 4)).collect()[0]
+    return spark.createDataFrame(
+        [(base_version, conflict, opt_version, n_before,
+          len(after_dirs), int(got["n"]), content_ok,
+          int(tuple(got4) == tuple(want4)))],
+        "version_base int, conflict_detected int, version_optimize int, "
+        "n_dirs_before long, n_dirs_after long, n_rows_latest long, "
+        "optimize_preserves_content int, "
+        "pre_optimize_time_travel_intact int")
+
+
+@op("sink_txn_schema_evolve", oracle="""
+SELECT CAST(1 AS INT) AS version_base, CAST(2 AS INT) AS version_evolve,
+       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_rows_v1,
+       (SELECT count(*) FROM events) AS n_rows_v2,
+       CAST(6 AS INT) AS n_cols_v1, CAST(7 AS INT) AS n_cols_v2,
+       (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+           AS n_newcol_nulls,
+       CAST(1 AS INT) AS evolve_preserves_content,
+       CAST(1 AS INT) AS pre_evolve_schema_intact
+""", tier=3, section="2.38")
+def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution on the transaction log (VERDICT r11
+    missing #3): every long-lived table eventually grows a column, and
+    the r11 log assumed a frozen schema (snapshot reads used the source
+    schema verbatim). The schema is now part of the COMMIT: each
+    manifest may record the table schema as of that version (via
+    ``txn_commit``'s ``extra``), and a snapshot read resolves the
+    newest schema at-or-before its version — RECORDED mergeSchema
+    semantics, not footer inference. Commit v1 writes the base slice
+    (event_id % 2 == 0, 6 columns); commit v2 appends the odd slice
+    WITH a new ``value_eur = round(value * 0.9, 6)`` column and records
+    the evolved 7-column schema. Reading snapshot(2) with the evolved
+    schema null-fills the new column across v1's old files (parquet
+    missing-column semantics — exactly mergeSchema's add-column case);
+    time travel to v1 still reads the ORIGINAL 6-column shape. The
+    audit row pins the row/column/null arithmetic plus two content
+    proofs: snapshot(2) equals an independently derived
+    base-null-filled ∪ evolved frame, and snapshot(1) equals the
+    pre-evolution base exactly.
+
+    The DuckDB oracle states every count from the source predicates
+    and pins both proofs at 1 — a read that infers instead of resolving
+    the recorded schema, drops old rows, or back-fills the wrong
+    default mismatches the row.
+
+    Scale shape: schema resolution is driver-side metadata (newest
+    manifest <= v carrying a schema — O(suffix) with checkpoints
+    carrying it forward); the null-fill costs NOTHING at read time
+    (parquet scans simply project the missing column as null per file,
+    no rewrite of old dirs — the whole point of add-column evolution).
+    Idempotent: staging wiped per run."""
+    import shutil as _shutil
+
+    from pyspark.sql.types import StructType
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_schema_evolve")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    base_df = ev.filter(F.col("event_id") % 2 == 0)
+    base_df.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [],
+               extra={"schema": base_df.schema.jsonValue()})
+
+    evolved_df = (ev.filter(F.col("event_id") % 2 == 1)
+                    .withColumn("value_eur",
+                                F.round(F.col("value") * 0.9, 6)))
+    evolved_df.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2"))
+    txn_commit(log, 2, ["v2"], [],
+               extra={"schema": evolved_df.schema.jsonValue()})
+
+    def schema_at(version: int) -> StructType:
+        for v in range(version, 0, -1):
+            c = _txn_manifest(log, v)
+            if "schema" in c:
+                return StructType.fromJson(c["schema"])
+        raise ValueError(f"no schema recorded at or before v{version}")
+
+    def snap(version: int) -> DataFrame:
+        return spark.read.schema(schema_at(version)).parquet(
+            *[os.path.join(data, d)
+              for d in txn_active_dirs(log, version)])
+
+    s2 = snap(2)
+    n_v2 = s2.count()
+    n_nulls = s2.filter(F.col("value_eur").isNull()).count()
+    expected2 = (base_df.withColumn(
+                     "value_eur", F.lit(None).cast("double"))
+                 .unionByName(evolved_df))
+    got2, want2 = _txn_canon(s2).collect()[0], \
+        _txn_canon(expected2).collect()[0]
+    s1 = snap(1)
+    got1, want1 = _txn_canon(s1).collect()[0], \
+        _txn_canon(base_df).collect()[0]
+    pre_ok = int(tuple(got1) == tuple(want1)
+                 and len(s1.columns) == len(base_df.columns))
+    return spark.createDataFrame(
+        [(1, 2, int(got1["n"]), n_v2, len(s1.columns), len(s2.columns),
+          n_nulls, int(tuple(got2) == tuple(want2)), pre_ok)],
+        "version_base int, version_evolve int, n_rows_v1 long, "
+        "n_rows_v2 long, n_cols_v1 int, n_cols_v2 int, "
+        "n_newcol_nulls long, evolve_preserves_content int, "
+        "pre_evolve_schema_intact int")
+
+
+#: synthetic commit clock of the AS-OF demo: commit v is stamped
+#: _TXN_TS_BASE + 100*v (deterministic — manifests record the ts, the
+#: demo never reads a wall clock).
+_TXN_TS_BASE = 1700000000
+
+
+@op("sink_txn_timetravel_ts", oracle=f"""
+SELECT CAST(2 AS INT) AS asof_mid_version,
+       CAST(3 AS INT) AS asof_boundary_version,
+       (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1))
+           AS n_rows_asof_mid,
+       CAST(1 AS INT) AS asof_content_ok,
+       CAST(1 AS INT) AS asof_before_first_raises
+""", tier=3, section="2.38")
+def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-addressed TIME TRAVEL (VERDICT r11 missing #4):
+    version-addressed snapshots exist since r10, but "AS OF <ts>" is
+    the form users actually type. Commits now record a timestamp IN
+    the manifest (``txn_commit`` extra — never file mtimes, which move
+    under copies/restores); ``txn_version_at(ts)`` resolves the
+    greatest version committed at-or-before ts. Stage the canonical
+    3-commit history (v1 load % 3 == 0, v2 append % 3 == 1, v3
+    rewrites v1) on the synthetic clock ts(v) = base + 100·v, then
+    prove: a mid-window ts (base+250) resolves to version 2 with
+    exactly v2's content (order-invariant md5-sum vs an independent
+    derivation), an EXACT-boundary ts (base+300) resolves to version 3
+    (<=, not <), and a ts before the first commit raises loudly
+    instead of inventing an empty table.
+
+    The DuckDB oracle pins the resolved versions, the mid-window row
+    count from the source predicate, and both proofs at 1.
+
+    Scale shape: AS-OF resolution is a driver-side scan over
+    driver-scale manifests (monotone ts — binary search at production
+    history lengths, same metadata plane as checkpoints); the data
+    read is the ordinary snapshot multi-dir scan. Idempotent: staging
+    wiped per run."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_timetravel_ts")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    slices = {1: ev.filter(F.col("event_id") % 3 == 0),
+              2: ev.filter(F.col("event_id") % 3 == 1)}
+    slices[1].repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [], extra={"ts": _TXN_TS_BASE + 100})
+    slices[2].repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2"))
+    txn_commit(log, 2, ["v2"], [], extra={"ts": _TXN_TS_BASE + 200})
+    v1_back = spark.read.schema(ev.schema).parquet(
+        os.path.join(data, "v1"))
+    v1_back.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v3"))
+    txn_commit(log, 3, ["v3"], ["v1"], extra={"ts": _TXN_TS_BASE + 300})
+
+    def snap_at(ts: int) -> DataFrame:
+        v = txn_version_at(log, ts)
+        return v, spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d) for d in txn_active_dirs(log, v)])
+
+    mid_v, mid = snap_at(_TXN_TS_BASE + 250)
+    boundary_v, _ = snap_at(_TXN_TS_BASE + 300)
+    expected_mid = ev.filter(F.col("event_id") % 3 < 2)
+    got, want = _txn_canon(mid).collect()[0], \
+        _txn_canon(expected_mid).collect()[0]
+    try:
+        txn_version_at(log, _TXN_TS_BASE + 99)
+        before_raises = 0
+    except ValueError:
+        before_raises = 1
+    return spark.createDataFrame(
+        [(mid_v, boundary_v, int(got["n"]),
+          int(tuple(got) == tuple(want)), before_raises)],
+        "asof_mid_version int, asof_boundary_version int, "
+        "n_rows_asof_mid long, asof_content_ok int, "
+        "asof_before_first_raises int")

@@ -174,7 +174,11 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "dq_sequence_islands",
                  # round-12 (ADVICE r11): MERGE/VACUUM stage counters on a
                  # fileless history must report 0, not NULL
-                 "sink_txn_merge", "sink_txn_vacuum"]
+                 "sink_txn_merge", "sink_txn_vacuum",
+                 # round-12 wave: checkpoint/optimize/evolve/AS-OF over a
+                 # fileless commit history
+                 "sink_txn_checkpoint", "sink_txn_optimize",
+                 "sink_txn_schema_evolve", "sink_txn_timetravel_ts"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
