@@ -1563,3 +1563,118 @@ def stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.unpersist()
     return (spark.read.option("basePath", out).parquet(out)
                  .select("doc_id", "n_tokens", "score", "pred_good"))
+
+
+# ==========================================================================
+# Round-12 wave (SURVEY.md §2.38): the funnel-shaped stream-stream join
+# under genuinely ADVANCING watermarks — VERDICT r11 missing #1 asked for
+# the click ⋈ purchase-within-1h form with the two-file time-split drain
+# (`stream_stream_join` above is the ±window attribution form, but its
+# single-file staging drains in ONE micro-batch, so its watermark never
+# advances mid-stream; this one proves the cross-batch state story).
+# ==========================================================================
+
+
+def _typed_stream_halves(spark: SparkSession, sf_dir: str, key: str,
+                         split_day: str, types: tuple) -> dict:
+    """Stage each event_type in ``types`` as its OWN two-file time-split
+    stream source (<= split_day, > split_day — `_events_stream_halves`'
+    discipline per source) under ``base/in_<type>/``. Both sources split
+    at the same boundary, so their watermarks advance in lockstep between
+    micro-batches. Returns {event_type: decoded streaming frame}."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    configure(spark)
+    base = _stream_base(spark, key)
+    shutil.rmtree(base, ignore_errors=True)
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    split = pa.scalar(__import__("pandas").Timestamp(split_day),
+                      type=t.schema.field("ts").type)
+    out = {}
+    for et in types:
+        sub = t.filter(pc.equal(t["event_type"], et))
+        indir = os.path.join(base, f"in_{et}")
+        os.makedirs(indir)
+        for i, half in enumerate((sub.filter(pc.less_equal(sub["ts"],
+                                                           split)),
+                                  sub.filter(pc.greater(sub["ts"],
+                                                        split)))):
+            dst = os.path.join(indir, f"{et}_{i}.parquet")
+            pq.write_table(half, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        raw = (spark.readStream.schema(events_read_schema(sf_dir))
+                    .option("maxFilesPerTrigger", 1).parquet(indir))
+        out[et] = decode_events_ts(raw, sf_dir)
+    return out
+
+
+def _funnel_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The watermarked funnel join itself, shared by the registered op
+    and the late/on-time emission pin (tests/test_wave_r12_stream.py):
+    purchases of the same user in (click_ts, click_ts + 1 h], 10-min
+    watermarks on BOTH sides. The range condition + both watermarks are
+    what let Spark bound the buffered state: click state is evictable
+    once the watermark passes click_ts + 1 h, purchase state once it
+    passes purchase_ts."""
+    c = (clicks.select(F.col("user_id").alias("c_user_id"),
+                       F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("click_ts"))
+               .withWatermark("click_ts", "10 minutes"))
+    p = (purchases.select(F.col("user_id").alias("p_user_id"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.col("ts").alias("purchase_ts"))
+                  .withWatermark("purchase_ts", "10 minutes"))
+    return (c.join(p, F.expr("""
+                c_user_id = p_user_id AND
+                purchase_ts > click_ts AND
+                purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+             .select(F.col("c_user_id").alias("user_id"),
+                     "click_id", "purchase_id", "click_ts",
+                     "purchase_ts",
+                     (F.unix_micros("purchase_ts")
+                      - F.unix_micros("click_ts")).alias("latency_us")))
+
+
+@op("stream_funnel_join", oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""", tier=3, section="2.38")
+def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM funnel join (VERDICT r11 missing #1):
+    the click-stream joins the purchase-stream of the same user within
+    1 h — `ts_funnel_steps`' bounded-range join semantics as TWO live
+    Structured Streaming sources, each staged as two time-split files
+    so the watermark genuinely ADVANCES between micro-batches and
+    cross-batch matches must come from buffered join STATE, not from
+    within-batch luck (the single-batch `stream_stream_join` above
+    can't distinguish the two).
+
+    Why the drain is still exactly the batch answer (the verbatim
+    bounded-range SQL): inner-join matches emit eagerly (the watermark
+    governs state eviction, not emission), every input row joins
+    against the still-live state of its batch (eviction runs at END of
+    batch — measured via recentProgress, not assumed), so the only loss
+    mechanism is a row arriving AFTER its partner's state was evicted;
+    with both sources time-split at the same boundary, a click evicted
+    at the end of batch 0 (click_ts + 1 h < watermark ≈ split − 10 min)
+    already met all its possible partners inside batch 0 — its funnel
+    window closed before the split. The eviction semantics — which
+    CANNOT fire here — are pinned on a planted out-of-order corpus in
+    tests/test_wave_r12_stream.py via the shared `_funnel_join`.
+
+    Scale shape: the join state is watermark-bounded on both sides
+    (clicks buffer ≤ 1 h 10 min of events, purchases ≤ 10 min); the
+    join itself hash-partitions both streams on user_id — the same
+    shuffle the batch twin pays, amortized per micro-batch. RocksDB
+    state store at 100 TB (per-op note, module docstring)."""
+    streams = _typed_stream_halves(spark, sf_dir, "stream_funnel_join",
+                                   "2024-01-16", ("click", "purchase"))
+    joined = _funnel_join(streams["click"], streams["purchase"])
+    return _drain(spark, "stream_funnel_join", joined, "append")

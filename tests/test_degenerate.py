@@ -178,7 +178,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # round-12 wave: checkpoint/optimize/evolve/AS-OF over a
                  # fileless commit history
                  "sink_txn_checkpoint", "sink_txn_optimize",
-                 "sink_txn_schema_evolve", "sink_txn_timetravel_ts"]
+                 "sink_txn_schema_evolve", "sink_txn_timetravel_ts",
+                 # round-12 wave: a two-source drain over empty halves
+                 "stream_funnel_join"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
