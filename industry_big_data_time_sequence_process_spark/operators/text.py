@@ -3438,3 +3438,181 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc1").alias("a"), F.col("doc2").alias("b"))
     return cc_star(pairs).select(F.col("node").alias("doc_id"),
                                  F.col("lbl").alias("cluster_id"))
+
+
+# ==========================================================================
+# Round-12 wave (SURVEY.md §2.38): language identification — VERDICT r11
+# missing #5: the screen every multilingual corpus runs before
+# `sample_domain_mix` trusts the lang column.
+# ==========================================================================
+
+#: langid dials: char n-gram order, the fixed-point grids (per-ngram
+#: weight sum on 1e-9 like `text_quality_model`; the per-class score is
+#: re-quantized onto 1e-6 before the argmax so the cross-class compare
+#: is an exact long compare on both engines), and the md5 train modulus
+#: (shared discipline with _QM_TRAIN_MOD — same 20% slice).
+_LANGID_N = 3
+_LANGID_QGRID = 1000000.0
+
+
+@op("text_langid_model", oracle=f"""
+WITH lab AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % {_QM_TRAIN_MOD} = 0 AS INT) AS is_train
+    FROM documents
+), gtok AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(length(text) - {_LANGID_N - 1},
+                                           0)),
+               i -> substr(text, i, {_LANGID_N}))) AS g
+    FROM documents
+), cls AS (
+    SELECT lang AS k, CAST(count(*) AS BIGINT) AS n_docs
+    FROM lab WHERE is_train = 1 GROUP BY lang
+), clstot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS c FROM cls
+), pri AS (
+    SELECT k, ln((n_docs + 1.0) / (t.nt + t.c)) AS prior
+    FROM cls CROSS JOIN clstot t
+), cnt AS (
+    SELECT t.g, l.lang AS k, CAST(count(*) AS BIGINT) AS c
+    FROM gtok t JOIN lab l USING (doc_id)
+    WHERE l.is_train = 1 GROUP BY t.g, l.lang
+), tot AS (
+    SELECT k, CAST(sum(c) AS BIGINT) AS tk FROM cnt GROUP BY k
+), voc AS (
+    SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM cnt
+), w AS (
+    SELECT g, k, CAST(floor(ln(c + 1.0) * {_QM_FX}) AS BIGINT) AS wfx
+    FROM cnt
+), docn AS (
+    SELECT d.doc_id, CAST(count(t.g) AS BIGINT) AS n_ngrams
+    FROM documents d LEFT JOIN gtok t USING (doc_id) GROUP BY d.doc_id
+), sums AS (
+    SELECT t.doc_id, w.k, CAST(sum(w.wfx) AS BIGINT) AS sfx
+    FROM gtok t JOIN w USING (g) GROUP BY t.doc_id, w.k
+), scored AS (
+    SELECT n.doc_id, c.k, n.n_ngrams,
+           CAST(floor((CAST(COALESCE(s.sfx, 0) AS DOUBLE) / {_QM_FX}
+                       - n.n_ngrams * ln(CAST(t.tk + v.v AS DOUBLE))
+                       + p.prior) * {_LANGID_QGRID}) AS BIGINT) AS qfx
+    FROM docn n CROSS JOIN cls c
+    LEFT JOIN sums s ON s.doc_id = n.doc_id AND s.k = c.k
+    JOIN tot t ON t.k = c.k
+    JOIN pri p ON p.k = c.k
+    CROSS JOIN voc v
+), ranked AS (
+    SELECT doc_id, k, n_ngrams, qfx,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY qfx DESC, k) AS rn
+    FROM scored
+)
+SELECT b1.doc_id, l.lang, b1.k AS pred_lang, l.is_train,
+       b1.n_ngrams,
+       round((b1.qfx - b2.qfx) / {_LANGID_QGRID}, 6) AS margin,
+       CAST(b1.k = l.lang AS INT) AS agree
+FROM ranked b1
+LEFT JOIN ranked b2 ON b2.doc_id = b1.doc_id AND b2.rn = 2
+JOIN lab l ON l.doc_id = b1.doc_id
+WHERE b1.rn = 1
+""", tier=3, section="2.38")
+def text_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language-ID classifier (VERDICT r11 missing #5): char
+    {_LANGID_N}-gram multinomial Naive Bayes — the public
+    fastText-langid / CLD stand-in — trained by DISTANT SUPERVISION on
+    the deterministic md5-lowest 20% doc_id slice using the corpus's
+    own ``lang`` COLUMN as labels, then scoring every document
+    CONTENT-ONLY (the column never feeds the features). Output per doc:
+    the column lang, the predicted lang, the train-slice flag, the
+    n-gram count, the decision margin (best minus runner-up class
+    log-score), and the agreement flag — the audit a multilingual
+    pipeline runs before `sample_domain_mix` trusts the column.
+
+    Exactness (multi-class upgrade of `text_quality_model`'s
+    discipline): per-class score decomposes as
+    ``Σ_t ln(c_tk + 1) − n·ln(t_k + V) + ln prior_k`` — the add-one
+    smoothing folded so that unobserved (ngram, class) pairs and OOV
+    ngrams contribute EXACTLY zero, which kills the OOV fallback row
+    AND the dense vocab×class grid (the weight table holds only
+    observed pairs). The Σ term is a sum of 1e-9-grid longs
+    (order-invariant); the remaining three-term expression is the same
+    IEEE tree on both engines over exact-integer inputs, re-quantized
+    onto the 1e-6 grid so the cross-class ARGMAX is an exact long
+    compare with a lexicographic tie-break.
+
+    Scale shape: training is one (ngram, class) hash aggregate over the
+    TRAIN n-gram stream; scoring joins the corpus n-gram stream
+    token-keyed against the observed-pair weight table (linear shuffle,
+    never a vocab broadcast) and aggregates (doc, class) partial sums —
+    ≤ C rows per doc with C = |languages| (bounded, unlike the vocab);
+    class totals/priors ride C-row broadcast frames; the argmax is a
+    doc_id-partitioned window over C rows per doc. Zero-ngram docs
+    (text shorter than the n-gram order) still classify — by prior
+    alone — via the docs×classes left-join grid."""
+    d = load(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    lab = d.select("doc_id", "lang",
+                   (hv % _QM_TRAIN_MOD == 0).cast("int").alias("is_train"))
+    # Spark's sequence(1, 0) descends ([1, 0]); guard short texts
+    grams = F.when(
+        F.length("text") >= _LANGID_N,
+        F.expr(f"transform(sequence(1, length(text) - {_LANGID_N - 1}), "
+               f"i -> substring(text, i, {_LANGID_N}))")
+    ).otherwise(F.array())
+    ng = d.select("doc_id", F.explode(grams).alias("g"))
+
+    train = lab.filter(F.col("is_train") == 1)
+    cnt = (ng.join(train.select("doc_id", F.col("lang").alias("k")),
+                   "doc_id")
+             .groupBy("g", "k").agg(F.count("*").cast("long").alias("c")))
+    cls = train.groupBy(F.col("lang").alias("k")) \
+               .agg(F.count("*").cast("long").alias("n_docs"))
+    clstot = cls.agg(F.sum("n_docs").cast("long").alias("nt"),
+                     F.count("*").cast("long").alias("c"))
+    pri = (cls.crossJoin(F.broadcast(clstot))
+              .select("k", F.log((F.col("n_docs") + F.lit(1.0))
+                                 / (F.col("nt") + F.col("c")))
+                      .alias("prior")))
+    tot = cnt.groupBy("k").agg(F.sum("c").cast("long").alias("tk"))
+    voc = cnt.agg(F.countDistinct("g").cast("long").alias("v"))
+    w = cnt.select("g", "k",
+                   F.floor(F.log(F.col("c") + F.lit(1.0))
+                           * F.lit(_QM_FX)).cast("long").alias("wfx"))
+
+    docn = (d.select("doc_id").join(ng, "doc_id", "left")
+             .groupBy("doc_id")
+             .agg(F.count("g").cast("long").alias("n_ngrams")))
+    sums = (ng.join(w, "g")
+              .groupBy("doc_id", "k")
+              .agg(F.sum("wfx").cast("long").alias("sfx")))
+    qfx = F.floor((F.coalesce("sfx", F.lit(0)).cast("double")
+                   / F.lit(_QM_FX)
+                   - F.col("n_ngrams")
+                   * F.log((F.col("tk") + F.col("v")).cast("double"))
+                   + F.col("prior")) * F.lit(_LANGID_QGRID)).cast("long")
+    scored = (docn.crossJoin(F.broadcast(cls.select("k")))
+                  .join(sums, ["doc_id", "k"], "left")
+                  .join(F.broadcast(tot), "k")
+                  .join(F.broadcast(pri), "k")
+                  .crossJoin(F.broadcast(voc))
+                  .select("doc_id", "k", "n_ngrams", qfx.alias("qfx")))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("qfx").desc(), "k"))
+    ranked = scored.withColumn("rn", rn)
+    b1 = ranked.filter(F.col("rn") == 1) \
+               .select("doc_id", F.col("k").alias("pred_lang"),
+                       "n_ngrams", F.col("qfx").alias("q1"))
+    b2 = ranked.filter(F.col("rn") == 2) \
+               .select("doc_id", F.col("qfx").alias("q2"))
+    return (b1.join(b2, "doc_id", "left")
+              .join(lab, "doc_id")
+              .select("doc_id", "lang", "pred_lang", "is_train",
+                      "n_ngrams",
+                      F.round((F.col("q1") - F.col("q2"))
+                              / F.lit(_LANGID_QGRID), 6).alias("margin"),
+                      (F.col("pred_lang") == F.col("lang")).cast("int")
+                      .alias("agree")))
