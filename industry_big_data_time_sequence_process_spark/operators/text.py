@@ -3104,13 +3104,15 @@ _BPE_D1, _BPE_D2 = "\x02", "\x03"
 _BPE_SYM_RE = f"{_BPE_D1}([^{_BPE_D2}]*){_BPE_D2}"
 
 
-def _duck_bpe_prefix() -> str:
+def _duck_bpe_prefix(k: int = _BPE_TRAIN_K) -> str:
     """The training replay: words0 = encoded vocabulary with counts;
     round i = pair counts -> best pair (argmax with the ('', '', 0)
     no-op sentinel so a dried-up corpus keeps the chain total) ->
     words_i = merge applied. MATERIALIZED is load-bearing: plain CTEs
     re-inline the whole upstream chain per round (the
-    `pipeline_corpus_audit` lesson)."""
+    `pipeline_corpus_audit` lesson). ``k`` parameterizes the round
+    count (round 12: the K=64 encoder replays 64 rounds); the default
+    keeps every pre-r12 oracle byte-identical."""
     d1, d2 = _BPE_D1, _BPE_D2
     parts = [f"""btok AS MATERIALIZED (
     SELECT unnest(regexp_extract_all(text, {_BPE_LEXER_SQL})) AS t
@@ -3120,7 +3122,7 @@ def _duck_bpe_prefix() -> str:
            count(*) AS cnt
     FROM btok GROUP BY t
 )"""]
-    for i in range(1, _BPE_TRAIN_K + 1):
+    for i in range(1, k + 1):
         p = i - 1
         parts.append(f"""pairs{i} AS MATERIALIZED (
     SELECT s[j] AS x, s[j + 1] AS y, CAST(sum(cnt) AS BIGINT) AS pc
@@ -3140,19 +3142,22 @@ def _duck_bpe_prefix() -> str:
     return ",\n".join(parts)
 
 
-def _duck_bpe_apply(expr: str) -> str:
+def _duck_bpe_apply(expr: str, k: int = _BPE_TRAIN_K) -> str:
     """The K-round replace chain over one encoded-pretoken expression,
     with best{i} aliased b{i} (cross-joined 1-row frames)."""
     d1, d2 = _BPE_D1, _BPE_D2
     out = expr
-    for i in range(1, _BPE_TRAIN_K + 1):
+    for i in range(1, k + 1):
         out = (f"replace({out}, '{d1}' || b{i}.x || '{d2}{d1}' || b{i}.y"
                f" || '{d2}', '{d1}' || b{i}.x || b{i}.y || '{d2}')")
     return out
 
 
-_DUCK_BPE_CROSS = " ".join(f"CROSS JOIN best{i} b{i}"
-                           for i in range(1, _BPE_TRAIN_K + 1))
+def _duck_bpe_cross(k: int = _BPE_TRAIN_K) -> str:
+    return " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, k + 1))
+
+
+_DUCK_BPE_CROSS = _duck_bpe_cross()
 
 #: Per-doc merged-token list CTE (doc_id, lang, t) shared by the two
 #: budget meters' oracles.
@@ -3172,7 +3177,8 @@ _DUCK_BPE_TOKS = f"""benc AS (
 )"""
 
 
-def _bpe_merge_frames(spark: SparkSession, d: DataFrame) -> list[DataFrame]:
+def _bpe_merge_frames(spark: SparkSession, d: DataFrame,
+                      k: int = _BPE_TRAIN_K) -> list[DataFrame]:
     """Train the top-K merge table; returns K 1-row frames (x, y, pc)
     in merge-rank order (the ('', '', 0) no-op sentinel when a round
     finds no pair — its replace pattern cannot occur, so applying it is
@@ -3197,7 +3203,7 @@ def _bpe_merge_frames(spark: SparkSession, d: DataFrame) -> list[DataFrame]:
     noop = spark.createDataFrame([("", "", 0)],
                                  "x string, y string, pc long")
     bests: list[DataFrame] = []
-    for _ in range(_BPE_TRAIN_K):
+    for _ in range(k):
         syms = words.select(
             "cnt", F.regexp_extract_all("w", F.lit(_BPE_SYM_RE), 1)
                     .alias("s"))
@@ -3616,3 +3622,126 @@ def text_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.lit(_LANGID_QGRID), 6).alias("margin"),
                       (F.col("pred_lang") == F.col("lang")).cast("int")
                       .alias("agree")))
+
+
+# ==========================================================================
+# Round-12 wave (SURVEY.md §2.38): BPE at a realistic merge count —
+# VERDICT r11 next-round #7. _BPE_TRAIN_K=8 proves the recipe; a user
+# tokenizing a corpus applies dozens-to-hundreds of merges, and SIXTY-FOUR
+# chained column-level replaces would be a pathological Catalyst plan (64
+# broadcast cross-joins, a 64-deep nested-replace expression per row). A
+# NEW constant (never rebinding _BPE_TRAIN_K — the module-constant trap
+# SCALE.md documents from round 11) and a one-pass Arrow encoder instead.
+# ==========================================================================
+
+_BPE64_K = 64
+
+
+def _bpe_rules_local(spark: SparkSession, d: DataFrame,
+                     k: int) -> list[tuple]:
+    """Train k merges and return the rank-ordered (pattern, replacement)
+    rules as driver-local strings — the merge TABLE is k tiny rows (the
+    whole point of BPE: the model is small even when the corpus is not),
+    so collecting it is the legitimate driver-scale model hand-off, same
+    as a broadcast. One union + one collect, not k collects."""
+    bests = _bpe_merge_frames(spark, d, k)
+    ranked = bests[0].select(F.lit(1).alias("r"), "x", "y")
+    for i, b in enumerate(bests[1:], 2):
+        ranked = ranked.unionByName(
+            b.select(F.lit(i).alias("r"), "x", "y"))
+    rules = []
+    for row in ranked.collect():
+        rules.append((row["r"],
+                      _BPE_D1 + row["x"] + _BPE_D2
+                      + _BPE_D1 + row["y"] + _BPE_D2,
+                      _BPE_D1 + row["x"] + row["y"] + _BPE_D2))
+    return [(p, rep) for _, p, rep in sorted(rules)]
+
+
+@op("doc_tokenize_bpe64", oracle=f"""
+WITH {_duck_bpe_prefix(_BPE64_K)},
+benc AS (
+    SELECT doc_id, lang,
+           list_transform(regexp_extract_all(text, {_BPE_LEXER_SQL}),
+                          s -> regexp_replace(s, '(.)',
+                                              '{_BPE_D1}\\1{_BPE_D2}',
+                                              'g')) AS e
+    FROM documents
+), btoks AS MATERIALIZED (
+    SELECT doc_id, lang, CAST(len(e) AS BIGINT) AS n_pretokens,
+           flatten(list_transform(e,
+               s -> regexp_extract_all({_duck_bpe_apply('s', _BPE64_K)},
+                                       '{_BPE_SYM_RE}', 1))) AS t
+    FROM benc {_duck_bpe_cross(_BPE64_K)}
+)
+SELECT doc_id, lang, n_pretokens,
+       CAST(len(t) AS BIGINT) AS n_merged_tokens,
+       md5(array_to_string(t, ' ')) AS tok_md5
+FROM btoks
+""", tier=3, section="2.38")
+def doc_tokenize_bpe64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZATION AT A REALISTIC MERGE COUNT (VERDICT r11 #7):
+    train the top-{_BPE64_K} merge table on the corpus
+    (`text_bpe_train`'s recipe, parameterized round count) and tokenize
+    every document with it in ONE Arrow-batched pass — per doc: the
+    pretoken count, the merged-symbol count, and the md5 fingerprint of
+    the space-joined merged stream (the value-identity handle the
+    budget/packing meters thread on).
+
+    The encoder is the deliberate contrast with the K=8 family's
+    column-level iterative replace: at K=64 that plan shape is 64
+    broadcast cross-joins feeding a 64-deep nested replace over an
+    array column — legal, but quadratic-ish work for Catalyst and a
+    codegen hazard. Instead the trained table (64 tiny rows — a BPE
+    model is driver-scale BY DESIGN) collects once and a `mapInPandas`
+    encoder applies the rules per pretoken with plain left-to-right
+    non-overlapping `str.replace` — BYTE-IDENTICAL application
+    semantics to the iterative-replace path and to DuckDB's replace()
+    (all three scan left-to-right non-overlapping, which IS greedy BPE
+    application at full-corpus granularity). Value-equality of the two
+    engine paths at K={_BPE64_K} is pinned on a long-word fixture in
+    tests/test_wave_r12c.py; the DuckDB oracle replays all {_BPE64_K}
+    training rounds as chained MATERIALIZED CTEs and applies the same
+    replace chain.
+
+    Scale shape: training touches the corpus once (the vocabulary hash
+    agg) and iterates K bounded rounds over the VOCAB frame
+    (localCheckpointed — `_bpe_merge_frames`); encoding is one narrow
+    Arrow pass over documents with the 64-rule table captured in the
+    UDF closure (a broadcast in all but name); zero joins, zero
+    shuffles, output is docs-sized."""
+    import hashlib as _hashlib
+    import re as _re
+
+    d = load(spark, sf_dir, "documents")
+    rules = _bpe_rules_local(spark, d, _BPE64_K)
+    lexer = _re.compile(_BPE_LEXER)
+    sym_re = _re.compile(_BPE_SYM_RE)
+    d1, d2 = _BPE_D1, _BPE_D2
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "n_pretokens": [],
+                   "n_merged_tokens": [], "tok_md5": []}
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"],
+                                          pdf["text"]):
+                pres = lexer.findall(text or "")
+                toks = []
+                for t in pres:
+                    s = "".join(d1 + ch + d2 for ch in t)
+                    for pat, rep in rules:
+                        s = s.replace(pat, rep)
+                    toks.extend(sym_re.findall(s))
+                out["doc_id"].append(doc_id)
+                out["lang"].append(lang)
+                out["n_pretokens"].append(len(pres))
+                out["n_merged_tokens"].append(len(toks))
+                out["tok_md5"].append(
+                    _hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "lang", "text").mapInPandas(
+        encode,
+        "doc_id long, lang string, n_pretokens long, "
+        "n_merged_tokens long, tok_md5 string")

@@ -231,8 +231,9 @@ EMPTY_DOCS_GUARDED = [
     "text_substring_dedup",
     # round-10 fifth wave: zero blobs -> empty hash groups
     "mm_exact_blob_dedup",
-    # round-12: zero docs -> zero classes, empty model, empty grid
-    "text_langid_model",
+    # round-12: zero docs -> zero classes, empty model, empty grid;
+    # zero docs -> all-sentinel merge table, empty encode pass
+    "text_langid_model", "doc_tokenize_bpe64",
 ]
 
 
