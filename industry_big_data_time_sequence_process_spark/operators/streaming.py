@@ -1610,14 +1610,15 @@ def _typed_stream_halves(spark: SparkSession, sf_dir: str, key: str,
     return out
 
 
-def _funnel_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
-    """The watermarked funnel join itself, shared by the registered op
-    and the late/on-time emission pin (tests/test_wave_r12_stream.py):
-    purchases of the same user in (click_ts, click_ts + 1 h], 10-min
-    watermarks on BOTH sides. The range condition + both watermarks are
-    what let Spark bound the buffered state: click state is evictable
-    once the watermark passes click_ts + 1 h, purchase state once it
-    passes purchase_ts."""
+def _funnel_join(clicks: DataFrame, purchases: DataFrame,
+                 how: str = "inner") -> DataFrame:
+    """The watermarked funnel join itself, shared by the registered ops
+    (inner + left_outer via ``how``) and the late/on-time emission pin
+    (tests/test_wave_r12_stream.py): purchases of the same user in
+    (click_ts, click_ts + 1 h], 10-min watermarks on BOTH sides. The
+    range condition + both watermarks are what let Spark bound the
+    buffered state: click state is evictable once the watermark passes
+    click_ts + 1 h, purchase state once it passes purchase_ts."""
     c = (clicks.select(F.col("user_id").alias("c_user_id"),
                        F.col("event_id").alias("click_id"),
                        F.col("ts").alias("click_ts"))
@@ -1629,7 +1630,7 @@ def _funnel_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     return (c.join(p, F.expr("""
                 c_user_id = p_user_id AND
                 purchase_ts > click_ts AND
-                purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+                purchase_ts <= click_ts + INTERVAL 1 HOUR"""), how)
              .select(F.col("c_user_id").alias("user_id"),
                      "click_id", "purchase_id", "click_ts",
                      "purchase_ts",
@@ -1678,3 +1679,75 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "2024-01-16", ("click", "purchase"))
     joined = _funnel_join(streams["click"], streams["purchase"])
     return _drain(spark, "stream_funnel_join", joined, "append")
+
+
+@op("stream_funnel_join_outer", oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (
+    SELECT CASE WHEN (SELECT count(*) FROM c) > 0
+                 AND (SELECT count(*) FROM p) > 0
+                THEN least((SELECT max(ts) FROM c),
+                           (SELECT max(ts) FROM p))
+                     - INTERVAL 10 MINUTE
+           END AS w
+),
+matched AS (
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+    FROM c JOIN p ON p.user_id = c.user_id
+      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS BIGINT) AS latency_us
+    FROM c CROSS JOIN wm
+    WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = c.user_id
+                        AND p.ts > c.ts
+                        AND p.ts <= c.ts + INTERVAL 1 HOUR)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+""", tier=3, section="2.38")
+def stream_funnel_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream funnel join: `stream_funnel_join` that
+    also emits every abandoned funnel — clicks with NO purchase in
+    (click_ts, click_ts + 1 h] surface with a NULL purchase side, the
+    row a remarketing/abandonment pipeline actually consumes. Outer
+    emission is the subtlest piece of Structured Streaming join
+    semantics: a null-extended row may only emit when the click's state
+    is EVICTED (the watermark proves no future purchase can match), so
+    the drain's output depends on the FINAL watermark — measured, not
+    assumed: the availableNow drain runs a terminal no-data batch whose
+    eviction pass emits exactly the null rows for clicks whose 1-h
+    window closed before least(wm_click, wm_purchase), and the DuckDB
+    oracle states that set directly (matched pairs UNION unmatched
+    clicks gated on the final-watermark predicate, with the
+    empty-stream guard: an empty side pins the global watermark at the
+    epoch and NO null row may emit — DuckDB's NULL-skipping least()
+    would silently disagree without the CASE).
+
+    Clicks still buffered at end of stream (window not yet closed
+    against the final watermark) never emit their null row — exactly
+    the production semantics: the stream doesn't KNOW the funnel was
+    abandoned yet. Boundary caveat (same family as
+    stream_watermark_late): a click whose window end ties the final
+    watermark EXACTLY could flip sides; window ends inherit microsecond
+    fractions from event times while the watermark is a -10-min offset
+    of a different event's time, so the corpus never hits it (streamed
+    == oracle verified at sf0.001/sf0.01).
+
+    Scale shape: identical to `stream_funnel_join` — watermark-bounded
+    state both sides, user_id hash partitioning per micro-batch; the
+    outer emission adds no state, it rides the eviction pass that
+    already runs."""
+    streams = _typed_stream_halves(spark, sf_dir,
+                                   "stream_funnel_join_outer",
+                                   "2024-01-16", ("click", "purchase"))
+    joined = _funnel_join(streams["click"], streams["purchase"],
+                          how="left_outer")
+    return _drain(spark, "stream_funnel_join_outer", joined, "append")

@@ -3745,3 +3745,62 @@ def doc_tokenize_bpe64(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode,
         "doc_id long, lang string, n_pretokens long, "
         "n_merged_tokens long, tok_md5 string")
+
+
+@op("text_langid_calibration", oracle="""
+WITH model AS (
+{model_oracle}
+), tiled AS (
+    SELECT *, CAST(ntile(10) OVER (ORDER BY coalesce(margin, 0), doc_id)
+                   AS INT) AS decile
+    FROM model
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(agree) AS BIGINT) AS n_agree,
+       round(CAST(sum(agree) AS DOUBLE) / count(*), 6) AS agreement,
+       round(CAST(sum(CAST(round(coalesce(margin, 0) * 1000000.0)
+                           AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS avg_margin
+FROM tiled GROUP BY decile
+""".format(model_oracle=REGISTRY["text_langid_model"].oracle),
+    tier=3, section="2.38")
+def text_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the language-ID margin (`text_langid_model`'s
+    optional half, VERDICT r11 #6): rank every document by decision
+    margin, cut into exact deciles, and report per decile the document
+    count, the column-agreement count/rate and the mean margin — the
+    artifact that tells a pipeline whether the CONFIDENCE is
+    trustworthy (a calibrated classifier concentrates disagreements in
+    the low-margin deciles; on a corpus whose lang column is
+    uncorrelated with content — these sf corpora — the table shows flat
+    chance-level agreement across ALL deciles, which is the loudest
+    possible "do not trust this column" signal).
+
+    Exactness: deciles via the exact two-phase ntile
+    (`api.bucketed_ntile`) over the deterministic
+    (coalesce(margin, 0), doc_id) total order — the coalesce pins the
+    one-class corpus case where margin is NULL and the engines'
+    default NULL orderings differ; the mean margin aggregates
+    round(margin·1e6) exact longs; agreement is an exact integer ratio.
+
+    Scale shape: the model frame is `text_langid_model`'s plan; the
+    ranking is the bucketed two-phase rank (unit margin bands as
+    buckets — margins are non-negative); the final aggregate is a
+    10-group map-combinable hash agg."""
+    from ..api import bucketed_ntile
+
+    model = text_langid_model(spark, sf_dir)
+    m0 = F.coalesce(F.col("margin"), F.lit(0.0))
+    tiled = bucketed_ntile(model.withColumn("m0", m0),
+                           F.floor(F.col("m0")),
+                           [F.col("m0"), F.col("doc_id")], 10,
+                           tile_name="decile")
+    fx = F.round(F.col("m0") * 1000000.0, 0).cast("long")
+    return (tiled.groupBy(F.col("decile").cast("int").alias("decile"))
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("agree").cast("long").alias("n_agree"),
+                      F.round(F.sum("agree").cast("double") / F.count("*"),
+                              6).alias("agreement"),
+                      F.round(F.sum(fx).cast("double") / F.count("*")
+                              / F.lit(1000000.0), 6).alias("avg_margin")))

@@ -180,7 +180,10 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "sink_txn_checkpoint", "sink_txn_optimize",
                  "sink_txn_schema_evolve", "sink_txn_timetravel_ts",
                  # round-12 wave: a two-source drain over empty halves
-                 "stream_funnel_join"]
+                 # (outer twin: empty sides pin the watermark at epoch,
+                 # zero null rows); zero hours -> zero pairs -> windows
+                 "stream_funnel_join", "stream_funnel_join_outer",
+                 "ts_rolling_corr_matrix"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
@@ -232,8 +235,9 @@ EMPTY_DOCS_GUARDED = [
     # round-10 fifth wave: zero blobs -> empty hash groups
     "mm_exact_blob_dedup",
     # round-12: zero docs -> zero classes, empty model, empty grid;
-    # zero docs -> all-sentinel merge table, empty encode pass
-    "text_langid_model", "doc_tokenize_bpe64",
+    # zero docs -> all-sentinel merge table, empty encode pass; the
+    # calibration sees zero docs in zero deciles
+    "text_langid_model", "doc_tokenize_bpe64", "text_langid_calibration",
 ]
 
 

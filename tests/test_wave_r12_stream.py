@@ -132,3 +132,53 @@ def test_funnel_join_late_drop_and_cross_batch_state(spark, staged):
 
 # F import at module scope keeps the test body readable
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_funnel_join_outer_emits_only_closed_abandonments(spark,
+                                                          staged,
+                                                          tmp_path_factory):
+    """Left-outer twin on a plant with one genuinely abandoned funnel:
+    U@09:00 (u555, no purchases) emits its NULL row — its 1-h window
+    closed long before the final watermark (14:00) — while W1@14:00
+    (also unmatched) does NOT: its window is still open when the stream
+    ends, so the engine cannot yet know the funnel was abandoned. The
+    late-straggler pair stays impossible (state evicted), and matched
+    pairs are unchanged from the inner pin."""
+    d = tmp_path_factory.mktemp("funnel_outer")
+    rows = dict(_ROWS)
+    rows["U"] = (5, T0 + 9 * H_US, 555, "click")
+    files = {"click": (["A", "C", "W1", "U"], ["B"], []),
+             "purchase": (["P0", "W2"], ["P1", "P2"], ["PL"])}
+
+    def tbl(keys):
+        rs = [rows[k] for k in keys]
+        return pa.table({
+            "event_id": [r[0] for r in rs],
+            "ts": pa.array([r[1] for r in rs], pa.timestamp("us")),
+            "user_id": [r[2] for r in rs],
+            "event_type": [r[3] for r in rs],
+            "value": [1.0] * len(rs),
+            "props": ["{}"] * len(rs),
+        }, schema=_EVENT_SCHEMA)
+
+    pq.write_table(tbl(list(rows)), d / "events.parquet")
+    for src, batches in files.items():
+        indir = d / f"in_{src}"
+        indir.mkdir()
+        for i, keys in enumerate(batches):
+            f = indir / f"{src}_{i}.parquet"
+            pq.write_table(tbl(keys), f)
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sf_dir = str(d)
+
+    def src(name):
+        raw = (spark.readStream.schema(events_read_schema(sf_dir))
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(d / f"in_{name}")))
+        return decode_events_ts(raw, sf_dir)
+
+    joined = _funnel_join(src("click"), src("purchase"), how="left_outer")
+    out = _drain(spark, "funnel_outer_pin", joined, "append")
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 12), (3, 13), (5, None)}
