@@ -1302,9 +1302,12 @@ def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recorded schema, drops old rows, or back-fills the wrong
     default mismatches the row.
 
-    Scale shape: schema resolution is driver-side metadata (newest
-    manifest <= v carrying a schema — O(suffix) with checkpoints
-    carrying it forward); the null-fill costs NOTHING at read time
+    Scale shape: schema resolution is driver-side metadata — a backward
+    scan from v that STOPS at the most recent schema-carrying manifest
+    (O(distance to the last schema commit); worst-case O(history) when
+    only v1 recorded one — folding the schema into the checkpoint
+    object would cap it at O(1), noted, not yet done); the null-fill
+    costs NOTHING at read time
     (parquet scans simply project the missing column as null per file,
     no rewrite of old dirs — the whole point of add-column evolution).
     Idempotent: staging wiped per run."""
