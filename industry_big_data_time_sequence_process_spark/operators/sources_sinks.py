@@ -1453,3 +1453,118 @@ def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_mid_version int, asof_boundary_version int, "
         "n_rows_asof_mid long, asof_content_ok int, "
         "asof_before_first_raises int")
+
+
+def txn_prune_dirs(log_dir: str, version: int,
+                   lo_us: int, hi_us: int) -> tuple[list[str], list[str]]:
+    """STATS-BASED DATA SKIPPING on the transaction log (round 12): each
+    manifest may record per-dir column stats (here: the written data's
+    ts min/max, epoch-µs — computed FROM the data before commit, never
+    trusted from the writer's intent); a predicate read resolves the
+    snapshot and keeps only dirs whose [min, max] overlaps
+    [lo_us, hi_us). A dir with NO recorded stats is always kept — the
+    safe default (skipping is an optimization; absence of evidence must
+    never drop data). Returns (active_dirs, scanned_dirs)."""
+    active = txn_active_dirs(log_dir, version)
+    stats: dict[str, dict] = {}
+    for v in range(1, version + 1):
+        c = _txn_manifest(log_dir, v)
+        stats.update(c.get("stats", {}))
+    scanned = [d for d in active
+               if d not in stats
+               or (stats[d]["ts_min"] < hi_us
+                   and stats[d]["ts_max"] >= lo_us)]
+    return active, scanned
+
+
+#: the stats-prune demo's predicate window (inside week 2 of the
+#: 4-week commit layout): [Jan 10, Jan 12) 2024, epoch-µs.
+_PRUNE_LO = 1704844800000000   # 2024-01-10 00:00:00 UTC
+_PRUNE_HI = 1705017600000000   # 2024-01-12 00:00:00 UTC
+
+
+@op("sink_txn_stats_prune", oracle="""
+SELECT CAST(4 AS BIGINT) AS n_dirs_active,
+       CAST(1 AS BIGINT) AS n_dirs_scanned,
+       (SELECT count(*) FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10'
+          AND ts < TIMESTAMP '2024-01-12') AS n_rows_pred,
+       CAST(1 AS INT) AS prune_matches_full,
+       CAST(1 AS INT) AS statless_dir_never_pruned
+""", tier=3, section="2.38")
+def sink_txn_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIR COLUMN STATS + predicate-pruned snapshot reads — the
+    data-skipping half of the lakehouse design (Delta file stats /
+    Iceberg manifests' value ranges), composed with the r10-r12 log:
+    each of 4 weekly commits records the WRITTEN data's ts min/max in
+    its manifest (aggregated from the slice itself before commit), and
+    a [Jan 10, Jan 12) predicate read prunes the snapshot to exactly
+    the week-2 dir BEFORE any parquet footer is touched — metadata
+    pruning above the format, which is what makes a 100 TB time-range
+    query open 1/52nd of the table. The audit row pins the dir
+    arithmetic (4 active, 1 scanned), the predicate row count, the
+    content proof (pruned-scan + filter equals full-scan + filter,
+    order-invariant md5-sum), and the SAFETY rule: a dir committed
+    WITHOUT stats is always scanned (proved by re-running the prune
+    against a 5th stats-less commit and checking it stays in the
+    scan set).
+
+    Scale shape: stats ride the driver-scale manifests (two numbers
+    per dir per column); pruning is pure driver-side interval
+    arithmetic at resolution time; the data read is the ordinary
+    multi-dir scan over the SURVIVING dirs, with the residual filter
+    pushed to parquet as usual. Idempotent: staging wiped per run."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_stats_prune")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    day0 = F.lit("2024-01-01").cast("timestamp")
+    week = F.floor(
+        (F.unix_micros("ts") - F.unix_micros(day0))
+        / F.lit(7 * 86_400_000_000)).cast("int")
+    tagged = ev.withColumn("_wk", F.least(week, F.lit(3)))
+    for v in range(1, 5):
+        sl = tagged.filter(F.col("_wk") == v - 1).drop("_wk")
+        sl.repartition(1).write.mode("overwrite") \
+          .parquet(os.path.join(data, f"w{v}"))
+        st = sl.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                    F.max(F.unix_micros("ts")).alias("hi")).collect()[0]
+        extra = {}
+        if st["lo"] is not None:
+            extra = {"stats": {f"w{v}": {"ts_min": int(st["lo"]),
+                                         "ts_max": int(st["hi"])}}}
+        txn_commit(log, v, [f"w{v}"], [], extra=extra)
+
+    active, scanned = txn_prune_dirs(log, 4, _PRUNE_LO, _PRUNE_HI)
+    pred = (F.col("ts") >= F.timestamp_micros(F.lit(_PRUNE_LO))) & \
+           (F.col("ts") < F.timestamp_micros(F.lit(_PRUNE_HI)))
+    pruned = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in scanned]).filter(pred) \
+        if scanned else spark.createDataFrame([], ev.schema)
+    full = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in active]).filter(pred)
+    got, want = _txn_canon(pruned).collect()[0], \
+        _txn_canon(full).collect()[0]
+
+    # safety rule: a 5th commit WITHOUT stats must always be scanned,
+    # even though its data (a copy of week 4) lies outside the window
+    w4_back = spark.read.schema(ev.schema).parquet(
+        os.path.join(data, "w4"))
+    w4_back.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "nostats"))
+    txn_commit(log, 5, ["nostats"], [])
+    _, scanned5 = txn_prune_dirs(log, 5, _PRUNE_LO, _PRUNE_HI)
+    statless_kept = int("nostats" in scanned5
+                        and set(scanned) <= set(scanned5))
+
+    return spark.createDataFrame(
+        [(len(active), len(scanned), int(got["n"]),
+          int(tuple(got) == tuple(want)), statless_kept)],
+        "n_dirs_active long, n_dirs_scanned long, n_rows_pred long, "
+        "prune_matches_full int, statless_dir_never_pruned int")

@@ -183,7 +183,9 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # (outer twin: empty sides pin the watermark at epoch,
                  # zero null rows); zero hours -> zero pairs -> windows
                  "stream_funnel_join", "stream_funnel_join_outer",
-                 "ts_rolling_corr_matrix"]
+                 "ts_rolling_corr_matrix",
+                 # stats-less empty slices must stay scanned, not crash
+                 "sink_txn_stats_prune"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -137,3 +137,33 @@ def test_version_at_requires_stamped_manifests(tmp_path):
     txn_commit(log, 1, ["v1"], [])  # no ts
     with pytest.raises(ValueError, match="no commit timestamp"):
         txn_version_at(log, 5000)
+
+
+# ---------------------------------------------------------------------------
+# stats-based data skipping (txn_prune_dirs)
+# ---------------------------------------------------------------------------
+
+
+def test_prune_interval_boundaries_and_statless_safety(tmp_path):
+    """Overlap arithmetic on the half-open predicate [lo, hi):
+    a dir touching only hi itself is pruned, a dir whose max equals lo
+    is kept (>= lo), and a stats-less dir is NEVER pruned."""
+    from industry_big_data_time_sequence_process_spark.operators.sources_sinks import (  # noqa: E501
+        txn_prune_dirs,
+    )
+    log = str(tmp_path / "_log")
+    os.makedirs(log)
+    txn_commit(log, 1, ["a"], [],
+               extra={"stats": {"a": {"ts_min": 0, "ts_max": 100}}})
+    txn_commit(log, 2, ["b"], [],
+               extra={"stats": {"b": {"ts_min": 200, "ts_max": 300}}})
+    txn_commit(log, 3, ["c"], [])  # no stats -> always scanned
+
+    active, scanned = txn_prune_dirs(log, 3, 100, 200)
+    # a: max 100 >= lo 100 -> kept; b: min 200 == hi -> min < hi is
+    # False -> pruned; c: stats-less -> kept
+    assert active == ["a", "b", "c"]
+    assert scanned == ["a", "c"]
+
+    _, scanned2 = txn_prune_dirs(log, 3, 301, 400)
+    assert scanned2 == ["c"]       # only the stats-less survivor
