@@ -700,10 +700,20 @@ def txn_commit(log_dir: str, version: int, adds: list[str],
     ``extra`` merges additional manifest fields (commit timestamp,
     schema — the round-12 checkpoint / schema-evolution / AS-OF keys
     use it); ``version``/``add``/``remove`` stay reserved."""
+    import contextlib as _contextlib
     import json as _json
+    import threading as _threading
+    import uuid as _uuid
 
     path = os.path.join(log_dir, f"{version}.json")
-    tmp = os.path.join(log_dir, f".{version}.{os.getpid()}.tmp")
+    # temp name unique PER ATTEMPT, not per process (ADVICE r12): two
+    # threads of one driver committing the same version must never share
+    # a temp path, or the loser can truncate the winner's fsynced bytes
+    # before os.link publishes them (a corrupt manifest would win the
+    # slot). pid + thread ident + uuid4 makes collision impossible.
+    tmp = os.path.join(
+        log_dir, f".{version}.{os.getpid()}.{_threading.get_ident()}."
+                 f"{_uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         _json.dump({"version": version, "add": sorted(adds),
                     "remove": sorted(removes), **(extra or {})}, f)
@@ -717,7 +727,10 @@ def txn_commit(log_dir: str, version: int, adds: list[str],
             f"({path}): a concurrent writer committed first — rebase "
             f"onto the new snapshot and retry") from None
     finally:
-        os.unlink(tmp)
+        # suppress, not bare-unlink: a racing cleanup of the same temp
+        # file must never mask the TxnConflictError above (ADVICE r12).
+        with _contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 def _txn_manifest(log_dir: str, version: int) -> dict:
@@ -737,8 +750,12 @@ def txn_resolve(log_dir: str, version: int) -> tuple[list[str], int, int]:
     O(suffix) per read instead of O(history). Requests BELOW the last
     checkpoint (vacuum horizons, deep time travel) fall back to the full
     replay from manifest 1 — the checkpoint is an accelerator, never a
-    different answer. Raises FileNotFoundError if a replayed manifest is
-    missing (version never committed)."""
+    different answer; a pointer that names a checkpoint object that no
+    longer exists (cleaned up, partially replicated) degrades to the
+    same full replay instead of failing (ADVICE r12 — the accelerator
+    contract holds even when the accelerator is damaged). Raises
+    FileNotFoundError if a replayed manifest is missing (version never
+    committed)."""
     import json as _json
 
     seed: set[str] = set()
@@ -748,10 +765,13 @@ def txn_resolve(log_dir: str, version: int) -> tuple[list[str], int, int]:
         with open(ptr) as f:
             cv = int(_json.load(f)["version"])
         if cv <= version:
-            with open(os.path.join(log_dir,
-                                   f"_checkpoint.{cv}.json")) as f:
-                seed = set(_json.load(f)["active"])
-            start, ckpt_v = cv + 1, cv
+            try:
+                with open(os.path.join(log_dir,
+                                       f"_checkpoint.{cv}.json")) as f:
+                    seed = set(_json.load(f)["active"])
+                start, ckpt_v = cv + 1, cv
+            except FileNotFoundError:
+                seed, start, ckpt_v = set(), 1, 0
     dirs, reads = set(seed), 0
     for v in range(start, version + 1):
         c = _txn_manifest(log_dir, v)
@@ -796,8 +816,20 @@ def txn_checkpoint(log_dir: str, version: int, *,
     dirs, _, _ = txn_resolve(log_dir, version)
     ckpt = os.path.join(log_dir, f"_checkpoint.{version}.json")
     tmp = ckpt + f".{os.getpid()}.tmp"
+    # the checkpoint also records the checkpointed version's commit
+    # timestamp when the manifest carries one (round 13, VERDICT r12
+    # wrong #1): AS-OF resolution seeds its probe from it and walks only
+    # the suffix — the metadata plane's O(history) disease, cured the
+    # same way snapshot resolution was. Commit timestamps are monotone
+    # by protocol (version slots serialize writers; each stamps at
+    # commit time), so ts(checkpoint) <= requested implies the answer
+    # is at or after the checkpoint.
+    obj = {"version": version, "active": dirs}
+    mf = _txn_manifest(log_dir, version)
+    if "ts" in mf:
+        obj["ts"] = mf["ts"]
     with open(tmp, "w") as f:
-        _json.dump({"version": version, "active": dirs}, f)
+        _json.dump(obj, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ckpt)
@@ -816,31 +848,96 @@ def txn_checkpoint(log_dir: str, version: int, *,
     os.replace(tmp2, ptr)
 
 
-def txn_version_at(log_dir: str, ts: int) -> int:
-    """AS-OF resolution (round 12, VERDICT r11 #5): the greatest
-    committed version whose manifest ``ts`` is <= the requested
-    timestamp — "AS OF <ts>" is the form users actually type. Commit
-    timestamps are recorded IN the manifest at commit time (via
+def txn_version_at_resolve(log_dir: str,
+                           ts: int) -> tuple[int, int, int]:
+    """Checkpoint-seeded AS-OF resolution (round 13, VERDICT r12 wrong
+    #1): returns ``(version, n_manifest_reads, seed_checkpoint_version)``
+    where ``version`` is the greatest committed version whose manifest
+    ``ts`` is <= the requested timestamp. The r12 implementation opened
+    and parsed EVERY manifest from v1 on every lookup — O(history) per
+    AS-OF call, the exact metadata-plane disease ``txn_checkpoint``
+    exists to cure. Two fixes, both metadata-plane (data answers are
+    unchanged):
+
+    1. **Checkpoint seed**: if ``_last_checkpoint`` names a checkpoint
+       whose recorded commit ``ts`` is <= the requested timestamp, the
+       probe starts AT the checkpoint (best = ckpt version) and walks
+       only the suffix. Commit timestamps are monotone by protocol
+       (the version slots serialize writers; each stamps at commit
+       time), so nothing below the checkpoint can beat it.
+    2. **Early stop**: the forward walk stops at the FIRST manifest
+       stamped after the requested timestamp — by the same
+       monotonicity, every later commit is newer still. A mid-history
+       lookup no longer walks to the head.
+
+    Commit timestamps are recorded IN the manifest at commit time (via
     ``txn_commit``'s ``extra``), never inferred from file mtimes.
-    Raises ValueError if the timestamp precedes the first commit."""
-    best, v = None, 1
+    Raises ValueError if the timestamp precedes the first commit, or if
+    a probed manifest carries no timestamp (AS-OF needs ts-stamped
+    commits — fail loudly, never guess)."""
+    import json as _json
+
+    best, v, ckpt_v = None, 1, 0
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cv = int(_json.load(f)["version"])
+        try:
+            with open(os.path.join(log_dir,
+                                   f"_checkpoint.{cv}.json")) as f:
+                ck = _json.load(f)
+            if "ts" in ck and ck["ts"] <= ts:
+                best, v, ckpt_v = cv, cv + 1, cv
+        except FileNotFoundError:
+            pass  # damaged accelerator -> full probe (txn_resolve's rule)
+    reads = 0
     while True:
         try:
             c = _txn_manifest(log_dir, v)
         except FileNotFoundError:
             break
+        reads += 1
         if "ts" not in c:
             raise ValueError(
                 f"manifest {v} in {log_dir} records no commit timestamp "
                 f"— AS-OF reads need ts-stamped commits")
         if c["ts"] <= ts:
             best = v
+        else:
+            break  # monotone commit clock: all later commits are newer
         v += 1
     if best is None:
         raise ValueError(
             f"AS OF {ts} precedes the first commit in {log_dir} — "
             f"no snapshot existed yet")
-    return best
+    return best, reads, ckpt_v
+
+
+def txn_version_at(log_dir: str, ts: int) -> int:
+    """AS-OF resolution: the greatest committed version whose manifest
+    ``ts`` is <= the requested timestamp — "AS OF <ts>" is the form
+    users actually type. Checkpoint-seeded + early-stopping since round
+    13; see :func:`txn_version_at_resolve` for the read-cost contract."""
+    return txn_version_at_resolve(log_dir, ts)[0]
+
+
+def txn_rebase_check(log_dir: str, version: int,
+                     removal_set: list[str]) -> None:
+    """Validate an OPTIMIZE/rewrite rebase after losing a commit race:
+    every dir the rewrite intends to REMOVE must still be active in the
+    snapshot at ``version`` (the concurrent winner's), else the rewrite
+    was prepared against data a concurrent transaction already retired
+    and recommitting would resurrect it. Raises
+    :class:`TxnConflictError` — an explicit check, not an ``assert``,
+    because ``python -O`` strips asserts and the recommit would then
+    proceed unchecked (ADVICE r12)."""
+    still_active = set(txn_active_dirs(log_dir, version))
+    if not set(removal_set) <= still_active:
+        raise TxnConflictError(
+            f"rebase invalid: dirs "
+            f"{sorted(set(removal_set) - still_active)} were removed "
+            f"by a concurrent transaction — re-prepare against the "
+            f"new snapshot")
 
 
 def _txn_canon(df: DataFrame):
@@ -1240,8 +1337,7 @@ def sink_txn_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         conflict = 1
         # rebase: the compacted dirs are still active in v5 and the
         # concurrent add is disjoint from the removal set -> recommit
-        still_active = set(txn_active_dirs(log, opt_version))
-        assert set(opt_dirs) <= still_active
+        txn_rebase_check(log, opt_version, opt_dirs)
         opt_version += 1
         txn_commit(log, opt_version, ["opt"], opt_dirs)
 
@@ -1383,7 +1479,11 @@ SELECT CAST(2 AS INT) AS asof_mid_version,
        (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1))
            AS n_rows_asof_mid,
        CAST(1 AS INT) AS asof_content_ok,
-       CAST(1 AS INT) AS asof_before_first_raises
+       CAST(1 AS INT) AS asof_before_first_raises,
+       CAST(3 AS BIGINT) AS n_manifests_full,
+       CAST(1 AS BIGINT) AS n_manifests_with_ckpt,
+       CAST(2 AS INT) AS ckpt_seed_version,
+       CAST(1 AS INT) AS ckpt_same_answer
 """, tier=3, section="2.38")
 def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp-addressed TIME TRAVEL (VERDICT r11 missing #4):
@@ -1400,14 +1500,25 @@ def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<=, not <), and a ts before the first commit raises loudly
     instead of inventing an empty table.
 
+    Round 13 (VERDICT r12 wrong #1) adds the READ-COST contract: the
+    r12 resolver opened every manifest from v1 on every lookup —
+    O(history) per AS-OF call. :func:`txn_version_at_resolve` now
+    early-stops at the first manifest stamped after the requested ts
+    (monotone commit clock) and seeds from the checkpoint's recorded
+    commit ts, walking only the suffix. The audit row mirrors
+    `sink_txn_checkpoint`'s arithmetic: the mid-window lookup reads 3
+    manifests un-checkpointed, and 1 after a checkpoint at v2 — with
+    the SAME resolved version and content (the accelerator never
+    changes the answer).
+
     The DuckDB oracle pins the resolved versions, the mid-window row
-    count from the source predicate, and both proofs at 1.
+    count from the source predicate, the manifest-read arithmetic and
+    every proof at 1.
 
     Scale shape: AS-OF resolution is a driver-side scan over
-    driver-scale manifests (monotone ts — binary search at production
-    history lengths, same metadata plane as checkpoints); the data
-    read is the ordinary snapshot multi-dir scan. Idempotent: staging
-    wiped per run."""
+    driver-scale manifests, now O(suffix past the checkpoint) like
+    snapshot resolution; the data read is the ordinary snapshot
+    multi-dir scan. Idempotent: staging wiped per run."""
     import shutil as _shutil
 
     configure(spark)
@@ -1432,13 +1543,15 @@ def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(data, "v3"))
     txn_commit(log, 3, ["v3"], ["v1"], extra={"ts": _TXN_TS_BASE + 300})
 
-    def snap_at(ts: int) -> DataFrame:
-        v = txn_version_at(log, ts)
-        return v, spark.read.schema(ev.schema).parquet(
+    def snap_at(ts: int):
+        v, reads, seed = txn_version_at_resolve(log, ts)
+        return v, reads, seed, spark.read.schema(ev.schema).parquet(
             *[os.path.join(data, d) for d in txn_active_dirs(log, v)])
 
-    mid_v, mid = snap_at(_TXN_TS_BASE + 250)
-    boundary_v, _ = snap_at(_TXN_TS_BASE + 300)
+    # un-checkpointed: the mid-window lookup walks v1, v2 and stops AT
+    # v3 (first commit stamped after the request) — 3 manifest reads
+    mid_v, full_reads, _, mid = snap_at(_TXN_TS_BASE + 250)
+    boundary_v, _, _, _ = snap_at(_TXN_TS_BASE + 300)
     expected_mid = ev.filter(F.col("event_id") % 3 < 2)
     got, want = _txn_canon(mid).collect()[0], \
         _txn_canon(expected_mid).collect()[0]
@@ -1447,12 +1560,21 @@ def sink_txn_timetravel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         before_raises = 0
     except ValueError:
         before_raises = 1
+    # checkpoint at v2: the same lookup seeds at the checkpoint (its
+    # recorded commit ts <= the request) and reads ONLY the v3 suffix
+    txn_checkpoint(log, 2)
+    ck_v, ck_reads, ck_seed, ck_mid = snap_at(_TXN_TS_BASE + 250)
+    ck_got = _txn_canon(ck_mid).collect()[0]
+    ck_same = int(ck_v == mid_v and tuple(ck_got) == tuple(got))
     return spark.createDataFrame(
         [(mid_v, boundary_v, int(got["n"]),
-          int(tuple(got) == tuple(want)), before_raises)],
+          int(tuple(got) == tuple(want)), before_raises,
+          full_reads, ck_reads, ck_seed, ck_same)],
         "asof_mid_version int, asof_boundary_version int, "
         "n_rows_asof_mid long, asof_content_ok int, "
-        "asof_before_first_raises int")
+        "asof_before_first_raises int, n_manifests_full long, "
+        "n_manifests_with_ckpt long, ckpt_seed_version int, "
+        "ckpt_same_answer int")
 
 
 def txn_prune_dirs(log_dir: str, version: int,
@@ -1464,11 +1586,20 @@ def txn_prune_dirs(log_dir: str, version: int,
     snapshot and keeps only dirs whose [min, max] overlaps
     [lo_us, hi_us). A dir with NO recorded stats is always kept — the
     safe default (skipping is an optimization; absence of evidence must
-    never drop data). Returns (active_dirs, scanned_dirs)."""
+    never drop data). Returns (active_dirs, scanned_dirs).
+
+    Stats fold MIRRORS the add/remove fold (ADVICE r12): a manifest
+    that removes a dir also drops its recorded stats, so a dir NAME
+    reused after remove+re-add (a recurring OPTIMIZE output dir) never
+    inherits the retired incarnation's ranges — stale stats applied to
+    new data could wrongly prune a live dir, violating the safety rule
+    above."""
     active = txn_active_dirs(log_dir, version)
     stats: dict[str, dict] = {}
     for v in range(1, version + 1):
         c = _txn_manifest(log_dir, v)
+        for d in c.get("remove", []):
+            stats.pop(d, None)
         stats.update(c.get("stats", {}))
     scanned = [d for d in active
                if d not in stats

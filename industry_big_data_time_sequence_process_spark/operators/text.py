@@ -3527,7 +3527,7 @@ WHERE b1.rn = 1
 """, tier=3, section="2.38")
 def text_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language-ID classifier (VERDICT r11 missing #5): char
-    {_LANGID_N}-gram multinomial Naive Bayes — the public
+    3-gram (``_LANGID_N``) multinomial Naive Bayes — the public
     fastText-langid / CLD stand-in — trained by DISTANT SUPERVISION on
     the deterministic md5-lowest 20% doc_id slice using the corpus's
     own ``lang`` COLUMN as labels, then scoring every document
@@ -3681,7 +3681,7 @@ FROM btoks
 """, tier=3, section="2.38")
 def doc_tokenize_bpe64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZATION AT A REALISTIC MERGE COUNT (VERDICT r11 #7):
-    train the top-{_BPE64_K} merge table on the corpus
+    train the top-64 (``_BPE64_K``) merge table on the corpus
     (`text_bpe_train`'s recipe, parameterized round count) and tokenize
     every document with it in ONE Arrow-batched pass — per doc: the
     pretoken count, the merged-symbol count, and the md5 fingerprint of
@@ -3699,8 +3699,8 @@ def doc_tokenize_bpe64(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics to the iterative-replace path and to DuckDB's replace()
     (all three scan left-to-right non-overlapping, which IS greedy BPE
     application at full-corpus granularity). Value-equality of the two
-    engine paths at K={_BPE64_K} is pinned on a long-word fixture in
-    tests/test_wave_r12c.py; the DuckDB oracle replays all {_BPE64_K}
+    engine paths at K=64 is pinned on a long-word fixture in
+    tests/test_wave_r12c.py; the DuckDB oracle replays all 64
     training rounds as chained MATERIALIZED CTEs and applies the same
     replace chain.
 
