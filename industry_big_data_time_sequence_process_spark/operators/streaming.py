@@ -1751,3 +1751,124 @@ def stream_funnel_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _funnel_join(streams["click"], streams["purchase"],
                           how="left_outer")
     return _drain(spark, "stream_funnel_join_outer", joined, "append")
+
+
+# ==========================================================================
+# Round-13 wave (SURVEY.md §2.39): the two flagship subsystems COMPOSE —
+# a Structured Streaming foreachBatch writer lands micro-batches as
+# transaction-log commits with epoch-idempotent exactly-once semantics
+# (VERDICT r12 missing #1 / next-round #1).
+# ==========================================================================
+
+#: number of row-disjoint slices the exactly-once demo streams (each
+#: becomes one micro-batch -> one epoch -> one txn commit).
+_XO_SLICES = 3
+
+
+@op("sink_txn_stream_exactly_once", oracle=f"""
+SELECT CAST({_XO_SLICES} AS BIGINT) AS n_epochs,
+       CAST({_XO_SLICES} AS BIGINT) AS n_commits,
+       (SELECT count(*) FROM events) AS n_rows_table,
+       CAST(1 AS INT) AS content_ok,
+       CAST(1 AS INT) AS replay_noop,
+       CAST(1 AS INT) AS replay_preserves_content
+""", tier=3, section="2.39")
+def sink_txn_stream_exactly_once(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming sink INTO the transaction log (round 13,
+    VERDICT r12 missing #1 — the composition of this repo's two
+    flagship subsystems, and the contract users assume from Delta's
+    streaming writer): a ``foreachBatch`` sink lands each micro-batch
+    as an immutable data dir and publishes it through
+    :func:`txn_stream_commit` — an atomic manifest create stamped
+    ``{{app, epoch}}``, committed ONLY if the app has not already
+    committed this (or a later) epoch. Structured Streaming replays a
+    micro-batch after a crash with the SAME epoch id, so the stamp is
+    what turns at-least-once delivery into an exactly-once table:
+    the replayed batch re-writes the same bytes to the same dir
+    (overwrite-idempotent, invisible until a manifest adds it) and
+    then NO-OPS at the commit because the log already carries its
+    epoch.
+
+    The demo streams the events corpus as {_XO_SLICES} row-disjoint
+    slices (``_events_stream_slices`` — one file per micro-batch), so
+    the landed table must equal the batch corpus EXACTLY. Then it
+    REPLAYS: the first and last batches are re-driven through the
+    identical writer path (same app id, same epoch ids) and must
+    commit nothing — the audit row pins epoch/commit counts, the
+    order-invariant md5-sum content identity vs the batch table, the
+    replay no-op, and that the replay left the snapshot byte-identical.
+
+    Scale shape: the data-plane write is an ordinary distributed
+    parquet write per micro-batch (the stream's parallelism); the
+    commit is one driver-side atomic manifest create per batch, and
+    the idempotency probe walks BACKWARD from the head stopping at the
+    app's newest stamp — O(1) manifests for a continuously-committing
+    stream, O(suffix past the checkpoint) to find the head. Crash
+    windows: die before the data write completes -> partial dir, never
+    referenced; die between write and commit -> complete dir, never
+    referenced (vacuum garbage); die after commit -> the replay
+    no-ops. No window double-lands a row. Idempotent end-to-end: the
+    whole staging tree is wiped per run."""
+    from .sources_sinks import (_txn_canon, txn_active_dirs,
+                                txn_head_version, txn_last_epoch,
+                                txn_stream_commit)
+
+    key = "sink_txn_stream_exactly_once"
+    ev_stream, _ = _events_stream_slices(spark, sf_dir, key,
+                                         n_slices=_XO_SLICES)
+    base = _stream_base(spark, key)
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    os.makedirs(log, exist_ok=True)
+    app = "xo_demo"
+    schema = load(spark, sf_dir, "events").schema
+
+    def land_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # empty terminal batches carry no data and commit nothing (the
+        # no-data batch exists for stateful eviction, not for sinks)
+        if batch_df.isEmpty():
+            return
+        dirname = f"epoch{epoch_id}"
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data, dirname))
+        txn_stream_commit(log, app, epoch_id, [dirname])
+
+    ckpt = os.path.join(base, "ckpt")
+    q = (ev_stream.writeStream.foreachBatch(land_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+
+    head = txn_head_version(log)
+    last_epoch, _ = txn_last_epoch(log, app)
+    n_epochs = 0 if last_epoch is None else last_epoch + 1
+
+    def snapshot(version: int) -> DataFrame:
+        dirs = txn_active_dirs(log, version) if version else []
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(data, d) for d in dirs])
+
+    got = _txn_canon(snapshot(head)).collect()[0]
+    want = _txn_canon(load(spark, sf_dir, "events")).collect()[0]
+    content_ok = int(tuple(got) == tuple(want))
+
+    # forced replay: re-drive the first and last micro-batches through
+    # the IDENTICAL writer path (a post-crash re-run delivers the same
+    # epoch ids) — both must detect their committed epoch and no-op
+    indir = os.path.join(base, "in")
+    for epoch_id in {0, max(0, n_epochs - 1)} if n_epochs else set():
+        replay_df = spark.read.schema(events_read_schema(sf_dir)) \
+            .parquet(os.path.join(indir, f"slice_{epoch_id}.parquet"))
+        land_batch(decode_events_ts(replay_df, sf_dir), epoch_id)
+    replay_noop = int(txn_head_version(log) == head)
+    got2 = _txn_canon(snapshot(txn_head_version(log))).collect()[0]
+    replay_content = int(tuple(got2) == tuple(got))
+
+    return spark.createDataFrame(
+        [(n_epochs, head, int(got["n"]), content_ok, replay_noop,
+          replay_content)],
+        "n_epochs long, n_commits long, n_rows_table long, "
+        "content_ok int, replay_noop int, replay_preserves_content int")

@@ -185,7 +185,13 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "stream_funnel_join", "stream_funnel_join_outer",
                  "ts_rolling_corr_matrix",
                  # stats-less empty slices must stay scanned, not crash
-                 "sink_txn_stats_prune"]
+                 "sink_txn_stats_prune",
+                 # round-13 wave: an empty stream lands zero epochs /
+                 # zero commits; an empty history diffs to zero change
+                 # rows; zero-row z-dirs and partition dirs keep their
+                 # (absent) stats safely
+                 "sink_txn_stream_exactly_once", "sink_txn_changes",
+                 "sink_txn_optimize_zorder", "sink_txn_partition_prune"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)
