@@ -828,6 +828,13 @@ def txn_checkpoint(log_dir: str, version: int, *,
     mf = _txn_manifest(log_dir, version)
     if "ts" in mf:
         obj["ts"] = mf["ts"]
+    # ... and the resolved table schema when the history records one
+    # (round 13): schema resolution then reads checkpoint + suffix
+    # instead of walking back to the last schema commit.
+    try:
+        obj["schema"], _, _ = txn_schema_resolve(log_dir, version)
+    except ValueError:
+        pass  # schema-less history (most demos): nothing to record
     with open(tmp, "w") as f:
         _json.dump(obj, f)
         f.flush()
@@ -919,6 +926,54 @@ def txn_version_at(log_dir: str, ts: int) -> int:
     users actually type. Checkpoint-seeded + early-stopping since round
     13; see :func:`txn_version_at_resolve` for the read-cost contract."""
     return txn_version_at_resolve(log_dir, ts)[0]
+
+
+def txn_schema_resolve(log_dir: str,
+                       version: int) -> tuple[dict, int, int]:
+    """Checkpoint-seeded SCHEMA resolution (round 13 — closes the
+    "folding the schema into the checkpoint would cap it at O(1),
+    noted, not yet done" caveat `sink_txn_schema_evolve` shipped with):
+    returns ``(schema_json, n_manifest_reads, seed_checkpoint_version)``
+    for the newest schema recorded at-or-before ``version``.
+
+    With a covering checkpoint that recorded a schema, resolution
+    starts FROM the checkpoint's materialized schema and replays only
+    the suffix (any newer schema-carrying manifest in cv+1..version
+    wins) — O(suffix), the same discipline as active-dir and AS-OF
+    resolution. Without one, the backward walk from ``version`` stops
+    at the first schema-carrying manifest — O(distance to the last
+    schema commit), worst-case O(history) when only v1 recorded one.
+    Raises ValueError if no schema is recorded anywhere at-or-before
+    ``version``."""
+    import json as _json
+
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cv = int(_json.load(f)["version"])
+        if cv <= version:
+            try:
+                with open(os.path.join(log_dir,
+                                       f"_checkpoint.{cv}.json")) as f:
+                    ck = _json.load(f)
+            except FileNotFoundError:
+                ck = {}
+            if "schema" in ck:
+                best, reads = ck["schema"], 0
+                for v in range(cv + 1, version + 1):
+                    c = _txn_manifest(log_dir, v)
+                    reads += 1
+                    if "schema" in c:
+                        best = c["schema"]
+                return best, reads, cv
+    reads = 0
+    for v in range(version, 0, -1):
+        c = _txn_manifest(log_dir, v)
+        reads += 1
+        if "schema" in c:
+            return c["schema"], reads, 0
+    raise ValueError(
+        f"no schema recorded at or before v{version} in {log_dir}")
 
 
 def txn_head_version(log_dir: str) -> int:
@@ -1446,7 +1501,10 @@ SELECT CAST(1 AS INT) AS version_base, CAST(2 AS INT) AS version_evolve,
        (SELECT count(*) FROM events WHERE event_id % 2 = 0)
            AS n_newcol_nulls,
        CAST(1 AS INT) AS evolve_preserves_content,
-       CAST(1 AS INT) AS pre_evolve_schema_intact
+       CAST(1 AS INT) AS pre_evolve_schema_intact,
+       CAST(4 AS BIGINT) AS n_schema_reads_full,
+       CAST(0 AS BIGINT) AS n_schema_reads_ckpt,
+       CAST(1 AS INT) AS ckpt_schema_same
 """, tier=3, section="2.38")
 def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADD-COLUMN schema evolution on the transaction log (VERDICT r11
@@ -1473,15 +1531,18 @@ def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recorded schema, drops old rows, or back-fills the wrong
     default mismatches the row.
 
-    Scale shape: schema resolution is driver-side metadata — a backward
-    scan from v that STOPS at the most recent schema-carrying manifest
-    (O(distance to the last schema commit); worst-case O(history) when
-    only v1 recorded one — folding the schema into the checkpoint
-    object would cap it at O(1), noted, not yet done); the null-fill
-    costs NOTHING at read time
-    (parquet scans simply project the missing column as null per file,
-    no rewrite of old dirs — the whole point of add-column evolution).
-    Idempotent: staging wiped per run."""
+    Scale shape: schema resolution is driver-side metadata. Round 13
+    closed the caveat this op shipped with ("folding the schema into
+    the checkpoint would cap it at O(1), noted, not yet done"):
+    checkpoints now record the resolved schema and
+    :func:`txn_schema_resolve` reads checkpoint + suffix — the audit
+    row pins the arithmetic on a history with three schema-less
+    metadata commits after the evolution (backward walk from v5 reads
+    4 manifests; a checkpoint AT v5 drops it to 0, same schema). The
+    null-fill costs NOTHING at read time (parquet scans simply project
+    the missing column as null per file, no rewrite of old dirs — the
+    whole point of add-column evolution). Idempotent: staging wiped
+    per run."""
     import shutil as _shutil
 
     from pyspark.sql.types import StructType
@@ -1508,12 +1569,15 @@ def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn_commit(log, 2, ["v2"], [],
                extra={"schema": evolved_df.schema.jsonValue()})
 
+    # three schema-less metadata commits (commitInfo-style: empty
+    # add/remove — content unchanged) distance the head from the last
+    # schema commit, so the read-cost arithmetic below is non-trivial
+    for v in (3, 4, 5):
+        txn_commit(log, v, [], [])
+
     def schema_at(version: int) -> StructType:
-        for v in range(version, 0, -1):
-            c = _txn_manifest(log, v)
-            if "schema" in c:
-                return StructType.fromJson(c["schema"])
-        raise ValueError(f"no schema recorded at or before v{version}")
+        return StructType.fromJson(
+            txn_schema_resolve(log, version)[0])
 
     def snap(version: int) -> DataFrame:
         return spark.read.schema(schema_at(version)).parquet(
@@ -1533,13 +1597,24 @@ def sink_txn_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _txn_canon(base_df).collect()[0]
     pre_ok = int(tuple(got1) == tuple(want1)
                  and len(s1.columns) == len(base_df.columns))
+
+    # read-cost contract (round 13): resolving the schema at the head
+    # walks back v5, v4, v3, v2 — 4 manifest reads; a checkpoint at the
+    # head materializes the resolved schema and drops it to 0, with the
+    # SAME schema either way (the accelerator never changes the answer)
+    sch_full, reads_full, _ = txn_schema_resolve(log, 5)
+    txn_checkpoint(log, 5)
+    sch_ck, reads_ck, seed = txn_schema_resolve(log, 5)
+    ck_same = int(sch_ck == sch_full and seed == 5)
     return spark.createDataFrame(
         [(1, 2, int(got1["n"]), n_v2, len(s1.columns), len(s2.columns),
-          n_nulls, int(tuple(got2) == tuple(want2)), pre_ok)],
+          n_nulls, int(tuple(got2) == tuple(want2)), pre_ok,
+          reads_full, reads_ck, ck_same)],
         "version_base int, version_evolve int, n_rows_v1 long, "
         "n_rows_v2 long, n_cols_v1 int, n_cols_v2 int, "
         "n_newcol_nulls long, evolve_preserves_content int, "
-        "pre_evolve_schema_intact int")
+        "pre_evolve_schema_intact int, n_schema_reads_full long, "
+        "n_schema_reads_ckpt long, ckpt_schema_same int")
 
 
 #: synthetic commit clock of the AS-OF demo: commit v is stamped
@@ -1894,40 +1969,10 @@ def sink_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: see :func:`txn_changes` — two snapshot scans pruned
     to CHANGED dirs + one full-outer key join; manifests stay
     driver-side. Idempotent: staging wiped per run."""
-    import shutil as _shutil
-
     configure(spark)
     ev = load(spark, sf_dir, "events")
-    base = _scratch("sink_txn_changes")
-    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
-    if os.path.exists(base):
-        _shutil.rmtree(base)
-    os.makedirs(log, exist_ok=True)
-
-    base_df = ev.filter(F.col("event_id") % 3 == 0)
-    base_df.repartition(1).write.mode("overwrite") \
-        .parquet(os.path.join(data, "v1"))
-    txn_commit(log, 1, ["v1"], [])
-
-    # v2: the merge commit (sink_txn_merge's change-feed semantics)
-    src = ev.filter(F.col("event_id") % 5 == 0)
-    upserts = src.filter(F.col("event_id") % 2 == 1) \
-                 .withColumn("value", F.col("value") + F.lit(1000.0))
-    snap1 = spark.read.schema(ev.schema).parquet(
-        *[os.path.join(data, d) for d in txn_active_dirs(log, 1)])
-    merged = (snap1.join(src.select("event_id"), "event_id", "left_anti")
-                   .unionByName(upserts.select(*snap1.columns)))
-    merged.repartition(1).write.mode("overwrite") \
-        .parquet(os.path.join(data, "v2_merge"))
-    txn_commit(log, 2, ["v2_merge"], ["v1"])
-
-    # v3: OPTIMIZE — a pure rewrite of snapshot(2), content unchanged
-    snap2 = spark.read.schema(ev.schema).parquet(
-        *[os.path.join(data, d) for d in txn_active_dirs(log, 2)])
-    snap2.repartition(1).write.mode("overwrite") \
-        .parquet(os.path.join(data, "opt"))
-    txn_commit(log, 3, ["opt"], ["v2_merge"])
-
+    data, log = _txn_stage_merge_history(
+        spark, ev, _scratch("sink_txn_changes"))
     return txn_changes(spark, data, log, ev.schema, "event_id", 1, 3)
 
 
@@ -2267,3 +2312,230 @@ def sink_txn_partition_prune(spark: SparkSession,
         "n_dirs_active long, n_dirs_after_partition long, "
         "n_dirs_scanned long, n_rows_pred long, "
         "prune_matches_full int, partless_dir_never_pruned int")
+
+
+def _txn_stage_merge_history(spark: SparkSession, ev: DataFrame,
+                             base: str) -> tuple[str, str]:
+    """Shared staging for the CDF-family demos: v1 loads the base slice
+    (event_id % 3 == 0), v2 MERGEs the % 5 change feed (even ids
+    delete, odd ids upsert value + 1000 — `sink_txn_merge`'s
+    semantics), v3 OPTIMIZEs (pure rewrite, zero semantic change).
+    Returns (data_root, log_dir)."""
+    import shutil as _shutil
+
+    data, log = os.path.join(base, "data"), os.path.join(base, "_log")
+    if os.path.exists(base):
+        _shutil.rmtree(base)
+    os.makedirs(log, exist_ok=True)
+
+    base_df = ev.filter(F.col("event_id") % 3 == 0)
+    base_df.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v1"))
+    txn_commit(log, 1, ["v1"], [])
+
+    src = ev.filter(F.col("event_id") % 5 == 0)
+    upserts = src.filter(F.col("event_id") % 2 == 1) \
+                 .withColumn("value", F.col("value") + F.lit(1000.0))
+    snap1 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 1)])
+    merged = (snap1.join(src.select("event_id"), "event_id", "left_anti")
+                   .unionByName(upserts.select(*snap1.columns)))
+    merged.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v2_merge"))
+    txn_commit(log, 2, ["v2_merge"], ["v1"])
+
+    snap2 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 2)])
+    snap2.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "opt"))
+    txn_commit(log, 3, ["opt"], ["v2_merge"])
+    return data, log
+
+
+@op("sink_txn_changes_feed", oracle="""
+SELECT CAST(2 AS INT) AS commit_version, event_id,
+       'delete' AS change_type,
+       CAST(value AS DOUBLE) AS value_before,
+       CAST(NULL AS DOUBLE) AS value_after
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 0
+UNION ALL
+SELECT 2, event_id, 'update', CAST(value AS DOUBLE),
+       CAST(value + 1000 AS DOUBLE)
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 1
+UNION ALL
+SELECT 2, event_id, 'insert', CAST(NULL AS DOUBLE),
+       CAST(value + 1000 AS DOUBLE)
+FROM events
+WHERE event_id % 3 <> 0 AND event_id % 5 = 0 AND event_id % 2 = 1
+UNION ALL
+SELECT 4, event_id, 'delete', CAST(value AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM events
+WHERE event_id % 2 = 0 AND event_id % 7 = 0
+  AND event_id % 3 = 0 AND event_id % 5 <> 0
+UNION ALL
+SELECT 4, event_id, 'update',
+       CAST(CASE WHEN event_id % 5 = 0 THEN value + 1000
+                 ELSE value END AS DOUBLE),
+       CAST(value + 2000 AS DOUBLE)
+FROM events
+WHERE event_id % 2 = 1 AND event_id % 7 = 0
+  AND (event_id % 3 = 0 OR event_id % 5 = 0)
+UNION ALL
+SELECT 4, event_id, 'insert', CAST(NULL AS DOUBLE),
+       CAST(value + 2000 AS DOUBLE)
+FROM events
+WHERE event_id % 2 = 1 AND event_id % 7 = 0
+  AND event_id % 3 <> 0 AND event_id % 5 <> 0
+""", tier=3, section="2.39")
+def sink_txn_changes_feed(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """PER-COMMIT ORDERED change feed (round 13 — the incremental-
+    consumer form of `sink_txn_changes`): a downstream subscriber
+    doesn't want one endpoint diff, it wants the changes OF EACH
+    COMMIT in order, tagged with the commit version, so it can apply
+    them transactionally and checkpoint its own progress mid-range.
+    The feed over (v_from, v_to] is the union of per-step snapshot
+    diffs ``txn_changes(v-1, v)`` with a ``commit_version`` column.
+
+    History: the shared merge staging (v1 base, v2 merge % 5, v3 pure
+    OPTIMIZE) plus a SECOND merge at v4 (% 7 feed against snapshot(3):
+    even ids delete, odd ids upsert value + 2000). The feed over
+    (1, 4] must carry v2's changes, NOTHING for v3 (the rewrite), and
+    v4's changes — including the row updated at BOTH v2 and v4, whose
+    v4 ``value_before`` must be the v2-updated value (+1000), proving
+    each step diffs against its own predecessor, not the range start.
+
+    The DuckDB oracle states the whole feed from the source
+    predicates, with the double-update's CASE on value_before.
+
+    Scale shape: per step it inherits `txn_changes`' pruning — only
+    CHANGED dirs read, one key join per step; steps are independent
+    jobs a consumer runs incrementally (never a k-way union at once
+    in production; the demo unions three for one audit frame).
+    Idempotent: staging wiped per run."""
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    data, log = _txn_stage_merge_history(
+        spark, ev, _scratch("sink_txn_changes_feed"))
+
+    # v4: second merge (% 7 feed) against snapshot(3)
+    src = ev.filter(F.col("event_id") % 7 == 0)
+    upserts = src.filter(F.col("event_id") % 2 == 1) \
+                 .withColumn("value", F.col("value") + F.lit(2000.0))
+    snap3 = spark.read.schema(ev.schema).parquet(
+        *[os.path.join(data, d) for d in txn_active_dirs(log, 3)])
+    merged = (snap3.join(src.select("event_id"), "event_id", "left_anti")
+                   .unionByName(upserts.select(*snap3.columns)))
+    merged.repartition(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "v4_merge"))
+    txn_commit(log, 4, ["v4_merge"], ["opt"])
+
+    feeds = [txn_changes(spark, data, log, ev.schema, "event_id",
+                         v - 1, v)
+             .select(F.lit(v).alias("commit_version"), "*")
+             for v in range(2, 5)]
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@op("sink_txn_restore", oracle="""
+SELECT CAST(4 AS INT) AS version_restore,
+       (SELECT count(*) FROM events WHERE event_id % 3 = 0)
+           AS n_rows_restored,
+       CAST(1 AS INT) AS restore_matches_v1,
+       CAST(1 AS INT) AS history_intact,
+       CAST(1 AS INT) AS metadata_only,
+       (SELECT count(*) FROM events
+        WHERE event_id % 5 = 0
+          AND (event_id % 3 = 0 OR event_id % 2 = 1)) AS n_changes_undo,
+       CAST(1 AS INT) AS undo_is_inverse
+""", tier=3, section="2.39")
+def sink_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION — the lakehouse undo button (the public
+    Delta RESTORE semantics): re-commit an OLD snapshot's dir set as
+    the NEW head. Restore is pure METADATA — the old dirs still exist
+    (vacuum hasn't reclaimed them), so the commit adds them back and
+    retires the current head's dirs without writing a byte of data;
+    history stays intact (the bad versions remain time-travelable for
+    the post-mortem — restore is roll-FORWARD to old content, never
+    history rewrite).
+
+    History: the shared merge staging (v1 base, v2 merge, v3 pure
+    OPTIMIZE); RESTORE TO VERSION 1 commits as v4 with
+    adds = active(1), removes = active(3). The audit row pins:
+    snapshot(4) content-identical to snapshot(1) (order-invariant
+    md5-sum), snapshot(3) still resolves to the merged content
+    (history intact), zero data dirs created by the restore
+    (metadata_only — the data tree listing is unchanged), and the CDF
+    across the restore is exactly the merge's change feed INVERTED
+    (inserts become deletes, deletes become inserts, updates swap
+    before/after) — the proof that restore semantically UNDOES the
+    merge, stated through the same `txn_changes` machinery consumers
+    subscribe with.
+
+    The DuckDB oracle pins the version/row arithmetic, the undo-feed
+    row count from the merge predicates, and every proof at 1.
+
+    Scale shape: the restore commit is one atomic manifest create over
+    driver-scale metadata — O(1) regardless of table size (that's the
+    point: un-doing a bad 100 TB merge costs nothing); the proofs are
+    ordinary snapshot scans + the pruned CDF join. Idempotent: staging
+    wiped per run."""
+    configure(spark)
+    ev = load(spark, sf_dir, "events")
+    data, log = _txn_stage_merge_history(
+        spark, ev, _scratch("sink_txn_restore"))
+
+    dirs_before = sorted(os.listdir(data))
+    restore_to = txn_active_dirs(log, 1)
+    removing = txn_active_dirs(log, 3)
+    # same discipline as OPTIMIZE: the dirs the restore retires must
+    # still be active at the head it commits against
+    txn_rebase_check(log, 3, removing)
+    txn_commit(log, 4, restore_to, removing)
+    dirs_after = sorted(os.listdir(data))
+
+    def snap(version: int) -> DataFrame:
+        return spark.read.schema(ev.schema).parquet(
+            *[os.path.join(data, d)
+              for d in txn_active_dirs(log, version)])
+
+    got4, got1 = _txn_canon(snap(4)).collect()[0], \
+        _txn_canon(snap(1)).collect()[0]
+    restore_ok = int(tuple(got4) == tuple(got1))
+    # history intact: v3 still resolves to the merged content
+    eid = F.col("event_id")
+    expected3 = (ev.filter((eid % 3 == 0) & ~(eid % 5 == 0))
+                   .unionByName(
+                       ev.filter((eid % 5 == 0) & (eid % 2 == 1))
+                         .withColumn("value",
+                                     F.col("value") + F.lit(1000.0))))
+    got3, want3 = _txn_canon(snap(3)).collect()[0], \
+        _txn_canon(expected3).collect()[0]
+    history_ok = int(tuple(got3) == tuple(want3))
+
+    # the restore's CDF is the merge's CDF inverted
+    undo = txn_changes(spark, data, log, ev.schema, "event_id", 3, 4)
+    merge_feed = txn_changes(spark, data, log, ev.schema,
+                             "event_id", 1, 2)
+    inverted = merge_feed.select(
+        "event_id",
+        F.when(F.col("change_type") == "insert", F.lit("delete"))
+         .when(F.col("change_type") == "delete", F.lit("insert"))
+         .otherwise(F.lit("update")).alias("change_type"),
+        F.col("value_after").alias("value_before"),
+        F.col("value_before").alias("value_after"))
+    gu, wu = _txn_canon(undo).collect()[0], \
+        _txn_canon(inverted).collect()[0]
+    return spark.createDataFrame(
+        [(4, int(got4["n"]), restore_ok, history_ok,
+          int(dirs_before == dirs_after), int(gu["n"]),
+          int(tuple(gu) == tuple(wu)))],
+        "version_restore int, n_rows_restored long, "
+        "restore_matches_v1 int, history_intact int, metadata_only int, "
+        "n_changes_undo long, undo_is_inverse int")

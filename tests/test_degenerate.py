@@ -191,7 +191,10 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  # rows; zero-row z-dirs and partition dirs keep their
                  # (absent) stats safely
                  "sink_txn_stream_exactly_once", "sink_txn_changes",
-                 "sink_txn_optimize_zorder", "sink_txn_partition_prune"]
+                 "sink_txn_optimize_zorder", "sink_txn_partition_prune",
+                 # round-13 second wave: empty per-commit feeds, a
+                 # metadata-only restore of an empty history
+                 "sink_txn_changes_feed", "sink_txn_restore"]
 
 
 @pytest.mark.parametrize("key", EMPTY_GUARDED)

@@ -291,3 +291,59 @@ def test_version_at_tsless_checkpoint_ignored(tmp_path):
         assert "ts" not in json.load(f)
     with pytest.raises(ValueError, match="no commit timestamp"):
         txn_version_at(log, 5000)
+
+
+# ---------------------------------------------------------------------------
+# txn_schema_resolve: schema folded into the checkpoint (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_resolve_backward_walk_and_checkpoint_seed(tmp_path):
+    from industry_big_data_time_sequence_process_spark.operators.sources_sinks import (  # noqa: E501
+        txn_schema_resolve,
+    )
+
+    log = str(tmp_path / "_log")
+    os.makedirs(log)
+    txn_commit(log, 1, ["v1"], [], extra={"schema": {"cols": 6}})
+    for v in (2, 3, 4, 5):
+        txn_commit(log, v, [f"v{v}"], [])  # schema-less commits
+    sch, reads, seed = txn_schema_resolve(log, 5)
+    assert (sch, reads, seed) == ({"cols": 6}, 5, 0)  # walks back to v1
+    txn_checkpoint(log, 4)
+    sch2, reads2, seed2 = txn_schema_resolve(log, 5)
+    assert sch2 == sch
+    assert (reads2, seed2) == (1, 4)  # checkpoint schema + v5 suffix
+    # a NEWER schema inside the suffix wins over the checkpoint's
+    txn_commit(log, 6, ["v6"], [], extra={"schema": {"cols": 7}})
+    sch3, reads3, seed3 = txn_schema_resolve(log, 6)
+    assert (sch3, reads3, seed3) == ({"cols": 7}, 2, 4)
+
+
+def test_schema_resolve_missing_everywhere_raises(tmp_path):
+    from industry_big_data_time_sequence_process_spark.operators.sources_sinks import (  # noqa: E501
+        txn_schema_resolve,
+    )
+
+    log = str(tmp_path / "_log")
+    os.makedirs(log)
+    txn_commit(log, 1, ["v1"], [])
+    with pytest.raises(ValueError, match="no schema recorded"):
+        txn_schema_resolve(log, 1)
+
+
+def test_schema_resolve_damaged_checkpoint_falls_back(tmp_path):
+    from industry_big_data_time_sequence_process_spark.operators.sources_sinks import (  # noqa: E501
+        txn_schema_resolve,
+    )
+
+    log = str(tmp_path / "_log")
+    os.makedirs(log)
+    txn_commit(log, 1, ["v1"], [], extra={"schema": {"cols": 6}})
+    for v in (2, 3):
+        txn_commit(log, v, [f"v{v}"], [])
+    txn_checkpoint(log, 2)
+    os.remove(os.path.join(log, "_checkpoint.2.json"))
+    sch, reads, seed = txn_schema_resolve(log, 3)
+    assert (sch, seed) == ({"cols": 6}, 0)
+    assert reads == 3  # full backward walk, identical answer
