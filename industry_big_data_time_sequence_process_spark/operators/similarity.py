@@ -612,6 +612,142 @@ def _duck_ivf_capped_prefix(corpus: str = "embeddings") -> str:
     return ",\n".join(parts)
 
 
+# ---- driver-side exact k-means twin (round-13 optimization) --------------
+
+#: Contractual embedding width (FIXTURES.md) — lets the fixed-point mean
+#: update run as 64 map-side-combinable SUM columns instead of a 64-way
+#: posexplode (guide §2.3: aggregate before you shuffle).
+_EMB_DIM = 64
+
+#: Ceiling on (training rows × centroids) for the DRIVER-side Lloyd twin.
+#: Training samples are capped by construction (≈50·nlist rows), so up to
+#: this budget the whole training loop is constant-size work one numpy
+#: pass finishes in well under a second — running it as ~10 distributed
+#: jobs per index build was pure scheduling overhead at ANY corpus size
+#: (guide §1.2: fix the distributed algorithm first; §5: bounded driver
+#: work is fine — the sample is ≤ ~50·√n rows, ~1.6 MB at the sf0.1
+#: corpus and ~11 MB at the 200k-vector audit). Past the budget (nlist
+#: approaching its 65536 ceiling) the distributed twin takes over
+#: unchanged; both paths are bit-identical (pinned in
+#: tests/test_opt_r13.py).
+_DRIVER_TRAIN_MAX_PAIRS = 16_000_000
+
+
+def _hv_col() -> Column:
+    """The portable md5 draw as a Spark column (twin of ``_DUCK_HV``)."""
+    return F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
+def _fold_dot_np(A, B_row):
+    """Left-to-right IEEE fold of Σ A[:,i]·B[i] — the numpy twin of
+    ``_dot``'s aggregate/zip_with association (one multiply then one add
+    per element, dim-ascending, accumulator seeded 0.0)."""
+    import numpy as np
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B_row[i]
+    return acc
+
+
+def _lloyd_np(E, cents):
+    """``_IVF_ITERS`` Lloyd rounds over the in-memory training matrix —
+    the bit-identical numpy twin of ``_lloyd``:
+
+    - cosine is the same hoisted-norm ``dot / (nv · nc)`` with the same
+      left-to-right fold association over IEEE doubles;
+    - the assignment scan walks cells in ascending cid with a strict
+      ``>`` (plus NaN-greatest) comparison — exactly the window's
+      ``ORDER BY _c DESC, cid`` pick, including Spark's NaN-largest
+      total order and the min-cid tie-break;
+    - the mean update floors each component onto the 1e-9 grid
+      (exact int64 sums, order-invariant) and divides back
+      ``(sum/count)/FX`` in the same association;
+    - empty cells drop, surviving cids keep their labels.
+
+    ``E`` is the (rows × 64) float64 training matrix; ``cents`` maps
+    cid → float64[64]. Returns the trained dict with the same keying.
+    """
+    import numpy as np
+    n, d = E.shape
+    nv = np.zeros(n)
+    for i in range(d):
+        nv = nv + E[:, i] * E[:, i]
+    nv = np.sqrt(nv)
+    FX = np.floor(E * _IVF_FX).astype(np.int64)
+    for _ in range(_IVF_ITERS):
+        cids = sorted(cents)
+        C = np.array([cents[c] for c in cids], dtype=np.float64)
+        k = len(cids)
+        nc = np.zeros(k)
+        for i in range(d):
+            nc = nc + C[:, i] * C[:, i]
+        nc = np.sqrt(nc)
+        acc = np.zeros((n, k))
+        for i in range(d):
+            acc = acc + E[:, i:i + 1] * C[:, i][None, :]
+        cos = acc / (nv[:, None] * nc[None, :])
+        best = np.full(n, -np.inf)
+        best_j = np.zeros(n, dtype=np.int64)
+        best_nan = np.zeros(n, dtype=bool)
+        for j in range(k):
+            c = cos[:, j]
+            isn = np.isnan(c)
+            better = (~best_nan) & (isn | (c > best))
+            best[better] = c[better]
+            best_j[better] = j
+            best_nan[better] = isn[better]
+        counts = np.bincount(best_j, minlength=k)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, best_j, FX)
+        cents = {cids[j]: (sums[j].astype(np.float64) / float(counts[j]))
+                 / _IVF_FX
+                 for j in range(k) if counts[j] > 0}
+    return cents
+
+
+def _seeded_lloyd_driver(spark: SparkSession, rows, nlist: int) -> DataFrame:
+    """Seed (cid = hv % nlist, per-cid (hv, vec_id)-min member) and train
+    on collected ``(vec_id, embedding, hv)`` rows; return the trained
+    centroids as a cached local DataFrame — the leaf the callers
+    broadcast, exactly like the distributed ``_lloyd`` result."""
+    import numpy as np
+    if not rows:   # degenerate empty corpus: no seeds, no centroids —
+        return spark.createDataFrame(   # same empty frame as _lloyd's
+            [], "cid long, cemb array<double>")
+    ordered = sorted(rows, key=lambda r: (r["hv"], r["vec_id"]))
+    E = np.array([r["embedding"] for r in ordered], dtype=np.float64)
+    cents: dict = {}
+    for pos, r in enumerate(ordered):
+        cid = int(r["hv"]) % nlist
+        if cid not in cents:    # first in (hv, vec_id) order seeds the cell
+            cents[cid] = E[pos]
+    trained = _lloyd_np(E, cents)
+    out = [(int(cid), [float(x) for x in v])
+           for cid, v in sorted(trained.items())]
+    # No .cache(): the frame is a LocalTableScan leaf — there is no
+    # lineage to re-run, and caching it would only add a materialization
+    # job before the first broadcast.
+    return spark.createDataFrame(out, "cid long, cemb array<double>")
+
+
+def _fx_mean_agg(df: DataFrame, keys: list) -> DataFrame:
+    """Exact fixed-point mean of ``embedding`` per key group, FUSED:
+    64 map-side-combinable SUM columns + one count instead of
+    posexplode → (key, dim) aggregate → collect_list re-assembly. One
+    Exchange instead of two, and the shuffle carries 65 longs per
+    partial group instead of 64 exploded rows per member (guide §2.3).
+    Arithmetic is the same ``(sum(floor(x·FX)) / count) / FX`` in the
+    same association, so the result is bit-identical."""
+    sums = [F.sum(F.floor(F.col("embedding").getItem(i).cast("double")
+                          * F.lit(_IVF_FX))).alias(f"_s{i}")
+            for i in range(_EMB_DIM)]
+    comp = [F.col(f"_s{i}").cast("double") / F.col("_n").cast("double")
+            / F.lit(_IVF_FX) for i in range(_EMB_DIM)]
+    return (df.groupBy(*keys).agg(F.count("*").alias("_n"), *sums)
+              .select(*keys, F.array(*comp).alias("cemb")))
+
+
 def _ivf_assign(e: DataFrame, centroids: DataFrame,
                 nprobe: int = 1) -> DataFrame:
     """(vec_id, embedding, cid) — each vector paired with its ``nprobe``
@@ -641,13 +777,42 @@ def _ivf_assign(e: DataFrame, centroids: DataFrame,
     norm_c = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
     ev = e.select("vec_id", "embedding", norm_e.alias("_nv"))
     cv = centroids.select("cid", "cemb", norm_c.alias("_nc"))
+    pairs = (ev.crossJoin(F.broadcast(cv))
+               .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
+                           / (F.col("_nv") * F.col("_nc"))))
+    if nprobe == 1:
+        # r13 shuffle fix (guide §2.3/§2.4): the argmax used to be a
+        # row_number window over the n × nlist pair frame — an Exchange
+        # carrying every pair WITH its 64-float embedding, plus a sort.
+        # A max(struct) aggregate is map-side combinable, and because
+        # the broadcast crossJoin co-locates all of a vector's pairs in
+        # one task, the partial aggregate already reduces them to ONE
+        # row before the exchange: n narrow-ish rows shuffle instead of
+        # n·nlist wide ones, and the sort disappears. The pick is
+        # identical: struct ordering is (_c, -cid) lexicographic, i.e.
+        # max _c with the min-cid tie-break, and Spark's max uses the
+        # same NaN-greatest total order as the window's ORDER BY DESC.
+        return (pairs.groupBy("vec_id")
+                     .agg(F.max(F.struct(
+                         F.col("_c").alias("c"),
+                         (-F.col("cid")).alias("nc"),
+                         F.col("cid").alias("cid"),
+                         F.col("embedding").alias("embedding"))).alias("m"))
+                     .select("vec_id", F.col("m.embedding").alias("embedding"),
+                             F.col("m.cid").alias("cid")))
+    # nprobe > 1 (index-side multi-assignment / query probes): top-n per
+    # vector still needs a window, but it now runs over NARROW rows —
+    # (vec_id, cid, _c) — and the embedding re-attaches afterwards by a
+    # vec_id equi-join. The exchange feeding the window carries ~24
+    # bytes/pair instead of the 64-float embedding (~10x fewer shuffle
+    # bytes on the dominant n × nassign volume), per guide §2.3.
     w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
-    return (ev.crossJoin(F.broadcast(cv))
-              .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
-                          / (F.col("_nv") * F.col("_nc")))
-              .withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") <= nprobe)
-              .select("vec_id", "embedding", "cid"))
+    top = (pairs.select("vec_id", "cid", "_c")
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= nprobe)
+                .select("vec_id", "cid"))
+    return (e.select("vec_id", "embedding").join(top, "vec_id")
+             .select("vec_id", "embedding", "cid"))
 
 
 def _ivf_train(e: DataFrame) -> DataFrame:
@@ -661,22 +826,29 @@ def _ivf_train(e: DataFrame) -> DataFrame:
     engines, so the floored longs are too) and the per-(cell, dim) SUM is
     over exact longs — order-invariant; the single divide-back is IEEE.
     Seeds are pseudo-random but portable: bucket vectors by
-    md5-hash(vec_id) mod k (k ≈ n/97, from a 1-row broadcast aggregate,
-    never a driver collect) and take each bucket's (hash, vec_id)-min
-    vector. Empty buckets/cells simply drop — deterministic in both
-    engines. The driver-side loop is over the 3 fixed ITERATIONS
-    (``_IVF_ITERS``; distributed work inside), never rows. The returned
-    frame stays cached (tiny: k x 64 doubles) — callers broadcast it.
+    md5-hash(vec_id) mod k (k ≈ n/97) and take each bucket's
+    (hash, vec_id)-min vector. Empty buckets/cells simply drop —
+    deterministic in both engines.
+
+    r13: while n·k fits ``_DRIVER_TRAIN_MAX_PAIRS`` the loop runs as the
+    bit-identical numpy twin on the driver (one collect of the training
+    rows, zero distributed jobs); past the budget the distributed
+    ``_lloyd`` below takes over unchanged. The returned frame stays
+    cached (tiny: k x 64 doubles) — callers broadcast it.
     """
-    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-                16, 10).cast("long")
-    k = F.greatest(F.lit(1).cast("long"),
-                   F.ceil(F.col("n") / F.lit(float(_IVF_STRIDE)))
-                    .cast("long"))
-    n1 = e.agg(F.count("*").alias("n"))
-    seeded = (e.crossJoin(F.broadcast(n1))
-               .select("vec_id", "embedding", hv.alias("hv"),
-                       (hv % k).alias("cid")))
+    import math
+    n = e.count()
+    nlist = max(1, int(math.ceil(n / float(_IVF_STRIDE))))
+    if n * nlist <= _DRIVER_TRAIN_MAX_PAIRS:
+        # r13: the whole training set is driver-bounded here (n ≤ ~40k
+        # rows before the budget trips) — run the bit-identical numpy
+        # Lloyd twin instead of ~10 tiny distributed jobs (guide §1.2).
+        rows = e.select("vec_id", "embedding", _hv_col().alias("hv")) \
+                .collect()
+        return _seeded_lloyd_driver(e.sparkSession, rows, nlist)
+    hv = _hv_col()
+    seeded = e.select("vec_id", "embedding", hv.alias("hv"),
+                      (hv % nlist).alias("cid"))
     w_seed = Window.partitionBy("cid").orderBy("hv", "vec_id")
     cent = (seeded.withColumn("r", F.row_number().over(w_seed))
                   .filter("r = 1")
@@ -692,21 +864,11 @@ def _lloyd(train: DataFrame, cent: DataFrame) -> DataFrame:
     cached and the result stays cached (callers broadcast it)."""
     for _ in range(_IVF_ITERS):
         assigned = _ivf_assign(train, cent)
-        comp = (assigned
-                .select("cid", F.posexplode("embedding").alias("pos", "x"))
-                .select("cid", (F.col("pos") + 1).alias("dim"),
-                        F.floor(F.col("x").cast("double") * F.lit(_IVF_FX))
-                         .alias("fx"))
-                .groupBy("cid", "dim")
-                .agg((F.sum("fx").cast("double")
-                      / F.count("*").cast("double")
-                      / F.lit(_IVF_FX)).alias("comp")))
-        new_cent = (comp.groupBy("cid")
-                        .agg(F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("dim", "comp"))),
-                            lambda s: s["comp"]).alias("cemb"))
-                        .cache())
+        # r13: fused fixed-point mean (64 combinable SUMs, one Exchange)
+        # instead of posexplode -> (cid, dim) aggregate -> collect_list
+        # re-assembly (two Exchanges, 64x the shuffled rows). Identical
+        # arithmetic — see _fx_mean_agg.
+        new_cent = _fx_mean_agg(assigned, ["cid"]).cache()
         # Same cache hygiene as dedup_cluster_cc: the unrolled iterations
         # otherwise recompute the whole training lineage per reference —
         # measured as a >5 min stall at the 10x corpus (20k vectors)
@@ -750,12 +912,18 @@ def _ivf_train_capped(e: DataFrame) -> DataFrame:
     """
     nlist = _ivf_nlist(e.count())
     cap = _ivf_train_cap(nlist)
-    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-                16, 10).cast("long")
-    train = (e.select("vec_id", "embedding", hv.alias("hv"))
-              .orderBy("hv", "vec_id")
-              .limit(cap)
-              .cache())
+    sample = (e.select("vec_id", "embedding", _hv_col().alias("hv"))
+               .orderBy("hv", "vec_id")
+               .limit(cap))
+    if cap * nlist <= _DRIVER_TRAIN_MAX_PAIRS:
+        # r13: the sample is ≤ cap rows BY THE DIAL — collect it and run
+        # the bit-identical numpy Lloyd twin on the driver. One
+        # TakeOrderedAndProject job replaces the ~10-job distributed
+        # training chain; the corpus-sized assignment pass downstream
+        # stays distributed (guide §1.2 — this is the constant-cost part
+        # of the build at any corpus size).
+        return _seeded_lloyd_driver(e.sparkSession, sample.collect(), nlist)
+    train = sample.cache()
     w_seed = Window.partitionBy("cid").orderBy("hv", "vec_id")
     cent = (train.withColumn("cid", F.col("hv") % nlist)
                  .withColumn("r", F.row_number().over(w_seed))
@@ -1437,6 +1605,61 @@ def _exact_d2fx(a: Column, b: Column) -> Column:
 
 
 def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(m, k, cw): per-subspace TRAINED codebooks — the driver-side
+    numpy twin of ``_pq_codebook_dist`` (r13 optimization). The training
+    sample is a CONSTANT ``_PQ_TRAIN_CAP`` = 2000 rows at any corpus
+    size, so the per-subspace Lloyd loop is bounded driver work by
+    construction (guide §1.2/§5): one TakeOrderedAndProject collect of
+    the md5-lowest sample replaces the ~8-job distributed chain
+    (2 iterations × crossJoin/argmin/mean-update, each a tiny shuffle).
+    Bit-identical to the distributed twin (pinned in
+    tests/test_opt_r13.py): same seeds (subvectors of the md5-lowest
+    ``_PQ_K`` sample vectors), same exact-integer argmin key
+    ``dfx·K + k``, same fixed-point mean ``(sum(floor(x·FX))/count)/FX``
+    with the same IEEE association, dead codewords drop identically.
+    The returned frame is a cached local leaf — callers broadcast it."""
+    import numpy as np
+    rows = (e.select("vec_id", "embedding", _hv_col().alias("hv"))
+             .orderBy("hv", "vec_id").limit(_PQ_TRAIN_CAP).collect())
+    if not rows:   # degenerate empty corpus: no seeds, empty codebook
+        return e.sparkSession.createDataFrame(
+            [], "m int, k int, cw array<double>")
+    ordered = sorted(rows, key=lambda r: (r["hv"], r["vec_id"]))
+    E = np.array([r["embedding"] for r in ordered], dtype=np.float64)
+    n = E.shape[0]
+    FXall = np.floor(E * _PQ_FX).astype(np.int64)
+    # seeds: codeword (m, k) = m-th subvector of the k-th ranked sample
+    cb = {(m, k): E[k, m * _PQ_DS:(m + 1) * _PQ_DS].copy()
+          for m in range(_PQ_M) for k in range(min(_PQ_K, n))}
+    for _ in range(_PQ_ITERS):
+        new_cb = {}
+        for m in range(_PQ_M):
+            sub = E[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+            ks = sorted(k for (mm, k) in cb if mm == m)
+            CW = np.array([cb[(m, k)] for k in ks], dtype=np.float64)
+            acc = np.zeros((n, len(ks)))
+            for di in range(_PQ_DS):   # left-to-right fold, same as _pq_d2fx
+                t = sub[:, di][:, None] - CW[:, di][None, :]
+                acc = acc + t * t
+            key = (np.floor(acc * _PQ_FX).astype(np.int64) * _PQ_K
+                   + np.array(ks, dtype=np.int64)[None, :])
+            idx = np.argmin(key, axis=1)   # exact-integer min, k tiebreak
+            counts = np.bincount(idx, minlength=len(ks))
+            sums = np.zeros((len(ks), _PQ_DS), dtype=np.int64)
+            np.add.at(sums, idx, FXall[:, m * _PQ_DS:(m + 1) * _PQ_DS])
+            for j, k in enumerate(ks):
+                if counts[j] > 0:
+                    new_cb[(m, k)] = (sums[j].astype(np.float64)
+                                      / float(counts[j])) / _PQ_FX
+        cb = new_cb
+    out = [(int(m), int(k), [float(x) for x in v])
+           for (m, k), v in sorted(cb.items())]
+    # LocalTableScan leaf — no cache needed (see _seeded_lloyd_driver).
+    return e.sparkSession.createDataFrame(
+        out, "m int, k int, cw array<double>")
+
+
+def _pq_codebook_dist(e: DataFrame) -> DataFrame:
     """(m, k, cw): per-subspace TRAINED codebooks — k-means with the same
     cross-engine exactness discipline as ``_lloyd``: seeds are the
     subvectors of the md5-lowest ``_PQ_K`` sample vectors (portable
@@ -1503,11 +1726,89 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     return cb
 
 
+def _pq_code_banks(cb: DataFrame) -> dict:
+    """Collect the (constant-size, ≤ M·K-row) codebook into per-subspace
+    numpy banks: m -> (k vector ascending, K×4 codeword matrix)."""
+    import numpy as np
+    by_m: dict = {}
+    for r in cb.collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["k"]), r["cw"]))
+    return {m: (np.array([k for k, _ in sorted(kvs)], dtype=np.int64),
+                np.array([list(map(float, w)) for _, w in sorted(kvs)],
+                         dtype=np.float64))
+            for m, kvs in by_m.items()}
+
+
+def _pq_code_batches(banks: dict, with_cid: bool):
+    """Arrow-batch PQ coder: the bit-identical numpy twin of the JVM
+    ``crossJoin(cb) → min(dfx·K + k)`` argmin (r13, guide §4.2). The
+    JVM formulation evaluated a slice + zip_with + aggregate expression
+    tree per (row × codeword) pair — measured ~10 s for the 6.1M-pair
+    multi-assigned coding pass at sf0.1, THE dominant ivfpq cost.  Here
+    each batch computes all subspace distances vectorized, with the
+    same left-to-right fold association ((x−y)² accumulated dim-
+    ascending from 0.0), the same ``floor(d2·FX)`` grid, and the same
+    exact-integer ``key = dfx·K + k`` argmin, so codes are identical
+    (twin-pinned in tests/test_opt_r13.py; oracle parity re-proves the
+    full cascade). Heavy per-task state (the banks) is built once in
+    the closure, per guide §4.5."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_fields = ([("vec_id", pa.int64())]
+                  + ([("cid", pa.int64())] if with_cid else [])
+                  + [("m", pa.int32()), ("code", pa.int64())])
+    out_schema = pa.schema(out_fields)
+
+    def code(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0 or not banks:
+                continue
+            emb = batch.column("embedding")
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in
+                 emb.to_pylist()], dtype=np.float64)
+            vids, cids, ms, codes = [], [], [], []
+            for m in sorted(banks):
+                ks, CW = banks[m]
+                sub = E[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                acc = np.zeros((n, len(ks)))
+                for di in range(_PQ_DS):   # LTR fold, same as _pq_d2fx
+                    t = sub[:, di][:, None] - CW[:, di][None, :]
+                    acc = acc + t * t
+                key = (np.floor(acc * _PQ_FX).astype(np.int64) * _PQ_K
+                       + ks[None, :])
+                codes.append(ks[np.argmin(key, axis=1)])
+                ms.append(np.full(n, m, dtype=np.int32))
+            vid = batch.column("vec_id").to_numpy()
+            nm = len(banks)
+            arrays = [pa.array(np.tile(vid, nm), type=pa.int64())]
+            if with_cid:
+                cid = batch.column("cid").to_numpy()
+                arrays.append(pa.array(np.tile(cid, nm), type=pa.int64()))
+            arrays += [pa.array(np.concatenate(ms), type=pa.int32()),
+                       pa.array(np.concatenate(codes), type=pa.int64())]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return code
+
+
 def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code): per-vector, per-subspace nearest codeword.
     The argmin is an exact-integer min over ``dfx * K + k`` (distance on
-    the 1e-9 grid, codeword id as tiebreak) — deterministic in any
-    aggregation order, map-side combinable. ONE pass over the corpus."""
+    the 1e-9 grid, codeword id as tiebreak). ONE Arrow-batched pass over
+    the corpus (r13 — see ``_pq_code_batches``; the JVM twin below is
+    kept for the equality pin)."""
+    banks = _pq_code_banks(cb)
+    return (e.select("vec_id", "embedding")
+             .mapInArrow(_pq_code_batches(banks, with_cid=False),
+                         "vec_id long, m int, code long"))
+
+
+def _pq_codes_jvm(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """JVM expression twin of ``_pq_codes`` (pre-r13 formulation) —
+    kept for the bit-equality pin in tests/test_opt_r13.py."""
     key = _pq_d2fx(F.col("embedding"), F.col("cw"), F.col("m")) \
         * _PQ_K + F.col("k")
     return (e.select("vec_id", "embedding")
@@ -1789,15 +2090,15 @@ def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
     cell ids ride the code-argmin groupBy instead. With multi-assignment
     (``cells`` holds ``_IVF_NASSIGN`` rows per vector) the distance
     argmin is recomputed per replica — redundant compute on a narrow
-    frame, bought to keep the corpus shuffle-free."""
-    key = _pq_d2fx(F.col("embedding"), F.col("cw"), F.col("m")) \
-        * _PQ_K + F.col("k")
-    return (cells.crossJoin(F.broadcast(cb))
-                 .select("vec_id", "cid", "m", key.alias("key"))
-                 .groupBy("vec_id", "cid", "m")
-                 .agg(F.min("key").alias("mk"))
-                 .select("vec_id", "cid", "m",
-                         (F.col("mk") % _PQ_K).alias("code")))
+    frame, bought to keep the corpus shuffle-free. r13: the coding runs
+    as the Arrow-batched numpy twin (``_pq_code_batches``) — zero
+    shuffles at all now (the old crossJoin → groupBy argmin shuffled
+    the n·nassign·M·K pair frame into an aggregate; measured ~10 s of
+    per-pair expression evaluation at sf0.1)."""
+    banks = _pq_code_banks(cb)
+    return (cells.select("vec_id", "cid", "embedding")
+                 .mapInArrow(_pq_code_batches(banks, with_cid=True),
+                             "vec_id long, cid long, m int, code long"))
 
 
 def _ivfpq_adc_frame(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
@@ -3191,13 +3492,26 @@ def _sub_assign(cells: DataFrame, subcent: DataFrame) -> DataFrame:
     norm_c = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
     ev = cells.select("vec_id", "embedding", "cid", norm_e.alias("_nv"))
     cv = subcent.select("cid", "scid", "cemb", norm_c.alias("_nc"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "scid")
+    # r13: same argmax-as-aggregation rework as _ivf_assign nprobe=1 —
+    # max(struct(_c, -scid, ...)) is the window's (cos DESC, scid) pick
+    # (NaN-greatest total order included), map-side combinable, no sort,
+    # and the exchange carries one partial row per vector instead of
+    # every (member × sub-centroid) pair with its embedding. Every
+    # caller feeds single-assignment cells (vec_id unique), so the
+    # vec_id grouping is exactly the window's partition.
     return (ev.join(cv, "cid")
               .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
                           / (F.col("_nv") * F.col("_nc")))
-              .withColumn("r", F.row_number().over(w))
-              .filter("r = 1")
-              .select("vec_id", "embedding", "cid", "scid"))
+              .groupBy("vec_id")
+              .agg(F.max(F.struct(
+                  F.col("_c").alias("c"),
+                  (-F.col("scid")).alias("ns"),
+                  F.col("scid").alias("scid"),
+                  F.col("cid").alias("cid"),
+                  F.col("embedding").alias("embedding"))).alias("m"))
+              .select("vec_id", F.col("m.embedding").alias("embedding"),
+                      F.col("m.cid").alias("cid"),
+                      F.col("m.scid").alias("scid")))
 
 
 def _twolevel_from_cells(cells: DataFrame,
@@ -3224,15 +3538,40 @@ def _twolevel_from_cells(cells: DataFrame,
     re-split triggers, and ``subcells`` is exactly ``cells`` with
     scid = 0 — the two-level path degrades to the r8 single-level
     answer by construction."""
+    csz = cells.groupBy("cid").agg(F.count("*").alias("_sz"))
+    n_big = csz.filter(F.col("_sz") > occ).count()
+    if n_big == 0:
+        # r13 FAST PATH: every cell already meets the occupancy bound,
+        # so k2 = 1 everywhere and the machinery below provably degrades
+        # to scid = 0 with per-cell fixed-point means (the pre-clamp
+        # regime documented above, pinned by
+        # tests/test_wave_r9.py::test_twolevel_identity_when_occ_exceeds_cells
+        # and the forced-equality twin in tests/test_opt_r13.py). Skip
+        # the 3 Lloyd rounds, the final assignment and the re-split
+        # windows entirely — zero extra shuffles of the corpus.
+        sub = (cells.select("vec_id", "embedding", "cid",
+                            F.lit(0).cast("long").alias("scid"))
+                    .cache())
+        sub.count()
+        subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint()
+        return sub, subcent
+    # r13 SPLIT: only members of OVERSIZED cells go through the
+    # second-level Lloyd + re-split machinery; members of compliant
+    # cells take the k2 = 1 shortcut directly (per-cell independence
+    # makes the two regimes exactly composable — every seed, iteration
+    # and mean below is keyed by cid). At any corpus size this bounds
+    # the Lloyd work to the skewed sliver instead of the whole corpus.
+    sized = cells.join(F.broadcast(csz), "cid")
+    small = sized.filter(F.col("_sz") <= occ).select(
+        "vec_id", "embedding", "cid", F.lit(0).cast("long").alias("scid"))
+    big = sized.filter(F.col("_sz") > occ) \
+               .select("vec_id", "embedding", "cid", "_sz")
+    hv = _hv_col()
     k2 = F.greatest(
         F.lit(1).cast("long"),
-        F.ceil(F.count("*") / F.lit(float(occ))).cast("long"))
-    csz = cells.groupBy("cid").agg(k2.alias("k2"))
-    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-                16, 10).cast("long")
-    seeded = (cells.join(csz, "cid")
-                   .select("vec_id", "embedding", "cid", hv.alias("hv"),
-                           (hv % F.col("k2")).alias("scid")))
+        F.ceil(F.col("_sz") / F.lit(float(occ))).cast("long"))
+    seeded = big.select("vec_id", "embedding", "cid", hv.alias("hv"),
+                        (hv % k2).alias("scid"))
     w_seed = Window.partitionBy("cid", "scid").orderBy("hv", "vec_id")
     cent = (seeded.withColumn("r", F.row_number().over(w_seed))
                   .filter("r = 1")
@@ -3249,27 +3588,15 @@ def _twolevel_from_cells(cells: DataFrame,
     # to a leaf; the frames are Σ ceil(|cell|/occ) rows of 64 doubles,
     # so the storage cost is nil (they stay resident until session end
     # — same lifetime the trained coarse centroids already have).
+    # r13: the mean update is the fused 64-SUM aggregate (_fx_mean_agg —
+    # one Exchange instead of two, no 64-way posexplode).
+    big_members = big.select("vec_id", "embedding", "cid")
     for _ in range(_IVF_ITERS):
-        assigned = _sub_assign(cells, cent)
-        comp = (assigned
-                .select("cid", "scid",
-                        F.posexplode("embedding").alias("pos", "x"))
-                .select("cid", "scid", (F.col("pos") + 1).alias("dim"),
-                        F.floor(F.col("x").cast("double") * F.lit(_IVF_FX))
-                         .alias("fx"))
-                .groupBy("cid", "scid", "dim")
-                .agg((F.sum("fx").cast("double")
-                      / F.count("*").cast("double")
-                      / F.lit(_IVF_FX)).alias("comp")))
-        new_cent = (comp.groupBy("cid", "scid")
-                        .agg(F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("dim", "comp"))),
-                            lambda s: s["comp"]).alias("cemb"))
-                        .localCheckpoint())
+        assigned = _sub_assign(big_members, cent)
+        new_cent = _fx_mean_agg(assigned, ["cid", "scid"]).localCheckpoint()
         cent.unpersist()
         cent = new_cent
-    sub0 = _sub_assign(cells, cent)
+    sub0 = _sub_assign(big_members, cent)
     # hard-envelope re-split: size + locality-rank windows share one
     # (cid, scid) shuffle; chunk arithmetic mirrors the oracle's
     # subcells CTE token for token.
@@ -3281,31 +3608,17 @@ def _twolevel_from_cells(cells: DataFrame,
         F.col("_s") > _SEMDEDUP_RESPLIT_C * occ,
         F.floor((F.row_number().over(w_rk) - 1) / occ).cast("long")
     ).otherwise(F.lit(0).cast("long"))
-    sub = (sub0.withColumn("_s", F.count("*").over(w_sz))
-               .withColumn("scid",
-                           F.col("scid").cast("long") * _RESPLIT_BASE
-                           + chunk)
-               .select("vec_id", "embedding", "cid", "scid")
-               .cache())
+    sub_big = (sub0.withColumn("_s", F.count("*").over(w_sz))
+                   .withColumn("scid",
+                               F.col("scid").cast("long") * _RESPLIT_BASE
+                               + chunk)
+                   .select("vec_id", "embedding", "cid", "scid"))
+    sub = small.unionByName(sub_big).cache()
     sub.count()
     cent.unpersist()
     # final serving sub-centroids: exact fixed-point member means per
     # composite scid — same formula as the Lloyd update, one grouping.
-    comp = (sub.select("cid", "scid",
-                       F.posexplode("embedding").alias("pos", "x"))
-               .select("cid", "scid", (F.col("pos") + 1).alias("dim"),
-                       F.floor(F.col("x").cast("double") * F.lit(_IVF_FX))
-                        .alias("fx"))
-               .groupBy("cid", "scid", "dim")
-               .agg((F.sum("fx").cast("double")
-                     / F.count("*").cast("double")
-                     / F.lit(_IVF_FX)).alias("comp")))
-    subcent = (comp.groupBy("cid", "scid")
-                   .agg(F.transform(
-                       F.array_sort(
-                           F.collect_list(F.struct("dim", "comp"))),
-                       lambda s: s["comp"]).alias("cemb"))
-                   .localCheckpoint())
+    subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint()
     return sub, subcent
 
 

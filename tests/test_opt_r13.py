@@ -1,0 +1,90 @@
+"""Round-13 optimization twins: the driver-side numpy trainers and the
+aggregation-based argmax picks must be BIT-IDENTICAL to the distributed
+formulations they replaced (the oracle-parity gate re-proves every
+registered op against DuckDB; these pins localize a future drift to the
+exact helper that moved)."""
+import pytest
+from pyspark.sql import Window, functions as F
+
+from industry_big_data_time_sequence_process_spark.operators import (
+    similarity as S,
+)
+from industry_big_data_time_sequence_process_spark.operators.similarity import (
+    _dot, _ivf_assign, _ivf_train_capped, _pq_codebook, _pq_codebook_dist,
+)
+from industry_big_data_time_sequence_process_spark.sources.io import load
+
+from .conftest import SF_T2
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.smoke
+def test_pq_codebook_driver_equals_distributed(spark):
+    """The numpy PQ trainer vs the distributed twin: every (m, k)
+    codeword, every component, exactly equal (IEEE-double identity —
+    the fixed-point discipline makes both order-invariant)."""
+    e = load(spark, SF_T2, "embeddings")
+    a = _pq_codebook(e)
+    b = _pq_codebook_dist(e)
+    ra = _rows(a, ["m", "k", "cw"])
+    rb = _rows(b, ["m", "k", "cw"])
+    a.unpersist()
+    b.unpersist()
+    assert len(ra) > 0 and ra == rb
+
+
+def test_ivf_train_capped_driver_equals_distributed(spark, monkeypatch):
+    """Forcing the pair budget to 0 routes _ivf_train_capped through the
+    distributed _lloyd; the default routes it through the numpy twin.
+    Both centroid sets must match exactly, cid for cid."""
+    e = load(spark, SF_T2, "embeddings")
+    a = _ivf_train_capped(e)
+    ra = _rows(a, ["cid", "cemb"])
+    a.unpersist()
+    monkeypatch.setattr(S, "_DRIVER_TRAIN_MAX_PAIRS", 0)
+    b = _ivf_train_capped(e)
+    rb = _rows(b, ["cid", "cemb"])
+    b.unpersist()
+    assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_pq_codes_arrow_equals_jvm(spark):
+    """The Arrow-batched numpy PQ coder vs the JVM crossJoin/argmin
+    twin: identical (vec_id, m, code) sets."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _pq_codes, _pq_codes_jvm,
+    )
+    e = load(spark, SF_T2, "embeddings")
+    cb = _pq_codebook(e)
+    ra = _rows(_pq_codes(e, cb), ["vec_id", "m", "code"])
+    rb = _rows(_pq_codes_jvm(e, cb), ["vec_id", "m", "code"])
+    cb.unpersist()
+    assert len(ra) > 0 and ra == rb
+
+
+def test_ivf_assign_agg_equals_window_pick(spark):
+    """_ivf_assign's max(struct) aggregation (nprobe=1) and narrow
+    window + re-join (nprobe=3) vs the original wide-row window
+    formulation, on the trained centroids: identical row sets."""
+    e = load(spark, SF_T2, "embeddings")
+    cent = _ivf_train_capped(e)
+    norm_e = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm_c = F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+    ev = e.select("vec_id", "embedding", norm_e.alias("_nv"))
+    cv = cent.select("cid", "cemb", norm_c.alias("_nc"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), "cid")
+    for nprobe in (1, 3):
+        legacy = (ev.crossJoin(F.broadcast(cv))
+                    .withColumn("_c", _dot(F.col("embedding"), F.col("cemb"))
+                                / (F.col("_nv") * F.col("_nc")))
+                    .withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") <= nprobe)
+                    .select("vec_id", "embedding", "cid"))
+        got = _ivf_assign(e, cent, nprobe=nprobe)
+        assert _rows(got, ["vec_id", "cid"]) == \
+            _rows(legacy, ["vec_id", "cid"]), f"nprobe={nprobe}"
+    cent.unpersist()

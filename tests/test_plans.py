@@ -230,12 +230,17 @@ def test_bloom_prefilter_probes_before_shuffle(spark):
 
 def test_scalable_ivf_centroid_side_is_broadcast(spark):
     """Same posture as the reference trainer: the corpus never shuffles
-    to meet the (tiny, capacity-constant) centroids; the capped training
-    sample arrives via TakeOrderedAndProject, never a global sort."""
+    to meet the (tiny, capacity-constant) centroids. Since r13 the
+    capped sample is collected (TakeOrderedAndProject in its own job)
+    and trained driver-side, so the serving plan broadcasts a LOCAL
+    centroid leaf; in the past-budget fallback the sample still arrives
+    via TakeOrderedAndProject. Either way: no global sort of the
+    sample, no cid hash-exchange of the corpus."""
     plan = _plan(spark, "sim_ivf_scalable_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(cid" not in plan
-    assert "TakeOrderedAndProject" in plan
+    assert ("LocalTableScan" in plan or "InMemoryTableScan" in plan
+            or "TakeOrderedAndProject" in plan)
     assert "Sort [hv" not in plan  # no global sort for the sample
 
 
