@@ -525,31 +525,19 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only."""
     d = load(spark, sf_dir, "documents")
     bin_col = F.encode("text", "utf-8")
-    blobs = (d.select("doc_id", F.hex(bin_col).alias("hx"),
-                      F.length(bin_col).cast("long").alias("nb"))
-              .filter(F.col("nb") > 0))
-    n2 = _PHASH_POOL * _PHASH_POOL
-    # seg arithmetic stays in BIGINT end-to-end (ADVICE r6): `i` as a
-    # 32-bit int would wrap at i*1024 for blobs > ~2 MB while the DuckDB
-    # oracle's range() is BIGINT — a silent cross-engine divergence at
-    # exactly the large-asset sizes this op targets.  The byte-explode
-    # fallback itself is bounded by Spark's 2^31-1 array-element cap on
-    # sequence(); blobs beyond ~2 GB must take the codec-UDF pooling
-    # path (mm_image_decode contract), not this explode.
-    i = F.explode(F.sequence(F.lit(0).cast("long"),
-                             F.col("nb") - 1)).alias("i")
-    byts = (blobs.select("doc_id", "hx", "nb", i)
-                 .select("doc_id",
-                         ((F.col("i") * n2) / F.col("nb")).cast("long")
-                         .alias("seg"),
-                         F.conv(F.expr("substring(hx, CAST(i * 2 + 1 AS INT), 2)"),
-                                16, 10).cast("long").alias("b")))
-    grid = (byts.groupBy("doc_id", "seg")
-                .agg(F.expr("SUM(b) * 1000 DIV COUNT(*)").alias("g"))
-                .select("doc_id",
-                        (F.col("seg") % _PHASH_POOL).alias("x"),
-                        (F.col("seg") / _PHASH_POOL).cast("int").alias("y"),
-                        "g"))
+    # r13 (guide §4.2): the 16x16 pooling grid is computed in one Arrow
+    # numpy pass per blob — the old JVM fallback hexed the blob and
+    # exploded one row PER BYTE into a (doc, seg) aggregate (the
+    # shuffled row count equaled the corpus byte count). Arithmetic is
+    # the identical exact-integer form: seg = (i·256) // nb in BIGINT,
+    # g = SUM(b)·1000 DIV COUNT(*) (uint8 into int64 sums — exact; the
+    # DuckDB oracle statement is unchanged and parity re-proves it).
+    grid = (d.select("doc_id", bin_col.alias("blob"))
+             .mapInPandas(_phash_grid_batches, "doc_id long, seg long, g long")
+             .select("doc_id",
+                     (F.col("seg") % _PHASH_POOL).alias("x"),
+                     (F.col("seg") / _PHASH_POOL).cast("int").alias("y"),
+                     "g"))
     cf = spark.createDataFrame(
         [(u, x, c) for u, row in enumerate(_PHASH_CFX)
          for x, c in enumerate(row)],
@@ -595,6 +583,48 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("doc1", "doc2")
                 .agg(ham.cast("long").alias("hamming"))
                 .filter(F.col("hamming") <= _PHASH_MAXH))
+
+
+def _phash_grid_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch 16x16 byte-pooling grid for `mm_phash_dedup` (r13):
+    per blob, seg(i) = (i·256) // nb (BIGINT — same wrap-safety as the
+    old explode, ADVICE r6) and g(seg) = SUM(b)·1000 // COUNT(*), all
+    exact int64 — bit-identical to the JVM byte-explode it replaces."""
+    import numpy as np
+    n2 = _PHASH_POOL * _PHASH_POOL
+    for pdf in batches:
+        ids, segs, gs = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            if blob is None:
+                continue
+            nb = len(blob)
+            if nb == 0:
+                continue
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            seg = (np.arange(nb, dtype=np.int64) * n2) // nb
+            # weighted bincount sums through float64 — keep byte sums
+            # exactly in int64 via add.at instead
+            nseg = int(seg[-1]) + 1
+            bsum = np.zeros(nseg, dtype=np.int64)
+            np.add.at(bsum, seg, arr.astype(np.int64))
+            cnt = np.bincount(seg, minlength=nseg).astype(np.int64)
+            live = cnt > 0
+            g = bsum[live] * 1000 // cnt[live]
+            segv = np.nonzero(live)[0].astype(np.int64)
+            ids.append(np.full(len(segv), doc_id, dtype=np.int64))
+            segs.append(segv)
+            gs.append(g)
+        if ids:
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "seg": np.concatenate(segs),
+                "g": np.concatenate(gs)})
+        else:
+            yield pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "seg": pd.Series([], dtype="int64"),
+                "g": pd.Series([], dtype="int64")})
 
 
 def _audio_pcm_batches(
@@ -737,11 +767,67 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _afp_pairs(pcm)
 
 
+def _afp_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch fingerprint windower (r13, guide §4.2/§8.3): one
+    numpy pass per blob replaces the JVM per-byte row explode (hex →
+    one row PER BYTE → 2-way window fan-out → two aggregations — the
+    shuffled row count equaled 2× total corpus bytes). Exact-integer
+    twin of the SQL formulation: window w covers bytes
+    [HOP·w, HOP·w + WIN), sub-band j sums bytes [16j, 16(j+1)) of the
+    window (uint8 into int64 — exact), fp packs the 4 delta-sign bits.
+    Bit-for-bit equality with the JVM twin is pinned in
+    tests/test_opt_r13.py; oracle parity re-proves the full op."""
+    import numpy as np
+    for pdf in batches:
+        ids, ords, fps = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["pcm"]):
+            if blob is None:
+                continue
+            nb = len(blob)
+            if nb < _AFP_WIN:
+                continue
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            S = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(arr, out=S[1:])
+            nw = (nb - _AFP_WIN) // _AFP_HOP + 1
+            base = np.arange(nw, dtype=np.int64) * _AFP_HOP
+            e = [S[base + _AFP_SB * (j + 1)] - S[base + _AFP_SB * j]
+                 for j in range(4)]
+            fp = ((e[0] > e[1]).astype(np.int32)
+                  + 2 * (e[1] > e[2]).astype(np.int32)
+                  + 4 * (e[2] > e[3]).astype(np.int32)
+                  + 8 * (e[3] > e[0]).astype(np.int32))
+            ids.append(np.full(nw, doc_id, dtype=np.int64))
+            ords.append(np.arange(nw, dtype=np.int64))
+            fps.append(fp)
+        if ids:
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "ord": np.concatenate(ords),
+                "fp": np.concatenate(fps)})
+        else:
+            yield pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "ord": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int32")})
+
+
 def _afp_fps(pcm: DataFrame) -> DataFrame:
     """(doc_id, ord, fp): the per-window Haitsma-Kalker fingerprint
     stream over a ``(doc_id, pcm binary)`` frame, localCheckpointed —
     shared by the same-offset dedup (`_afp_pairs`) and the round-10
-    shift-invariant variant (`_afp_offset_pairs`)."""
+    shift-invariant variant (`_afp_offset_pairs`). r13: the windowing
+    runs inside the Arrow pass (see `_afp_fp_batches`); the
+    localCheckpoint below still materializes the stream ONCE for its
+    four consumers."""
+    return (pcm.mapInPandas(_afp_fp_batches,
+                            "doc_id long, ord long, fp int")
+               .localCheckpoint())
+
+
+def _afp_fps_jvm(pcm: DataFrame) -> DataFrame:
+    """Pre-r13 JVM byte-explode formulation of ``_afp_fps`` — kept for
+    the bit-equality pin in tests/test_opt_r13.py."""
     blobs = (pcm.select("doc_id", F.hex("pcm").alias("hx"),
                         F.length("pcm").cast("long").alias("nb"))
                 .filter(F.col("nb") >= _AFP_WIN))
@@ -766,18 +852,10 @@ def _afp_fps(pcm: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("sb") == j, F.col("b"))).alias(f"e{j}")
         for j in range(4)])
     bit = lambda a, b_: F.when(F.col(a) > F.col(b_), 1).otherwise(0)
-    # localCheckpoint: `fps` fans out to four consumers (grams, both
-    # verify sides, the window-count frame) and since round 10 its
-    # lineage starts at the Arrow PCM decode — without materializing
-    # here the plan re-embeds (and re-EXECUTES) the Python decode once
-    # per consumer (measured: 6 MapInPandas nodes in the r10 draft
-    # plan). The fingerprint frame is one small int per 32-byte window
-    # (~3% of corpus bytes), so the storage cost is nil.
     return energies.select(
         "doc_id", F.col("w").alias("ord"),
         (bit("e0", "e1") + 2 * bit("e1", "e2")
-         + 4 * bit("e2", "e3") + 8 * bit("e3", "e0")).alias("fp")) \
-        .localCheckpoint()
+         + 4 * bit("e2", "e3") + 8 * bit("e3", "e0")).alias("fp"))
 
 
 def _afp_pairs(pcm: DataFrame) -> DataFrame:
@@ -962,20 +1040,29 @@ def _video_sig_batches(
 
     codec = _video_codec()
 
+    import numpy as np
+
     def sigs(blob):
         if blob is None:
             return []
-        if codec is not None:
+        if codec is not None and bytes(blob[:9]) == b"YUV4MPEG2":
+            # magic-gated real decode (same short-circuit discipline as
+            # the audio pass: non-Y4M blobs never even attempt a parse)
             try:
                 with codec.open(io.BytesIO(blob)) as clip:
                     return clip.luma_sigs(1000)
             except Exception:
                 pass
+        # r13: numpy block pooling (exact uint8→int64 sums, the same
+        # (SUM·1000) // FRAME integer formula) — replaces both the old
+        # per-row Python loop here AND the JVM per-byte row explode
+        # that handled non-Y4M blobs upstream (guide §4.2).
         nb = (len(blob) // _SCENE_FRAME) * _SCENE_FRAME
         if nb < 2 * _SCENE_FRAME:
             return []
-        return [sum(blob[i:i + _SCENE_FRAME]) * 1000 // _SCENE_FRAME
-                for i in range(0, nb, _SCENE_FRAME)]
+        arr = np.frombuffer(bytes(blob)[:nb], dtype=np.uint8)
+        block = arr.reshape(-1, _SCENE_FRAME).sum(axis=1, dtype=np.int64)
+        return list(block * 1000 // _SCENE_FRAME)
 
     for pdf in batches:
         ids, frames, vals = [], [], []
@@ -994,9 +1081,24 @@ def _video_sig_batches(
 def _video_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, frame, sig): the per-frame fixed-point signature stream
     shared by `mm_video_scene_cuts` and `mm_video_clip_dedup` — Y4M
-    blobs (JVM-side magic check) decode to one exact luma-mean per REAL
-    frame via the Arrow UDF; everything else pools 32-byte blocks
-    JVM-side with the identical integer formula."""
+    blobs (magic-gated inside the Arrow pass) decode to one exact
+    luma-mean per REAL frame; everything else pools 32-byte blocks with
+    the identical integer formula, vectorized in numpy inside the SAME
+    pass. r13: the old JVM fallback hexed every non-Y4M blob and
+    exploded one row PER BYTE into a (doc, frame) aggregate — the
+    shuffled row count equaled the corpus byte count; one Arrow batch
+    pass computes the same exact-integer block sums with zero explode
+    (guide §4.2/§8.3; JVM twin kept below for the equality pin)."""
+    d = load(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+             .mapInPandas(_video_sig_batches,
+                          "doc_id long, frame long, sig long"))
+
+
+def _video_sigs_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r13 formulation of ``_video_sigs`` (JVM byte-explode for
+    non-Y4M blobs) — kept for the bit-equality pin in
+    tests/test_opt_r13.py."""
     d = load(spark, sf_dir, "documents")
     bin_col = F.encode("text", "utf-8")
     withblob = d.select("doc_id", bin_col.alias("blob"))

@@ -3553,7 +3553,11 @@ def _twolevel_from_cells(cells: DataFrame,
                             F.lit(0).cast("long").alias("scid"))
                     .cache())
         sub.count()
-        subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint()
+        # Lazy checkpoint: the batch dedup path (_twolevel_cells) drops
+        # subcent unused — only the serving/incremental path pays for
+        # its materialization, on first use (r13; the plan-truncation
+        # guarantee on use is unchanged).
+        subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint(eager=False)
         return sub, subcent
     # r13 SPLIT: only members of OVERSIZED cells go through the
     # second-level Lloyd + re-split machinery; members of compliant
@@ -3618,7 +3622,8 @@ def _twolevel_from_cells(cells: DataFrame,
     cent.unpersist()
     # final serving sub-centroids: exact fixed-point member means per
     # composite scid — same formula as the Lloyd update, one grouping.
-    subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint()
+    # Lazy checkpoint: unused (and unpaid) on the batch dedup path.
+    subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint(eager=False)
     return sub, subcent
 
 

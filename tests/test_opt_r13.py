@@ -66,6 +66,33 @@ def test_pq_codes_arrow_equals_jvm(spark):
     assert len(ra) > 0 and ra == rb
 
 
+@pytest.mark.smoke
+def test_afp_fps_arrow_equals_jvm(spark):
+    """The numpy fingerprint windower vs the JVM byte-explode twin:
+    identical (doc_id, ord, fp) streams over the decoded corpus."""
+    from industry_big_data_time_sequence_process_spark.operators.multimodal import (
+        _afp_fps, _afp_fps_jvm, _audio_pcm_batches,
+    )
+    d = load(spark, SF_T2, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob"))
+    pcm = d.mapInPandas(_audio_pcm_batches, "doc_id long, pcm binary")
+    ra = _rows(_afp_fps(pcm), ["doc_id", "ord", "fp"])
+    rb = _rows(_afp_fps_jvm(pcm), ["doc_id", "ord", "fp"])
+    assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_video_sigs_arrow_equals_jvm(spark):
+    """The numpy block-pooling signature pass vs the JVM byte-explode
+    twin: identical (doc_id, frame, sig) streams."""
+    from industry_big_data_time_sequence_process_spark.operators.multimodal import (
+        _video_sigs, _video_sigs_jvm,
+    )
+    ra = _rows(_video_sigs(spark, SF_T2), ["doc_id", "frame", "sig"])
+    rb = _rows(_video_sigs_jvm(spark, SF_T2), ["doc_id", "frame", "sig"])
+    assert len(ra) > 0 and ra == rb
+
+
 def test_ivf_assign_agg_equals_window_pick(spark):
     """_ivf_assign's max(struct) aggregation (nprobe=1) and narrow
     window + re-join (nprobe=3) vs the original wide-row window
