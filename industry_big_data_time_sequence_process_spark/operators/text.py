@@ -330,9 +330,19 @@ def _shingles(d: DataFrame) -> DataFrame:
     Implementation promoted to ``api.word_shingles`` (round 5 — the
     split-hoisting and broadcast-anti-join mechanics live there); this
     wrapper binds the documents-table column names and the repo cap
-    constants."""
+    constants.
+
+    r13: the stream is localCheckpointed — every consumer fans it out
+    to 3+ branches (sizes, both self-join sides, the minhash explode)
+    and the optimizer reuses none of them (the r13 before-plan of
+    dedup_near_minhash shows 36 parquet re-scans of documents and zero
+    ReusedExchange). One materialization of the ~20-bytes-per-shingle
+    stream replaces 3-8 recomputes of split + explode + distinct +
+    anti-join per query (guide §3.3: materialize shared intermediates;
+    storage is a few MB at sf0.1 and linear in corpus size)."""
     return word_shingles(d, "doc_id", "text", 3,
-                         _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC)
+                         _SHINGLE_DF_CAP_FLOOR,
+                         _SHINGLE_DF_CAP_FRAC).localCheckpoint()
 
 
 @op("dedup_ngram_jaccard", oracle=f"""
