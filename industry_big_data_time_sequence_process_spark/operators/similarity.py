@@ -2115,15 +2115,23 @@ def _ivfpq_adc_frame(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
     dtab = _pq_dtab_frame(q, cb).withColumnRenamed("q_vec_id", "dq")
     cand = (corpus.join(F.broadcast(qprobe), "cid")
                   .filter(F.col("vec_id") != F.col("q_vec_id")))
-    per_m = (cand.join(F.broadcast(dtab),
-                       (F.col("q_vec_id") == F.col("dq"))
-                       & (F.col("m") == F.col("qm"))
-                       & (F.col("code") == F.col("k")))
-                 .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"),
-                          "m")
-                 .agg(F.min("pr").alias("pr"), F.min("dfx").alias("dfx")))
-    return (per_m.groupBy("q_vec_id", "c_vec_id")
-                 .agg(F.min("pr").alias("pr"), F.sum("dfx").alias("adfx")))
+    # r13: ONE aggregation instead of the (q, c, m)-then-(q, c) pair —
+    # structural exactness argument: a candidate reached through r
+    # probed cells contributes each of its M subspace rows exactly r
+    # times, with identical dfx per m (the code argmin depends only on
+    # (vector, m)), so Σ_distinct-m dfx = Σ_all dfx · M DIV count(*)
+    # exactly (integer division, divides evenly by construction), and
+    # min(pr) is the same global min the two-stage form took. One
+    # Exchange on the candidate volume instead of two, M× fewer
+    # shuffled rows (guide §2.3/§2.4).
+    return (cand.join(F.broadcast(dtab),
+                      (F.col("q_vec_id") == F.col("dq"))
+                      & (F.col("m") == F.col("qm"))
+                      & (F.col("code") == F.col("k")))
+                .groupBy("q_vec_id", F.col("vec_id").alias("c_vec_id"))
+                .agg(F.min("pr").alias("pr"),
+                     F.expr(f"sum(dfx) * {_PQ_M} div count(*)")
+                      .alias("adfx")))
 
 
 def _ivfpq_serve_topk(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,

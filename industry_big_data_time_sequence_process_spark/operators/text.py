@@ -3065,7 +3065,12 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(1, size(t) - {_SUBSTR_W - 1}), "
             f"i -> array_join(slice(t, i, {_SUBSTR_W}), ' ')) "
             f"ELSE array() END")).alias("win"))
-    wins = wins.select("doc_id", _h32(F.col("win")).alias("wh"))
+    # r13: materialize the hashed-window stream once — it feeds both the
+    # dup-set aggregate and the per-doc attach join, and recomputing it
+    # re-runs the explode + array_join + md5 over every corpus token
+    # (the stream itself is two longs per window, tiny).
+    wins = wins.select("doc_id", _h32(F.col("win")).alias("wh")) \
+               .localCheckpoint()
     dup = (wins.select("wh", "doc_id").distinct()
                .groupBy("wh").agg(F.count("*").alias("nd"))
                .filter(F.col("nd") >= _SUBSTR_MIN_DOCS)
