@@ -429,15 +429,17 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
 
-    # Dedupe right side per (key, time): keep max o_orderkey (determinism).
-    # Hash aggregate with max(struct) — ~2x faster than a row_number
-    # window (no sort, map-side partials) and identical semantics: struct
-    # ordering is lexicographic, so max picks the max o_orderkey.
+    # Dedupe right side per (key, time): keep max o_orderkey (determinism;
+    # o_orderkey is the orders PK, so max_by has no tie to break). r13:
+    # max + max_by over atomic columns — max(struct) has an immutable
+    # aggregation buffer, so Spark silently fell back to SortAggregate
+    # and sorted the whole orders table TWICE (partial + final); the
+    # atomic pair hash-aggregates with map-side partials, no sort.
     od = (o.groupBy("o_custkey", "o_orderdate")
-           .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+           .agg(F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
            .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
-                   F.col("m.o_orderkey").alias("o_orderkey"),
-                   F.col("m.o_totalprice").alias("o_totalprice")))
+                   "o_orderkey", "o_totalprice"))
     return api.asof_join_backward(
         ev.select("event_id", "user_id", "ts"), od,
         key="user_id", left_ts="ts", right_ts="o_orderdate",
@@ -469,11 +471,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
-    od = (o.groupBy("o_custkey", "o_orderdate")
-           .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+    od = (o.groupBy("o_custkey", "o_orderdate")   # r13: hash-aggregable
+           .agg(F.max("o_orderkey").alias("o_orderkey"),  # (see backward)
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
            .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
-                   F.col("m.o_orderkey").alias("o_orderkey"),
-                   F.col("m.o_totalprice").alias("o_totalprice")))
+                   "o_orderkey", "o_totalprice"))
     return api.asof_join_forward(
         ev.select("event_id", "user_id", "ts"), od,
         key="user_id", left_ts="ts", right_ts="o_orderdate",

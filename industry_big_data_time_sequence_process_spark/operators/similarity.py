@@ -748,8 +748,131 @@ def _fx_mean_agg(df: DataFrame, keys: list) -> DataFrame:
               .select(*keys, F.array(*comp).alias("cemb")))
 
 
+#: Ceiling on collected centroid-bank rows for the Arrow assignment
+#: pass. The coarse-centroid frames every caller passes are bounded by
+#: the ``_IVF_NLIST_CEIL`` clamp (65536 × 64 doubles ≈ 33 MB — the same
+#: magnitude the JVM path already broadcasts), so the gate only ever
+#: falls back for a hypothetical unclamped centroid frame.
+_ASSIGN_BANK_MAX_ROWS = 200_000
+
+
+def _cent_bank(centroids: DataFrame):
+    """Collect a bounded (cid, cemb) frame into the numpy bank the Arrow
+    assigner closes over: (cid vector ascending, k×64 float64 matrix),
+    or None when the frame exceeds ``_ASSIGN_BANK_MAX_ROWS`` (caller
+    falls back to the JVM join) or is empty. Cheap by construction: the
+    trained centroid frames are LocalTableScan leaves (driver-trained)
+    or tiny cached results."""
+    import numpy as np
+    if centroids.count() > _ASSIGN_BANK_MAX_ROWS:
+        return None
+    rows = sorted(centroids.select("cid", "cemb").collect(),
+                  key=lambda r: r["cid"])
+    if not rows:
+        return None
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    C = np.array([list(map(float, r["cemb"])) for r in rows],
+                 dtype=np.float64)
+    return cids, C
+
+
+def _topn_scan_np(cos, rounds: int):
+    """``rounds`` repeated (NaN-greatest, min-column) argmax picks over
+    the (n × k) score matrix, each round excluding columns already
+    picked per row — exactly the ``ORDER BY _c DESC, cid`` window pick
+    (Spark's NaN-largest total order, ascending-cid tie-break), applied
+    ``rounds`` times. Returns a list of per-round column-index
+    vectors."""
+    import numpy as np
+    n, k = cos.shape
+    avail = np.ones((n, k), dtype=bool)
+    picks = []
+    for _ in range(min(rounds, k)):
+        best = np.full(n, -np.inf)
+        best_j = np.zeros(n, dtype=np.int64)
+        best_nan = np.zeros(n, dtype=bool)
+        found = np.zeros(n, dtype=bool)
+        for j in range(k):
+            c = cos[:, j]
+            isn = np.isnan(c)
+            better = avail[:, j] & (
+                ~found | ((~best_nan) & (isn | (c > best))))
+            best[better] = c[better]
+            best_j[better] = j
+            best_nan[better] = isn[better]
+            found[better] = True
+        picks.append(best_j.copy())
+        avail[np.arange(n), best_j] = False
+    return picks
+
+
+def _ivf_assign_batches(cids, C, nprobe: int):
+    """Arrow-batch centroid assigner: the bit-identical numpy twin of
+    the JVM ``crossJoin(centroids) → max(struct)`` argmax /
+    ``row_number`` top-nprobe (r13, guide §4.2). The JVM formulation
+    evaluated one zip_with + aggregate higher-order fold per
+    (row × centroid) pair — HOF expressions are interpreted, not
+    codegen'd, and the assignment pass had become THE dominant cost of
+    every index build after training moved driver-side. Here each batch
+    computes all pair cosines vectorized with the same left-to-right
+    fold association, hoisted-norm ``dot / (nv·nc)`` product-first
+    division, and the same (NaN-greatest, min-cid) pick, so assignments
+    are identical (twin-pinned in tests/test_opt_r13.py; oracle parity
+    re-proves every consumer). Banks are closure state built once per
+    task (guide §4.5)."""
+    import numpy as np
+    import pyarrow as pa
+
+    k, d = C.shape
+    nc = np.zeros(k)
+    for i in range(d):
+        nc = nc + C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+
+    def assign(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            E = emb.flatten().to_numpy(zero_copy_only=False) \
+                   .astype(np.float64).reshape(n, -1)
+            nv = np.zeros(n)
+            for i in range(d):
+                nv = nv + E[:, i] * E[:, i]
+            nv = np.sqrt(nv)
+            acc = np.zeros((n, k))
+            for i in range(d):
+                acc = acc + E[:, i:i + 1] * C[:, i][None, :]
+            cos = acc / (nv[:, None] * nc[None, :])
+            vid = batch.column("vec_id")
+            for pick in _topn_scan_np(cos, nprobe):
+                yield pa.RecordBatch.from_arrays(
+                    [vid, emb, pa.array(cids[pick], type=pa.int64())],
+                    names=["vec_id", "embedding", "cid"])
+
+    return assign
+
+
 def _ivf_assign(e: DataFrame, centroids: DataFrame,
                 nprobe: int = 1) -> DataFrame:
+    """(vec_id, embedding, cid) — each vector paired with its ``nprobe``
+    nearest trained centroids; dispatches to the Arrow numpy twin
+    (``_ivf_assign_batches``) whenever the centroid frame fits the
+    bank gate (always, for the clamped coarse frames), else the JVM
+    join twin below."""
+    bank = _cent_bank(centroids)
+    if bank is None:
+        return _ivf_assign_jvm(e, centroids, nprobe)
+    cids, C = bank
+    emb_t = e.schema["embedding"].dataType.simpleString()
+    return (e.select("vec_id", "embedding")
+             .mapInArrow(_ivf_assign_batches(cids, C, nprobe),
+                         f"vec_id long, embedding {emb_t}, cid long"))
+
+
+def _ivf_assign_jvm(e: DataFrame, centroids: DataFrame,
+                    nprobe: int = 1) -> DataFrame:
     """(vec_id, embedding, cid) — each vector paired with its ``nprobe``
     nearest trained centroids. Three call shapes (ADVICE r6 — the old
     "every vector indexes under exactly one cell" claim no longer holds

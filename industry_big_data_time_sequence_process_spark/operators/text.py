@@ -3003,6 +3003,25 @@ _SUBSTR_W = 10
 _SUBSTR_MIN_DOCS = 2
 
 
+def _substr_windows(d: DataFrame) -> DataFrame:
+    """(doc_id, wh): the pre-checkpoint hashed sliding-window stream —
+    every {W}-token window collapsed to its portable 32-bit hash in the
+    same projection (no window text ever reaches an exchange). Exposed
+    separately so the scan-pruning plan pin can inspect the shape the
+    checkpoint in ``text_substring_dedup`` executes. Spark's
+    sequence(1, n) DESCENDS when n < 1, so short docs are guarded
+    explicitly (DuckDB's generate_series is empty there)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {_SUBSTR_W} THEN "
+            f"transform(sequence(1, size(t) - {_SUBSTR_W - 1}), "
+            f"i -> array_join(slice(t, i, {_SUBSTR_W}), ' ')) "
+            f"ELSE array() END")).alias("win"))
+    return wins.select("doc_id", _h32(F.col("win")).alias("wh"))
+
+
 @op("text_substring_dedup", oracle=f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -3055,22 +3074,11 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     you would widen to the md5-derived 64-bit key, a constant change.
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    # Spark's sequence(1, n) DESCENDS when n < 1, so guard short docs
-    # explicitly (DuckDB's generate_series is empty there).
-    wins = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"CASE WHEN size(t) >= {_SUBSTR_W} THEN "
-            f"transform(sequence(1, size(t) - {_SUBSTR_W - 1}), "
-            f"i -> array_join(slice(t, i, {_SUBSTR_W}), ' ')) "
-            f"ELSE array() END")).alias("win"))
     # r13: materialize the hashed-window stream once — it feeds both the
     # dup-set aggregate and the per-doc attach join, and recomputing it
     # re-runs the explode + array_join + md5 over every corpus token
     # (the stream itself is two longs per window, tiny).
-    wins = wins.select("doc_id", _h32(F.col("win")).alias("wh")) \
-               .localCheckpoint()
+    wins = _substr_windows(d).localCheckpoint()
     dup = (wins.select("wh", "doc_id").distinct()
                .groupBy("wh").agg(F.count("*").alias("nd"))
                .filter(F.col("nd") >= _SUBSTR_MIN_DOCS)

@@ -115,3 +115,22 @@ def test_ivf_assign_agg_equals_window_pick(spark):
         assert _rows(got, ["vec_id", "cid"]) == \
             _rows(legacy, ["vec_id", "cid"]), f"nprobe={nprobe}"
     cent.unpersist()
+
+
+@pytest.mark.smoke
+def test_ivf_assign_arrow_equals_jvm(spark):
+    """The Arrow-batched numpy assigner (bank in the task closure) vs
+    the JVM broadcast-join twin: identical (vec_id, cid) sets AND
+    bit-identical embedding passthrough, at nprobe 1 and 3."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _ivf_assign_jvm,
+    )
+    e = load(spark, SF_T2, "embeddings")
+    cent = _ivf_train_capped(e)
+    for nprobe in (1, 3):
+        ra = _rows(_ivf_assign(e, cent, nprobe),
+                   ["vec_id", "cid", "embedding"])
+        rb = _rows(_ivf_assign_jvm(e, cent, nprobe),
+                   ["vec_id", "cid", "embedding"])
+        assert len(ra) > 0 and ra == rb, f"nprobe={nprobe}"
+    cent.unpersist()

@@ -231,16 +231,17 @@ def test_bloom_prefilter_probes_before_shuffle(spark):
 def test_scalable_ivf_centroid_side_is_broadcast(spark):
     """Same posture as the reference trainer: the corpus never shuffles
     to meet the (tiny, capacity-constant) centroids. Since r13 the
-    capped sample is collected (TakeOrderedAndProject in its own job)
-    and trained driver-side, so the serving plan broadcasts a LOCAL
-    centroid leaf; in the past-budget fallback the sample still arrives
-    via TakeOrderedAndProject. Either way: no global sort of the
-    sample, no cid hash-exchange of the corpus."""
+    capped sample is collected (TakeOrderedAndProject in its own job),
+    trained driver-side, and the ASSIGNMENT runs as an Arrow batch pass
+    with the centroid bank in the task closure — the serving plan
+    carries a MapInArrow node and no centroid leaf at all (in the
+    past-bank-gate fallback the old broadcast-join shape returns).
+    Either way: no global sort of the sample, no cid hash-exchange of
+    the corpus."""
     plan = _plan(spark, "sim_ivf_scalable_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert ("MapInArrow" in plan or "BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
     assert "Exchange hashpartitioning(cid" not in plan
-    assert ("LocalTableScan" in plan or "InMemoryTableScan" in plan
-            or "TakeOrderedAndProject" in plan)
     assert "Sort [hv" not in plan  # no global sort for the sample
 
 
@@ -256,13 +257,28 @@ def test_decontaminate_probe_is_broadcast(spark):
     """The eval-set shingle index must broadcast: the corpus must never
     shuffle on the shingle key to MEET the eval set (a sort-merge probe
     would shuffle the whole corpus against a benchmark-sized build
-    side). The shared shingle stream's own distinct/df-cap aggregations
-    shuffle as in every dedup op — that's not what this pins."""
+    side). Since the r13 shingle-stream checkpoint, the stream's own
+    df-cap anti-join executes at materialization time — its broadcast
+    shape is pinned on the PRE-checkpoint frame (second half)."""
     plan = _plan(spark, "text_decontaminate", "simple")
     assert "SortMergeJoin" not in plan, "eval probe degenerated to SMJ"
-    # inner probe join (eval side) + the two anti joins (df cap) are all
-    # broadcast builds
-    assert plan.count("BroadcastHashJoin") >= 3, "eval probe not broadcast"
+    assert plan.count("BroadcastHashJoin") >= 1, "eval probe not broadcast"
+    # the checkpointed shingle stream's own plan: the hot-shingle df cap
+    # removes via a broadcast LEFT ANTI join (never an SMJ of the corpus
+    # against the ~200-row hot set)
+    from industry_big_data_time_sequence_process_spark.api import (
+        word_shingles)
+    from industry_big_data_time_sequence_process_spark.operators.text import (
+        _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC)
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+    raw = word_shingles(load(spark, SF_T2, "documents"), "doc_id", "text",
+                        3, _SHINGLE_DF_CAP_FLOOR, _SHINGLE_DF_CAP_FRAC)
+    splan = raw._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert "SortMergeJoin" not in splan, "df-cap anti join degenerated"
+    assert "BroadcastHashJoin LeftAnti" in splan or (
+        "LeftAnti, BuildRight" in splan), "df cap not a broadcast anti join"
 
 
 def test_pq_adc_join_is_broadcast(spark):
@@ -457,20 +473,24 @@ def test_media_decode_scans_pruned_to_two_columns(spark):
 
 
 def test_scene_cuts_routes_only_magic_blobs_to_python(spark):
-    """mm_video_scene_cuts' decoded branch must be gated by the
-    JVM-side Y4M magic filter: the plan carries exactly one
-    Arrow/Python evaluation, it sits under a filter on the hexed
-    prefix, and the fallback byte-explode branch carries NO Python at
-    all (the corpus never pays an Arrow pass to learn it has no
-    video)."""
+    """mm_video_scene_cuts' signature stream is ONE Arrow pass over
+    (doc_id, blob) — the Y4M magic gate moved INSIDE the batch function
+    in r13 (non-Y4M blobs take the vectorized numpy block-pool in the
+    same pass; the pre-r13 JVM fallback exploded one row PER BYTE,
+    shuffling the corpus byte count). Pin: exactly one Python stage, no
+    generator explode anywhere, and the scan pruned to the two columns
+    the pass needs."""
     plan = _plan(spark, "mm_video_scene_cuts")
     nodes = re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)",
                        plan, re.M)
     assert len(nodes) == 1, (
-        f"expected exactly one Python stage (the magic-gated decoder), "
+        f"expected exactly one Python stage (the fused sig pass), "
         f"got {nodes}")
-    assert "595556344D5045473220" in plan, (
-        "Y4M magic prefix filter missing from the plan")
+    assert "Generate explode" not in plan, (
+        "per-byte explode resurrected next to the Arrow pass")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} \
+        == {"doc_id", "text"}, "scan not pruned to (doc_id, text)"
 
 
 def test_audio_fingerprint_single_arrow_pcm_pass(spark):
@@ -498,11 +518,25 @@ def test_substring_dedup_scan_pruned_and_hash_joined(spark):
     attach is a hash equi-join on wh, never a nested loop (the dup set
     grows with the corpus, so it must NEVER broadcast-nested-loop)."""
     plan = _plan(spark, "text_substring_dedup")
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, (
+        "hashed-window stream no longer checkpointed (r13: it feeds two "
+        "consumers; without the checkpoint every token re-explodes twice)")
+    # the pre-checkpoint window stream (what the checkpoint executes):
+    # scan pruned to (doc_id, text), windows collapse to the 32-bit hash
+    # with NO exchange anywhere — a pure map stage
+    from industry_big_data_time_sequence_process_spark.operators.text import (
+        _substr_windows)
+    from industry_big_data_time_sequence_process_spark.sources.io import load
+    wplan = _substr_windows(load(spark, SF_T2, "documents")) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", wplan)
     assert any("text" in s for s in schemas)
     assert all("n_chars" not in s and "source" not in s and
                "lang" not in s for s in schemas), schemas
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Exchange" not in wplan, "window stream grew a shuffle"
 
 
 def test_sigma_clip_no_windows_checkpointed_rounds(spark):
