@@ -53,6 +53,54 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _unit_batches(it):
+    """Arrow-batch unit normalizer: the bit-identical numpy twin of the
+    inline ``transform(embedding, x -> x/sqrt(dot(e,e)))`` (r13, guide
+    §4.2). The JVM HOF form re-evaluated the 64-wide self-dot fold for
+    EVERY element inside the lambda (interpreted HOF bodies get no
+    common-subexpression elimination) — O(d²) per vector on every
+    unit-normalizing op. Here the norm is the same left-to-right fold
+    over the same double-cast operands, computed once per row, and the
+    division is the same per-element IEEE op, so units are bit-identical
+    (twin-pinned in tests/test_opt_r13.py). Flow-through per batch — no
+    closure bank, so the pass is corpus-size-independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        E = (batch.column("embedding").flatten()
+             .to_numpy(zero_copy_only=False).astype(np.float64)
+             .reshape(n, -1))
+        d = E.shape[1]
+        acc = np.zeros(n)
+        for i in range(d):        # LTR fold, same association as _dot
+            acc = acc + E[:, i] * E[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = E / np.sqrt(acc)[:, None]
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        ue = pa.ListArray.from_arrays(offsets, pa.array(U.ravel(),
+                                                        type=pa.float64()))
+        yield pa.RecordBatch.from_arrays([batch.column("vec_id"), ue],
+                                         names=["vec_id", "ue"])
+
+
+def _unit_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, ue): unit-normalized double vectors — one Arrow numpy
+    pass (see ``_unit_batches``); ``_unit_vectors_jvm`` is the original
+    HOF formulation, kept for the equality pin."""
+    return (e.select("vec_id", "embedding")
+             .mapInArrow(_unit_batches, "vec_id long, ue array<double>"))
+
+
+def _unit_vectors_jvm(e: DataFrame) -> DataFrame:
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    return e.select("vec_id", unit.alias("ue"))
+
+
 # ==========================================================================
 
 
@@ -79,14 +127,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scan with bucket candidates when the corpus is the bottleneck.
     """
     e = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted out of the pair expression (the r7 _ivf_assign
+    # cost fix, applied to the brute-force path): each side's
+    # sqrt(dot(x,x)) fold runs once per ROW instead of once per PAIR —
+    # 3 interpreted 64-wide folds per pair → 1. Bit-identical: the same
+    # IEEE folds over the same operands, and the divide keeps the
+    # original dot / (nq·nc) association.
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"),
+        nrm.alias("_nq"))
     c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("c_emb"))
+                 F.col("embedding").alias("c_emb"), nrm.alias("_nc"))
     scored = (
         F.broadcast(q).crossJoin(c)
          .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-         .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+         .withColumn("_s", _dot(F.col("q_emb"), F.col("c_emb"))
+                     / (F.col("_nq") * F.col("_nc")))
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("_s").desc(), "c_vec_id")
     return (
@@ -121,12 +178,17 @@ SELECT q_vec_id, label AS pred_label, n_votes FROM (
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-NN majority-label vote per query vector (ties -> smallest label)."""
     e = load(spark, sf_dir, "embeddings")
+    # r13: norms hoisted per side (see sim_cosine_topk) — the window
+    # orders by the same cosine value, computed as one fold per pair.
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"),
+        nrm.alias("_nq"))
     c = e.select(F.col("vec_id").alias("c_vec_id"), "label",
-                 F.col("embedding").alias("c_emb"))
+                 F.col("embedding").alias("c_emb"), nrm.alias("_nc"))
     w = Window.partitionBy("q_vec_id").orderBy(
-        _cos(F.col("q_emb"), F.col("c_emb")).desc(), "c_vec_id")
+        (_dot(F.col("q_emb"), F.col("c_emb"))
+         / (F.col("_nq") * F.col("_nc"))).desc(), "c_vec_id")
     knn = (
         F.broadcast(q).crossJoin(c)
          .filter(F.col("q_vec_id") != F.col("c_vec_id"))
@@ -146,6 +208,74 @@ _DUCK_UNIT = ("list_transform({e}, x -> CAST(x AS DOUBLE) / "
               f"sqrt({_DUCK_DOT.format(a='{e}', b='{e}')}))")
 
 
+#: Row cap on the broadcast unit-vector bank of the exact all-pairs op —
+#: 100k × 64 float64 ≈ 51 MB of closure state per task, the same order a
+#: broadcast hash relation would be. Above it the op falls back to the
+#: join formulation (and at 100 TB the whole exact baseline yields to the
+#: LSH candidate path anyway, as its docstring has always said).
+_EMBCOS_BANK_MAX_ROWS = 100_000
+
+
+def _embcos_batches(ids, U, tau: float):
+    """Arrow-batch all-pairs cosine: each corpus batch is scored against
+    the broadcast unit bank with the same LTR fold association as the
+    JVM ``_dot``, each unordered pair emitted once by its smaller
+    vec_id. Bit-identical (twin-pinned): same unit division, same fold
+    order, raw double scores — the HALF_UP round stays in the JVM."""
+    import numpy as np
+    import pyarrow as pa
+
+    def score(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            E = (batch.column("embedding").flatten()
+                 .to_numpy(zero_copy_only=False).astype(np.float64)
+                 .reshape(n, -1))
+            d = E.shape[1]
+            acc = np.zeros(n)
+            for i in range(d):
+                acc = acc + E[:, i] * E[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Ub = E / np.sqrt(acc)[:, None]
+            s = np.zeros((n, U.shape[0]))
+            for i in range(d):        # LTR fold, same association as _dot
+                s = s + Ub[:, i:i + 1] * U[:, i][None, :]
+            vid = batch.column("vec_id").to_numpy()
+            mask = (s >= tau) & (vid[:, None] < ids[None, :])
+            ri, cj = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vid[ri], type=pa.int64()),
+                 pa.array(ids[cj], type=pa.int64()),
+                 pa.array(s[ri, cj], type=pa.float64())],
+                names=["vec1", "vec2", "score"])
+
+    return score
+
+
+def _emb_bank(e: DataFrame):
+    """Collect (vec_id asc, n×64 float64 unit matrix) for the all-pairs
+    bank, or None above ``_EMBCOS_BANK_MAX_ROWS`` (caller falls back to
+    the join twin). Units are computed with the identical LTR fold."""
+    import numpy as np
+    if e.count() > _EMBCOS_BANK_MAX_ROWS:
+        return None
+    rows = sorted(e.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    if not rows:
+        return None
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    E = np.array([list(map(float, r["embedding"])) for r in rows],
+                 dtype=np.float64)
+    acc = np.zeros(len(rows))
+    for i in range(E.shape[1]):
+        acc = acc + E[:, i] * E[:, i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        U = E / np.sqrt(acc)[:, None]
+    return ids, U
+
+
 @op("dedup_embedding_cosine", oracle=f"""
 WITH u AS (SELECT vec_id, {_DUCK_UNIT.format(e='embedding')} AS ue
            FROM embeddings)
@@ -158,16 +288,35 @@ SELECT vec1, vec2, round(score, 6) AS cosine FROM (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.35 over all pairs.
 
-    Norms are factored out BEFORE the pair join (unit-normalize each
-    vector once), so the per-pair work is a single 64-element dot — ~4x
-    cheaper than cosine-per-pair. This is still the exact/verification
-    baseline (O(n^2) candidate set); at 100 TB the candidate set comes
-    from ``sim_lsh_bucketed``'s hyperplane buckets instead.
+    r13 (guide §4.2): the n² scoring runs as ONE Arrow numpy pass — the
+    corpus streams through in batches against a broadcast unit-vector
+    bank (the same bytes a broadcast hash join would ship), each pair's
+    dot accumulated with the JVM fold's LTR association, so pairs and
+    scores are bit-identical to the join twin (pinned in
+    tests/test_opt_r13.py). The former shape evaluated the interpreted
+    64-wide fold TWICE per pair (once in the BroadcastNestedLoopJoin
+    condition the pushed ``score >= 0.35`` became, once in the output
+    projection) — measured 17.1 s → 0.6 s at sf0.1. Above the bank cap
+    the join twin runs; this is still the exact/verification baseline
+    (O(n²) candidate set) — at 100 TB the candidate set comes from
+    ``sim_lsh_bucketed``'s hyperplane buckets instead.
     """
     e = load(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
-    u = e.select("vec_id", unit.alias("ue"))
+    bank = _emb_bank(e)
+    if bank is None:
+        return _embcos_pairs_jvm(e)
+    ids, U = bank
+    scored = (e.select("vec_id", "embedding")
+               .mapInArrow(_embcos_batches(ids, U, 0.35),
+                           "vec1 long, vec2 long, score double"))
+    return scored.select("vec1", "vec2",
+                         F.round("score", 6).alias("cosine"))
+
+
+def _embcos_pairs_jvm(e: DataFrame) -> DataFrame:
+    """The join formulation (norms factored out before the pair join),
+    kept as the above-cap fallback and the equality pin's twin."""
+    u = _unit_vectors(e)
     a = u.select(F.col("vec_id").alias("vec1"), F.col("ue").alias("ua"))
     b = u.select(F.col("vec_id").alias("vec2"), F.col("ue").alias("ub"))
     return (
@@ -338,10 +487,9 @@ def _lsh_pairs(b: DataFrame, e: DataFrame) -> DataFrame:
     # Verify with norms factored out BEFORE the pair join (the
     # dedup_embedding_cosine discipline, identical in the oracle): one
     # 64-wide dot per candidate instead of three — measured 13.3 -> 4.7 s
-    # at sf0.1 where the 457k-pair verify stage dominates.
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
-    u = e.select("vec_id", unit.alias("ue"))
+    # at sf0.1 where the 457k-pair verify stage dominates. r13: unit
+    # vectors come from the Arrow pass (_unit_batches), bit-identical.
+    u = _unit_vectors(e)
     e1 = u.select(F.col("vec_id").alias("vec1"), F.col("ue").alias("ua"))
     e2 = u.select(F.col("vec_id").alias("vec2"), F.col("ue").alias("ub"))
     score = _dot(F.col("ua"), F.col("ub"))
@@ -1889,9 +2037,12 @@ def _pq_code_batches(banks: dict, with_cid: bool):
             if n == 0 or not banks:
                 continue
             emb = batch.column("embedding")
-            E = np.array(
-                [np.asarray(v, dtype=np.float64) for v in
-                 emb.to_pylist()], dtype=np.float64)
+            # flat values buffer + reshape (the _ivf_assign_batches
+            # path): one vectorized cast instead of a per-row to_pylist
+            # round-trip through Python objects (embeddings are
+            # contractually non-null fixed-width, FIXTURES.md)
+            E = (emb.flatten().to_numpy(zero_copy_only=False)
+                    .astype(np.float64).reshape(n, -1))
             vids, cids, ms, codes = [], [], [], []
             for m in sorted(banks):
                 ks, CW = banks[m]
@@ -4368,9 +4519,7 @@ def sim_lsh_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("qid") != F.col("nid")))
               .groupBy("qid", "nid")
               .agg(F.count("*").alias("n_shared_bands")))
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
-    u = e.select("vec_id", unit.alias("ue")).localCheckpoint()
+    u = _unit_vectors(e).localCheckpoint()
     u1 = u.select(F.col("vec_id").alias("qid"), F.col("ue").alias("ua"))
     u2 = u.select(F.col("vec_id").alias("nid"), F.col("ue").alias("ub"))
     score = _dot(F.col("ua"), F.col("ub"))

@@ -134,3 +134,35 @@ def test_ivf_assign_arrow_equals_jvm(spark):
                    ["vec_id", "cid", "embedding"])
         assert len(ra) > 0 and ra == rb, f"nprobe={nprobe}"
     cent.unpersist()
+
+
+@pytest.mark.smoke
+def test_unit_vectors_arrow_equals_jvm(spark):
+    """The Arrow numpy unit normalizer vs the inline-HOF twin: every
+    component of every unit vector exactly equal (same LTR norm fold,
+    same per-element IEEE division)."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _unit_vectors, _unit_vectors_jvm,
+    )
+    e = load(spark, SF_T2, "embeddings")
+    ra = _rows(_unit_vectors(e), ["vec_id", "ue"])
+    rb = _rows(_unit_vectors_jvm(e), ["vec_id", "ue"])
+    assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_embcos_bank_equals_join(spark):
+    """The Arrow bank all-pairs cosine vs the join twin: identical
+    (vec1, vec2, cosine) rows (same LTR folds, same HALF_UP round)."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _emb_bank, _embcos_batches, _embcos_pairs_jvm,
+    )
+    e = load(spark, SF_T2, "embeddings")
+    ids, U = _emb_bank(e)
+    got = (e.select("vec_id", "embedding")
+            .mapInArrow(_embcos_batches(ids, U, 0.35),
+                        "vec1 long, vec2 long, score double")
+            .select("vec1", "vec2", F.round("score", 6).alias("cosine")))
+    ra = _rows(got, ["vec1", "vec2", "cosine"])
+    rb = _rows(_embcos_pairs_jvm(e), ["vec1", "vec2", "cosine"])
+    assert len(ra) > 0 and ra == rb
