@@ -52,3 +52,55 @@ def safe_corr(x, y) -> Column:
     py = F.when(cx.isNotNull(), cy)
     return F.try_divide(F.covar_samp(cx, cy),
                         F.stddev_samp(px) * F.stddev_samp(py))
+
+
+# --- r13 optimization: scaled-integer money arithmetic ---------------------
+#
+# The DECIMAL(18,2) cast is exact on this corpus's money doubles but SLOW:
+# Spark's double->decimal cast routes through BigDecimal.valueOf (a
+# Double.toString parse) per row, and decimal multiply/sum buffers beat the
+# whole-stage-codegen fast path — measured 1.37 s -> 0.79 s on the Q1-shaped
+# aggregate at sf0.1, with bit-identical output. The replacement keeps every
+# value EXACT:
+#
+# - ``cents(x)`` = round(x·100) as long. For any double that is the nearest
+#   double to a 2-decimal value k/100 (the corpus contract, probed in
+#   FIXTURES.md and re-probed by tests/test_opt_r13.py), x·100 lands within
+#   ~1e-6 of k, never near a .5 boundary, so the HALF_UP round returns
+#   exactly k — the same integer DECIMAL(18,2) stores.
+# - integer products of cents columns are exact longs (documented bounds:
+#   price·disc·tax cents-products < 1.5e11/row on this schema).
+# - ``money_sum`` splits each addend into (div 1e6, mod 1e6) and sums the
+#   two LONG halves — exact to ~9e12 rows (lo: n·1e6 < 2^63) — then
+#   recombines PER GROUP in DECIMAL(38,0) and divides by the scale in
+#   decimal (exact: the quotient has <= 6 decimals, the division result
+#   scale is >= 8), so the final cast to double is the correctly-rounded
+#   true value — the identical double the decimal formulation produced.
+#   Per-row work is long div/mod (codegen); decimals touch only group rows.
+
+#: hi/lo split base for money sums: lo-halves sum exactly up to
+#: 2^63 / 1e6 ≈ 9.2e12 rows; hi-halves carry value/1e6 (tiny).
+_MONEY_SPLIT = 1_000_000
+
+
+def cents(col) -> Column:
+    """round(x·100) as long — the exact integer DECIMAL(18,2) stores, for
+    2-decimal money doubles (see module note; corpus contract probed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def money_sum(cents_expr: Column, scale: int) -> Column:
+    """Exact, order-insensitive, overflow-safe sum of an integer
+    cents-product column, surfaced as the value double (``/ scale``).
+    Bit-identical to ``sum(CAST(... AS DECIMAL)).cast('double')`` over
+    the same data (twin-pinned in tests/test_opt_r13.py)."""
+    # trunc-div via the exact-multiple subtraction: (x - x%s) is an exact
+    # multiple of s (< 2^53 per-row by the schema bounds), so the double
+    # division is EXACT — no floor-of-rounded-quotient edge.
+    rem = cents_expr % F.lit(_MONEY_SPLIT)
+    hi = F.sum(((cents_expr - rem) / F.lit(_MONEY_SPLIT)).cast("long"))
+    lo = F.sum(rem)
+    d38 = "decimal(38,0)"
+    return ((hi.cast(d38) * F.lit(_MONEY_SPLIT) + lo.cast(d38))
+            / F.lit(scale).cast("decimal(7,0)")).cast("double")

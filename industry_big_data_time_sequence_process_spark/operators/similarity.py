@@ -3933,6 +3933,12 @@ def _twolevel_index(old: DataFrame, occ: int = _SEMDEDUP_OCC) -> tuple:
     cent = _ivf_train_capped(old)
     old_cells = _ivf_assign(old, cent).cache()
     sub, subcent = _twolevel_from_cells(old_cells, occ)
+    # r13: the serving index pays the (lazy-checkpointed) sub-centroid
+    # materialization HERE, at build time — deferring it billed a
+    # one-off index-build job to the first arrival batch, the recurring
+    # per-batch cost a deployment actually watches (the batch dedup
+    # path keeps the lazy win: it drops subcent unused).
+    subcent.count()
     old_cells.unpersist()
     return cent, subcent, sub
 

@@ -166,3 +166,59 @@ def test_embcos_bank_equals_join(spark):
     ra = _rows(got, ["vec1", "vec2", "cosine"])
     rb = _rows(_embcos_pairs_jvm(e), ["vec1", "vec2", "cosine"])
     assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_money_sum_equals_decimal_sum(spark):
+    """The scaled-integer money aggregation (cents + hi/lo long sums +
+    per-group decimal recombine) vs the DECIMAL(18,2) formulation it
+    replaced: bit-identical on the Q1-shaped aggregate, and the corpus
+    2-decimal contract it relies on holds (cents roundtrip exact)."""
+    from industry_big_data_time_sequence_process_spark.exprs import (
+        cents, dec2, exact_sum, money_sum, r6,
+    )
+    li = load(spark, SF_T2, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    # corpus contract: every money double IS a 2-decimal value — the
+    # cents round must reproduce the DECIMAL(18,2) integer exactly
+    probe = li.select(*[
+        F.max(F.abs(cents(c)
+                    - (dec2(c) * 100).cast("long"))).alias(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")])
+    assert all(v == 0 for v in probe.collect()[0])
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc = cents(F.lit(1) - F.col("l_discount"))
+    tc = cents(F.lit(1) + F.col("l_tax"))
+    new = li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(qc, 100).alias("a"), money_sum(pc, 100).alias("b"),
+        money_sum(pc * dc, 10_000).alias("c"),
+        money_sum(pc * dc * tc, 1_000_000).alias("d"))
+    disc = dec2(F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax = dec2(F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    old = li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("a"),
+        exact_sum("l_extendedprice").alias("b"),
+        F.sum(price * disc).cast("double").alias("c"),
+        F.sum(price * disc * tax).cast("double").alias("d"))
+    cols = ["l_returnflag", "l_linestatus", "a", "b", "c", "d"]
+    ra, rb = _rows(new, cols), _rows(old, cols)
+    assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_json_get_from_json_equals_gjo(spark):
+    """json_get's single from_json parse vs the triple get_json_object
+    formulation it replaced: identical rows on the corpus (the pin that
+    catches a future props-shape change breaking the equivalence)."""
+    from industry_big_data_time_sequence_process_spark.registry import REGISTRY
+    ev = load(spark, SF_T2, "events")
+    legacy = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"))
+    got = REGISTRY["json_get"].fn(spark, SF_T2)
+    cols = ["event_id", "k_str", "k_int", "missing"]
+    ra, rb = _rows(got, cols), _rows(legacy, cols)
+    assert len(ra) > 0 and ra == rb
