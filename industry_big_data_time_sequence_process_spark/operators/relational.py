@@ -674,7 +674,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("l_orderkey") == F.col("o_orderkey"))
                 .groupBy("o_orderpriority")
                 .agg(F.count("*").alias("n_items"),
-                     exact_sum("l_extendedprice").alias("revenue")))
+                     # r13: scaled-integer money sum (see agg_groupby_multi)
+                     money_sum(cents("l_extendedprice"), 100)
+                     .alias("revenue")))
 
 
 @op("join_cross_topk", oracle="""
@@ -719,10 +721,13 @@ FROM lineitem
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregate over the fact table (partial + final merge)."""
     li = load(spark, sf_dir, "lineitem")
+    # r13: money sums in scaled-integer cents (exprs.money_sum — the
+    # rows >> groups shape where the per-row decimal cast dominated;
+    # bit-identical, see agg_groupby_multi).
     return li.agg(
         F.count("*").alias("n_rows"),
-        exact_sum("l_quantity").alias("sum_qty"),
-        exact_sum("l_extendedprice").alias("sum_price"),
+        money_sum(cents("l_quantity"), 100).alias("sum_qty"),
+        money_sum(cents("l_extendedprice"), 100).alias("sum_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         r6(F.avg("l_discount")).alias("avg_disc"),

@@ -1003,13 +1003,20 @@ def _ivf_assign_batches(cids, C, nprobe: int):
 
 
 def _ivf_assign(e: DataFrame, centroids: DataFrame,
-                nprobe: int = 1) -> DataFrame:
+                nprobe: int = 1, arrow: bool = True) -> DataFrame:
     """(vec_id, embedding, cid) — each vector paired with its ``nprobe``
     nearest trained centroids; dispatches to the Arrow numpy twin
     (``_ivf_assign_batches``) whenever the centroid frame fits the
     bank gate (always, for the clamped coarse frames), else the JVM
-    join twin below."""
-    bank = _cent_bank(centroids)
+    join twin below.
+
+    ``arrow=False`` routes through the JVM twin regardless: callers
+    assigning SMALL frames (query probes, arrival micro-batches) pass
+    it — the Arrow pass's fixed JVM↔Python stage cost (~1 s/pass,
+    measured on the incremental serve) outweighs the vectorization win
+    below corpus scale, while the broadcast join evaluates a handful
+    of interpreted folds. Identical output either way (twin-pinned)."""
+    bank = _cent_bank(centroids) if arrow else None
     if bank is None:
         return _ivf_assign_jvm(e, centroids, nprobe)
     cids, C = bank
@@ -1373,7 +1380,7 @@ def sim_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _ivf_train_capped(e)
     cells = _ivf_assign(e, cent)
     qprobe = _ivf_assign(e.filter(F.col("vec_id") < _N_QUERIES), cent,
-                         nprobe=2) \
+                         nprobe=2, arrow=False) \
         .select(F.col("vec_id").alias("q_vec_id"),
                 F.col("embedding").alias("qemb"), "cid")
     cand = cells.select(F.col("vec_id").alias("c_vec_id"),
@@ -1468,7 +1475,7 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = cells.select(F.col("vec_id").alias("c_vec_id"),
                       F.col("cid").alias("c_cid"))
     qp = (_ivf_assign(e.filter(F.col("vec_id") < _EVAL_QUERIES), cent,
-                      nprobe=2)
+                      nprobe=2, arrow=False)
           .select(F.col("vec_id").alias("qq"),
                   F.col("cid").alias("p_cid")))
     hit1 = F.count_if(F.col("q_cid") == F.col("c_cid"))
@@ -2604,7 +2611,7 @@ def sim_ivf_incremental_assign(spark: SparkSession,
     cent = _ivf_train_capped(old)
     occ = (_ivf_assign(old, cent)
            .groupBy("cid").agg(F.count("*").alias("n_old")))
-    bassign = _ivf_assign(batch, cent).select("vec_id", "cid")
+    bassign = _ivf_assign(batch, cent, arrow=False).select("vec_id", "cid")
     return (bassign.join(F.broadcast(occ), "cid", "left")
                    .select("vec_id", "cid",
                            F.coalesce("n_old", F.lit(0)).cast("long")
@@ -3955,7 +3962,8 @@ def _semantic_ingest_pairs(batch: DataFrame, cent: DataFrame,
     Norms hoisted per side (same association as the oracle, see
     `_semantic_pairs`)."""
     nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    b_sub = _sub_assign(_ivf_assign(batch, cent), subcent).select(
+    b_sub = _sub_assign(_ivf_assign(batch, cent, arrow=False),
+                        subcent).select(
         "vec_id", F.col("embedding").alias("bemb"), "cid", "scid",
         nrm.alias("_nb"))
     keepers = old_sub.select(F.col("vec_id").alias("kept_id"),
