@@ -393,7 +393,74 @@ def _planes_literal() -> str:
     return "array(" + ",".join(planes) + ")"
 
 
+def _lsh_bands_batches(P, bits: int):
+    """Arrow-batch hyperplane signer: the bit-identical numpy twin of
+    the JVM nested-HOF signature fold (r13, guide §4.2 — the JVM form
+    evaluated bands × bits interpreted 64-wide folds per row). Per
+    (band, bit): the same LTR dim-ascending accumulation over the same
+    double operands (plane components are exact ±1.0), the same strict
+    ``> 0`` sign test, and ``1 << j`` == cast(pow(2.0, j) AS bigint)
+    exactly for j < 63. Flow-through — no corpus-sized state."""
+    import numpy as np
+    import pyarrow as pa
+
+    def sign(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            E = (emb.flatten().to_numpy(zero_copy_only=False)
+                 .astype(np.float64).reshape(n, -1))
+            d = E.shape[1]
+            vid = batch.column("vec_id")
+            for band in range(_LSH_BANDS):
+                buckets = np.zeros(n, dtype=np.int64)
+                for j in range(bits):
+                    p = P[band, j]
+                    acc = np.zeros(n)
+                    for i in range(d):   # LTR fold, same as the JVM twin
+                        acc = acc + E[:, i] * p[i]
+                    buckets += (acc > 0).astype(np.int64) << j
+                yield pa.RecordBatch.from_arrays(
+                    [vid, emb,
+                     pa.array(np.full(n, band, dtype=np.int32)),
+                     pa.array(buckets, type=pa.int64())],
+                    names=["vec_id", "embedding", "band", "bucket"])
+
+    return sign
+
+
+def _lsh_nbits(n: int) -> int:
+    """bits(n) = max(4, floor(log2(max(n, 125)/125))) — the Python twin
+    of the JVM expression (same double log2/floor)."""
+    import math
+    return max(4, int(math.floor(math.log2(max(n, 125) / 125.0))))
+
+
 def _lsh_bands(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, band, bucket): one n-adaptive-width
+    hyperplane signature per band — ONE Arrow numpy pass over the
+    corpus (``_lsh_bands_batches``; the JVM twin below is kept for the
+    equality pin). The bit width needs one scalar — the corpus
+    cardinality — read by a count() action (parquet metadata count, the
+    ``_ivf_nlist`` sizing discipline); ``_lsh_nbits`` applies the
+    identical formula, so buckets are bit-identical to the JVM fold
+    (twin-pinned in tests/test_opt_r13.py; both LSH operating-point
+    pins re-prove the consumers)."""
+    import numpy as np
+    bits = _lsh_nbits(e.count())
+    P = np.array([[[_plane_sign(b, j, i) for i in range(_LSH_DIM)]
+                   for j in range(_LSH_MAXBITS)]
+                  for b in range(_LSH_BANDS)], dtype=np.float64)
+    emb_t = e.schema["embedding"].dataType.simpleString()
+    return (e.select("vec_id", "embedding")
+             .mapInArrow(_lsh_bands_batches(P, bits),
+                         f"vec_id long, embedding {emb_t}, "
+                         f"band int, bucket long"))
+
+
+def _lsh_bands_jvm(e: DataFrame) -> DataFrame:
     """(vec_id, embedding, band, bucket): Spark twin of ``_DUCK_BANDS`` —
     one n-adaptive-width hyperplane signature per band, planes keyed
     (band, bit, dim) through the portable md5 parity (precomputed into a

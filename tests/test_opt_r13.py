@@ -222,3 +222,17 @@ def test_json_get_from_json_equals_gjo(spark):
     cols = ["event_id", "k_str", "k_int", "missing"]
     ra, rb = _rows(got, cols), _rows(legacy, cols)
     assert len(ra) > 0 and ra == rb
+
+
+@pytest.mark.smoke
+def test_lsh_bands_arrow_equals_jvm(spark):
+    """The Arrow numpy hyperplane signer vs the JVM nested-HOF twin:
+    identical (vec_id, band, bucket) rows and embedding passthrough."""
+    from industry_big_data_time_sequence_process_spark.operators.similarity import (
+        _lsh_bands, _lsh_bands_jvm,
+    )
+    e = load(spark, SF_T2, "embeddings")
+    cols = ["vec_id", "band", "bucket", "embedding"]
+    ra = _rows(_lsh_bands(e), cols)
+    rb = _rows(_lsh_bands_jvm(e), cols)
+    assert len(ra) > 0 and ra == rb
