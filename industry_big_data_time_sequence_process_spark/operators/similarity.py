@@ -1235,7 +1235,7 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     return _ivf_assign(e, _ivf_train(e))
 
 
-def _ivf_train_capped(e: DataFrame) -> DataFrame:
+def _ivf_train_capped(e: DataFrame, n=None, sample_rows=None) -> DataFrame:
     """(cid, cemb): centroids trained on the md5-lowest ``~50·nlist``
     vectors with ``nlist = _ivf_nlist(n)`` cells (VERDICT r6 #1: nlist
     grows ~√n so the per-query scanned fraction FALLS with the corpus;
@@ -1255,8 +1255,12 @@ def _ivf_train_capped(e: DataFrame) -> DataFrame:
     sort, and deterministic under re-runs and appends because the hash is
     the portable md5 draw, not rand().
     """
-    nlist = _ivf_nlist(e.count())
+    nlist = _ivf_nlist(e.count() if n is None else n)
     cap = _ivf_train_cap(nlist)
+    if sample_rows is not None and cap * nlist <= _DRIVER_TRAIN_MAX_PAIRS:
+        # shared-sample fast path (see _pq_codebook): the (hv, vec_id)-
+        # ascending prefix IS this trainer's own TakeOrdered collect
+        return _seeded_lloyd_driver(e.sparkSession, sample_rows[:cap], nlist)
     sample = (e.select("vec_id", "embedding", _hv_col().alias("hv"))
                .orderBy("hv", "vec_id")
                .limit(cap))
@@ -1949,7 +1953,7 @@ def _exact_d2fx(a: Column, b: Column) -> Column:
     return F.floor(d2 * F.lit(_PQ_FX)).cast("long")
 
 
-def _pq_codebook(e: DataFrame) -> DataFrame:
+def _pq_codebook(e: DataFrame, sample_rows=None) -> DataFrame:
     """(m, k, cw): per-subspace TRAINED codebooks — the driver-side
     numpy twin of ``_pq_codebook_dist`` (r13 optimization). The training
     sample is a CONSTANT ``_PQ_TRAIN_CAP`` = 2000 rows at any corpus
@@ -1964,8 +1968,14 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     with the same IEEE association, dead codewords drop identically.
     The returned frame is a cached local leaf — callers broadcast it."""
     import numpy as np
-    rows = (e.select("vec_id", "embedding", _hv_col().alias("hv"))
-             .orderBy("hv", "vec_id").limit(_PQ_TRAIN_CAP).collect())
+    # ``sample_rows``: a caller that already collected the md5-ordered
+    # sample (>= _PQ_TRAIN_CAP rows, (hv, vec_id)-ascending) hands its
+    # prefix in — _ivfpq_index shares ONE TakeOrderedAndProject collect
+    # between the IVF and PQ trainers (r13; the prefix of the ordered
+    # sample is exactly what this collect would return).
+    rows = (sample_rows[:_PQ_TRAIN_CAP] if sample_rows is not None
+            else (e.select("vec_id", "embedding", _hv_col().alias("hv"))
+                   .orderBy("hv", "vec_id").limit(_PQ_TRAIN_CAP).collect()))
     if not rows:   # degenerate empty corpus: no seeds, empty codebook
         return e.sparkSession.createDataFrame(
             [], "m int, k int, cw array<double>")
@@ -2509,8 +2519,23 @@ def _ivfpq_serve_topk(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
 def _ivfpq_index(e: DataFrame) -> tuple:
     """(corpus, cent, cb): the composed index — capped-trained centroids,
     multi-assigned inverted lists carrying trained PQ codes."""
-    cent = _ivf_train_capped(e)
-    cb = _pq_codebook(e)
+    # r13: ONE count + ONE TakeOrderedAndProject collect feed BOTH
+    # trainers — the md5-ordered sample's prefixes are exactly what each
+    # trainer's own collect would return (same (hv, vec_id) total
+    # order), so centroids and codebooks are bit-identical; two driver
+    # jobs disappear from every build.
+    n = e.count()
+    nlist = _ivf_nlist(n)
+    cap = _ivf_train_cap(nlist)
+    if cap * nlist <= _DRIVER_TRAIN_MAX_PAIRS:
+        rows = (e.select("vec_id", "embedding", _hv_col().alias("hv"))
+                 .orderBy("hv", "vec_id")
+                 .limit(max(cap, _PQ_TRAIN_CAP)).collect())
+        cent = _ivf_train_capped(e, n=n, sample_rows=rows)
+        cb = _pq_codebook(e, sample_rows=rows)
+    else:   # distributed-training regime: per-trainer paths unchanged
+        cent = _ivf_train_capped(e, n=n)
+        cb = _pq_codebook(e)
     corpus = _pq_codes_with_cid(
         _ivf_assign(e, cent, nprobe=_IVF_NASSIGN), cb)
     return corpus, cent, cb
