@@ -613,16 +613,20 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs the full O(n²) pass at corpus scale."""
     e = load(spark, sf_dir, "embeddings")
     b = _lsh_bands(e).select("vec_id", "band", "bucket")
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"),
+        nrm.alias("_nq"))
     c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("c_emb"))
+                 F.col("embedding").alias("c_emb"), nrm.alias("_nc"))
     w = Window.partitionBy("q_vec_id").orderBy(
         F.col("_s").desc(), "c_vec_id")
     topk = (
         F.broadcast(q).crossJoin(c)
          .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-         .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+         # r13: norms hoisted per side (see _ivf_cell_topk)
+         .withColumn("_s", _dot(F.col("q_emb"), F.col("c_emb"))
+                     / (F.col("_nq") * F.col("_nc")))
          .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
          .select("q_vec_id", "c_vec_id")
     )
@@ -1328,13 +1332,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     cells = _ivf_cells(e)
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = cells.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"),
-        F.col("embedding").alias("qemb"), "cid")
+        F.col("embedding").alias("qemb"), "cid", nrm.alias("_nq"))
     cand = cells.select(F.col("vec_id").alias("c_vec_id"),
                         F.col("embedding").alias("cemb2"),
-                        F.col("cid").alias("cid2"))
-    score = _cos(F.col("qemb"), F.col("cemb2"))
+                        F.col("cid").alias("cid2"), nrm.alias("_nc"))
+    # r13: norms hoisted per side (see _ivf_cell_topk)
+    score = _dot(F.col("qemb"), F.col("cemb2")) / (F.col("_nq") * F.col("_nc"))
     w_top = Window.partitionBy("q_vec_id").orderBy(
         F.col("_s").desc(), "c_vec_id")
     return (
@@ -1393,18 +1399,22 @@ def _ivf_cell_topk(cells: DataFrame) -> DataFrame:
     """nprobe=1 top-3 search over a (vec_id, embedding, cid) index frame —
     the serve-side core shared by ``sim_ivf_scalable_topk`` and the
     bench build/serve split (VERDICT r6 #3)."""
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = cells.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"),
-        F.col("embedding").alias("qemb"), "cid")
+        F.col("embedding").alias("qemb"), "cid", nrm.alias("_nq"))
     cand = cells.select(F.col("vec_id").alias("c_vec_id"),
                         F.col("embedding").alias("cemb2"),
-                        F.col("cid").alias("cid2"))
+                        F.col("cid").alias("cid2"), nrm.alias("_nc"))
     w_top = Window.partitionBy("q_vec_id").orderBy(
         F.col("_s").desc(), "c_vec_id")
     return (
         F.broadcast(q).join(cand, (F.col("cid") == F.col("cid2"))
                             & (F.col("c_vec_id") != F.col("q_vec_id")))
-         .withColumn("_s", _cos(F.col("qemb"), F.col("cemb2")))
+         # r13: norms hoisted per side (1 fold per pair, not 3 — same
+         # dot/(nq*nc) association as the oracle's per-pair formula)
+         .withColumn("_s", _dot(F.col("qemb"), F.col("cemb2"))
+                     / (F.col("_nq") * F.col("_nc")))
          .withColumn("rnk", F.row_number().over(w_top))
          .filter("rnk <= 3")
          .select("q_vec_id", "c_vec_id", "cid",
@@ -1453,11 +1463,16 @@ def sim_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     qprobe = _ivf_assign(e.filter(F.col("vec_id") < _N_QUERIES), cent,
                          nprobe=2, arrow=False) \
         .select(F.col("vec_id").alias("q_vec_id"),
-                F.col("embedding").alias("qemb"), "cid")
+                F.col("embedding").alias("qemb"), "cid",
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                 .alias("_nq"))
     cand = cells.select(F.col("vec_id").alias("c_vec_id"),
                         F.col("embedding").alias("cemb2"),
-                        F.col("cid").alias("cid2"))
-    score = _cos(F.col("qemb"), F.col("cemb2"))
+                        F.col("cid").alias("cid2"),
+                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                         .alias("_nc"))
+    # r13: norms hoisted per side (see _ivf_cell_topk)
+    score = _dot(F.col("qemb"), F.col("cemb2")) / (F.col("_nq") * F.col("_nc"))
     w_top = Window.partitionBy("q_vec_id").orderBy(
         F.col("_s").desc(), "c_vec_id")
     return (
@@ -1529,15 +1544,19 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cent = _ivf_train_capped(e)
     cells = _ivf_assign(e, cent).select("vec_id", "cid")
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < _EVAL_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"),
+        nrm.alias("_nq"))
     c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("c_emb"))
+                 F.col("embedding").alias("c_emb"), nrm.alias("_nc"))
     w = Window.partitionBy("q_vec_id").orderBy(F.col("_s").desc(), "c_vec_id")
     topk = (
         F.broadcast(q).crossJoin(c)
          .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-         .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+         # r13: norms hoisted per side (see _ivf_cell_topk)
+         .withColumn("_s", _dot(F.col("q_emb"), F.col("c_emb"))
+                     / (F.col("_nq") * F.col("_nc")))
          .withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
          .select("q_vec_id", "c_vec_id")
     )
