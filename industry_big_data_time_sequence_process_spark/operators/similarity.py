@@ -947,7 +947,15 @@ def _seeded_lloyd_driver(spark: SparkSession, rows, nlist: int) -> DataFrame:
     # No .cache(): the frame is a LocalTableScan leaf — there is no
     # lineage to re-run, and caching it would only add a materialization
     # job before the first broadcast.
-    return spark.createDataFrame(out, "cid long, cemb array<double>")
+    df = spark.createDataFrame(out, "cid long, cemb array<double>")
+    # r14: the trained bank already lives in driver memory — attach it
+    # so `_cent_bank` consumers (Arrow assignment, the serve fast path)
+    # skip the count+collect round-trip per pass. Per-build state on the
+    # in-memory frame object, never persisted across runs.
+    cids = np.array([c for c, _ in out], dtype=np.int64)
+    C = np.array([v for _, v in out], dtype=np.float64)
+    df._graft_cent_bank = (cids, C) if out else None
+    return df
 
 
 def _fx_mean_agg(df: DataFrame, keys: list) -> DataFrame:
@@ -981,8 +989,17 @@ def _cent_bank(centroids: DataFrame):
     or None when the frame exceeds ``_ASSIGN_BANK_MAX_ROWS`` (caller
     falls back to the JVM join) or is empty. Cheap by construction: the
     trained centroid frames are LocalTableScan leaves (driver-trained)
-    or tiny cached results."""
+    or tiny cached results.
+
+    r14: frames built by the driver trainer carry their bank attached
+    (``_graft_cent_bank``) — the count+collect round-trip (two driver
+    queries per index build / serve pass) only runs for frames that
+    arrived from storage or a distributed train. Per-build in-memory
+    state, never persisted across runs."""
     import numpy as np
+    attached = getattr(centroids, "_graft_cent_bank", False)
+    if attached is not False:
+        return attached
     if centroids.count() > _ASSIGN_BANK_MAX_ROWS:
         return None
     rows = sorted(centroids.select("cid", "cemb").collect(),
@@ -1996,8 +2013,10 @@ def _pq_codebook(e: DataFrame, sample_rows=None) -> DataFrame:
             else (e.select("vec_id", "embedding", _hv_col().alias("hv"))
                    .orderBy("hv", "vec_id").limit(_PQ_TRAIN_CAP).collect()))
     if not rows:   # degenerate empty corpus: no seeds, empty codebook
-        return e.sparkSession.createDataFrame(
+        empty = e.sparkSession.createDataFrame(
             [], "m int, k int, cw array<double>")
+        empty._graft_cb_rows = []
+        return empty
     ordered = sorted(rows, key=lambda r: (r["hv"], r["vec_id"]))
     E = np.array([r["embedding"] for r in ordered], dtype=np.float64)
     n = E.shape[0]
@@ -2029,8 +2048,13 @@ def _pq_codebook(e: DataFrame, sample_rows=None) -> DataFrame:
     out = [(int(m), int(k), [float(x) for x in v])
            for (m, k), v in sorted(cb.items())]
     # LocalTableScan leaf — no cache needed (see _seeded_lloyd_driver).
-    return e.sparkSession.createDataFrame(
+    df = e.sparkSession.createDataFrame(
         out, "m int, k int, cw array<double>")
+    # r14: the trained codebook already lives in driver memory — attach
+    # it so the serve fast path skips the collect per pass (same
+    # per-build in-memory discipline as ``_graft_cent_bank``).
+    df._graft_cb_rows = out
+    return df
 
 
 def _pq_codebook_dist(e: DataFrame) -> DataFrame:
@@ -2460,6 +2484,155 @@ def _ivf_probe(q: DataFrame, centroids: DataFrame,
               .select(F.col("vec_id").alias("q_vec_id"), "cid", "pr"))
 
 
+#: Ceiling on query rows handled by the driver-side serve fast path —
+#: a serve pass over at most this many queries computes its probe and
+#: ADC distance-table frames in numpy on the driver (they are nq×nprobe
+#: and nq×M×K rows — metadata-sized) and inlines them as LocalRelation
+#: leaves instead of Spark subplans. The r13 measurement that motivates
+#: it: at nq=8 the JVM probe/dtab subtrees cost ~0.7 s of plan
+#: compilation plus ~0.8 s of job overhead per serve pass while
+#: computing a few thousand rows. The cap bounds the inline dtab at
+#: 64×M×K ≈ 65k literal rows (~1.5 MB of SQL, parses in tens of ms);
+#: above it (or when the centroid bank exceeds its own gate) the JVM
+#: twins run unchanged — the scale path is untouched.
+_SERVE_DRIVER_MAX_Q = 64
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL rendering of an IEEE double: repr() is the shortest
+    round-trip decimal, and Spark's parser reads it correctly-rounded,
+    so the literal re-materializes the identical bits."""
+    import math
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(float(x)) + "D"
+
+
+def _probe_rows_np(qrows, bank, nprobe: int):
+    """[(q_vec_id, cid, pr)]: driver numpy twin of ``_ivf_probe`` for a
+    collected query batch — same hoisted-norm ``dot/(nv·nc)`` score with
+    the same left-to-right fold association and the same
+    (NaN-greatest, min-cid) pick as the window (``_topn_scan_np`` is the
+    already-pinned picker from ``_ivf_assign_batches``), so the probe
+    set is bit-identical to the JVM frame."""
+    import numpy as np
+    cids, C = bank
+    k, d = C.shape
+    nc = np.zeros(k)
+    for i in range(d):
+        nc = nc + C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+    if not qrows:
+        return []
+    E = np.array([[float(x) for x in r["embedding"]] for r in qrows],
+                 dtype=np.float64)
+    n = E.shape[0]
+    nv = np.zeros(n)
+    for i in range(d):
+        nv = nv + E[:, i] * E[:, i]
+    nv = np.sqrt(nv)
+    acc = np.zeros((n, k))
+    for i in range(d):
+        acc = acc + E[:, i:i + 1] * C[:, i][None, :]
+    cos = acc / (nv[:, None] * nc[None, :])
+    vids = [int(r["vec_id"]) for r in qrows]
+    out = []
+    for pr, pick in enumerate(_topn_scan_np(cos, nprobe), start=1):
+        for i in range(n):
+            out.append((vids[i], int(cids[pick[i]]), pr))
+    return out
+
+
+def _dtab_rows_np(qrows, cbrows):
+    """[(q_vec_id, m, k, dfx)]: driver numpy twin of ``_pq_dtab_frame``
+    — per (query, subspace, surviving codeword) the fixed-point squared
+    L2 ``floor(Σ_di (x−cw)² · FX)`` with the identical left-to-right
+    di fold ``_pq_d2fx`` evaluates (the same accumulation
+    ``_pq_codebook``'s trainer already uses), so every dfx long is
+    bit-identical to the JVM frame."""
+    import numpy as np
+    if not qrows or not cbrows:
+        return []
+    E = np.array([[float(x) for x in r["embedding"]] for r in qrows],
+                 dtype=np.float64)
+    vids = [int(r["vec_id"]) for r in qrows]
+    by_m: dict = {}
+    for r in cbrows:    # positional: accepts Rows and attached tuples
+        by_m.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]]))
+    out = []
+    for m in sorted(by_m):
+        pairs = sorted(by_m[m])
+        karr = [kk for kk, _ in pairs]
+        CW = np.array([cw for _, cw in pairs], dtype=np.float64)
+        sub = E[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+        acc = np.zeros((len(vids), len(karr)))
+        for di in range(_PQ_DS):   # left-to-right fold, same as _pq_d2fx
+            t = sub[:, di][:, None] - CW[:, di][None, :]
+            acc = acc + t * t
+        dfx = np.floor(acc * _PQ_FX).astype(np.int64)
+        for i, vid in enumerate(vids):
+            for j, kk in enumerate(karr):
+                out.append((vid, m, kk, int(dfx[i, j])))
+    return out
+
+
+def _serve_local_frames(qdf: DataFrame, cent: DataFrame, cb: DataFrame,
+                        nprobe: int):
+    """(qlocal, qprobe, dtab) LOCAL frames for a small query batch, or
+    None when a gate trips (big query frame / unbanked centroids) and
+    the JVM twins must run. One ``limit(cap+1).collect()`` job replaces
+    the probe and dtab Spark subplans: their inputs (queries, trained
+    centroids, trained codebook) are all driver-bounded by construction,
+    their outputs are metadata-sized, and as LocalTableScan leaves they
+    broadcast without a job and add nothing to plan compilation — the
+    r13 serve regression was exactly this fixed overhead (~6 jobs and
+    ~0.7 s of optimizer time per pass around ~5k result rows).
+    ``qemb`` is materialized as array<double> — the exact float→double
+    widenings the JVM cast produces — so the re-rank's ``_exact_d2fx``
+    sees identical operands."""
+    bank = _cent_bank(cent)
+    if bank is None:
+        return None
+    qrows = (qdf.select("vec_id", "embedding")
+                .limit(_SERVE_DRIVER_MAX_Q + 1).collect())
+    if len(qrows) > _SERVE_DRIVER_MAX_Q:
+        return None
+    cbrows = getattr(cb, "_graft_cb_rows", None)
+    if cbrows is None:   # frame arrived from storage: one bounded collect
+        cbrows = cb.select("m", "k", "cw").collect()  # <= M*K rows
+    spark = qdf.sparkSession
+
+    def values_frame(rows, cols, schema):
+        """LocalRelation from inline typed VALUES — broadcasts without
+        parallelizing an RDD and folds to a compact literal relation at
+        analysis (the createDataFrame route plans a LogicalRDD whose
+        every touch schedules a job)."""
+        if not rows:
+            return spark.createDataFrame([], schema)
+        txt = ",".join("(" + ",".join(vals) + ")" for vals in rows)
+        names = ", ".join(f"col{i + 1} AS {c}" for i, c in enumerate(cols))
+        return spark.sql(f"SELECT {names} FROM VALUES {txt}")
+
+    qlocal = values_frame(
+        [(f"{int(r['vec_id'])}L",
+          "array(" + ",".join(_sql_double(float(x))
+                              for x in r["embedding"]) + ")")
+         for r in qrows],
+        ["q_vec_id", "qemb"], "q_vec_id long, qemb array<double>")
+    qprobe = values_frame(
+        [(f"{q}L", f"{cid}L", str(pr))
+         for (q, cid, pr) in _probe_rows_np(qrows, bank, nprobe)],
+        ["q_vec_id", "cid", "pr"], "q_vec_id long, cid long, pr int")
+    dtab = values_frame(
+        [(f"{q}L", str(m), str(k), f"{dfx}L")
+         for (q, m, k, dfx) in _dtab_rows_np(qrows, cbrows)],
+        ["dq", "qm", "k", "dfx"], "dq long, qm int, k int, dfx long")
+    return qlocal, qprobe, dtab
+
+
 def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, cid, m, code): PQ code assignment carrying the IVF cell
     id(s) through ONE corpus pass — computing codes and cells separately
@@ -2479,17 +2652,29 @@ def _pq_codes_with_cid(cells: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _ivfpq_adc_frame(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
-                     cb: DataFrame, nprobe: int) -> DataFrame:
+                     cb: DataFrame, nprobe: int, local=None) -> DataFrame:
     """(q_vec_id, c_vec_id, pr, adfx): score an arbitrary query frame
     ((vec_id, embedding) rows) against a PREBUILT coded index — the ADC
     half of the serving path, shared by the batch ops and the streaming
     server. The per-(q, c, m) pre-aggregate dedups candidates reached
     through more than one probed cell before the ADC sum (multi-assigned
-    corpus rows would otherwise double-count)."""
-    qprobe = _ivf_probe(qdf, cent, nprobe)
-    q = qdf.select(F.col("vec_id").alias("q_vec_id"),
-                   F.col("embedding").alias("qemb"))
-    dtab = _pq_dtab_frame(q, cb).withColumnRenamed("q_vec_id", "dq")
+    corpus rows would otherwise double-count).
+
+    r14: small query batches take the driver fast path — the probe and
+    distance-table frames arrive as LocalTableScan leaves
+    (``_serve_local_frames``; bit-identical numpy twins) instead of as
+    crossJoin/window subplans, removing their jobs and their plan-
+    compilation cost from every serve pass. ``local`` lets
+    ``_ivfpq_serve_topk`` share one gate decision across ADC + re-rank."""
+    if local is None:
+        local = _serve_local_frames(qdf, cent, cb, nprobe)
+    if local is not None:
+        _, qprobe, dtab = local
+    else:
+        qprobe = _ivf_probe(qdf, cent, nprobe)
+        q = qdf.select(F.col("vec_id").alias("q_vec_id"),
+                       F.col("embedding").alias("qemb"))
+        dtab = _pq_dtab_frame(q, cb).withColumnRenamed("q_vec_id", "dq")
     cand = (corpus.join(F.broadcast(qprobe), "cid")
                   .filter(F.col("vec_id") != F.col("q_vec_id")))
     # r13: ONE aggregation instead of the (q, c, m)-then-(q, c) pair —
@@ -2526,8 +2711,10 @@ def _ivfpq_serve_topk(qdf: DataFrame, corpus: DataFrame, cent: DataFrame,
     cell count instead of sagging at fixed nprobe=2 (VERDICT r7 #1)."""
     if nprobe is None:
         nprobe = _ivf_nprobe(_ivf_nlist(e.count()))
-    scored = _ivfpq_adc_frame(qdf, corpus, cent, cb, nprobe)
-    q = qdf.select(F.col("vec_id").alias("q_vec_id"),
+    local = _serve_local_frames(qdf, cent, cb, nprobe)
+    scored = _ivfpq_adc_frame(qdf, corpus, cent, cb, nprobe, local=local)
+    q = local[0] if local is not None else \
+        qdf.select(F.col("vec_id").alias("q_vec_id"),
                    F.col("embedding").alias("qemb"))
     return (_exact_rerank(_pq_shortlist(scored, "pr"), q, e)
             .select("q_vec_id", "c_vec_id",
@@ -3589,9 +3776,20 @@ def sim_ann_serve_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cid already restricts candidates to probed cells, so the oracle
     # stays verbatim `sim_ivfpq_topk`.
     np_auto = _ivf_nprobe(_ivf_nlist(e.count()))
-    probed = sorted({r["cid"] for r in
-                     _ivf_probe(qdf, cent, nprobe=np_auto)
-                     .select("cid").distinct().collect()})
+    # r14: the probe list comes from the driver numpy twin when the
+    # query batch fits the serve gate (one collect instead of the
+    # crossJoin/window/distinct job); the JVM probe stays the fallback.
+    bank = _cent_bank(cent)
+    qrows = (qdf.select("vec_id", "embedding")
+                .limit(_SERVE_DRIVER_MAX_Q + 1).collect()
+             if bank is not None else [])
+    if bank is not None and len(qrows) <= _SERVE_DRIVER_MAX_Q:
+        probed = sorted({cid for (_, cid, _)
+                         in _probe_rows_np(qrows, bank, np_auto)})
+    else:
+        probed = sorted({r["cid"] for r in
+                         _ivf_probe(qdf, cent, nprobe=np_auto)
+                         .select("cid").distinct().collect()})
     corpus = (spark.read.schema(corpus_s).parquet(f"{base}/corpus")
               .filter(F.col("cid").isin(probed))
               .select("vec_id", "cid", "m", "code"))
