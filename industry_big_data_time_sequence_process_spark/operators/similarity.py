@@ -4827,11 +4827,13 @@ def sim_lsh_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate join, and the unit-vector frame feeds both verify legs:
     # localCheckpoint each so the plane-bank projection and the norm
     # map run ONCE per corpus, not once per leg (measured 12 plan scan
-    # nodes before; after, two eager build scans and a scan-free serve
+    # nodes before; after, two build scans and a scan-free serve
     # plan — the serving deployment would pin these frames, exactly
-    # like the bench build/serve split pins `_lsh_bands`).
+    # like the bench build/serve split pins `_lsh_bands`). r14: lazy,
+    # so the materializations ride the query's first action instead of
+    # separate up-front jobs (the _shingles trade).
     bands = (_lsh_bands(e).select("vec_id", "band", "bucket")
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     qb = (bands.filter(F.col("vec_id") % _RADIUS_QMOD == 0)
                .select(F.col("vec_id").alias("qid"), "band", "bucket"))
     cb = bands.select(F.col("vec_id").alias("nid"),
@@ -4842,7 +4844,7 @@ def sim_lsh_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("qid") != F.col("nid")))
               .groupBy("qid", "nid")
               .agg(F.count("*").alias("n_shared_bands")))
-    u = _unit_vectors(e).localCheckpoint()
+    u = _unit_vectors(e).localCheckpoint(eager=False)
     u1 = u.select(F.col("vec_id").alias("qid"), F.col("ue").alias("ua"))
     u2 = u.select(F.col("vec_id").alias("nid"), F.col("ue").alias("ub"))
     score = _dot(F.col("ua"), F.col("ub"))

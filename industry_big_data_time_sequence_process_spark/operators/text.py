@@ -339,10 +339,18 @@ def _shingles(d: DataFrame) -> DataFrame:
     ReusedExchange). One materialization of the ~20-bytes-per-shingle
     stream replaces 3-8 recomputes of split + explode + distinct +
     anti-join per query (guide §3.3: materialize shared intermediates;
-    storage is a few MB at sf0.1 and linear in corpus size)."""
+    storage is a few MB at sf0.1 and linear in corpus size).
+
+    r14 (VERDICT r13 #3): the checkpoint is LAZY — eager=True billed a
+    separate materialization job to every query (and a caller that
+    immediately ``.cache()``s the stream, like the bench's build split,
+    paid the stream twice). With eager=False the checkpoint persists
+    during the first consuming action, so caller caching and the
+    checkpoint share one pass; measured fused near-minhash
+    3.22 → 2.72 s, build unchanged."""
     return word_shingles(d, "doc_id", "text", 3,
                          _SHINGLE_DF_CAP_FLOOR,
-                         _SHINGLE_DF_CAP_FRAC).localCheckpoint()
+                         _SHINGLE_DF_CAP_FRAC).localCheckpoint(eager=False)
 
 
 @op("dedup_ngram_jaccard", oracle=f"""
@@ -3077,8 +3085,10 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: materialize the hashed-window stream once — it feeds both the
     # dup-set aggregate and the per-doc attach join, and recomputing it
     # re-runs the explode + array_join + md5 over every corpus token
-    # (the stream itself is two longs per window, tiny).
-    wins = _substr_windows(d).localCheckpoint()
+    # (the stream itself is two longs per window, tiny). r14: lazy, so
+    # the materialization rides the query's own first action instead of
+    # a separate up-front job (same trade as _shingles).
+    wins = _substr_windows(d).localCheckpoint(eager=False)
     dup = (wins.select("wh", "doc_id").distinct()
                .groupBy("wh").agg(F.count("*").alias("nd"))
                .filter(F.col("nd") >= _SUBSTR_MIN_DOCS)
