@@ -1686,14 +1686,22 @@ def sim_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax via max_by on the exact fold-cosine — deterministic because
     pairwise cosines are distinct in this corpus."""
     e = load(spark, sf_dir, "embeddings")
+    # r14 (VERDICT r13 #4): norms hoisted per SIDE — the inline _cos
+    # re-folded both self-dots per PAIR (3 64-wide folds -> 1 on the
+    # n² scan); dot/(nq·nc) keeps the identical IEEE association.
     a = e.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlbl"),
-                 F.col("embedding").alias("qe"))
+                 F.col("embedding").alias("qe"),
+                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                  .alias("_nq"))
     b = e.select(F.col("vec_id").alias("cid"), F.col("label").alias("clbl"),
-                 F.col("embedding").alias("ce"))
+                 F.col("embedding").alias("ce"),
+                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                  .alias("_nc"))
     nn = (
         a.join(b, F.col("qid") != F.col("cid"))
          .groupBy("qid", "qlbl")
-         .agg(F.max_by("clbl", _cos(F.col("qe"), F.col("ce")))
+         .agg(F.max_by("clbl", _dot(F.col("qe"), F.col("ce"))
+                       / (F.col("_nq") * F.col("_nc")))
                .alias("nn_label"))
     )
     agree = F.count_if(F.col("nn_label") == F.col("qlbl"))
@@ -2950,14 +2958,19 @@ def sim_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for retrieval."""
     e = load(spark, sf_dir, "embeddings")
     d = load(spark, sf_dir, "documents")
+    # r14 (VERDICT r13 #4): norms hoisted per SIDE (see sim_label_agreement).
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_nq"))
     c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("c_emb"))
+                 F.col("embedding").alias("c_emb"),
+                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                  .alias("_nc"))
     w = Window.partitionBy("q_vec_id").orderBy(F.col("_s").desc(), "c_vec_id")
     knn = (F.broadcast(q).crossJoin(c)
             .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-            .withColumn("_s", _cos(F.col("q_emb"), F.col("c_emb")))
+            .withColumn("_s", _dot(F.col("q_emb"), F.col("c_emb"))
+                        / (F.col("_nq") * F.col("_nc")))
             .withColumn("rnk", F.row_number().over(w))
             .filter("rnk <= 3")
             .select("q_vec_id", "rnk",
@@ -3051,6 +3064,14 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     long->double division + floor — bit-identical in both engines."""
     e = load(spark, sf_dir, "embeddings")
     x = F.slice("embedding", 1, _PCA_DIMS)
+    # r14 negative result (measured, kept OUT — the r13 unrolled-dot
+    # lesson repeats at 256 columns): rewriting this Gram pass as 256
+    # map-side SUM columns (the _fx_mean_agg shape) was bit-identical
+    # but 17x SLOWER (0.33 s -> 5.6 s at sf0.1) — the 256 unrolled
+    # getItem-pair aggregate expressions fall out of codegen and the
+    # plan balloons ~15x. The double posexplode stays: its 256 rows per
+    # vector feed a map-side-combinable 256-group hash aggregate, so
+    # nothing corpus-sized shuffles anyway.
     xi = (e.select(F.posexplode(x).alias("i", "xi"), x.alias("xx"))
            .select("i", F.col("xi").cast("double").alias("xi"),
                    F.posexplode("xx").alias("j", "xj")))
@@ -3139,10 +3160,18 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold dot products (`F.aggregate`/list_reduce) keep every cosine
     bit-identical cross-engine."""
     e = load(spark, sf_dir, "embeddings")
+    # r14 (VERDICT r13 #4): full- and prefix-cosine norms hoisted per
+    # SIDE — each pair now folds once per score instead of three times;
+    # dot/(nq·nc) keeps the identical IEEE association.
+    nfull = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    pref = F.slice("embedding", 1, _MRL_PREFIX)
+    npref = F.sqrt(_dot(pref, pref))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe"),
+        nfull.alias("_nqf"), npref.alias("_nqp"))
     c = e.select(F.col("vec_id").alias("c_vec_id"),
-                 F.col("embedding").alias("ce"))
+                 F.col("embedding").alias("ce"),
+                 nfull.alias("_ncf"), npref.alias("_ncp"))
 
     def top5(score_col):
         w = Window.partitionBy("q_vec_id").orderBy(
@@ -3154,9 +3183,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter("rnk <= 5").select("q_vec_id", "c_vec_id"))
 
     scores = {
-        "s_full": _cos(F.col("qe"), F.col("ce")),
-        "s_pref": _cos(F.slice("qe", 1, _MRL_PREFIX),
-                       F.slice("ce", 1, _MRL_PREFIX)),
+        "s_full": _dot(F.col("qe"), F.col("ce"))
+        / (F.col("_nqf") * F.col("_ncf")),
+        "s_pref": _dot(F.slice("qe", 1, _MRL_PREFIX),
+                       F.slice("ce", 1, _MRL_PREFIX))
+        / (F.col("_nqp") * F.col("_ncp")),
     }
     truth = top5("s_full")
     pref = (top5("s_pref")
@@ -3283,13 +3314,19 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("lex_rnk", F.row_number().over(wl))
              .filter(F.col("lex_rnk") <= _RRF_DEPTH)
              .select("doc_id", "lex_rnk"))
+    # r14 (VERDICT r13 #4): norms hoisted per side (the query norm folds
+    # once in the broadcast row, the corpus norm once per row).
     qv = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"))
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_nq"))
     wd = Window.orderBy(F.col("_s").desc(), "doc_id")
     dense = (e.filter(F.col("vec_id") != 0)
+              .withColumn("_nc", F.sqrt(_dot(F.col("embedding"),
+                                             F.col("embedding"))))
               .crossJoin(F.broadcast(qv))
               .select(F.col("vec_id").alias("doc_id"),
-                      _cos(F.col("embedding"), F.col("q_emb")).alias("_s"))
+                      (_dot(F.col("embedding"), F.col("q_emb"))
+                       / (F.col("_nq") * F.col("_nc"))).alias("_s"))
               .withColumn("dense_rnk", F.row_number().over(wd))
               .filter(F.col("dense_rnk") <= _RRF_DEPTH)
               .select("doc_id", "dense_rnk"))
@@ -3493,25 +3530,36 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, whatever the corpus size.
     """
     e = load(spark, sf_dir, "embeddings")
+    # r14 (VERDICT r13 #4): norms hoisted per SIDE for both the
+    # query×corpus candidate scan and the pick×pick pairwise sims
+    # (1 fold per pair instead of 3; dot/(na·nb) association kept).
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = e.filter(F.col("vec_id") < _MMR_NQ).select(
-        F.col("vec_id").alias("q"), F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("d"), F.col("embedding").alias("de"))
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe"),
+        norm.alias("_nq"))
+    c = e.select(F.col("vec_id").alias("d"), F.col("embedding").alias("de"),
+                 norm.alias("_nd"))
     wq = Window.partitionBy("q").orderBy(F.col("simq").desc(), "d")
     cand = (F.broadcast(q).crossJoin(c)
              .filter(F.col("q") != F.col("d"))
-             .select("q", "d", _cos(F.col("qe"), F.col("de")).alias("simq"))
+             .select("q", "d", (_dot(F.col("qe"), F.col("de"))
+                                / (F.col("_nq") * F.col("_nd")))
+                     .alias("simq"))
              .withColumn("rn", F.row_number().over(wq))
              .filter(F.col("rn") <= _MMR_DEPTH)
              .select("q", "d", "simq"))
-    ea = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    eb = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    ea = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"),
+                  norm.alias("_n1"))
+    eb = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"),
+                  norm.alias("_n2"))
     ca = cand.select("q", F.col("d").alias("d1"))
     cb = cand.select(F.col("q").alias("_q2"), F.col("d").alias("d2"))
     dd = (ca.join(cb, (F.col("q") == F.col("_q2"))
                   & (F.col("d1") != F.col("d2")))
             .join(F.broadcast(ea), "d1").join(F.broadcast(eb), "d2")
             .select("q", "d1", "d2",
-                    _cos(F.col("e1"), F.col("e2")).alias("sim")))
+                    (_dot(F.col("e1"), F.col("e2"))
+                     / (F.col("_n1") * F.col("_n2"))).alias("sim")))
     w1 = Window.partitionBy("q").orderBy(F.col("simq").desc(), "d")
     picks = (cand.withColumn("rn", F.row_number().over(w1))
                  .filter("rn = 1")
@@ -3625,15 +3673,19 @@ def sim_jl_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.select("vec_id", "embedding", proj.alias("p"))
 
     def top5(df: DataFrame, col: str) -> DataFrame:
+        # r14 (VERDICT r13 #4): norms hoisted per side, association kept.
+        norm = F.sqrt(_dot(F.col(col), F.col(col)))
         q = df.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("q_vec_id"), F.col(col).alias("qv"))
+            F.col("vec_id").alias("q_vec_id"), F.col(col).alias("qv"),
+            norm.alias("_nq"))
         c = df.select(F.col("vec_id").alias("c_vec_id"),
-                      F.col(col).alias("cv"))
+                      F.col(col).alias("cv"), norm.alias("_nc"))
         w = Window.partitionBy("q_vec_id").orderBy(
             F.col("_s").desc(), "c_vec_id")
         return (F.broadcast(q).crossJoin(c)
                  .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-                 .withColumn("_s", _cos(F.col("qv"), F.col("cv")))
+                 .withColumn("_s", _dot(F.col("qv"), F.col("cv"))
+                             / (F.col("_nq") * F.col("_nc")))
                  .withColumn("rnk", F.row_number().over(w))
                  .filter("rnk <= 5").select("q_vec_id", "c_vec_id", "rnk"))
 
