@@ -4188,9 +4188,17 @@ def _twolevel_from_cells(cells: DataFrame,
     re-split triggers, and ``subcells`` is exactly ``cells`` with
     scid = 0 — the two-level path degrades to the r8 single-level
     answer by construction."""
-    csz = cells.groupBy("cid").agg(F.count("*").alias("_sz"))
-    n_big = csz.filter(F.col("_sz") > occ).count()
-    if n_big == 0:
+    # r14 (VERDICT r13 #7): ONE driver job both decides the regime and
+    # materializes the fast path — the occupancy census aggregates over
+    # the cached scid=0 projection, so its collect doubles as the fast
+    # path's cache fill (the r13 shape ran a census count and then a
+    # separate sub.count() materialization: two jobs where one job's
+    # side effect covers both). The census is nlist-bounded rows.
+    sub0 = (cells.select("vec_id", "embedding", "cid",
+                         F.lit(0).cast("long").alias("scid"))
+                 .cache())
+    sizes = sub0.groupBy("cid").agg(F.count("*").alias("_sz")).collect()
+    if all(int(r["_sz"]) <= occ for r in sizes):
         # r13 FAST PATH: every cell already meets the occupancy bound,
         # so k2 = 1 everywhere and the machinery below provably degrades
         # to scid = 0 with per-cell fixed-point means (the pre-clamp
@@ -4199,22 +4207,25 @@ def _twolevel_from_cells(cells: DataFrame,
         # and the forced-equality twin in tests/test_opt_r13.py). Skip
         # the 3 Lloyd rounds, the final assignment and the re-split
         # windows entirely — zero extra shuffles of the corpus.
-        sub = (cells.select("vec_id", "embedding", "cid",
-                            F.lit(0).cast("long").alias("scid"))
-                    .cache())
-        sub.count()
         # Lazy checkpoint: the batch dedup path (_twolevel_cells) drops
         # subcent unused — only the serving/incremental path pays for
         # its materialization, on first use (r13; the plan-truncation
         # guarantee on use is unchanged).
-        subcent = _fx_mean_agg(sub, ["cid", "scid"]).localCheckpoint(eager=False)
-        return sub, subcent
+        subcent = _fx_mean_agg(sub0, ["cid", "scid"]) \
+            .localCheckpoint(eager=False)
+        return sub0, subcent
+    sub0.unpersist()
     # r13 SPLIT: only members of OVERSIZED cells go through the
     # second-level Lloyd + re-split machinery; members of compliant
     # cells take the k2 = 1 shortcut directly (per-cell independence
     # makes the two regimes exactly composable — every seed, iteration
     # and mean below is keyed by cid). At any corpus size this bounds
     # the Lloyd work to the skewed sliver instead of the whole corpus.
+    # The size join reuses the collected census as a LocalRelation
+    # (broadcasts without a job) instead of re-aggregating it.
+    csz = cells.sparkSession.sql(
+        "SELECT col1 AS cid, col2 AS _sz FROM VALUES "
+        + ",".join(f"({int(r['cid'])}L,{int(r['_sz'])}L)" for r in sizes))
     sized = cells.join(F.broadcast(csz), "cid")
     small = sized.filter(F.col("_sz") <= occ).select(
         "vec_id", "embedding", "cid", F.lit(0).cast("long").alias("scid"))
