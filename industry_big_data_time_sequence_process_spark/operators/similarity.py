@@ -2134,11 +2134,16 @@ def _pq_codebook_dist(e: DataFrame) -> DataFrame:
 
 def _pq_code_banks(cb: DataFrame) -> dict:
     """Collect the (constant-size, ≤ M·K-row) codebook into per-subspace
-    numpy banks: m -> (k vector ascending, K×4 codeword matrix)."""
+    numpy banks: m -> (k vector ascending, K×4 codeword matrix). Frames
+    built by the driver trainer carry their rows attached
+    (``_graft_cb_rows``, r14) — then no collect job runs at all."""
     import numpy as np
+    rows = getattr(cb, "_graft_cb_rows", None)
+    if rows is None:
+        rows = cb.collect()
     by_m: dict = {}
-    for r in cb.collect():
-        by_m.setdefault(int(r["m"]), []).append((int(r["k"]), r["cw"]))
+    for r in rows:      # positional: accepts Rows and attached tuples
+        by_m.setdefault(int(r[0]), []).append((int(r[1]), r[2]))
     return {m: (np.array([k for k, _ in sorted(kvs)], dtype=np.int64),
                 np.array([list(map(float, w)) for _, w in sorted(kvs)],
                          dtype=np.float64))
@@ -2201,6 +2206,78 @@ def _pq_code_batches(banks: dict, with_cid: bool):
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return code
+
+
+def _assign_code_batches(cids, C, nassign: int, banks: dict):
+    """Fused Arrow pass: IVF multi-assignment AND PQ coding in ONE
+    corpus traversal (r14). The r13 build chained two mapInArrow passes
+    — every embedding crossed the Python boundary twice, the second
+    time with ``nassign``× replication, and each replica was re-coded
+    identically (a vector's code argmin depends only on (vector, m)).
+    This is the straight composition of the two pinned twins: cell
+    picks are ``_ivf_assign_batches``' (same hoisted-norm cos fold +
+    ``_topn_scan_np``), codes are ``_pq_code_batches``' per-vector
+    argmins, tiled across the replicas — bit-identical output rows,
+    one boundary crossing, 3× less replica compute."""
+    import numpy as np
+    import pyarrow as pa
+
+    k, d = C.shape
+    nc = np.zeros(k)
+    for i in range(d):
+        nc = nc + C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cid", pa.int64()),
+                            ("m", pa.int32()), ("code", pa.int64())])
+
+    def run(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0 or not banks:
+                continue
+            E = (batch.column("embedding").flatten()
+                 .to_numpy(zero_copy_only=False).astype(np.float64)
+                 .reshape(n, -1))
+            nv = np.zeros(n)
+            for i in range(d):
+                nv = nv + E[:, i] * E[:, i]
+            nv = np.sqrt(nv)
+            acc = np.zeros((n, k))
+            for i in range(d):
+                acc = acc + E[:, i:i + 1] * C[:, i][None, :]
+            cos = acc / (nv[:, None] * nc[None, :])
+            picks = _topn_scan_np(cos, nassign)
+            ms_sorted = sorted(banks)
+            code_by_m = {}
+            for m in ms_sorted:
+                ks, CW = banks[m]
+                sub = E[:, m * _PQ_DS:(m + 1) * _PQ_DS]
+                a2 = np.zeros((n, len(ks)))
+                for di in range(_PQ_DS):   # LTR fold, same as _pq_d2fx
+                    t = sub[:, di][:, None] - CW[:, di][None, :]
+                    a2 = a2 + t * t
+                key = (np.floor(a2 * _PQ_FX).astype(np.int64) * _PQ_K
+                       + ks[None, :])
+                code_by_m[m] = ks[np.argmin(key, axis=1)]
+            vid = batch.column("vec_id").to_numpy()
+            nm = len(ms_sorted)
+            m_col = np.concatenate(
+                [np.full(n, m, dtype=np.int32) for m in ms_sorted])
+            c_col = np.concatenate([code_by_m[m] for m in ms_sorted])
+            vids, cid_cols, m_cols, c_cols = [], [], [], []
+            for pick in picks:
+                vids.append(np.tile(vid, nm))
+                cid_cols.append(np.tile(cids[pick], nm))
+                m_cols.append(m_col)
+                c_cols.append(c_col)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(vids), type=pa.int64()),
+                 pa.array(np.concatenate(cid_cols), type=pa.int64()),
+                 pa.array(np.concatenate(m_cols), type=pa.int32()),
+                 pa.array(np.concatenate(c_cols), type=pa.int64())],
+                schema=out_schema)
+
+    return run
 
 
 def _pq_codes(e: DataFrame, cb: DataFrame) -> DataFrame:
@@ -2750,8 +2827,19 @@ def _ivfpq_index(e: DataFrame) -> tuple:
     else:   # distributed-training regime: per-trainer paths unchanged
         cent = _ivf_train_capped(e, n=n)
         cb = _pq_codebook(e)
-    corpus = _pq_codes_with_cid(
-        _ivf_assign(e, cent, nprobe=_IVF_NASSIGN), cb)
+    # r14: one fused Arrow pass assigns cells AND codes (embeddings
+    # cross the Python boundary once, replicas are not re-coded); the
+    # two-pass twins remain the fallback for unbanked frames.
+    bank = _cent_bank(cent)
+    banks = _pq_code_banks(cb)
+    if bank is not None and banks:
+        cids, C = bank
+        corpus = e.select("vec_id", "embedding").mapInArrow(
+            _assign_code_batches(cids, C, _IVF_NASSIGN, banks),
+            "vec_id long, cid long, m int, code long")
+    else:
+        corpus = _pq_codes_with_cid(
+            _ivf_assign(e, cent, nprobe=_IVF_NASSIGN), cb)
     return corpus, cent, cb
 
 

@@ -97,6 +97,30 @@ def test_serve_gate_falls_back_above_cap(spark, monkeypatch):
     assert got == ref
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_T2])
+def test_fused_assign_code_equals_two_pass(spark, sf_dir):
+    """The fused assign+code Arrow pass emits exactly the rows the
+    chained _ivf_assign -> _pq_codes_with_cid twins produced."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    rows = (e.select("vec_id", "embedding", S._hv_col().alias("hv"))
+             .orderBy("hv", "vec_id")
+             .limit(max(S._ivf_train_cap(S._ivf_nlist(n)),
+                        S._PQ_TRAIN_CAP)).collect())
+    cent = S._ivf_train_capped(e, n=n, sample_rows=rows)
+    cb = S._pq_codebook(e, sample_rows=rows)
+    cids, C = S._cent_bank(cent)
+    banks = S._pq_code_banks(cb)
+    fused = e.select("vec_id", "embedding").mapInArrow(
+        S._assign_code_batches(cids, C, S._IVF_NASSIGN, banks),
+        "vec_id long, cid long, m int, code long")
+    two_pass = S._pq_codes_with_cid(
+        S._ivf_assign(e, cent, nprobe=S._IVF_NASSIGN), cb)
+    got = sorted(tuple(r) for r in fused.collect())
+    ref = sorted(tuple(r) for r in two_pass.collect())
+    assert got == ref
+
+
 def test_attached_banks_match_collected(spark):
     """The banks attached at build time equal what a fresh collect of
     the same frames produces (the storage-path fallback)."""
