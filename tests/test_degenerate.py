@@ -20,6 +20,7 @@ import pytest
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 from industry_big_data_time_sequence_process_spark.sources.io import TABLES
 
+from .conftest import slowwave_param  # noqa: F401  (r14 slowwave)
 from .conftest import SF_SMOKE
 
 #: ops whose denominators the fixture drives to zero
@@ -117,7 +118,7 @@ def degen_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("key", GUARDED)
+@pytest.mark.parametrize("key", [slowwave_param(k) for k in GUARDED])
 def test_no_divide_by_zero_on_degenerate_slices(spark, degen_dir, key):
     rows = REGISTRY[key].fn(spark, degen_dir).collect()
     assert isinstance(rows, list)  # completed without raising
@@ -197,7 +198,7 @@ EMPTY_GUARDED = ["ts_conversion_horizons", "ts_gap_survival",
                  "sink_txn_changes_feed", "sink_txn_restore"]
 
 
-@pytest.mark.parametrize("key", EMPTY_GUARDED)
+@pytest.mark.parametrize("key", [slowwave_param(k) for k in EMPTY_GUARDED])
 def test_no_crash_on_empty_events(spark, empty_events_dir, key):
     rows = REGISTRY[key].fn(spark, empty_events_dir).collect()
     assert isinstance(rows, list)  # completed without raising
@@ -252,7 +253,7 @@ EMPTY_DOCS_GUARDED = [
 ]
 
 
-@pytest.mark.parametrize("key", EMPTY_DOCS_GUARDED)
+@pytest.mark.parametrize("key", [slowwave_param(k) for k in EMPTY_DOCS_GUARDED])
 def test_no_crash_on_empty_documents(spark, empty_documents_dir, key):
     rows = REGISTRY[key].fn(spark, empty_documents_dir).collect()
     assert isinstance(rows, list)  # completed without raising
@@ -297,7 +298,7 @@ EMPTY_EMB_GUARDED = [
 ]
 
 
-@pytest.mark.parametrize("key", EMPTY_EMB_GUARDED)
+@pytest.mark.parametrize("key", [slowwave_param(k) for k in EMPTY_EMB_GUARDED])
 def test_no_crash_on_empty_embeddings(spark, empty_embeddings_dir, key):
     rows = REGISTRY[key].fn(spark, empty_embeddings_dir).collect()
     assert isinstance(rows, list)  # completed without raising

@@ -3,6 +3,8 @@ the oracle parity can't express (it pins values; these pin the SHAPE a
 consumer relies on: monotonicity, bounds, margin identities)."""
 from collections import defaultdict
 
+import pytest
+
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 
 from .conftest import SF_T2
@@ -75,6 +77,7 @@ def test_ece_bounds(spark):
         assert 0.0 <= r["ece"] <= max_gap + 1e-6
 
 
+@pytest.mark.slowwave
 def test_mmr_first_pick_is_cosine_top1(spark):
     """With nothing picked yet, MMR's k=1 selection IS the plain cosine
     argmax — the diversity penalty only exists from k=2 on."""
@@ -87,6 +90,7 @@ def test_mmr_first_pick_is_cosine_top1(spark):
             assert mmr[(q, 1)] == top[q], f"query {q}: k=1 != cosine top1"
 
 
+@pytest.mark.slowwave
 def test_mmr_picks_distinct_per_query(spark):
     rows = _rows(spark, "sim_mmr_diversify")
     per_q = defaultdict(list)

@@ -19,7 +19,7 @@ import pytest
 
 from industry_big_data_time_sequence_process_spark.registry import REGISTRY
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, slowwave_param
 from .parity import duck_con, duck_kind, oracle_output_types, spark_kind
 
 ORACLED = sorted(k for k, o in REGISTRY.items() if o.oracle is not None)
@@ -47,7 +47,10 @@ def test_oracle_output_types_safe(lint_con, key):
     )
 
 
-@pytest.mark.parametrize("key", ORACLED)
+# r14: frame CONSTRUCTION is not lazy for every op (BPE merge training,
+# semantic index builds run driver work at plan-build time) — the heavy
+# keys carry the slowwave marker like the parity sweep.
+@pytest.mark.parametrize("key", [slowwave_param(k) for k in ORACLED])
 def test_spark_output_types_safe(spark, key):
     sdf = REGISTRY[key].fn(spark, SF_SMOKE)  # lazy: schema only, no execute
     bad = [

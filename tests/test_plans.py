@@ -381,14 +381,25 @@ def test_boilerplate_hot_line_set_broadcast(spark):
 
 def test_persisted_serve_scans_index_not_recompute(spark):
     """sim_ann_serve_persisted must SERVE from the persisted artifacts:
-    its plan scans the scratch index parquet (centroids, codebook,
-    cid-partitioned corpus) rather than re-deriving codes from
-    embeddings, and the probe/ADC joins stay broadcast (no SMJ, no
-    cartesian) — the corpus inverted lists never shuffle to meet an
-    8-query batch."""
+    the corpus side of its plan scans the scratch cid-partitioned
+    inverted lists rather than re-deriving codes from embeddings, and
+    the probe/ADC joins stay broadcast (no SMJ, no cartesian) — the
+    corpus inverted lists never shuffle to meet an 8-query batch.
+
+    r14: the centroids and codebook artifacts are consumed by the
+    driver-side serve fast path (collected once per serve, probe and
+    distance tables inlined as LocalTableScan leaves), so they no
+    longer appear as scans INSIDE the serve plan — the plan-level
+    contract is now: persisted-corpus scan present, no code
+    re-derivation (no MapInArrow coding pass), local-relation
+    probe/dtab broadcasts."""
     plan = _plan(spark, "sim_ann_serve_persisted", "simple")
-    assert plan.count("ann_index") >= 3, (
-        "serve plan does not scan the three persisted index frames")
+    assert plan.count("ann_index") >= 1, (
+        "serve plan does not scan the persisted corpus frame")
+    assert "MapInArrow" not in plan, (
+        "serve plan re-derives codes instead of scanning the index")
+    assert "LocalTableScan" in plan, (
+        "driver-built probe/dtab local relations missing from the plan")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
