@@ -73,9 +73,12 @@ def safe_corr(x, y) -> Column:
 # - ``money_sum`` splits each addend into (div 1e6, mod 1e6) and sums the
 #   two LONG halves — exact to ~9e12 rows (lo: n·1e6 < 2^63) — then
 #   recombines PER GROUP in DECIMAL(38,0) and divides by the scale in
-#   decimal (exact: the quotient has <= 6 decimals, the division result
-#   scale is >= 8), so the final cast to double is the correctly-rounded
-#   true value — the identical double the decimal formulation produced.
+#   decimal. The adjusted division result type is decimal(38,6) (Spark's
+#   precision-loss rule), so exactness requires the quotient to need at
+#   most 6 decimals — true exactly when scale is a power of 10 <= 1e6
+#   over integer cents-products (asserted in money_sum; ADVICE r13).
+#   The final cast to double is then the correctly-rounded true value —
+#   the identical double the decimal formulation produced.
 #   Per-row work is long div/mod (codegen); decimals touch only group rows.
 
 #: hi/lo split base for money sums: lo-halves sum exactly up to
@@ -94,7 +97,16 @@ def money_sum(cents_expr: Column, scale: int) -> Column:
     """Exact, order-insensitive, overflow-safe sum of an integer
     cents-product column, surfaced as the value double (``/ scale``).
     Bit-identical to ``sum(CAST(... AS DECIMAL)).cast('double')`` over
-    the same data (twin-pinned in tests/test_opt_r13.py)."""
+    the same data (twin-pinned in tests/test_opt_r13.py).
+
+    ADVICE r13: exactness silently depends on ``scale`` being a power
+    of 10 ≤ 1e6 — Spark's precision-loss adjustment types the division
+    result decimal(38,6), so a scale whose quotient needs more than 6
+    decimals would round WITHOUT any error. Assert the contract so a
+    future call site fails loudly instead of wrongly."""
+    assert scale in (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000), (
+        f"money_sum requires a power-of-10 scale <= 1e6 (decimal(38,6) "
+        f"division result), got {scale}")
     # trunc-div via the exact-multiple subtraction: (x - x%s) is an exact
     # multiple of s (< 2^53 per-row by the schema bounds), so the double
     # division is EXACT — no floor-of-rounded-quotient edge.

@@ -225,31 +225,45 @@ def _embcos_batches(ids, U, tau: float):
     import numpy as np
     import pyarrow as pa
 
+    # ADVICE r13 (guide §5): bound the dense block×bank score matrix —
+    # at the 100k-row bank cap a full 10k-row Arrow batch would allocate
+    # ~8 GB per matrix with ~3 temporaries live at peak. Row-chunking
+    # the batch keeps every allocation ≤ ~0.4 GB (cells × 8 bytes), and
+    # in-place accumulation holds ONE matrix instead of three; per-pair
+    # arithmetic is untouched (each row's fold is independent, and
+    # ``s += x`` computes the identical IEEE adds), so the twin pin
+    # holds unchanged.
+    _MAX_CELLS = 50_000_000
+
     def score(it):
+        bank_rows = max(1, U.shape[0])
+        block = max(1, _MAX_CELLS // bank_rows)
         for batch in it:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            E = (batch.column("embedding").flatten()
-                 .to_numpy(zero_copy_only=False).astype(np.float64)
-                 .reshape(n, -1))
-            d = E.shape[1]
-            acc = np.zeros(n)
-            for i in range(d):
-                acc = acc + E[:, i] * E[:, i]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                Ub = E / np.sqrt(acc)[:, None]
-            s = np.zeros((n, U.shape[0]))
-            for i in range(d):        # LTR fold, same association as _dot
-                s = s + Ub[:, i:i + 1] * U[:, i][None, :]
-            vid = batch.column("vec_id").to_numpy()
-            mask = (s >= tau) & (vid[:, None] < ids[None, :])
-            ri, cj = np.nonzero(mask)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(vid[ri], type=pa.int64()),
-                 pa.array(ids[cj], type=pa.int64()),
-                 pa.array(s[ri, cj], type=pa.float64())],
-                names=["vec1", "vec2", "score"])
+            for off in range(0, batch.num_rows, block):
+                chunk = batch.slice(off, block)
+                n = chunk.num_rows
+                if n == 0:
+                    continue
+                E = (chunk.column("embedding").flatten()
+                     .to_numpy(zero_copy_only=False).astype(np.float64)
+                     .reshape(n, -1))
+                d = E.shape[1]
+                acc = np.zeros(n)
+                for i in range(d):
+                    acc = acc + E[:, i] * E[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    Ub = E / np.sqrt(acc)[:, None]
+                s = np.zeros((n, U.shape[0]))
+                for i in range(d):    # LTR fold, same association as _dot
+                    s += Ub[:, i:i + 1] * U[:, i][None, :]
+                vid = chunk.column("vec_id").to_numpy()
+                mask = (s >= tau) & (vid[:, None] < ids[None, :])
+                ri, cj = np.nonzero(mask)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vid[ri], type=pa.int64()),
+                     pa.array(ids[cj], type=pa.int64()),
+                     pa.array(s[ri, cj], type=pa.float64())],
+                    names=["vec1", "vec2", "score"])
 
     return score
 
@@ -432,10 +446,15 @@ def _lsh_bands_batches(P, bits: int):
 
 
 def _lsh_nbits(n: int) -> int:
-    """bits(n) = max(4, floor(log2(max(n, 125)/125))) — the Python twin
-    of the JVM expression (same double log2/floor)."""
+    """bits(n) = clamp(floor(log2(max(n, 125)/125)), 4, _LSH_MAXBITS) —
+    the Python twin of the JVM expression (same double log2/floor).
+    ADVICE r13: the ``_LSH_MAXBITS`` ceiling keeps both twins fail-safe
+    at extreme n (past ~125·2^32 rows the unclamped width would index
+    off the end of the precomputed plane bank — numpy raising and the
+    JVM silently reading the next band's planes, a twin divergence)."""
     import math
-    return max(4, int(math.floor(math.log2(max(n, 125) / 125.0))))
+    return min(_LSH_MAXBITS,
+               max(4, int(math.floor(math.log2(max(n, 125) / 125.0)))))
 
 
 def _lsh_bands(e: DataFrame) -> DataFrame:
@@ -480,10 +499,12 @@ def _lsh_bands_jvm(e: DataFrame) -> DataFrame:
             THEN cast(pow(2.0D, cast(j AS double)) AS bigint)
             ELSE cast(0 AS bigint) END),
         cast(0 AS bigint), (acc, x2) -> acc + x2)""")
-    n_bits = F.greatest(
-        F.lit(4),
-        F.floor(F.log2(F.greatest(F.col("n"), F.lit(125)).cast("double")
-                       / F.lit(125.0))).cast("int"))
+    n_bits = F.least(
+        F.lit(_LSH_MAXBITS),
+        F.greatest(
+            F.lit(4),
+            F.floor(F.log2(F.greatest(F.col("n"), F.lit(125)).cast("double")
+                           / F.lit(125.0))).cast("int")))
     n1 = e.agg(F.count("*").alias("n"))
     return (e.crossJoin(F.broadcast(n1))
              .select("vec_id", "embedding", n_bits.alias("bits"),
