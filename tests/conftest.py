@@ -35,12 +35,26 @@ SLOWWAVE_KEYS = frozenset({
     "sim_ivfpq_recall_eval", "ts_interpolate_sql",
     "doc_pack_nextfit_merged", "doc_truncate_budget_merged",
     "text_bpe_train", "ts_ewma_timedecay",
+    # second wave (measured on the clean r14 parity run — every default
+    # key >= ~6 s; the txn-log family is covered by the prefix rule):
+    "text_langid_calibration", "text_langid_model",
+    "text_quality_calibration", "text_quality_model",
+    "source_stream_file", "text_bpe_lite", "sim_ivfpq_topk",
+    "sim_ivf_topk_nprobe2", "sim_ivf_recall_eval", "sim_ivf_topk",
+    "sim_ivf_scalable_topk", "sim_ivf_incremental_assign",
+    "sim_index_persist", "sim_ann_serve_persisted",
+    "text_rake_keywords", "dedup_cluster_cc_star", "dedup_cluster_cc",
+    "text_bm25_retrieval", "text_ngram_novelty", "text_decontaminate",
+    "dedup_incremental_minhash", "text_lang_confusion",
+    "agg_ab_power_mde", "dedup_lsh_tuning_curve", "sim_label_agreement",
+    "text_bigram_logprob", "ts_cusum_changepoint",
+    "text_pmi_collocations",
 })
 
 
 def is_slowwave(key: str) -> bool:
     return (key in SLOWWAVE_KEYS or key.startswith("stream_")
-            or "_semantic_" in key)
+            or key.startswith("sink_txn_") or "_semantic_" in key)
 
 
 def slowwave_param(key: str):
